@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline catalog queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is executed with a count-style action that materializes the full
+result (no driver-side collect of wide rows). A warmup run of a tiny query
+first amortizes JVM/session startup out of per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "inner_join_agg",
+    "semi_join_by_count",
+    "wordcount",
+    "tfidf",
+    "exact_dedup",
+    "ann_cosine_topk",
+    "events_hourly",
+    "sessionization",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from dampr_spark.plans import all_queries
+    from dampr_spark.session import get_spark
+
+    spark = get_spark(app_name="dampr-spark-bench")
+    catalog = all_queries()
+
+    # Warmup: trigger JVM classloading + parquet footer reads.
+    catalog["count_total"].builder(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        q = catalog[name]
+        t0 = time.perf_counter()
+        # noop sink materializes every row/column of the result without
+        # shipping it to the driver (a bare count() would let Catalyst prune
+        # the computed columns away).
+        q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "dampr_spark_bench_total",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

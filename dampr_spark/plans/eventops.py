@@ -1,0 +1,104 @@
+"""Event-table catalog queries: windowed time aggregation and sessionization
+in batch form. The reference has no streaming/window surface at all
+(SURVEY §2.10); these are the extension layer, and the same window logic is
+reused by ``dampr_spark.streaming`` for the Structured Streaming path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dampr_spark.plans.catalog import register
+from dampr_spark.sources.readers import read_table as _t
+
+
+@register(
+    "events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window", "extension"),
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form): hourly counts/sums per
+    event type. In streaming this is window(ts, '1 hour') + watermark —
+    see dampr_spark.streaming."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+    tags=("events", "session", "extension"),
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag over a per-user
+    window, flag gaps, count sessions. One shuffle on user_id; the same
+    semantics stream via session_window(ts, '30 minutes') in
+    dampr_spark.streaming."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "top_users_by_value",
+    oracle="""
+    SELECT user_id, round(sum(value), 2) AS total_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 20
+    """,
+    tags=("events", "topk"),
+)
+def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter → agg → top-k on the events table."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("user_id"))
+        .limit(20)
+    )

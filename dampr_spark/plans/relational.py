@@ -1,0 +1,714 @@
+"""Relational operator catalog: scans, row transforms, grouping/aggregation,
+joins, set ops, sort/top-k — every batch-relational operator from
+SURVEY.md §2.1-2.6, expressed as declarative DataFrame plans so Catalyst
+supplies pushdown, pruning, partial aggregation and join selection.
+
+Determinism rules (the oracle hash-compares values):
+- per-row double arithmetic is left unrounded (IEEE ops are bit-deterministic
+  when the expression tree matches the SQL);
+- aggregated doubles are rounded identically on both sides (sum→2dp, avg→6dp)
+  because Spark/DuckDB accumulate in different orders;
+- every LIMIT/top-k query carries a unique-key tie-break.
+
+Reference parity notes cite /root/reference file:line in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dampr_spark.plans.catalog import register
+from dampr_spark.sources.readers import read_table as _t
+
+# ---------------------------------------------------------------------------
+# §2.3 map / filter / flat_map — projections and row transforms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "map_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    """,
+    tags=("map", "projection"),
+)
+def map_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`map` (dampr/dampr.py:277-288): v → f(v) as a narrow projection.
+    Catalyst prunes the scan to 4 columns (check ReadSchema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+@register(
+    "filter_where",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_quantity > 45
+    """,
+    tags=("filter",),
+)
+def filter_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`filter` (dampr/dampr.py:343-356). The predicate reaches the parquet
+    scan as PushedFilters — no Python in the hot path."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+@register(
+    "flat_map_tokens",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+    """,
+    tags=("flat_map",),
+)
+def flat_map_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`flat_map` (dampr/dampr.py:358-370): one row per token. JVM-side
+    split+explode, no Python UDF (the reference benchmarks tokenize in
+    Python lambdas, benchmarks/tf-idf-dampr.py:12-14)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+
+
+@register(
+    "map_tuple_fields",
+    oracle="""
+    SELECT o_orderkey AS key, upper(o_orderpriority) AS priority,
+           o_totalprice * 0.9 AS discounted
+    FROM orders
+    """,
+    tags=("map_values", "map_keys", "prefix", "suffix"),
+)
+def map_tuple_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`map_keys`/`map_values`/`prefix`/`suffix` (dampr/dampr.py:290-340) are
+    all column rewrites once data is typed: key-by = select-as-key, value map
+    = withColumn. One stage, fully fused by WholeStageCodegen."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("key"),
+        F.upper("o_orderpriority").alias("priority"),
+        (F.col("o_totalprice") * 0.9).alias("discounted"),
+    )
+
+
+@register("sample_rows", oracle=None, tags=("sample",))
+def sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sample(prob)` (dampr/dampr.py:114-126), time-seeded in the reference;
+    here seeded for reproducibility. No SQL oracle (sampling RNGs differ) —
+    driver does a rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 grouping & aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           CAST(count(*) AS BIGINT)                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("group_by", "reduce", "a_group_by", "sum", "mean", "count", "tpch"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the canonical `a_group_by(...).reduce/sum/mean`
+    (dampr/dampr.py:386-404,661-708). Catalyst plans partial+final
+    HashAggregate, the exact equivalent of the reference's map-side
+    ReducedWriter combine (dampr/dataset.py:84-117)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-01-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "group_count",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("count",),
+)
+def group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`count(key)` (dampr/dampr.py:439-448): (key,1) summed with combiner =
+    partial+final count aggregate."""
+    return _t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "wordcount",
+    oracle="""
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+    tags=("flat_map", "count", "flagship"),
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference README's flagship word count (README.md:50-57,
+    examples/wc.py): flat_map → count-with-combiner, all JVM-side."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "mean_by_key",
+    oracle="""
+    SELECT c_nationkey, round(avg(c_acctbal), 6) AS avg_acctbal,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+    tags=("mean",),
+)
+def mean_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mean` (dampr/dampr.py:450-467): the reference decomposes avg into
+    associative (sum,count) pairs — identical to Spark's partial-agg plan
+    for F.avg."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@register(
+    "fold_by_sum",
+    oracle="""
+    SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    tags=("fold_by", "a_group_by", "sum"),
+)
+def fold_by_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fold_by(key, binop)` = `a_group_by(key).reduce(binop)`
+    (dampr/dampr.py:406-410); associative binop → groupBy().sum with
+    map-side combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+
+
+@register(
+    "count_total",
+    oracle="SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem",
+    tags=("len",),
+)
+def count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`len()` (dampr/dampr.py:245-275): per-partition count + single merge;
+    Spark's count() aggregate is exactly that (plus parquet row-group
+    statistics when no filter — the scan never materializes rows)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
+
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=("unique", "distinct"),
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distinct (reference only has per-group `unique`,
+    dampr/dampr.py:727-746; global distinct via group-then-first). Spark
+    plans partial+final HashAggregate — no full shuffle of duplicates."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "unique_per_group",
+    oracle="""
+    SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments
+    FROM customer GROUP BY c_nationkey
+    """,
+    tags=("unique",),
+)
+def unique_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`PReduce.unique` (dampr/dampr.py:727-746): first-seen distinct values
+    per group. Set semantics → collect_set, sorted for determinism."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments")
+    )
+
+
+@register(
+    "topk_global",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey ASC
+    LIMIT 10
+    """,
+    tags=("topk",),
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`topk(k)` (dampr/dampr.py:621-652): heap-per-partition then global
+    merge. Spark's orderBy().limit(k) plans TakeOrderedAndProject — the
+    same partial top-k, no global sort."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "sort_by",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 400000
+    ORDER BY o_totalprice DESC
+    """,
+    tags=("sort_by",),
+)
+def sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sort_by(key)` (dampr/dampr.py:412-422): globally key-sorted output via
+    sorted spill runs + k-way merge; Spark's orderBy is a range-partitioned
+    sort — same result, sampled range boundaries instead of hash buckets."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_totalprice") > 400000).select("o_orderkey", "o_totalprice").orderBy(
+        F.col("o_totalprice").desc()
+    )
+
+
+@register(
+    "per_group_topk",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders)
+    WHERE rn <= 2
+    """,
+    tags=("topk", "window", "extension"),
+)
+def per_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k — absent as a primitive in the reference (users
+    hand-roll it via BlockMapper, tests/test_dampr.py:239-311); here a
+    window row_number, one shuffle on the group key."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inner_join_agg",
+    oracle="""
+    SELECT o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "inner"),
+)
+def inner_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`PJoin.reduce` inner co-group join (dampr/dampr.py:780-802,
+    dampr/base.py:259-283). Equi-join on the fact tables' natural key —
+    shuffle-hash/sort-merge chosen by Catalyst, skew handled by AQE."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "left_outer_join",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS num_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01') o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("join", "left"),
+)
+def left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`PJoin.left_reduce` (dampr/dampr.py:804-820, dampr/base.py:290-315):
+    missing right side → empty iterator → zero counts here."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2001-01-01")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("num_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "full_outer_join",
+    oracle="""
+    WITH s AS (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_suppliers
+               FROM supplier WHERE s_acctbal > 3000 GROUP BY s_nationkey),
+         c AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_customers
+               FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey)
+    SELECT coalesce(s.nk, c.nk) AS nationkey,
+           coalesce(s.n_suppliers, 0) AS n_suppliers,
+           coalesce(c.n_customers, 0) AS n_customers
+    FROM s FULL OUTER JOIN c ON s.nk = c.nk
+    """,
+    tags=("join", "outer"),
+)
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — the reference's OuterJoin is dead/buggy code
+    (dampr/base.py:337-371, undefined var at :355); implemented correctly
+    here as SURVEY §2.5 directs."""
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 3000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return s.join(c, s.nk == c.nk, "full").select(
+        F.coalesce(s.nk, c.nk).alias("nationkey"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+    )
+
+
+@register(
+    "semi_join_by_count",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber
+    FROM lineitem
+    WHERE l_partkey IN (
+        SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING count(*) >= 40)
+    """,
+    tags=("join", "semi", "filter_by_count"),
+)
+def semi_join_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`filter_by_count` (dampr/utils/common.py:2-15): count by key, filter
+    counts, semi-join survivors back. left_semi keeps the probe side
+    unduplicated; the counts side is tiny → AQE broadcasts it."""
+    li = _t(spark, sf_dir, "lineitem")
+    hot = li.groupBy("l_partkey").count().filter(F.col("count") >= 40).select("l_partkey")
+    return li.join(hot, "l_partkey", "left_semi").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+
+
+@register(
+    "anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    """,
+    tags=("join", "anti"),
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join — the reference builds it from left_reduce + empty-right
+    filter (tests/test_dampr.py:118-130); first-class left_anti here."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2001-01-01")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "cross_join_broadcast",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    tags=("join", "cross", "broadcast"),
+)
+def cross_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`cross_left/cross_right(memory=True)` (dampr/dampr.py:541-588): map-side
+    nested loop with the small side cached in RAM = BroadcastNestedLoopJoin."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+@register(
+    "broadcast_dim_join",
+    oracle="""
+    SELECT n.n_name, r.r_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    tags=("join", "broadcast", "cross_set"),
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`cross_set` (dampr/dampr.py:590-619) materializes a whole small side to
+    every row = broadcast variable. Spark-first: explicit F.broadcast on
+    dimension tables so the fact table never shuffles."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_all",
+    oracle="""
+    SELECT s_suppkey AS entity_id, 'supplier' AS side FROM supplier
+    UNION ALL
+    SELECT c_custkey AS entity_id, 'customer' AS side FROM customer
+    """,
+    tags=("union",),
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-input union (`Dampr.read_input(ds1, ds2, ...)` concatenation,
+    dampr/dampr.py:857-877; the reference's `concat` is unimplemented,
+    tests/test_dampr.py:464-473 — provided here as SURVEY §2.6 directs)."""
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"), F.lit("supplier").alias("side")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"), F.lit("customer").alias("side")
+    )
+    return s.unionByName(c)
+
+
+@register(
+    "intersect_keys",
+    oracle="""
+    SELECT l_partkey AS partkey FROM lineitem
+    INTERSECT
+    SELECT p_partkey AS partkey FROM part WHERE p_size > 40
+    """,
+    tags=("intersect",),
+)
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (absent in reference as a relational op — only the SQLite
+    Indexer has set semantics, dampr/utils/indexer.py:72-125)."""
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") > 40)
+        .select(F.col("p_partkey").alias("partkey"))
+    )
+    return li.intersect(p)
+
+
+@register(
+    "except_keys",
+    oracle="""
+    SELECT p_partkey AS partkey FROM part
+    EXCEPT
+    SELECT l_partkey AS partkey FROM lineitem
+    """,
+    tags=("except",),
+)
+def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: parts never ordered. Plans as a left-anti aggregate —
+    the relational form of the reference's anti-join idiom."""
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
+    return p.exceptAll(li.distinct()).distinct()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped multi-join benchmarks (bench.py headliners)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "tpch", "bench"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two joins → agg → top-k.
+    customer side is small after the segment filter → broadcast."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "tpch", "bench"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join. Dimensions (region/nation/supplier/
+    customer) broadcast; only the orders⋈lineitem join shuffles."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("filter", "sum", "tpch", "bench"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+agg — the pushdown/pruning probe.
+    All four predicates reach the parquet reader."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )

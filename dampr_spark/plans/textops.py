@@ -1,0 +1,158 @@
+"""Text-analysis & dedup catalog queries over the ``documents`` table —
+the LLM-training-data extension layer (SURVEY §7 step 6): token counting,
+language-ID, quality scoring, fingerprinting, exact dedup. Heavier near-dup
+operators (MinHash LSH, SimHash, n-gram Jaccard) live in
+``dampr_spark.operators.dedup`` and register their own catalog entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dampr_spark.functions import text as T
+from dampr_spark.plans.catalog import register
+from dampr_spark.sources.readers import read_table as _t
+
+
+@register(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id, {T.token_count_sql('text')} AS n_tokens, n_chars
+    FROM documents
+    """,
+    tags=("text", "extension"),
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting — pure projection, fuses into the scan."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.token_count("text").alias("n_tokens"), "n_chars")
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id, lang, {T.lang_id_sql('text')} AS pred_lang
+    FROM documents
+    """,
+    tags=("text", "extension"),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-stopword argmax, deterministic
+    tie-break) next to the labeled ``lang`` column."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", T.lang_id("text").alias("pred_lang"))
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           {T.token_count_sql('text')} AS n_tokens,
+           {T.stopword_ratio_sql('text')} AS stopword_ratio,
+           {T.punct_ratio_sql('text')} AS punct_ratio,
+           {T.quality_score_sql('text')} AS quality
+    FROM documents
+    """,
+    tags=("text", "extension"),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/punctuation composite in [0,1]."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.stopword_ratio("text").alias("stopword_ratio"),
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {T.fingerprint_sql('text')} AS fp
+    FROM documents
+    """,
+    tags=("text", "dedup", "extension"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text (md5 agrees across
+    engines, unlike hash()/xxhash64 — that's what makes dedup
+    oracle-checkable)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+@register(
+    "exact_dedup",
+    oracle=f"""
+    SELECT {T.fingerprint_sql('text')} AS fp,
+           min(doc_id) AS canonical_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("text", "dedup", "extension"),
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: hash-groupBy on the fingerprint, keep the lowest
+    doc_id as canonical. At 100 TB this is one shuffle on a 32-byte key —
+    partial aggregation collapses unique docs map-side."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", T.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "doc_freq",
+    oracle="""
+    SELECT token, CAST(count(*) AS BIGINT) AS df
+    FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY token
+    """,
+    tags=("text", "tfidf", "bench"),
+)
+def doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency — first half of the reference's TF-IDF macro
+    benchmark (benchmarks/tf-idf-dampr.py:13-15): per-doc distinct tokens,
+    then count per token."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+@register(
+    "tfidf",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    df AS (
+        SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tokens GROUP BY token),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT token, df, round(ln(1 + n.n_docs / df), 6) AS idf
+    FROM df CROSS JOIN n
+    """,
+    tags=("text", "tfidf", "bench"),
+)
+def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's TF-IDF benchmark pipeline (benchmarks/tf-idf-dampr.py:
+    13-21): doc-frequency + idf = ln(1 + N/df). The corpus size joins in as
+    a broadcast of a 1-row aggregate — the Spark-native form of
+    `cross_right(docs.len(), memory=True)`."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    df = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    return df.crossJoin(F.broadcast(n)).select(
+        "token", "df", F.round(F.log(1 + F.col("n_docs") / F.col("df")), 6).alias("idf")
+    )

@@ -1,0 +1,83 @@
+"""Embedding/similarity catalog queries over the ``embeddings`` table
+(``vec_id bigint, embedding array<float> (64-d), label int``) — the
+similarity-search extension layer. The scale-path ANN variants (LSH-bucketed)
+live in ``dampr_spark.operators.similarity``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dampr_spark.functions import vector as V
+from dampr_spark.plans.catalog import register
+from dampr_spark.sources.readers import read_table as _t
+
+
+@register(
+    "embedding_norms",
+    oracle=f"""
+    SELECT vec_id, label, round({V.l2_norm_sql('embedding')}, 6) AS l2
+    FROM embeddings
+    """,
+    tags=("vector", "extension"),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm per embedding — JVM-side array fold, no UDF."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", F.round(V.l2_norm("embedding"), 6).alias("l2"))
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round({V.cosine_sql('embedding', 'qv')}, 6) AS cos_sim
+    FROM embeddings CROSS JOIN q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 20
+    """,
+    tags=("vector", "ann", "extension", "bench"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 query vector — the
+    exact-ANN baseline. Plan: broadcast the 1-row query, scan + TakeOrdered
+    (heap per partition, no global sort). Scale path: LSH bucketing in
+    operators/similarity.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(V.cosine("embedding", "qv"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    SELECT label, i AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, i
+    """,
+    tags=("vector", "extension"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components: posexplode + groupBy(label, dim).
+    One shuffle keyed (label, dim) — at scale prefer treeAggregate-style
+    partial vectors, but the declarative form lets AQE size the exchange."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .select("label", (F.col("pos") + 1).cast("long").alias("dim"), F.col("x").cast("double").alias("x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("centroid"))
+    )
