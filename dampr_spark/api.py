@@ -1,0 +1,541 @@
+"""Dampr-compatible fluent pipeline API, executed by Spark.
+
+A user of the reference library (``from dampr import Dampr``) can switch to
+``from dampr_spark.api import Dampr`` and run the same pipelines.  Semantics
+follow the reference DSL (`dampr/dampr.py`):
+
+- streams are (key, value) pairs; keys are engine metadata the user never
+  sees — ``run()`` returns values (`ValueEmitter.stream` drops keys,
+  dampr/dampr.py:27-32);
+- grouping re-keys by the user's key function and reducers emit
+  ``(group_key, result)`` tuples as *values* (KeyedReduce, dampr/base.py:254-257);
+- grouped/sorted stages read back **in key order** (sorted spill runs +
+  k-way merge, dampr/runner.py:352-374) — we sort grouped results before
+  collection to preserve every ordering the reference tests assert;
+- ``a_group_by`` reduces with a map-side combiner (dampr/dampr.py:386-404) —
+  here ``reduceByKey``, whose partial aggregation is the same optimization.
+
+Execution differences (deliberate, Spark-first):
+- fusion of consecutive map/filter/flat_map is Spark's pipelining within a
+  narrow stage — no explicit fuse buffer needed (reference dampr/dampr.py:93-112);
+- ``checkpoint()``/``cached()`` map to ``persist(DISK_ONLY/MEMORY_ONLY)``;
+  like the reference, sharing a subgraph without it recomputes lineage;
+- the reference's buggy full OuterJoin (dampr/base.py:337-371, undefined
+  variable at :355) is implemented *correctly* here as ``outer_reduce``.
+
+Scale note: this API is the lambda escape hatch (RDD-backed, Python-side).
+For 100 TB relational work use the DataFrame catalog (``dampr_spark.plans``)
+— ``to_df()`` / ``from_df()`` bridge the two worlds.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import operator
+from collections.abc import Callable, Iterable, Iterator
+
+from pyspark import RDD, StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+
+_identity = lambda x: x  # noqa: E731
+
+
+class ValueEmitter:
+    """Result handle returned by ``run()`` (reference dampr/dampr.py:19-51):
+    iterate values, read all, or read the first k."""
+
+    def __init__(self, values: list):
+        self._values = values
+
+    def stream(self) -> Iterator:
+        return iter(self._values)
+
+    def read(self, k: int | None = None) -> list:
+        return self._values[: k] if k is not None else list(self._values)
+
+    def __iter__(self) -> Iterator:
+        return self.stream()
+
+    def delete(self) -> None:  # parity no-op: Spark GCs shuffle files
+        self._values = []
+
+
+class BlockMapper:
+    """Partition-lifecycle mapper (reference dampr/base.py:62-101):
+    ``start() -> iter``, ``add(k, v) -> iter``, ``finish() -> iter`` —
+    each yielding (key, value) pairs."""
+
+    def start(self) -> Iterable:
+        return ()
+
+    def add(self, key, value) -> Iterable:
+        raise NotImplementedError
+
+    def finish(self) -> Iterable:
+        return ()
+
+
+class BlockReducer:
+    """Grouped-stream reducer lifecycle (reference dampr/base.py:209-231):
+    ``add(key, value_iter)`` per group."""
+
+    def start(self) -> Iterable:
+        return ()
+
+    def add(self, key, values: Iterator) -> Iterable:
+        raise NotImplementedError
+
+    def finish(self) -> Iterable:
+        return ()
+
+
+class PBase:
+    """Shared plumbing: every stream is a pair RDD of (key, value)."""
+
+    def __init__(self, rdd: RDD, spark: SparkSession):
+        self._rdd = rdd
+        self._spark = spark
+
+    # -- execution ---------------------------------------------------------
+
+    def run(self, name: str | None = None) -> ValueEmitter:
+        """Execute and return values (keys dropped, reference
+        dampr/dampr.py:19-51)."""
+        return ValueEmitter([v for _, v in self._collect_pairs()])
+
+    def _collect_pairs(self) -> list:
+        return self._rdd.collect()
+
+    def read(self, k: int | None = None) -> list:
+        return self.run().read(k)
+
+    # -- caching / materialization (reference §2.8) ------------------------
+
+    def checkpoint(self, force: bool = False, **_) -> "PMap":
+        """Stage boundary + result sharing (reference dampr/dampr.py:128-153)
+        → disk persist; consumers of this object reuse the materialization."""
+        return PMap(self._rdd.persist(StorageLevel.DISK_ONLY), self._spark)
+
+    def cached(self, **_) -> "PMap":
+        """In-memory checkpoint (reference dampr/dampr.py:486-497)."""
+        return PMap(self._rdd.persist(StorageLevel.MEMORY_ONLY), self._spark)
+
+
+class PMap(PBase):
+    """Map-like chain over a keyed stream (reference dampr/dampr.py:84-657)."""
+
+    # -- §2.3 row transforms ----------------------------------------------
+
+    def map(self, f: Callable) -> "PMap":
+        return PMap(self._rdd.mapValues(f), self._spark)
+
+    def filter(self, f: Callable) -> "PMap":
+        return PMap(self._rdd.filter(lambda kv: f(kv[1])), self._spark)
+
+    def flat_map(self, f: Callable) -> "PMap":
+        return PMap(self._rdd.flatMapValues(f), self._spark)
+
+    def map_values(self, f: Callable) -> "PMap":
+        """Value is a 2-tuple; map its 2nd field (dampr/dampr.py:290-301)."""
+        return self.map(lambda v: (v[0], f(v[1])))
+
+    def map_keys(self, f: Callable) -> "PMap":
+        """Value is a 2-tuple; map its 1st field (dampr/dampr.py:303-314)."""
+        return self.map(lambda v: (f(v[0]), v[1]))
+
+    def prefix(self, f: Callable) -> "PMap":
+        """v → (f(v), v) — key-by (dampr/dampr.py:316-327)."""
+        return self.map(lambda v: (f(v), v))
+
+    def suffix(self, f: Callable) -> "PMap":
+        """v → (v, f(v)) (dampr/dampr.py:329-340)."""
+        return self.map(lambda v: (v, f(v)))
+
+    def sample(self, prob: float, seed: int | None = None) -> "PMap":
+        return PMap(self._rdd.sample(False, prob, seed), self._spark)
+
+    def inspect(self, prefix: str = "", exit: bool = False) -> "PMap":
+        """Debug pass-through (dampr/dampr.py:469-484). Printing happens
+        executor-side (visible in local mode)."""
+        def _peek(kv):
+            print(f"{prefix}{kv[1]!r}")
+            return True
+
+        out = PMap(self._rdd.filter(_peek), self._spark)
+        if exit:
+            out.run()
+            raise SystemExit(0)
+        return out
+
+    # -- §2.4 grouping ----------------------------------------------------
+
+    def group_by(self, key: Callable, vf: Callable = _identity) -> "PReduce":
+        """Re-key by key(v), value vf(v) (dampr/dampr.py:372-384)."""
+        return PReduce(
+            self._rdd.map(lambda kv: (key(kv[1]), vf(kv[1]))), self._spark
+        )
+
+    def a_group_by(self, key: Callable, vf: Callable = _identity) -> "ARReduce":
+        """Associative grouping with map-side combine (dampr/dampr.py:386-404)."""
+        return ARReduce(
+            self._rdd.map(lambda kv: (key(kv[1]), vf(kv[1]))), self._spark
+        )
+
+    def fold_by(self, key: Callable, binop: Callable, value: Callable = _identity) -> "PMap":
+        """a_group_by(key, value).reduce(binop) (dampr/dampr.py:406-410)."""
+        return self.a_group_by(key, value).reduce(binop)
+
+    def sort_by(self, key: Callable) -> "PMap":
+        """Globally key-sorted output (dampr/dampr.py:412-422): Spark range-
+        partitioned sort replaces the reference's sorted-run merge."""
+        return PMap(
+            self._rdd.map(lambda kv: (key(kv[1]), kv[1])).sortByKey(),
+            self._spark,
+        )
+
+    def count(self, key: Callable = _identity, **_) -> "PMap":
+        """(key(v), 1) summed with combiner → (k, n) (dampr/dampr.py:439-448)."""
+        return self.a_group_by(key, lambda _v: 1).sum()
+
+    def mean(self, key: Callable = lambda _v: 1, value: Callable = _identity) -> "PMap":
+        """Associative (sum, count) pairs, then divide (dampr/dampr.py:450-467)."""
+        summed = self.a_group_by(key, lambda v: (value(v), 1)).reduce(
+            lambda l, r: (l[0] + r[0], l[1] + r[1])
+        )
+        return summed.map(lambda kv: (kv[0], kv[1][0] / kv[1][1]))
+
+    def len(self) -> "PMap":
+        """Total item count as a 1-element stream (dampr/dampr.py:245-275);
+        per-partition counts + single merge, empty input → [0]."""
+        counts = self._rdd.mapPartitions(lambda it: [sum(1 for _ in it)])
+        total = counts.coalesce(1).mapPartitions(lambda it: [(0, sum(it))])
+        return PMap(total, self._spark)
+
+    def topk(self, k: int, key: Callable = _identity) -> "PMap":
+        """Partial top-k: heap per partition then global merge
+        (dampr/dampr.py:621-652) — the same shape as Spark's TakeOrdered."""
+        def part_top(it: Iterator) -> Iterator:
+            return iter(heapq.nlargest(k, (v for _, v in it), key=key))
+
+        def final_top(it: Iterator) -> Iterator:
+            for v in heapq.nlargest(k, it, key=key):
+                yield (0, v)
+
+        return PMap(
+            self._rdd.mapPartitions(part_top).coalesce(1).mapPartitions(final_top),
+            self._spark,
+        )
+
+    # -- §2.5 map-side cross products -------------------------------------
+
+    def cross_left(self, other: "PMap", crosser: Callable, memory: bool = False) -> "PMap":
+        """Nested-loop cross product, crosser(left_v, right_v)
+        (dampr/dampr.py:541-573).  ``memory=True`` broadcasts the right side
+        (reference caches it in RAM, dampr/base.py:153-158)."""
+        if memory:
+            right = self._spark.sparkContext.broadcast(
+                [v for _, v in other._rdd.collect()]
+            )
+
+            def bcast_cross(kv):
+                for w in right.value:
+                    yield (kv[0], crosser(kv[1], w))
+
+            return PMap(self._rdd.flatMap(bcast_cross), self._spark)
+        pairs = self._rdd.cartesian(other._rdd)
+        return PMap(
+            pairs.map(lambda lr: (lr[0][0], crosser(lr[0][1], lr[1][1]))),
+            self._spark,
+        )
+
+    def cross_right(self, other: "PMap", crosser: Callable, memory: bool = False) -> "PMap":
+        """Right-hand variant: still crosser(self_v, other_v) — the reference
+        flips args when delegating (dampr/dampr.py:541-558) so the user fn
+        always sees (left, right); only the cached/iterated side differs."""
+        return other.cross_left(self, lambda o, s: crosser(s, o), memory=memory)
+
+    def cross_set(self, other: "PMap", crosser: Callable, agg: Callable = list) -> "PMap":
+        """Materialize the ENTIRE other side via agg and hand it whole to each
+        left value — broadcast-variable join (dampr/dampr.py:590-619)."""
+        whole = self._spark.sparkContext.broadcast(
+            agg(v for _, v in other._rdd.collect())
+        )
+        return PMap(
+            self._rdd.map(lambda kv: (kv[0], crosser(kv[1], whole.value))),
+            self._spark,
+        )
+
+    # -- §2.7 custom operators --------------------------------------------
+
+    def partition_map(self, f: Callable[[Iterator], Iterable]) -> "PMap":
+        """f(iter_of_values) → yields (new_key, new_value)
+        (dampr/dampr.py:201-222); runs on every partition, empty included."""
+        return PMap(
+            self._rdd.mapPartitions(lambda it: f(v for _, v in it)), self._spark
+        )
+
+    def custom_mapper(self, mapper: BlockMapper | type) -> "PMap":
+        """BlockMapper start/add/finish lifecycle (dampr/dampr.py:155-180,
+        dampr/base.py:62-101). Lifecycle methods may return None (the
+        reference's own TopKMapper does, tests/test_dampr.py:248-252)."""
+        proto = mapper() if isinstance(mapper, type) else mapper
+
+        def run_block(it: Iterator) -> Iterator:
+            yield from proto.start() or ()
+            for k, v in it:
+                yield from proto.add(k, v) or ()
+            yield from proto.finish() or ()
+
+        return PMap(self._rdd.mapPartitions(run_block), self._spark)
+
+    def partition_reduce(self, f: Callable[[Iterator], Iterable]) -> "PMap":
+        """On a map-chain, partition_reduce groups by the *current* engine
+        key first (reference dampr/dampr.py:224-243 checkpoints into grouped
+        state) — e.g. keys emitted by a preceding partition_map/custom_mapper."""
+        return PReduce(self._rdd, self._spark).partition_reduce(f)
+
+    def custom_reducer(self, reducer: "BlockReducer | type") -> "PMap":
+        """On a map-chain, groups by the current engine key then applies the
+        BlockReducer lifecycle (reference dampr/dampr.py:182-199)."""
+        return PReduce(self._rdd, self._spark).custom_reducer(reducer)
+
+    # -- §2.2 sinks --------------------------------------------------------
+
+    def sink(self, path: str, fmt: Callable = str) -> "PMap":
+        """Write fmt(value) per line to path/part-* (dampr/dampr.py:499-519).
+        Executes immediately (a sink is a terminal stage in the reference
+        graph too) and returns a stream of the written lines."""
+        self._rdd.map(lambda kv: fmt(kv[1])).saveAsTextFile(path)
+        lines = self._spark.sparkContext.textFile(path)
+        return PMap(lines.map(lambda line: (0, line)), self._spark)
+
+    def sink_tsv(self, path: str) -> "PMap":
+        return self.sink(path, fmt=lambda v: "\t".join(str(x) for x in v))
+
+    def sink_json(self, path: str) -> "PMap":
+        return self.sink(path, fmt=json.dumps)
+
+    # -- DataFrame bridge (Spark-first escape hatch) -----------------------
+
+    def to_df(self, schema=None) -> DataFrame:
+        """Values → DataFrame; cross into Catalyst-optimized land whenever
+        the remaining pipeline is relational."""
+        return self._spark.createDataFrame(self._rdd.map(lambda kv: kv[1]), schema=schema)
+
+
+class PReduce(PBase):
+    """Grouped stream: (group_key, value) pairs awaiting reduction
+    (reference dampr/dampr.py:712-766)."""
+
+    def reduce(self, f: Callable[[object, Iterator], object], sort: bool = True) -> PMap:
+        """f(key, value_iter) per group; emits (k, result) tuples as values,
+        read back in key order (dampr/base.py:197-207,254-257)."""
+        reduced = self._rdd.groupByKey().map(lambda kv: (kv[0], f(kv[0], iter(kv[1]))))
+        if sort:
+            reduced = reduced.sortByKey()
+        return PMap(reduced.map(lambda kv: (kv[0], (kv[0], kv[1]))), self._spark)
+
+    def unique(self, key: Callable = _identity) -> PMap:
+        """Per group, first-seen distinct values by key(v)
+        (dampr/dampr.py:727-746)."""
+        def distinct_vals(k, vs: Iterator) -> list:
+            seen, out = set(), []
+            for v in vs:
+                kv = key(v)
+                if kv not in seen:
+                    seen.add(kv)
+                    out.append(v)
+            return out
+
+        return self.reduce(distinct_vals)
+
+    def partition_reduce(self, f: Callable[[Iterator], Iterable]) -> PMap:
+        """f(iter of (key, value_iter)) per reduce partition
+        (dampr/dampr.py:224-243,759-766). The reference's StreamReducer
+        re-embeds the emitted key into the value — ``(nk, (nk, nv))``
+        (dampr/base.py:240-244) — so users read (key, value) tuples."""
+        grouped = self._rdd.groupByKey()
+
+        def run_part(it: Iterator) -> Iterator:
+            for nk, nv in f((k, iter(vs)) for k, vs in it):
+                yield nk, (nk, nv)
+
+        return PMap(grouped.mapPartitions(run_part), self._spark)
+
+    def custom_reducer(self, reducer: BlockReducer | type) -> PMap:
+        """BlockReducer lifecycle over the grouped stream
+        (dampr/dampr.py:182-199, dampr/base.py:209-231)."""
+        proto = reducer() if isinstance(reducer, type) else reducer
+
+        def run_block(it: Iterator) -> Iterator:
+            yield from proto.start() or ()
+            for k, vs in it:
+                yield from proto.add(k, iter(vs)) or ()
+            yield from proto.finish() or ()
+
+        return PMap(self._rdd.groupByKey().mapPartitions(run_block), self._spark)
+
+    # -- joins (§2.5): both sides grouped, co-group semantics --------------
+
+    def join(self, other: "PReduce | PMap") -> "PJoin":
+        """Build a co-grouped join of two keyed streams
+        (dampr/dampr.py:424-437,748-757)."""
+        if isinstance(other, PMap):
+            raise TypeError("join the grouped form: other.group_by(...) first")
+        return PJoin(self._rdd, other._rdd, self._spark)
+
+    def run(self, name: str | None = None) -> ValueEmitter:
+        """Bare run of a grouped stream = groups as (k, [values]) in key
+        order (reference default reduce-to-list)."""
+        return self.reduce(lambda k, vs: list(vs)).run()
+
+
+class ARReduce(PBase):
+    """Associative reduce: map-side combine via reduceByKey — the Spark
+    native of the reference's ReducedWriter/PartialReduceCombiner
+    (dampr/dampr.py:661-708, dampr/dataset.py:84-117)."""
+
+    def reduce(self, binop: Callable, reduce_buffer: int | None = None, sort: bool = True) -> PMap:
+        reduced = self._rdd.reduceByKey(binop)
+        if sort:
+            reduced = reduced.sortByKey()
+        return PMap(reduced.map(lambda kv: (kv[0], (kv[0], kv[1]))), self._spark)
+
+    def sum(self) -> PMap:
+        return self.reduce(operator.add)
+
+    def first(self) -> PMap:
+        """First-seen value per key — nondeterministic across partitions in
+        the reference too (dampr/dampr.py:693-699)."""
+        return self.reduce(lambda l, _r: l)
+
+
+class PJoin(PBase):
+    """Co-grouped pair of keyed streams (reference dampr/dampr.py:768-829)."""
+
+    def __init__(self, left: RDD, right: RDD, spark: SparkSession):
+        super().__init__(left, spark)
+        self._left = left
+        self._right = right
+
+    @staticmethod
+    def _emit(k, res, many: bool):
+        if many:
+            for item in res:
+                yield (k, (k, item))
+        else:
+            yield (k, (k, res))
+
+    def reduce(self, aggregate: Callable[[Iterator, Iterator], object], many: bool = False) -> PMap:
+        """Inner join: per matching key, aggregate(left_iter, right_iter);
+        ``many=True`` flattens an iterator result (dampr/dampr.py:780-802)."""
+        cg = self._left.cogroup(self._right)
+
+        def go(kv):
+            k, (l, r) = kv
+            l, r = list(l), list(r)
+            if l and r:
+                yield from PJoin._emit(k, aggregate(iter(l), iter(r)), many)
+
+        return PMap(cg.flatMap(go).sortByKey().mapValues(lambda v: v), self._spark)
+
+    def left_reduce(self, aggregate: Callable[[Iterator, Iterator], object], many: bool = False) -> PMap:
+        """Left outer join: right side may be an empty iterator
+        (dampr/dampr.py:804-820, dampr/base.py:290-315)."""
+        cg = self._left.cogroup(self._right)
+
+        def go(kv):
+            k, (l, r) = kv
+            l = list(l)
+            if l:
+                yield from PJoin._emit(k, aggregate(iter(l), iter(list(r))), many)
+
+        return PMap(cg.flatMap(go).sortByKey().mapValues(lambda v: v), self._spark)
+
+    def outer_reduce(self, aggregate: Callable[[Iterator, Iterator], object], many: bool = False) -> PMap:
+        """Full outer join — correct implementation of the reference's dead
+        OuterJoin (dampr/base.py:337-371 has an undefined variable at :355
+        and advances the wrong iterator at :366; zero tests cover it)."""
+        cg = self._left.cogroup(self._right)
+
+        def go(kv):
+            k, (l, r) = kv
+            yield from PJoin._emit(k, aggregate(iter(list(l)), iter(list(r))), many)
+
+        return PMap(cg.flatMap(go).sortByKey().mapValues(lambda v: v), self._spark)
+
+    def run(self, name: str | None = None) -> ValueEmitter:
+        """Bare join run = inner join to (list(l), list(r))
+        (dampr/dampr.py:777-778)."""
+        return self.reduce(lambda l, r: (list(l), list(r))).run()
+
+
+class Dampr:
+    """Pipeline entry points (reference dampr/dampr.py:831-945)."""
+
+    _spark: SparkSession | None = None
+
+    @classmethod
+    def _session(cls) -> SparkSession:
+        if cls._spark is None:
+            from dampr_spark.session import get_spark
+
+            cls._spark = get_spark(app_name="dampr-spark-api")
+        return cls._spark
+
+    @classmethod
+    def use_session(cls, spark: SparkSession) -> None:
+        cls._spark = spark
+
+    # -- §2.1 sources ------------------------------------------------------
+
+    @classmethod
+    def memory(cls, items: Iterable, partitions: int = 50) -> PMap:
+        """In-memory list → enumerated kv stream (dampr/dampr.py:845-855)."""
+        items = list(items)
+        n = max(1, min(partitions, len(items) or 1))
+        rdd = cls._session().sparkContext.parallelize(list(enumerate(items)), n)
+        return PMap(rdd, cls._session())
+
+    @classmethod
+    def text(cls, fname: str, chunk_size: int | None = None, followlinks: bool = False) -> PMap:
+        """Text file/dir/glob of newline lines (dampr/dampr.py:879-895);
+        Spark's text source handles globs, dirs and .gz natively."""
+        lines = cls._session().sparkContext.textFile(fname)
+        return PMap(lines.zipWithUniqueId().map(lambda t: (t[1], t[0])), cls._session())
+
+    @classmethod
+    def json(cls, fname: str, **kwargs) -> PMap:
+        """Newline-delimited JSON = text + json.loads (dampr/dampr.py:897-902)."""
+        return cls.text(fname, **kwargs).map(json.loads)
+
+    @classmethod
+    def from_df(cls, df: DataFrame) -> PMap:
+        """DataFrame → value stream of Rows (the reverse bridge of
+        PMap.to_df)."""
+        return PMap(df.rdd.map(lambda row: (0, row)), df.sparkSession)
+
+    @classmethod
+    def run(cls, *pmers: PBase, name: str | None = None) -> list[ValueEmitter]:
+        """Run several pipelines in one call (dampr/dampr.py:914-945);
+        persist shared parents via .checkpoint() to avoid recompute —
+        the same user-facing rule as the reference."""
+        return [p.run() for p in pmers]
+
+
+def filter_by_count(pipe: PMap, key_func: Callable, filter_func: Callable) -> PMap:
+    """Composite semi-join idiom (reference dampr/utils/common.py:2-15):
+    count by key, filter the counts, join the surviving keys back to the
+    rows, return the original items (keys stripped, as the reference's final
+    ``.map(lambda x: x[1])`` does)."""
+    survivors = (
+        pipe.count(key_func)
+        .filter(lambda kc: filter_func(kc[1]))
+        .group_by(lambda kc: kc[0], lambda kc: kc[1])
+    )
+    return (
+        survivors.join(pipe.group_by(key_func))
+        .reduce(lambda _lit, rit: rit, many=True)
+        .map(lambda kv: kv[1])
+    )
