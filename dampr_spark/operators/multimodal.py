@@ -1,0 +1,154 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode step itself is STUBBED (`pillow`/`ffmpeg`/`librosa` are not in
+this container): :func:`decode_image` raises ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake decoder (seeded by the
+content hash) produces stable pseudo-features. Everything Spark-side — the
+media schema, batch iteration shape, partition sizing, UDF signatures — is
+real and tested, so swapping in a real codec is a one-function change.
+
+Scale notes:
+- media bytes stay in executors end-to-end (mapInPandas streams Arrow record
+  batches; nothing collects);
+- ``spark.sql.files.maxPartitionBytes`` governs scan granularity for big
+  binary files; for huge blobs store pointers (path + range) instead and
+  fetch inside the batch iterator;
+- feature extraction emits fixed-width ``array<float>`` columns that feed
+  straight into operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("content", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter for tests/benchmarks: treat document text bytes as opaque
+    media payloads so the binary pipeline can run against TESTDATA."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def _fake_decode(content: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic fake feature vector: md5 of the payload expands into
+    ``dim`` floats in [0, 1). Stable across runs/machines — usable in tests
+    and as a placeholder embedding."""
+    out = np.empty(dim, dtype=np.float32)
+    h = content or b""
+    for i in range(dim):
+        d = hashlib.md5(h + i.to_bytes(2, "little")).digest()
+        out[i] = int.from_bytes(d[:4], "little") / 2**32
+    return out
+
+
+def extract_features(media: DataFrame, fake: bool = False, batch_size: int = 256) -> DataFrame:
+    """Decode + feature-extract media content via mapInPandas.
+
+    With ``fake=False`` this raises NotImplementedError at execution time —
+    the honest marker that no codec library exists in this environment. The
+    plumbing (Arrow batching, schema, null handling) is identical either way.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires pillow/ffmpeg/librosa; "
+                    "re-run with fake=True for the deterministic stub"
+                )
+            feats = [
+                _fake_decode(c if c is not None else b"").tolist()
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(c) if c is not None else 0 for c in pdf["content"]],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame offset.
+
+    Spark-side shape: flat-map via mapInPandas (a batch row explodes into
+    ceil(duration/every_ms) frame rows). The actual frame grab is stubbed
+    like :func:`extract_features`."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_ms", LongType(), False),
+            StructField("features", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg; use fake=True"
+                )
+            ids, offs, feats = [], [], []
+            for _, row in pdf.iterrows():
+                dur = row["duration_ms"] or 0
+                content = row["content"] or b""
+                for off in range(0, max(int(dur), 1), every_ms):
+                    ids.append(row["media_id"])
+                    offs.append(off)
+                    feats.append(
+                        _fake_decode(content + off.to_bytes(8, "little")).tolist()
+                    )
+            yield pd.DataFrame({"media_id": ids, "frame_ms": offs, "features": feats})
+
+    return media.mapInPandas(run, schema=schema)

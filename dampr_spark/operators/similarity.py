@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns.
+
+Two tiers:
+- :func:`brute_force_topk` — exact cosine top-k: scan + TakeOrdered. The
+  correctness baseline; at 100 TB it's one pass over the vectors with no
+  shuffle, which is often *fine* for single queries.
+- :func:`RandomHyperplaneLSH` — sign-random-projection bucketing for the
+  scale path: each vector lands in 2^n_planes buckets per table; queries
+  probe only their bucket(s). Hyperplanes are generated from a fixed seed
+  driver-side and shipped as literal arrays (no SparkML dependency, no UDF:
+  the dot products are zip_with/aggregate expressions).
+
+Batch-of-queries is the 100 TB shape: a *DataFrame* of queries joins the
+bucketed corpus on bucket id — one shuffle keyed by bucket, never N×M.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dampr_spark.functions.vector import cosine, dot
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for one literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+class RandomHyperplaneLSH:
+    """Sign-random-projection LSH (Charikar 2002): bucket id = the sign
+    pattern of ``n_planes`` hyperplane dot products. Cosine-similar vectors
+    collide with probability (1 - θ/π)^n_planes; multiple tables raise
+    recall."""
+
+    def __init__(self, dim: int, n_planes: int = 8, n_tables: int = 4, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        # planes[t][p] is a unit hyperplane normal.
+        self.dim = dim
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+        planes = rng.standard_normal((n_tables, n_planes, dim))
+        planes /= np.linalg.norm(planes, axis=2, keepdims=True)
+        self._planes = planes
+
+    def _bucket_expr(self, vec: Column, table: int) -> Column:
+        """Bucket id for one table: Σ 2^p · [vec · plane_p > 0]."""
+        bucket = F.lit(0)
+        for p in range(self.n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in self._planes[table, p]])
+            bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(1 << p)).otherwise(
+                F.lit(0)
+            )
+        return bucket
+
+    def bucketize(
+        self, df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    ) -> DataFrame:
+        """Corpus side: one row per (table, bucket) per vector. Persist or
+        write this out bucketed-by ``bucket`` for repeated query workloads."""
+        tables = [
+            df.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.lit(t).alias("table"),
+                self._bucket_expr(F.col(vec_col), t).alias("bucket"),
+            )
+            for t in range(self.n_tables)
+        ]
+        out = tables[0]
+        for t in tables[1:]:
+            out = out.unionByName(t)
+        return out
+
+    def query_topk(
+        self,
+        bucketed: DataFrame,
+        query_vec: list[float],
+        k: int = 10,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        probe_bits: int = 1,
+    ) -> DataFrame:
+        """Probe: score only vectors sharing a bucket with the query in any
+        table. ``probe_bits=1`` enables multiprobe — also visit every bucket
+        one sign-flip away (the classic recall boost that costs n_planes
+        extra bucket lookups, not a bigger index)."""
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        qnp = np.asarray(query_vec, dtype=float)
+        conds = []
+        for t in range(self.n_tables):
+            signs = (self._planes[t] @ qnp > 0).astype(int)
+            qbucket = int((signs << np.arange(self.n_planes)).sum())
+            probes = {qbucket}
+            if probe_bits >= 1:
+                probes |= {qbucket ^ (1 << p) for p in range(self.n_planes)}
+            conds.append(
+                (F.col("table") == t) & F.col("bucket").isin(sorted(probes))
+            )
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        return (
+            bucketed.filter(cond)
+            .select(id_col, vec_col)
+            .distinct()
+            .select(
+                F.col(id_col),
+                F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+            .limit(k)
+        )
+
+    def bucketed_pairs(
+        self, df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+        threshold: float = 0.95, max_bucket: int = 1000,
+    ) -> DataFrame:
+        """All-pairs near-dup at scale: only vectors sharing an LSH bucket
+        are compared (vs. the O(N²) of dedup.embedding_cosine_dups)."""
+        b = self.bucketize(df, vec_col, id_col)
+        grouped = b.groupBy("table", "bucket").agg(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))).alias("docs")
+        )
+        s = F.array_sort(F.col("docs"))
+        pairs_expr = F.flatten(
+            F.transform(
+                s,
+                lambda a, i: F.transform(
+                    F.slice(s, i + 2, F.greatest(F.size(s) - i - 1, F.lit(0))),
+                    lambda bb: F.struct(a.alias("a"), bb.alias("b")),
+                ),
+            )
+        )
+        return (
+            grouped.filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
+            .select(F.explode(pairs_expr).alias("p"))
+            .select(
+                F.col("p.a.id").alias("id_a"),
+                F.col("p.b.id").alias("id_b"),
+                F.round(cosine(F.col("p.a.v"), F.col("p.b.v")), 6).alias("cos_sim"),
+            )
+            .distinct()
+            .filter(F.col("cos_sim") >= threshold)
+        )

@@ -48,7 +48,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def _load_all() -> None:
     # Import side effect populates the registry.
-    from dampr_spark.plans import eventops, relational, textops, vectorops  # noqa: F401
+    from dampr_spark.plans import dedupops, eventops, relational, textops, vectorops  # noqa: F401
 
 
 def all_queries() -> dict[str, CatalogQuery]:

@@ -1,0 +1,100 @@
+"""Catalog entries for the dedup / similarity / multimodal operator family
+(`dampr_spark.operators`). The exact strategies (n-gram Jaccard, brute-force
+cosine) carry full DuckDB oracles; the approximate ones (MinHash LSH,
+SimHash, hyperplane LSH) are engine-hash-dependent and register as rows-only
+checks, with pytest recall tests against the exact baselines
+(tests/test_dedup.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dampr_spark.functions.vector import cosine_sql
+from dampr_spark.operators import dedup, multimodal, similarity
+from dampr_spark.plans.catalog import register
+from dampr_spark.sources.readers import read_table as _t
+
+_NGRAM_ORACLE = """
+WITH grams AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS gram
+  FROM documents
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.id < b.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(inter / (sa.n_grams + sb.n_grams - inter), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.id = shared.id_a
+JOIN sizes sb ON sb.id = shared.id_b
+WHERE inter / (sa.n_grams + sb.n_grams - inter) >= 0.1
+"""
+
+
+@register("ngram_jaccard_dups", oracle=_NGRAM_ORACLE, tags=("dedup", "extension"))
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (posting-list self-join) —
+    the non-approximate dedup baseline, fully oracle-checked."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.1
+    )
+
+
+@register(
+    "embedding_cosine_dups",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.4
+    """,
+    tags=("dedup", "vector", "extension"),
+)
+def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs by cosine ≥ 0.4 (brute-force exact baseline;
+    scale path = RandomHyperplaneLSH.bucketed_pairs)."""
+    return dedup.embedding_cosine_dups(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register("minhash_lsh_dedup", oracle=None, tags=("dedup", "extension"))
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 perms)+LSH(16 bands) candidates verified at char-5-shingle
+    Jaccard ≥ 0.5. xxhash64-based → no cross-engine oracle; recall vs the
+    exact baseline is pytest-checked (tests/test_dedup.py)."""
+    return dedup.minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register("simhash_dedup", oracle=None, tags=("dedup", "extension"))
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit, 4×16 bands) near-dup pairs at hamming ≤ 3."""
+    return dedup.simhash_dedup(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register("lsh_ann_topk", oracle=None, tags=("vector", "ann", "extension"))
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH: probe only the
+    query's buckets. Approximate → rows-only; recall vs brute force is
+    pytest-checked."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id = 0").select("embedding").first()
+    lsh = similarity.RandomHyperplaneLSH(dim=64, n_planes=6, n_tables=8)
+    bucketed = lsh.bucketize(e.filter("vec_id <> 0"))
+    return lsh.query_topk(bucketed, list(q.embedding), k=20)
+
+
+@register("multimodal_features", oracle=None, tags=("multimodal", "extension"))
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column media pipeline: documents→fake media payloads→
+    mapInPandas feature extraction (decode stubbed; plumbing real)."""
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media, fake=True)

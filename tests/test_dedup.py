@@ -1,0 +1,151 @@
+"""Dedup / similarity / multimodal operator tests: planted-duplicate
+correctness, recall of approximate methods vs their exact baselines, and the
+binary-column pipeline plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dampr_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from dampr_spark.sources.readers import read_table
+
+    return read_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from dampr_spark.sources.readers import read_table
+
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus with known exact and near duplicates."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("today", "tomorrow")),  # near dup of 1
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, "another unrelated document mentioning embeddings and vectors only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_planted(planted):
+    res = dedup.exact_dedup(planted).collect()
+    groups = {r.canonical_doc_id: r.n_copies for r in res}
+    assert groups[1] == 2  # docs 1,2 collapse
+    assert groups[3] == 1 and groups[4] == 1 and groups[5] == 1
+    kept = dedup.drop_exact_dups(planted)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4, 5]
+
+
+def test_minhash_lsh_planted(planted):
+    pairs = dedup.minhash_lsh_dedup(planted, threshold=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found  # exact dup: jaccard 1.0
+    assert (1, 3) in found and (2, 3) in found  # near dup
+    assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in found)
+
+
+def test_simhash_planted(planted):
+    pairs = dedup.simhash_dedup(planted, max_hamming=3).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found
+    hams = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert hams[(1, 2)] == 0
+    assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in found)
+
+
+def test_ngram_jaccard_planted(planted):
+    pairs = dedup.ngram_jaccard_pairs(planted, threshold=0.5).collect()
+    found = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert found[(1, 2)] == 1.0
+    assert (1, 3) in found and found[(1, 3)] < 1.0
+
+
+def test_minhash_recall_vs_exact(docs):
+    """MinHash LSH must find the overwhelming majority of true char-shingle
+    near-dups in the TESTDATA corpus (which has planted near-duplicates)."""
+    sh = docs.select(
+        F.col("doc_id").alias("id"), dedup.char_shingles("text").alias("sh")
+    ).cache()
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", dedup.jaccard(F.col("sh_a"), F.col("sh_b")).alias("j")
+        )
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    )
+    true_pairs = {(r.id_a, r.id_b) for r in truth}
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_dedup(docs, threshold=0.5).collect()
+    }
+    # verification step guarantees precision; check recall
+    assert got <= true_pairs
+    if true_pairs:
+        recall = len(got & true_pairs) / len(true_pairs)
+        assert recall >= 0.9, f"recall {recall}: {true_pairs - got}"
+
+
+def test_lsh_ann_recall_vs_brute_force(emb):
+    q = emb.filter("vec_id = 0").first()
+    rest = emb.filter("vec_id <> 0")
+    exact = {
+        r.vec_id
+        for r in similarity.brute_force_topk(rest, list(q.embedding), k=10).collect()
+    }
+    lsh = similarity.RandomHyperplaneLSH(dim=64, n_planes=6, n_tables=8)
+    approx = {
+        r.vec_id
+        for r in lsh.query_topk(lsh.bucketize(rest), list(q.embedding), k=10).collect()
+    }
+    # Approximate: expect at least half of the true top-10 in the probe set.
+    assert len(exact & approx) >= 5, f"ANN recall too low: {exact & approx}"
+
+
+def test_bucketed_pairs_subset_of_brute_force(emb):
+    lsh = similarity.RandomHyperplaneLSH(dim=64, n_planes=4, n_tables=6)
+    approx = lsh.bucketed_pairs(emb, threshold=0.4).collect()
+    exact = dedup.embedding_cosine_dups(emb, threshold=0.4).collect()
+    a = {(r.id_a, r.id_b) for r in approx}
+    e = {(r.id_a, r.id_b) for r in exact}
+    assert a <= e
+
+
+def test_multimodal_features(planted):
+    media = multimodal.documents_as_media(planted)
+    feats = multimodal.extract_features(media, fake=True).collect()
+    assert len(feats) == 5
+    by_id = {r.media_id: r for r in feats}
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in feats)
+    # deterministic: identical payloads → identical features
+    assert by_id[1].features == by_id[2].features
+    assert by_id[1].features != by_id[4].features
+    assert by_id[1].n_bytes > 0
+
+
+def test_multimodal_decode_stub_raises(planted):
+    media = multimodal.documents_as_media(planted)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.extract_features(media, fake=False).collect()
+
+
+def test_frame_sample(spark):
+    rows = [(1, "video", b"fakevideobytes", "video/mp4", None, None, 3500)]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    frames = multimodal.frame_sample(media, every_ms=1000, fake=True).collect()
+    assert [f.frame_ms for f in frames] == [0, 1000, 2000, 3000]
+    assert all(len(f.features) == multimodal.FEATURE_DIM for f in frames)
