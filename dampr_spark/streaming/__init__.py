@@ -1,0 +1,15 @@
+from dampr_spark.streaming.pipeline import (
+    hourly_aggregate,
+    read_events_stream,
+    run_to_memory,
+    session_counts,
+    streaming_dedup,
+)
+
+__all__ = [
+    "hourly_aggregate",
+    "read_events_stream",
+    "run_to_memory",
+    "session_counts",
+    "streaming_dedup",
+]

@@ -1,0 +1,90 @@
+"""Structured Streaming surface.
+
+The reference engine is strictly batch (SURVEY §2.10 — no windows,
+watermarks, or stateful streaming anywhere in its source tree); this module
+is the extension layer that makes the same event-table semantics runnable as
+a stream: file-source ingestion, watermarked tumbling windows, session
+windows, and streaming dedup. Each transformation mirrors a batch catalog
+query (``plans/eventops.py``) and the tests assert stream==batch equivalence
+by replaying the events table with ``trigger(availableNow=True)``.
+
+Scale notes:
+- the file source lists+checkpoints incrementally — the same code ingests a
+  continuous S3/Kafka-landed directory at cluster scale;
+- watermarks bound state: hourly windows keep ~(watermark/1h) open windows
+  per key; session windows and dropDuplicates state are evicted past the
+  watermark — without one, 100 TB of stream state OOMs the store;
+- ``availableNow`` gives batch-replay semantics for backfills with the same
+  query definition as the live stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# events.parquet physical schema (ts is TIMESTAMP(NANOS) stored as int64;
+# read as long and convert, same as sources/readers.read_table).
+_EVENTS_DDL = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Stream the events table from a parquet *directory* (the file source
+    watches a directory; a bare file path fails with "basePath must be a
+    directory"). New files under ``path`` become micro-batches — the pattern
+    for continuously-landing data directories."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_EVENTS_DDL).parquet(path)
+    # Watermarks require TIMESTAMP (with local tz), not TIMESTAMP_NTZ
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); sessions run in UTC so the
+    # wall-clock values still line up with the batch reader's NTZ column.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_aggregate(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows per event_type: counts + value sums — the
+    streaming twin of the batch ``events_hourly`` catalog query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("win.start").alias("hour"), "event_type", "n_events", "total_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessions per user via ``session_window`` — the streaming
+    twin of the batch lag-based ``sessionization`` query. Boundary nuance:
+    session_window treats an event at exactly ``gap`` after the previous as
+    a new session (half-open [start, start+gap)); the batch query flags
+    ``> gap`` — identical unless a gap is exactly 30:00.000000."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def streaming_dedup(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the first event per key within the
+    watermark horizon (state for keys older than the watermark is evicted).
+    The streaming form of the LLM-pipeline exact-dedup operator."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Execute a streaming query to completion over all currently-available
+    input (``availableNow``) into an in-memory table; returns the result as
+    a batch DataFrame. Test/backfill helper."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,74 @@
+"""Structured Streaming surface: replay the events table with availableNow
+and assert equivalence with the batch catalog queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dampr_spark import streaming
+from dampr_spark.plans import all_queries
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir, tmp_path_factory):
+    # The file streaming source requires a *directory* to watch.
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream_in")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return streaming.read_events_stream(spark, str(d))
+
+
+def test_hourly_aggregate_matches_batch(spark, sf_dir, events_stream):
+    stream_res = streaming.run_to_memory(
+        streaming.hourly_aggregate(events_stream), "hourly_test"
+    )
+    batch_res = all_queries()["events_hourly"].builder(spark, sf_dir)
+    s = {
+        (r.hour, r.event_type): (r.n_events, r.total_value)
+        for r in stream_res.collect()
+    }
+    b = {
+        (r.hour, r.event_type): (r.n_events, r.total_value)
+        for r in batch_res.collect()
+    }
+    assert s == b
+
+
+def test_session_counts_matches_batch(spark, sf_dir, events_stream):
+    stream_res = streaming.run_to_memory(
+        streaming.session_counts(events_stream), "sessions_test"
+    )
+    per_user = (
+        stream_res.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .collect()
+    )
+    s = {r.user_id: (r.n_sessions, r.n_events) for r in per_user}
+    batch = all_queries()["sessionization"].builder(spark, sf_dir).collect()
+    b = {r.user_id: (r.n_sessions, r.n_events) for r in batch}
+    assert s == b
+
+
+def test_streaming_dedup(spark, sf_dir, tmp_path_factory):
+    # Land the same file twice -> every event_id duplicated across batches;
+    # dedup keeps exactly one copy.
+    import shutil
+
+    d = tmp_path_factory.mktemp("stream_in")
+    src = f"{sf_dir}/events.parquet"
+    shutil.copy(src, d / "batch1.parquet")
+    shutil.copy(src, d / "batch2.parquet")
+    stream = streaming.read_events_stream(spark, str(d))
+    deduped = streaming.streaming_dedup(stream, ["event_id"], watermark="10 hours")
+    res = streaming.run_to_memory(
+        deduped.select("event_id"), "dedup_test", mode="append"
+    )
+    n_unique = res.select("event_id").distinct().count()
+    n_total = res.count()
+    batch_n = spark.read.parquet(src).count()
+    assert n_total == n_unique == batch_n
