@@ -26,6 +26,9 @@ BENCH_QUERIES = [
     "wordcount",
     "tfidf",
     "exact_dedup",
+    "training_data_prep",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_dups",
     "ann_cosine_topk",
     "events_hourly",
     "sessionization",

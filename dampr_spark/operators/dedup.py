@@ -66,16 +66,43 @@ def char_shingles(col: str, k: int = 5) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(k))))
 
 
-def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
-    """MinHash signature: for each permutation j, min over shingles of
-    xxhash64(shingle, j). xxhash64's seed argument gives the permutation
-    family — one JVM expression, no UDF."""
-    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
-    return F.transform(
-        perms,
-        lambda j: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, j))
-        ),
+def shingle_hashes(shingles: Column) -> Column:
+    """xxhash64 each shingle ONCE. Materialize this as a real column before
+    computing signatures — the signature references it num_perm times, and an
+    inlined expression would re-tokenize + re-hash per permutation (a
+    measured 60× slowdown at sf0.1)."""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+_MERSENNE_61 = (1 << 61) - 1
+
+
+def _perm_coefs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    # a odd ≤ 2^30, b ≤ 2^30: a·h32 + b < 2^62 never overflows a signed
+    # long (ANSI mode throws on overflow), and mod 2^61−1 breaks the
+    # monotonicity that a plain affine map would have.
+    return [
+        (rng.getrandbits(30) | 1, rng.getrandbits(30)) for _ in range(num_perm)
+    ]
+
+
+def minhash_signature(hashes: Column, num_perm: int = 64) -> Column:
+    """MinHash signature from pre-hashed shingles: permutation j is the
+    universal-hash family (a_j·h32 + b_j) mod 2^61−1 over the low 32 bits —
+    pure long arithmetic per permutation instead of re-hashing strings
+    (the standard datasketch construction)."""
+
+    def perm(a: int, b: int):
+        return lambda h: (h.bitwiseAND(F.lit((1 << 32) - 1)) * a + b) % _MERSENNE_61
+
+    return F.array(
+        *[
+            F.array_min(F.transform(hashes, perm(a, b)))
+            for a, b in _perm_coefs(num_perm)
+        ]
     )
 
 
@@ -99,9 +126,15 @@ def minhash_lsh_candidates(
     assert num_perm % bands == 0, "bands must divide num_perm"
     rows_per_band = num_perm // bands
 
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(char_shingles(text_col, shingle_k), num_perm).alias("sig"),
+    # Two projection steps on purpose: "hs" is referenced num_perm times by
+    # the signature, so it must be a materialized column, not an inlined
+    # expression (CollapseProject keeps multi-referenced non-cheap exprs).
+    sig = (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingle_hashes(char_shingles(text_col, shingle_k)).alias("hs"),
+        )
+        .select("id", minhash_signature(F.col("hs"), num_perm).alias("sig"))
     )
     banded = sig.select(
         "id",
@@ -167,9 +200,23 @@ def minhash_lsh_dedup(
     """Near-dup pairs: LSH candidates verified with exact shingle Jaccard.
     Only candidate ids re-join the shingle sets — the verify join is
     broadcast-sized relative to the corpus."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_k)
-    sh = df.select(
-        F.col(id_col).alias("id"), char_shingles(text_col, shingle_k).alias("sh")
+    from pyspark import StorageLevel
+
+    # Persist the (tiny) candidate-pair set: both the id-shrink and the
+    # final verify join consume it, and without a persist Spark would replay
+    # the whole signature+banding lineage for each consumer.
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_perm, bands, shingle_k
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Shrink to candidate ids BEFORE building shingle arrays: the semi-join
+    # filters rows first, so the (expensive, wide) shingle projection runs
+    # only for docs that appear in some candidate pair — typically a few
+    # dozen rows, which then broadcast into the verify join.
+    cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .join(cand_ids, "id", "left_semi")
+        .select(F.col("id"), char_shingles("_txt", shingle_k).alias("sh"))
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

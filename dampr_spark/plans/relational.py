@@ -344,6 +344,55 @@ def per_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("rollup", "extension"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals — absent in the reference (SURVEY §2.4 notes
+    no grouping sets/cube/rollup); extension-layer, one pass with partial
+    aggregation per grouping set."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "stats_by_group",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(min(l_quantity), 2) AS min_qty,
+           round(max(l_quantity), 2) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("stats", "extension"),
+)
+def stats_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust stats per group: sample stddev + interpolated median —
+    absent in the reference (no median/percentile/stddev, SURVEY §2.4).
+    Exact percentile is a sort-within-group; at 100 TB swap to
+    approx_percentile and document the error bound."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 joins
 # ---------------------------------------------------------------------------

@@ -107,6 +107,127 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEARCH_KEYS = ("spark", "window", "stream")
+
+
+@register(
+    "keyword_search_any",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE list_has_any(string_split(text, ' '),
+                       [{", ".join(repr(k) for k in _SEARCH_KEYS)}])
+    """,
+    tags=("text", "indexer", "search"),
+)
+def keyword_search_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexer.union parity (reference dampr/utils/indexer.py:72-92: SQLite
+    inverted index, lines matching ANY key). Spark-first: an arrays_overlap
+    predicate the scanner can evaluate — at 100 TB the precomputed-index
+    equivalent is a bucketed token→doc posting table, but no side index is
+    needed for predicate semantics."""
+    d = _t(spark, sf_dir, "documents")
+    keys = F.array(*[F.lit(k) for k in _SEARCH_KEYS])
+    return d.filter(
+        F.arrays_overlap(F.split(F.col("text"), " "), keys)
+    ).select("doc_id", "lang")
+
+
+@register(
+    "keyword_search_min_match",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                   [{", ".join(repr(k) for k in _SEARCH_KEYS)}])) AS BIGINT)
+             AS n_matched
+    FROM documents
+    WHERE len(list_intersect(list_distinct(string_split(text, ' ')),
+              [{", ".join(repr(k) for k in _SEARCH_KEYS)}])) >= 2
+    """,
+    tags=("text", "indexer", "search"),
+)
+def keyword_search_min_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexer.intersect parity (dampr/utils/indexer.py:94-125: lines
+    matching ≥ min_match of the keys, SQL GROUP BY/HAVING over the index) —
+    here a distinct-token intersection size filter."""
+    d = _t(spark, sf_dir, "documents")
+    keys = F.array(*[F.lit(k) for k in _SEARCH_KEYS])
+    n_matched = F.size(
+        F.array_intersect(F.array_distinct(F.split(F.col("text"), " ")), keys)
+    ).cast("long")
+    return (
+        d.select("doc_id", n_matched.alias("n_matched"))
+        .filter(F.col("n_matched") >= 2)
+    )
+
+
+@register(
+    "token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+    tags=("text", "tokenize", "extension"),
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: letter-runs, digit-runs, and single symbols —
+    the pre-tokenizer split most BPE vocabularies assume. Pure regexp
+    projection, fuses into the scan."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        )
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "training_data_prep",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {T.fingerprint_sql('text')} AS fp,
+               {T.token_count_sql('text')} AS n_tokens,
+               {T.quality_score_sql('text')} AS quality
+        FROM documents),
+    keep AS (
+        SELECT *, min(doc_id) OVER (PARTITION BY fp) AS canonical
+        FROM scored WHERE quality >= 0.5 AND n_tokens >= 20)
+    SELECT doc_id, lang, n_tokens, quality
+    FROM keep WHERE doc_id = canonical
+    """,
+    tags=("text", "pipeline", "flagship", "bench"),
+)
+def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite LLM-training-data prep pipeline: quality-filter → exact
+    dedup (keep canonical min-id per fingerprint) → emit metadata. One scan,
+    one window shuffle on the fingerprint — the end-to-end shape a 100 TB
+    corpus-cleaning job takes."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        T.fingerprint("text").alias("fp"),
+        T.token_count("text").alias("n_tokens"),
+        T.quality_score("text").alias("quality"),
+    ).filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20))
+    w = Window.partitionBy("fp")
+    return (
+        scored.withColumn("canonical", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("canonical"))
+        .select("doc_id", "lang", "n_tokens", "quality")
+    )
+
+
 @register(
     "doc_freq",
     oracle="""
