@@ -66,11 +66,12 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("minhash_lsh_dedup", oracle=None, tags=("dedup", "extension"))
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64 perms)+LSH(16 bands) candidates verified at char-5-shingle
-    Jaccard ≥ 0.5. xxhash64-based → no cross-engine oracle; recall vs the
-    exact baseline is pytest-checked (tests/test_dedup.py)."""
+    """MinHash(64 perms)+LSH(threshold-tuned 8 bands × 8 rows) candidates
+    verified at char-5-shingle Jaccard ≥ 0.8. Hash-based → no cross-engine
+    oracle; recall vs the exact baseline is pytest-checked
+    (tests/test_dedup.py)."""
     return dedup.minhash_lsh_dedup(
-        _t(spark, sf_dir, "documents"), threshold=0.5
+        _t(spark, sf_dir, "documents"), threshold=0.8
     )
 
 
