@@ -398,27 +398,45 @@ def simhash_dedup(
     """Near-dup pairs by SimHash: documents sharing any 16-bit band are
     candidates (pigeonhole: hamming ≤ 3 over 4 bands ⇒ at least one band
     identical); verify with full hamming distance."""
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash_votes(text_col).alias("votes")
-    ).select("id", simhash_bands(F.col("votes")).alias("sh"))
-    banded = sh.select(
-        "id", "sh", F.posexplode("sh").alias("band", "band_val")
-    )
-    buckets = banded.groupBy("band", "band_val").agg(
-        F.collect_list(F.struct("id", "sh")).alias("docs")
-    )
-    pairs = (
-        buckets.filter(F.size("docs") >= 2)
-        .select(F.explode(_sorted_struct_pairs(F.col("docs"))).alias("p"))
+    from pyspark import StorageLevel
+
+    n_bands = 4  # 64 bits / 16-bit bands
+    # Banded signatures with each band ALSO as a scalar column: the
+    # candidate join and the hamming verify then run entirely in
+    # whole-stage codegen (bit_count/xor over longs) — no interpreted
+    # higher-order lambdas in the quadratic phase. Persisted + eagerly
+    # materialized because both join sides read it (else the token-hash
+    # vote aggregation lineage runs twice).
+    banded = (
+        df.select(F.col(id_col).alias("id"), simhash_votes(text_col).alias("votes"))
+        .select("id", simhash_bands(F.col("votes")).alias("sh"))
         .select(
-            F.col("p.a.id").alias("id_a"),
-            F.col("p.b.id").alias("id_b"),
-            hamming_distance(F.col("p.a.sh"), F.col("p.b.sh")).alias("hamming"),
+            "id",
+            *[F.col("sh")[i].alias(f"b{i}") for i in range(n_bands)],
+            F.posexplode("sh").alias("band", "band_val"),
         )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return pairs
+    banded.count()
+    hamming = sum(
+        F.bit_count(F.col(f"a_b{i}").bitwiseXOR(F.col(f"c_b{i}")))
+        for i in range(n_bands)
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), "band", "band_val",
+        *[F.col(f"b{i}").alias(f"a_b{i}") for i in range(n_bands)],
+    )
+    c = banded.select(
+        F.col("id").alias("id_b"), "band", "band_val",
+        *[F.col(f"b{i}").alias(f"c_b{i}") for i in range(n_bands)],
+    )
+    return (
+        a.join(c, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def _sorted_struct_pairs(docs: Column) -> Column:
@@ -460,23 +478,33 @@ def ngram_jaccard_pairs(
     J = |∩| / (|A| + |B| − |∩|). No O(N²) compare — cost is bounded by
     posting-list sizes (a stopword-like hot gram is the skew risk; at scale
     drop the top-F most frequent grams first)."""
-    grams = df.select(
-        F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("gram")
+    # Single-scan posting-list pairing: each doc's gram count rides along the
+    # explode, postings group by gram, and in-bucket id pairs aggregate to
+    # intersection counts — ONE evaluation of the (interpreted, expensive)
+    # word_ngrams expression and two narrow shuffles, vs. a two-lineage
+    # self-join that re-evaluates it per side plus size joins. explode_outer
+    # on purpose: plain explode adds an implicit `size(arr) > 0` filter that
+    # predicate pushdown rewrites to re-evaluate the whole ngram expression a
+    # second time per row (word_ngrams never yields an empty array, so outer
+    # adds no rows). Hot-gram skew is the known risk at scale — cap or drop
+    # the top-frequency grams first (stopword pruning) on real corpora.
+    grams = df.withColumn("_arr", word_ngrams(text_col, n)).select(
+        F.col(id_col).alias("id"),
+        F.size("_arr").alias("n_grams"),
+        F.explode_outer("_arr").alias("gram"),
     )
-    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
-    g_a = grams.select(F.col("id").alias("id_a"), "gram")
-    g_b = grams.select(F.col("id").alias("id_b"), "gram")
-    shared = (
-        g_a.join(g_b, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
+        grams.groupBy("gram")
+        .agg(F.collect_list(F.struct("id", "n_grams")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.explode(_sorted_struct_pairs(F.col("docs"))).alias("p"))
+        .groupBy(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.n_grams").alias("n_a"),
+            F.col("p.b.n_grams").alias("n_b"),
+        )
+        .agg(F.count("*").alias("inter"))
         .select(
             "id_a",
             "id_b",
