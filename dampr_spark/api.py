@@ -155,6 +155,16 @@ class PMap(PBase):
     def sample(self, prob: float, seed: int | None = None) -> "PMap":
         return PMap(self._rdd.sample(False, prob, seed), self._spark)
 
+    def concat(self, *others: "PMap") -> "PMap":
+        """Unordered concatenation (union) of streams — the op the reference
+        sketched but never shipped (tests/test_dampr.py:464-473 is disabled
+        and there is no implementation); provided here per SURVEY §2.6.
+        Spark's union is partition-concatenation: no shuffle."""
+        rdd = self._rdd
+        for o in others:
+            rdd = rdd.union(o._rdd)
+        return PMap(rdd, self._spark)
+
     def inspect(self, prefix: str = "", exit: bool = False) -> "PMap":
         """Debug pass-through (dampr/dampr.py:469-484). Printing happens
         executor-side (visible in local mode)."""
@@ -515,6 +525,43 @@ class Dampr:
         """DataFrame → value stream of Rows (the reverse bridge of
         PMap.to_df)."""
         return PMap(df.rdd.map(lambda row: (0, row)), df.sparkSession)
+
+    @classmethod
+    def read_input(cls, *datasets: Iterable) -> PMap:
+        """Custom dataset taps (dampr/dampr.py:857-877): each dataset is an
+        iterable of (key, value) pairs — or a zero-arg callable returning
+        one, evaluated lazily executor-side — and becomes exactly one
+        partition, matching the reference's N datasets = N partitions."""
+        sc = cls._session().sparkContext
+        thunks = [d if callable(d) else (lambda d=list(d): d) for d in datasets]
+        rdd = sc.parallelize(range(len(thunks)), max(1, len(thunks))).flatMap(
+            lambda i: iter(thunks[i]())
+        )
+        return PMap(rdd, cls._session())
+
+    @classmethod
+    def urls(cls, urls: Iterable[str], skip_on_error: bool = True) -> PMap:
+        """Stream text lines from HTTP(S) URLs (UrlsInput/UrlDataset,
+        dampr/inputs.py:74-97): one partition per URL, keys are (url,
+        line_no). ``skip_on_error`` swallows fetch errors like the
+        reference's default."""
+        url_list = list(urls)
+
+        def fetch(u: str):
+            from urllib.error import URLError
+            from urllib.request import urlopen
+
+            try:
+                with urlopen(u) as resp:
+                    for i, line in enumerate(resp):
+                        yield ((u, i), line.decode("utf-8", "replace").rstrip("\n"))
+            except (URLError, OSError, ValueError):
+                if not skip_on_error:
+                    raise
+
+        sc = cls._session().sparkContext
+        rdd = sc.parallelize(url_list, max(1, len(url_list))).flatMap(fetch)
+        return PMap(rdd, cls._session())
 
     @classmethod
     def run(cls, *pmers: PBase, name: str | None = None) -> list[ValueEmitter]:

@@ -342,3 +342,32 @@ def test_df_bridge(spark, sf_dir):
         .collect()
     )
     assert [(r.id, r.tag) for r in back] == [(2, "b")]
+
+
+def test_concat(items):
+    # SURVEY §2.6: union provided even though the reference never shipped it
+    other = Dampr.memory([100, 101])
+    res = sorted(items.concat(other).run())
+    assert res == list(range(10, 20)) + [100, 101]
+    three = sorted(items.concat(other, Dampr.memory([7])).run())
+    assert three == [7] + list(range(10, 20)) + [100, 101]
+
+
+def test_read_input_custom_datasets():
+    # dampr/dampr.py:857-877: N datasets = N partitions
+    ds1 = [(0, "a"), (1, "b")]
+    ds2 = (lambda: iter([(0, "c")]))
+    p = Dampr.read_input(ds1, ds2)
+    assert p._rdd.getNumPartitions() == 2
+    assert sorted(p.run()) == ["a", "b", "c"]
+
+
+def test_urls_input(tmp_path):
+    # dampr/inputs.py:74-97 — file:// URLs keep the test hermetic
+    f = tmp_path / "u.txt"
+    f.write_text("line1\nline2\n")
+    res = sorted(Dampr.urls([f"file://{f}"]).run())
+    assert res == ["line1", "line2"]
+    # skip_on_error swallows a bad URL
+    res = sorted(Dampr.urls([f"file://{f}", "file:///nonexistent-xyz"]).run())
+    assert res == ["line1", "line2"]
