@@ -278,6 +278,13 @@ class PMap(PBase):
 
     # -- §2.7 custom operators --------------------------------------------
 
+    def join(self, other: "PMap | PReduce") -> "PJoin":
+        """Join two keyed streams on their *current* stream key (reference
+        PMap.join, dampr/dampr.py:424-437) — e.g. the (group_key, result)
+        streams that fold_by / reduce emit. For value-derived keys use
+        group_by first."""
+        return PJoin(self._rdd, other._rdd, self._spark)
+
     def partition_map(self, f: Callable[[Iterator], Iterable]) -> "PMap":
         """f(iter_of_values) → yields (new_key, new_value)
         (dampr/dampr.py:201-222); runs on every partition, empty included."""

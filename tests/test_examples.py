@@ -1,0 +1,65 @@
+"""Smoke tests for the examples/ ports of the reference's example programs
+(reference examples/wc.py, examples/word-stats.py, benchmarks/tf-idf-dampr.py)
+— each runs end-to-end on a tiny corpus with hand-checked expected output."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+from dampr_spark.api import Dampr
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    f = tmp_path / "corpus.txt"
+    f.write_text("the cat sat\nthe dog sat\nthe cat ran\n")
+    return str(f)
+
+
+def test_wc_example(corpus, spark):
+    Dampr.use_session(spark)
+    wc = (
+        Dampr.text(corpus)
+        .flat_map(lambda x: x.split())
+        .fold_by(lambda x: x, value=lambda _x: 1, binop=lambda x, y: x + y)
+        .sort_by(lambda wc_pair: -wc_pair[1])
+    )
+    res = wc.run().read()
+    assert res[0] == ("the", 3)
+    assert dict(res) == {"the": 3, "cat": 2, "sat": 2, "dog": 1, "ran": 1}
+
+
+def test_word_stats_example(corpus, spark):
+    Dampr.use_session(spark)
+    import word_stats
+
+    total_count, top_words, word_lengths, avg = word_stats.build(corpus)
+    tc, tw, wl, awl = Dampr.run(total_count, top_words, word_lengths, avg)
+    assert tc.read(1)[0][1] == 9  # 9 words total
+    assert tw.read(1)[0] == ("the", 3)
+    assert dict(wl.read()) == {3: 9}  # every word is 3 chars
+    assert awl.read(1)[0][1] == pytest.approx(3.0)
+
+
+def test_tfidf_example(corpus, tmp_path, spark):
+    Dampr.use_session(spark)
+    import tfidf
+
+    out = tmp_path / "idfs"
+    tfidf.main(corpus, str(out))
+    rows = {}
+    for part in out.glob("part-*"):
+        if part.suffix == ".crc":
+            continue
+        for line in part.read_text().splitlines():
+            word, df, idf_v = line.split("\t")
+            rows[word] = (int(df), float(idf_v))
+    # 'the' appears in all 3 lines; 'dog' in 1
+    assert rows["the"] == (3, pytest.approx(math.log(1 + 3 / 3)))
+    assert rows["dog"] == (1, pytest.approx(math.log(1 + 3 / 1)))
