@@ -42,6 +42,97 @@ def brute_force_topk(
     )
 
 
+class IVFIndex:
+    """Inverted-file ANN (IVF-flat, the FAISS coarse-quantizer design): a
+    spherical k-means quantizer trained on a BOUNDED driver-side sample
+    partitions the corpus into ``n_lists`` inverted lists; a query scores
+    only its ``nprobe`` nearest lists. At 100 TB the sample stays bounded
+    (training a coarse quantizer on ~10⁴–10⁵ sampled vectors is the standard
+    recipe), list assignment is one Arrow-vectorized matmul pass over the
+    corpus, and search touches nprobe/n_lists of the data — write the
+    assigned corpus out partitioned by ``list_id`` and searches prune to
+    those partitions."""
+
+    def __init__(self, n_lists: int = 16, nprobe: int = 4, seed: int = 42):
+        self.n_lists = n_lists
+        self.nprobe = nprobe
+        self.seed = seed
+        self.centroids: np.ndarray | None = None  # (n_lists, dim), unit rows
+
+    def fit(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        sample_size: int = 10_000,
+        iters: int = 10,
+    ) -> "IVFIndex":
+        """Train the coarse quantizer: bounded sample → numpy spherical
+        k-means (cosine assignment = argmax dot on unit vectors)."""
+        rows = df.select(vec_col).limit(sample_size).collect()
+        x = np.asarray([r[0] for r in rows], dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        rng = np.random.default_rng(self.seed)
+        c = x[rng.choice(len(x), size=min(self.n_lists, len(x)), replace=False)]
+        for _ in range(iters):
+            assign = np.argmax(x @ c.T, axis=1)
+            for j in range(len(c)):
+                members = x[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+            c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        self.centroids = c
+        return self
+
+    def assign(
+        self, df: DataFrame, vec_col: str = "embedding"
+    ) -> DataFrame:
+        """Add ``list_id`` = nearest-centroid id — one Arrow batch matmul
+        (N×dim @ dim×n_lists) per partition, no shuffle."""
+        assert self.centroids is not None, "call fit() first"
+        import pandas as pd
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        ct = self.centroids.T  # (dim, n_lists)
+
+        @pandas_udf(T.IntegerType(), PandasUDFType.SCALAR)
+        def nearest_list(vecs):
+            if not len(vecs):
+                return pd.Series([], dtype="int32")
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            return pd.Series(np.argmax(m @ ct, axis=1).astype("int32"))
+
+        return df.withColumn("list_id", nearest_list(F.col(vec_col)))
+
+    def query_topk(
+        self,
+        assigned: DataFrame,
+        query_vec: list[float],
+        k: int = 10,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Search: exact cosine top-k restricted to the query's nprobe
+        nearest lists. The ``list_id`` filter is a plain predicate — on a
+        corpus written out partitioned by ``list_id`` it becomes partition
+        pruning (reads nprobe/n_lists of the data)."""
+        assert self.centroids is not None, "call fit() first"
+        q = np.asarray(query_vec, dtype=np.float64)
+        q /= max(float(np.linalg.norm(q)), 1e-12)
+        probes = np.argsort(-(self.centroids @ q))[: self.nprobe]
+        qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+        return (
+            assigned.filter(F.col("list_id").isin([int(p) for p in probes]))
+            .select(
+                F.col(id_col),
+                F.round(cosine(F.col(vec_col), qlit), 6).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+            .limit(k)
+        )
+
+
 class RandomHyperplaneLSH:
     """Sign-random-projection LSH (Charikar 2002): bucket id = the sign
     pattern of ``n_planes`` hyperplane dot products. Cosine-similar vectors

@@ -93,6 +93,18 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.query_topk(bucketed, list(q.embedding), k=20)
 
 
+@register("ivf_ann_topk", oracle=None, tags=("vector", "ann", "extension"))
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via an IVF coarse quantizer (sampled
+    spherical k-means → inverted lists → nprobe search). Approximate →
+    rows-only; recall vs brute force is pytest-checked."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id = 0").select("embedding").first()
+    ivf = similarity.IVFIndex(n_lists=16, nprobe=6).fit(e.filter("vec_id <> 0"))
+    assigned = ivf.assign(e.filter("vec_id <> 0"))
+    return ivf.query_topk(assigned, list(q.embedding), k=20)
+
+
 @register("multimodal_features", oracle=None, tags=("multimodal", "extension"))
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column media pipeline: documents→fake media payloads→

@@ -149,3 +149,22 @@ def test_frame_sample(spark):
     frames = multimodal.frame_sample(media, every_ms=1000, fake=True).collect()
     assert [f.frame_ms for f in frames] == [0, 1000, 2000, 3000]
     assert all(len(f.features) == multimodal.FEATURE_DIM for f in frames)
+
+
+def test_ivf_ann_recall_vs_brute_force(emb):
+    q = emb.filter("vec_id = 0").first()
+    rest = emb.filter("vec_id <> 0")
+    exact = {
+        r.vec_id
+        for r in similarity.brute_force_topk(rest, list(q.embedding), k=10).collect()
+    }
+    ivf = similarity.IVFIndex(n_lists=16, nprobe=6).fit(rest)
+    assigned = ivf.assign(rest)
+    approx = {
+        r.vec_id
+        for r in ivf.query_topk(assigned, list(q.embedding), k=10).collect()
+    }
+    # nprobe=6 of 16 lists must recover most of the true top-10
+    assert len(exact & approx) >= 6, exact - approx
+    # sanity: assignment is a complete partition of the corpus
+    assert assigned.count() == rest.count()
