@@ -1,0 +1,108 @@
+"""Persistent inverted index over a document corpus — the Spark-native
+equivalent of the reference's SQLite ``Indexer`` (dampr/utils/indexer.py:
+``build`` walks a corpus writing a per-file key→byte-offset table:35-70;
+``union(keys)`` retrieves lines matching ANY key via SQL IN:72-92;
+``intersect(keys, min_match)`` lines matching ≥ min_match keys via GROUP
+BY/HAVING:94-125).
+
+Spark-first redesign: the index is a **parquet posting-list table**
+``(token, doc_id)`` written bucketed-and-sorted by token. Lookups are
+plans, not seeks:
+
+- ``union`` → ``token IN (keys)`` filter on the posting table (predicate
+  pushdown prunes row groups; bucketing prunes files) → distinct doc ids.
+- ``intersect`` → same filter, then ``groupBy(doc_id).count() >= min_match``
+  — exactly the reference's GROUP BY/HAVING, as a Catalyst plan.
+
+The returned id sets join back to the corpus (left-semi) for the rows
+themselves — ids, not documents, flow through the index path, so the
+query cost scales with posting-list sizes, never corpus size. For
+predicate-only one-shot searches with no index on disk, see the
+``keyword_search_*`` catalog queries (arrays_overlap / array_intersect
+scans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def default_tokenizer(col: Column) -> Column:
+    """Whitespace tokens, deduped — the reference indexes each line's
+    distinct keys (dampr/utils/indexer.py:60-63 inserts per-key rows)."""
+    return F.array_distinct(F.split(col, r"\s+"))
+
+
+class Indexer:
+    """Build / query a parquet inverted index.
+
+    >>> ix = Indexer("/data/idx").build(docs, "text", "doc_id")
+    >>> hits = ix.union(spark, ["spark", "shuffle"])          # any key
+    >>> strict = ix.intersect(spark, ["spark", "shuffle"], 2) # >= 2 keys
+    >>> rows = ix.retrieve(docs, hits, "doc_id")
+    """
+
+    def __init__(self, path: str, n_buckets: int = 16):
+        self.path = path
+        self.n_buckets = n_buckets
+
+    def build(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        tokenizer=default_tokenizer,
+    ) -> "Indexer":
+        """Tokenize → explode → (token, doc_id) postings, written sorted by
+        token within token-hashed files so point lookups touch few row
+        groups. One shuffle (the repartition by token)."""
+        postings = df.select(
+            F.explode(tokenizer(F.col(text_col))).alias("token"),
+            F.col(id_col).alias("doc_id"),
+        ).filter(F.col("token") != "")
+        (
+            postings.repartition(self.n_buckets, "token")
+            .sortWithinPartitions("token")
+            .write.mode("overwrite")
+            .parquet(self.path)
+        )
+        return self
+
+    def _postings(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def union(self, spark: SparkSession, keys: list[str]) -> DataFrame:
+        """Doc ids matching ANY key (reference Indexer.union,
+        dampr/utils/indexer.py:72-92). `token IN (...)` reaches the parquet
+        scan as a pushed filter."""
+        return (
+            self._postings(spark)
+            .filter(F.col("token").isin(list(keys)))
+            .select("doc_id")
+            .distinct()
+        )
+
+    def intersect(
+        self, spark: SparkSession, keys: list[str], min_match: int = 1
+    ) -> DataFrame:
+        """Doc ids matching at least ``min_match`` distinct keys (reference
+        Indexer.intersect, dampr/utils/indexer.py:94-125 — its GROUP
+        BY/HAVING, as a plan)."""
+        return (
+            self._postings(spark)
+            .filter(F.col("token").isin(list(keys)))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("token").alias("n_matched"))
+            .filter(F.col("n_matched") >= min_match)
+            .select("doc_id", "n_matched")
+        )
+
+    def retrieve(
+        self, corpus: DataFrame, hits: DataFrame, id_col: str = "doc_id"
+    ) -> DataFrame:
+        """Join hit ids back to corpus rows — the reference returns the
+        matching *lines*; here a left-semi join (ids broadcast when small)."""
+        return corpus.join(
+            hits.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+        )

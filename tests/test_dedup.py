@@ -168,3 +168,36 @@ def test_ivf_ann_recall_vs_brute_force(emb):
     assert len(exact & approx) >= 6, exact - approx
     # sanity: assignment is a complete partition of the corpus
     assert assigned.count() == rest.count()
+
+
+def test_indexer_union_intersect(docs, tmp_path, spark):
+    from dampr_spark.operators.indexer import Indexer
+
+    ix = Indexer(str(tmp_path / "idx")).build(docs, "text", "doc_id")
+    keys = ["spark", "shuffle"]
+    # oracle: recompute from the corpus directly
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", r"\s+")).alias("t")
+    )
+    want_any = {
+        r.doc_id
+        for r in toks.filter(
+            F.arrays_overlap("t", F.array(*[F.lit(k) for k in keys]))
+        ).collect()
+    }
+    got_any = {r.doc_id for r in ix.union(spark, keys).collect()}
+    assert got_any == want_any and got_any
+
+    want_both = {
+        r.doc_id
+        for r in toks.filter(
+            F.size(F.array_intersect("t", F.array(*[F.lit(k) for k in keys]))) >= 2
+        ).collect()
+    }
+    got_both = {r.doc_id for r in ix.intersect(spark, keys, 2).collect()}
+    assert got_both == want_both
+    assert got_both <= got_any
+
+    # retrieve joins hits back to full rows
+    rows = ix.retrieve(docs, ix.union(spark, keys))
+    assert {r.doc_id for r in rows.collect()} == want_any
