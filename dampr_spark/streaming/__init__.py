@@ -2,6 +2,7 @@ from dampr_spark.streaming.pipeline import (
     hourly_aggregate,
     read_events_stream,
     run_to_memory,
+    running_user_totals,
     session_counts,
     streaming_dedup,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "hourly_aggregate",
     "read_events_stream",
     "run_to_memory",
+    "running_user_totals",
     "session_counts",
     "streaming_dedup",
 ]

@@ -75,6 +75,42 @@ def streaming_dedup(events: DataFrame, keys: list[str], watermark: str = "1 hour
     return events.withWatermark("ts", watermark).dropDuplicates(keys)
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count and cumulative value, carried across micro-batches
+    in explicit group state. This is the escape hatch for stateful logic
+    that watermarked windows can't express (running totals never close).
+
+    Scale notes: state is one (long, double) pair per user — the state
+    store scales with |users|, not |events|; each micro-batch touches only
+    the users present in it, as Arrow batches. Unbounded-key streams should
+    add a TTL via ``GroupStateTimeout.ProcessingTimeTimeout`` + timeout
+    handling in the update function.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Execute a streaming query to completion over all currently-available
     input (``availableNow``) into an in-memory table; returns the result as

@@ -72,3 +72,32 @@ def test_streaming_dedup(spark, sf_dir, tmp_path_factory):
     n_total = res.count()
     batch_n = spark.read.parquet(src).count()
     assert n_total == n_unique == batch_n
+
+
+def test_running_user_totals_matches_batch(spark, sf_dir, events_stream):
+    """applyInPandasWithState running totals: after replaying the whole
+    table, each user's latest emitted row must equal the batch aggregate."""
+    stream_res = streaming.run_to_memory(
+        streaming.running_user_totals(events_stream), "running_totals_test",
+        mode="update",
+    ).toPandas()
+    # update mode emits one row per user per micro-batch; the final state is
+    # the row with the largest n_events per user.
+    final = stream_res.sort_values("n_events").groupby("user_id").last()
+
+    from dampr_spark.sources.readers import read_table
+
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    joined = final.join(batch, lsuffix="_s")
+    assert (joined["n_events_s"] == joined["n_events"]).all()
+    assert (abs(joined["total_value_s"] - joined["total_value"]) < 0.05).all()
