@@ -119,6 +119,54 @@ def extract_features(media: DataFrame, fake: bool = False, batch_size: int = 256
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64, fake: bool = False
+) -> DataFrame:
+    """Image resize: binary in → binary out with updated dimensions.
+
+    Spark-side shape: a 1:1 mapInPandas over Arrow batches — payloads never
+    leave the executor, output rows carry the new (width, height) metadata
+    so downstream decode knows the geometry. The pixel work is stubbed like
+    :func:`extract_features`; ``fake=True`` emits a deterministic
+    md5-expanded payload of exactly ``width*height`` bytes (a stable
+    stand-in for a grayscale thumbnail)."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("content", BinaryType(), True),
+            StructField("mime", StringType(), True),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires pillow; use fake=True"
+                )
+            out = []
+            for c in pdf["content"]:
+                seed = hashlib.md5(c if c is not None else b"").digest()
+                reps = -(-n // len(seed))  # ceil
+                out.append((seed * reps)[:n])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": out,
+                    "mime": pdf["mime"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return media.mapInPandas(run, schema=schema)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
     """Video frame sampling: one output row per sampled frame offset.
 

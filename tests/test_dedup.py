@@ -201,3 +201,15 @@ def test_indexer_union_intersect(docs, tmp_path, spark):
     # retrieve joins hits back to full rows
     rows = ix.retrieve(docs, ix.union(spark, keys))
     assert {r.doc_id for r in rows.collect()} == want_any
+
+
+def test_resize_images(planted):
+    media = multimodal.documents_as_media(planted)
+    out = multimodal.resize_images(media, width=8, height=4, fake=True).collect()
+    assert len(out) == planted.count()
+    assert all(len(r.content) == 8 * 4 for r in out)
+    assert all((r.width, r.height) == (8, 4) for r in out)
+    # deterministic: same payload -> same resized bytes (docs 1,2 identical)
+    by_id = {r.media_id: bytes(r.content) for r in out}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[4]
