@@ -47,6 +47,29 @@ def main() -> int:
 
     # Warmup: trigger JVM classloading + parquet footer reads.
     catalog["count_total"].builder(spark, sf_dir).collect()
+    # ...and spawn the Python/Arrow worker pool (one per core, each paying a
+    # numpy+pandas import) so pandas-UDF queries measure compute, not forks.
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf(T.LongType(), PandasUDFType.SCALAR)
+    def _noop(x):
+        # Brief sleep so all warmup tasks overlap — worker reuse would
+        # otherwise let a few fast workers serve every task and leave most
+        # of the pool unspawned.
+        import time as _t
+
+        _t.sleep(0.3)
+        return x
+
+    par = spark.sparkContext.defaultParallelism
+    (
+        spark.range(par)
+        .repartition(par)
+        .select(F.sum(_noop(F.col("id"))))
+        .collect()
+    )
 
     timings: dict[str, float] = {}
     total = 0.0

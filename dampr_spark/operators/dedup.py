@@ -28,6 +28,18 @@ from pyspark.sql import functions as F
 
 from dampr_spark.functions.text import fingerprint
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than the
+    cluster has slots. A small corpus read from one parquet file arrives as
+    ONE partition, serializing every per-row signature/shingle pass onto a
+    single core (measured 4× on the sf0.1 bench); at real scale inputs
+    already carry thousands of partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -220,7 +232,7 @@ def minhash_lsh_candidates(
     # One Arrow-vectorized pass does shingling + hashing + permutations; the
     # pure-SQL form (char_shingles → shingle_hashes → minhash_signature)
     # evaluates interpreted higher-order lambdas and is ~20× slower.
-    sig = df.select(
+    sig = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         minhash_text_signature_udf(num_perm, shingle_k)(F.col(text_col)).alias("sig"),
     )
@@ -408,7 +420,7 @@ def simhash_dedup(
     # materialized because both join sides read it (else the token-hash
     # vote aggregation lineage runs twice).
     banded = (
-        df.select(F.col(id_col).alias("id"), simhash_votes(text_col).alias("votes"))
+        _ensure_parallelism(df).select(F.col(id_col).alias("id"), simhash_votes(text_col).alias("votes"))
         .select("id", simhash_bands(F.col("votes")).alias("sh"))
         .select(
             "id",
@@ -488,7 +500,7 @@ def ngram_jaccard_pairs(
     # second time per row (word_ngrams never yields an empty array, so outer
     # adds no rows). Hot-gram skew is the known risk at scale — cap or drop
     # the top-frequency grams first (stopword pruning) on real corpora.
-    grams = df.withColumn("_arr", word_ngrams(text_col, n)).select(
+    grams = _ensure_parallelism(df).withColumn("_arr", word_ngrams(text_col, n)).select(
         F.col(id_col).alias("id"),
         F.size("_arr").alias("n_grams"),
         F.explode_outer("_arr").alias("gram"),
