@@ -22,6 +22,8 @@ BENCH_QUERIES = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "inner_join_agg",
+    "q10_returned_revenue",
+    "q14_promo_revenue_share",
     "semi_join_by_count",
     "wordcount",
     "tfidf",
