@@ -1,0 +1,78 @@
+"""Skew-mitigation operators for hot keys at scale.
+
+Where each tool applies (the 100 TB decision tree):
+
+- **Associative group-by aggregation** (sum/count/min/...): nothing needed —
+  Catalyst's partial aggregation collapses hot keys map-side before the
+  shuffle.
+- **Sort-merge join skew**: AQE's skew-join splitting
+  (``spark.sql.adaptive.skewJoin.enabled``, on in our session defaults)
+  splits oversized partitions at runtime.
+- **Broadcastable small side**: ``F.broadcast`` — no shuffle at all.
+- **Everything else** — a large⋈large join AQE can't fix (e.g. a
+  broadcast-too-big build side concentrated on few keys), or a
+  non-associative aggregation (collect_list/collect_set) whose hot-key
+  groups OOM a reducer — needs *salting*, provided here:
+
+:func:`salted_join` replicates each right row ``n_salts`` times and sprays
+left rows across salts, turning one hot-key partition into ``n_salts``
+even ones at the price of an ``n_salts``× blow-up of the right side (use on
+a pre-filtered/projected right side).
+
+:func:`salted_collect_list` runs collect in two phases: per (key, salt)
+partial lists, then flatten per key — each reducer sees at most
+``|hot key| / n_salts`` rows in phase 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with salted keys: left rows get a uniform salt in
+    [0, n_salts); right rows are exploded to every salt, so each (key, salt)
+    shuffle partition holds ~1/n_salts of a hot key's left rows. Result
+    equals ``left.join(right, on, how)`` for 'inner'/'left' (row-for-row;
+    the salt column is dropped).
+
+    The salt is ``pmod(xxhash64(monotonically_increasing_id()), n)`` —
+    deterministic within a run, uniform, and independent of the join keys
+    (hash-of-key salting would re-concentrate the hot key)."""
+    assert how in ("inner", "left"), "salted_join supports inner/left"
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return l_salted.join(r_salted, [*on, "_salt"], how).drop("_salt")
+
+
+def salted_collect_list(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase collect_list for hot keys: phase 1 collects per
+    (key, salt) — bounding any single reducer's group to ~1/n_salts of the
+    hot key — phase 2 flattens the partial lists per key. Output schema:
+    key columns + ``values: array<value type>`` (order within the list is
+    not defined, matching collect_list's own non-determinism)."""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.collect_list(value_col).alias("_part"))
+    )
+    return (
+        partial.groupBy(*key_cols)
+        .agg(F.flatten(F.collect_list("_part")).alias("values"))
+    )
