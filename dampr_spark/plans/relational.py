@@ -852,3 +852,39 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
         .agg(F.round(100 * F.sum(promo) / F.sum(disc), 6).alias("promo_share"))
     )
+
+
+@register(
+    "cube_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("cube", "extension"),
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all 2^2 grouping sets in one pass
+    (completes the grouping-sets family next to rollup_revenue; absent in
+    the reference per SURVEY §2.4)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register("approx_distinct_parts", oracle=None, tags=("approx", "extension"))
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-part estimate per return flag. Sketch-based →
+    engine-specific estimates, so rows-only (the exact twin distinct_rows /
+    count_total queries are the oracle-checked versions). At 100 TB this is
+    the only sane distinct-count: fixed-size sketches merge map-side instead
+    of shuffling every key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )

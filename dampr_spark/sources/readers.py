@@ -54,6 +54,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: read_table(spark, sf_dir, name) for name in TABLES}
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every TESTDATA table as a temp view so ``spark.sql`` works
+    against the same names the DuckDB oracles use — plain ANSI SQL becomes a
+    third query surface next to the DataFrame catalog and the fluent API."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
 def read_text(spark: SparkSession, path: str) -> DataFrame:
     """Newline-delimited text → DataFrame[value: string].
 

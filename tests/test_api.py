@@ -371,3 +371,21 @@ def test_urls_input(tmp_path):
     # skip_on_error swallows a bad URL
     res = sorted(Dampr.urls([f"file://{f}", "file:///nonexistent-xyz"]).run())
     assert res == ["line1", "line2"]
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    from dampr_spark.sources.readers import read_table, register_views
+
+    register_views(spark, sf_dir)
+    got = spark.sql(
+        "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1"
+    ).collect()
+    want = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus").count().orderBy("o_orderstatus").collect()
+    )
+    assert [(r.o_orderstatus, r.n) for r in got] == [
+        (r.o_orderstatus, r["count"]) for r in want
+    ]
+    # events view carries the converted timestamp column
+    assert dict(spark.table("events").dtypes)["ts"].startswith("timestamp")
