@@ -1,0 +1,175 @@
+"""Head-to-head TF-IDF throughput: this engine vs the reference library.
+
+Reproduces the reference's own macro-benchmark (benchmarks/tf-idf-dampr.py:
+text → flat_map(per-line distinct words) → count with map-side combine →
+broadcast cross with corpus line count → TSV sink) three ways over the SAME
+generated corpus:
+
+1. the reference Dampr library itself (PYTHONPATH=/root/reference,
+   multiprocessing over all cores);
+2. our fluent API (same pipeline verbatim, RDD-backed on Spark);
+3. our DataFrame catalog shape (declarative plan, whole-stage codegen).
+
+The corpus is the TESTDATA documents table's text replicated N times —
+pass a multiplier as argv[1] (default 20, ~30 MB).
+
+Outputs one JSON line with wall seconds per engine and the doc-freq row
+count each produced (they must agree).
+
+Usage: python benchmarks/vs_reference.py [multiplier]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+RX = re.compile(r"[^\w]+")
+
+
+def build_corpus(mult: int, sf_dir: str, out: str) -> int:
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    with open(out, "w") as f:
+        for _ in range(mult):
+            for (t,) in rows:
+                f.write(t + "\n")
+    return len(rows) * mult
+
+
+_REF_SCRIPT = r"""
+import json, math, multiprocessing, os, re, sys, time
+corpus, outdir = sys.argv[1], sys.argv[2]
+RX = re.compile(r"[^\w]+")
+from dampr import Dampr  # the reference library itself
+chunk_size = os.stat(corpus).st_size / multiprocessing.cpu_count()
+t0 = time.perf_counter()
+docs = Dampr.text(corpus, int(chunk_size) + 1)
+doc_freq = docs.flat_map(lambda x: set(RX.split(x.lower()))).count(
+    reduce_buffer=float("inf")
+)
+idf = doc_freq.cross_right(
+    docs.len(),
+    lambda df, total: (df[0], df[1], math.log(1 + (float(total) / df[1]))),
+    memory=True,
+)
+idf.sink_tsv(outdir).run()
+print(json.dumps({"sec": time.perf_counter() - t0}))
+"""
+
+
+def run_reference(corpus: str, outdir: str) -> tuple[float, int]:
+    """Run the reference library in a CLEAN subprocess: its multiprocessing
+    fork deadlocks when forked from a py4j/JVM-attached parent."""
+    import subprocess
+
+    env = dict(os.environ, PYTHONPATH="/root/reference")
+    out = subprocess.run(
+        [sys.executable, "-c", _REF_SCRIPT, corpus, outdir],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    dt = json.loads(out.stdout.strip().splitlines()[-1])["sec"]
+    n = sum(
+        sum(1 for _ in open(os.path.join(outdir, p)))
+        for p in os.listdir(outdir)
+        if p.startswith("part")
+    )
+    return dt, n
+
+
+def run_fluent(corpus: str, outdir: str) -> tuple[float, int]:
+    from dampr_spark.api import Dampr
+
+    t0 = time.perf_counter()
+    docs = Dampr.text(corpus)
+    doc_freq = docs.flat_map(lambda x: set(RX.split(x.lower()))).count()
+    idf = doc_freq.cross_right(
+        docs.len(),
+        lambda df, total: (df[0], df[1], math.log(1 + (float(total) / df[1]))),
+        memory=True,
+    )
+    idf.sink_tsv(outdir).run()
+    dt = time.perf_counter() - t0
+    n = sum(
+        sum(1 for _ in open(os.path.join(outdir, p)))
+        for p in os.listdir(outdir)
+        if p.startswith("part") and not p.endswith(".crc")
+    )
+    return dt, n
+
+
+def run_dataframe(spark, corpus: str, outdir: str) -> tuple[float, int]:
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    lines = spark.read.text(corpus)
+    tokens = lines.select(
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("value")), r"[^\w]+"))
+        ).alias("word")
+    )
+    doc_freq = tokens.groupBy("word").agg(F.count("*").alias("df"))
+    # corpus line count rides the same action as a broadcast 1-row subquery
+    total = F.broadcast(lines.agg(F.count("*").alias("total")))
+    idf = doc_freq.crossJoin(total).select(
+        "word", "df", F.log(1 + F.col("total") / F.col("df")).alias("idf")
+    )
+    idf.write.mode("overwrite").csv(outdir, sep="\t")
+    dt = time.perf_counter() - t0
+    n = sum(
+        sum(1 for _ in open(os.path.join(outdir, p)))
+        for p in os.listdir(outdir)
+        if p.startswith("part") and not p.endswith(".crc")
+    )
+    return dt, n
+
+
+def main() -> int:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    work = tempfile.mkdtemp(prefix="tfidf_bench_")
+    corpus = os.path.join(work, "corpus.txt")
+    n_lines = build_corpus(mult, sf_dir, corpus)
+    size_mb = os.path.getsize(corpus) / 1e6
+
+    # Spark first so its (slow, one-off) session startup isn't in any timing.
+    from dampr_spark.session import get_spark
+
+    spark = get_spark(app_name="tfidf-vs-reference")
+    spark.read.text(corpus).count()  # warm page cache for Spark paths
+
+    df_t, df_n = run_dataframe(spark, corpus, os.path.join(work, "out_df"))
+    fl_t, fl_n = run_fluent(corpus, os.path.join(work, "out_fluent"))
+    ref_t, ref_n = run_reference(corpus, os.path.join(work, "out_ref"))
+
+    print(
+        json.dumps(
+            {
+                "metric": "tfidf_throughput_vs_reference",
+                "corpus_mb": round(size_mb, 1),
+                "corpus_lines": n_lines,
+                "reference_dampr_sec": round(ref_t, 2),
+                "fluent_api_sec": round(fl_t, 2),
+                "dataframe_sec": round(df_t, 2),
+                "rows": {"reference": ref_n, "fluent": fl_n, "dataframe": df_n},
+            }
+        )
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

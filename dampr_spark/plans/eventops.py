@@ -102,3 +102,31 @@ def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_value").desc(), F.col("user_id"))
         .limit(20)
     )
+
+
+@register(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "json", "extension"),
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column processing: extract a field from the JSON
+    ``props`` string and aggregate. get_json_object evaluates JVM-side in
+    the scan stage (the reference's JSON story is `text → json.loads` into
+    opaque dicts, dampr/dampr.py:897-902 — here the extraction is a column
+    expression Catalyst can prune around; for repeated multi-field access
+    prefer from_json to a struct column so parsing happens once)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )
