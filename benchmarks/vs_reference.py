@@ -90,10 +90,16 @@ def run_reference(corpus: str, outdir: str) -> tuple[float, int]:
 
 
 def run_fluent(corpus: str, outdir: str) -> tuple[float, int]:
+    import multiprocessing
+
     from dampr_spark.api import Dampr
 
+    # Same chunking rule as the reference benchmark: one chunk per core.
+    # chunk_size selects the Python-native byte-range reader, so corpus
+    # bytes go disk -> Python worker without a JVM pickle hop.
+    chunk = int(os.stat(corpus).st_size / multiprocessing.cpu_count()) + 1
     t0 = time.perf_counter()
-    docs = Dampr.text(corpus)
+    docs = Dampr.text(corpus, chunk_size=chunk)
     doc_freq = docs.flat_map(lambda x: set(RX.split(x.lower()))).count()
     idf = doc_freq.cross_right(
         docs.len(),
@@ -142,6 +148,7 @@ def main() -> int:
     work = tempfile.mkdtemp(prefix="tfidf_bench_")
     corpus = os.path.join(work, "corpus.txt")
     n_lines = build_corpus(mult, sf_dir, corpus)
+    os.sync()  # flush corpus writeback so it doesn't contend with timed IO
     size_mb = os.path.getsize(corpus) / 1e6
 
     # Spark first so its (slow, one-off) session startup isn't in any timing.

@@ -389,3 +389,21 @@ def test_register_views_sql_surface(spark, sf_dir):
     ]
     # events view carries the converted timestamp column
     assert dict(spark.table("events").dtypes)["ts"].startswith("timestamp")
+
+
+def test_text_native_split_boundaries(tmp_path, spark):
+    """Python-native byte-range reader: every line exactly once regardless
+    of where chunk boundaries fall (incl. boundaries ON line starts)."""
+    Dampr.use_session(spark)
+    f = tmp_path / "lines.txt"
+    lines = [f"line{i:03d}" for i in range(200)]
+    f.write_text("\n".join(lines) + "\n")
+    for chunk in (1, 7, 8, 9, 64, 10_000):
+        got = sorted(Dampr.text(str(f), chunk_size=chunk).run())
+        assert got == lines, f"chunk_size={chunk}"
+    # dir-walk variant skips dotfiles like the reference
+    d = tmp_path / "dir"
+    d.mkdir()
+    (d / "a.txt").write_text("aa\nbb\n")
+    (d / ".hidden").write_text("nope\n")
+    assert sorted(Dampr.text(str(d), chunk_size=4).run()) == ["aa", "bb"]
