@@ -551,14 +551,24 @@ class Dampr:
             if os.path.isdir(fname)
             else sorted(_glob.glob(fname)) or [fname]
         )
+        # .gz files are not byte-range splittable — one whole-file split each,
+        # decompressed in the worker (reference: dampr/inputs.py:49-50).
         splits = [
             (p, start, min(start + chunk_size, os.path.getsize(p)))
             for p in paths
+            if not p.endswith(".gz")
             for start in range(0, max(os.path.getsize(p), 1), chunk_size)
-        ]
+        ] + [(p, 0, -1) for p in paths if p.endswith(".gz")]
 
         def read_split(split):
             path, start, end = split
+            if end == -1:  # whole-file gzip split
+                import gzip
+
+                with gzip.open(path, "rt", encoding="utf-8", errors="replace") as f:
+                    for i, line in enumerate(f):
+                        yield (i, line.rstrip("\n"))
+                return
             with open(path, "rb") as f:
                 # Hadoop LineRecordReader convention: a split owns lines that
                 # START within [start, end). Seek to start-1 and discard one

@@ -407,3 +407,15 @@ def test_text_native_split_boundaries(tmp_path, spark):
     (d / "a.txt").write_text("aa\nbb\n")
     (d / ".hidden").write_text("nope\n")
     assert sorted(Dampr.text(str(d), chunk_size=4).run()) == ["aa", "bb"]
+
+
+def test_text_native_gzip_unsplit(tmp_path, spark):
+    import gzip
+
+    Dampr.use_session(spark)
+    g = tmp_path / "z.txt.gz"
+    with gzip.open(g, "wt") as f:
+        f.write("g1\ng2\ng3\n")
+    (tmp_path / "plain.txt").write_text("p1\np2\n")
+    got = sorted(Dampr.text(str(tmp_path), chunk_size=4).run())
+    assert got == ["g1", "g2", "g3", "p1", "p2"]
