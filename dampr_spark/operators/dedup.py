@@ -500,6 +500,10 @@ def ngram_jaccard_pairs(
     # second time per row (word_ngrams never yields an empty array, so outer
     # adds no rows). Hot-gram skew is the known risk at scale — cap or drop
     # the top-frequency grams first (stopword pruning) on real corpora.
+    # Null texts emit nothing (concat_ws would silently fold NULL into the
+    # empty-string gram, spuriously pairing null docs with empty docs —
+    # minhash/simhash already treat null as "no content").
+    df = df.filter(F.col(text_col).isNotNull())
     grams = _ensure_parallelism(df).withColumn("_arr", word_ngrams(text_col, n)).select(
         F.col(id_col).alias("id"),
         F.size("_arr").alias("n_grams"),

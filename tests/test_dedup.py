@@ -213,3 +213,40 @@ def test_resize_images(planted):
     by_id = {r.media_id: bytes(r.content) for r in out}
     assert by_id[1] == by_id[2]
     assert by_id[1] != by_id[4]
+
+
+def test_dedup_null_empty_short_texts(spark):
+    """Degenerate documents must not crash any strategy and must not emit
+    spurious cross-pairs: null-text docs pair with nothing (null shingle
+    sets fail the verify), identical empty/short docs pair with each other."""
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, ""),
+        (4, "ab"),  # shorter than shingle_k
+        (5, "ab"),
+        (6, "a completely normal document about spark shuffles and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_dedup(df, threshold=0.5).collect()}
+    assert (2, 3) in mh and (4, 5) in mh
+    assert all(a not in (1,) and b not in (1,) for a, b in mh)
+    assert all({a, b} <= {2, 3} or {a, b} <= {4, 5} for a, b in mh)
+
+    ng = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert (4, 5) in ng
+    assert all(6 not in p and 1 not in p for p in ng)
+
+    sh = {(r.id_a, r.id_b) for r in dedup.simhash_dedup(df).collect()}
+    assert (2, 3) in sh and (4, 5) in sh
+
+
+def test_choose_bands_s_curve():
+    # threshold 0.5 with 64 perms -> 16 bands of 4 rows (S-curve exactly 0.5)
+    assert dedup.choose_bands(64, 0.5) == 16
+    # threshold 0.8 -> 8 bands of 8 rows (S-curve 0.77)
+    assert dedup.choose_bands(64, 0.8) == 8
+    # near-exact threshold -> single band of all 64 rows
+    assert dedup.choose_bands(64, 1.0) == 1
+    # very low threshold -> r=1 fallback (every perm its own band)
+    assert dedup.choose_bands(64, 0.01) == 64
