@@ -115,3 +115,46 @@ def test_sort_by_is_globally_sorted(xs):
 def test_len_and_sample_edges(xs):
     assert Dampr.memory(xs).len().run().read() == [len(xs)]
     assert Dampr.memory(xs).sample(0.0).run().read() == []
+
+
+texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=40), min_size=0, max_size=12
+)
+
+
+@given(docs=texts, n=st.integers(min_value=1, max_value=3))
+@settings(**SETTINGS)
+def test_ngram_jaccard_matches_python_model(spark_session_holder, docs, n):
+    """Exact n-gram Jaccard is deterministic — the Spark plan must agree
+    with a direct Python computation pair-for-pair on random corpora."""
+    spark = spark_session_holder
+    from dampr_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, n=n, threshold=0.0).collect()
+    }
+
+    def grams(t):
+        toks = t.split(" ")
+        cnt = max(len(toks) - (n - 1), 1)
+        return {" ".join(toks[i : i + n]) for i in range(cnt)}
+
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j:
+                ga, gb = grams(a), grams(b)
+                inter = len(ga & gb)
+                if inter:
+                    want[(i, j)] = round(inter / (len(ga) + len(gb) - inter), 6)
+    assert got == pytest.approx(want)
+
+
+@pytest.fixture(scope="module")
+def spark_session_holder(spark):
+    return spark
