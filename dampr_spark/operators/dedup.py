@@ -338,6 +338,65 @@ def minhash_lsh_dedup(
     )
 
 
+def near_dup_clusters(
+    pairs: DataFrame, iters: int = 3
+) -> DataFrame:
+    """Cluster near-dup pairs into (id, canonical) via min-label
+    propagation: every id starts as its own label; each round takes the min
+    of its own and its neighbors' labels. Pure joins — no driver-side
+    union-find, so it runs at any scale. ``iters`` rounds converge for
+    clusters of graph diameter ≤ iters; LSH near-dup clusters are
+    near-cliques (every member collides with most others), so diameter is
+    almost always ≤ 2 — documented approximation, raise ``iters`` for
+    chain-shaped clusters."""
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+    return labels.select("id", F.col("label").alias("canonical"))
+
+
+def drop_near_dups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    iters: int = 3,
+) -> DataFrame:
+    """Filtering companion to the near-dup pair generators: keep one
+    canonical (min-id) row per near-dup cluster, plus every row in no
+    cluster — the step that actually shrinks a training corpus. Join cost:
+    the cluster table is ~|dup ids| rows, typically a small fraction of the
+    corpus, and broadcasts."""
+    clusters = near_dup_clusters(pairs, iters)
+    losers = clusters.filter(F.col("id") != F.col("canonical")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

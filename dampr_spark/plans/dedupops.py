@@ -93,6 +93,17 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.query_topk(bucketed, list(q.embedding), k=20)
 
 
+@register("near_dedup_corpus", oracle=None, tags=("dedup", "pipeline", "extension"))
+def near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-shrink pipeline: MinHash-LSH pairs → min-label
+    cluster propagation → drop non-canonical rows. Hash-based candidates →
+    rows-only; cluster/drop semantics are pytest-checked
+    (tests/test_dedup.py)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(d, threshold=0.8)
+    return dedup.drop_near_dups(d, pairs).select("doc_id", "lang", "n_chars")
+
+
 @register("ivf_ann_topk", oracle=None, tags=("vector", "ann", "extension"))
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via an IVF coarse quantizer (sampled

@@ -250,3 +250,34 @@ def test_choose_bands_s_curve():
     assert dedup.choose_bands(64, 1.0) == 1
     # very low threshold -> r=1 fallback (every perm its own band)
     assert dedup.choose_bands(64, 0.01) == 64
+
+
+def test_near_dup_clusters_and_drop(spark):
+    # pair graph: {1,2,3} a triangle-ish cluster (1-2, 2-3: chain, diameter 2),
+    # {7,8} a pair, 9 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    labels = {r.id: r.canonical for r in dedup.near_dup_clusters(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in (1, 2, 3, 7, 8, 9)], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in dedup.drop_near_dups(df, pairs).collect())
+    assert kept == [1, 7, 9]
+
+    # chain of diameter 4 needs more iterations
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    l3 = {r.id: r.canonical for r in dedup.near_dup_clusters(chain, iters=4).collect()}
+    assert set(l3.values()) == {1}
+
+
+def test_minhash_to_drop_pipeline(planted):
+    """End-to-end corpus shrink: pair generation -> cluster -> drop."""
+    pairs = dedup.minhash_lsh_dedup(planted, threshold=0.5)
+    kept = dedup.drop_near_dups(planted, pairs)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [1, 4, 5]  # 2 (exact dup) and 3 (near dup) collapse into 1
