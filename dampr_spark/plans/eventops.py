@@ -130,3 +130,71 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.round(F.avg(k), 6).alias("avg_k"),
     )
+
+
+@register(
+    "asof_last_click",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           c.event_id AS click_id,
+           CAST(date_diff('microsecond', c.ts, p.ts) // 1000000 AS BIGINT)
+             AS secs_since_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("events", "asof", "join", "extension"),
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (absent in the reference, SURVEY §2.5 'no theta/range/
+    as-of'): for each purchase, the most recent prior click by the same
+    user. Implemented union+window (operators/temporal.py) — one
+    shuffle+sort, no row explosion; the oracle is DuckDB's native ASOF
+    LEFT JOIN."""
+    from dampr_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    out = asof_join(p, c, on=["user_id"], ts_col="ts", right_cols=["click_id"])
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.col("asof_click_id").alias("click_id"),
+        F.expr("timestampdiff(SECOND, asof_ts, ts)").alias("secs_since_click"),
+    )
+
+
+@register(
+    "range_join_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts > p.ts - INTERVAL 1 HOUR
+    """,
+    tags=("events", "range", "join", "extension"),
+)
+def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval range join (absent in the reference): every
+    click→purchase pair within a 1-hour attribution window per user.
+    Equi-join on user_id with the interval as join predicate; output grows
+    with the horizon — keep it tight at scale."""
+    from dampr_spark.operators.temporal import range_join
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    return range_join(
+        p, c, on=["user_id"], left_ts="p_ts", right_ts="c_ts", lower="INTERVAL 1 HOUR"
+    ).select("purchase_id", "click_id", p["user_id"].alias("user_id"))

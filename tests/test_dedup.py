@@ -281,3 +281,21 @@ def test_minhash_to_drop_pipeline(planted):
     kept = dedup.drop_near_dups(planted, pairs)
     ids = sorted(r.doc_id for r in kept.collect())
     assert ids == [1, 4, 5]  # 2 (exact dup) and 3 (near dup) collapse into 1
+
+
+def test_asof_join_semantics(spark):
+    from dampr_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "L1"), (1, 200, "L2"), (2, 50, "L3")], "k long, ts long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "R1"), (1, 150, "R2"), (2, 60, "R3")], "k long, ts long, rv string"
+    )
+    out = {
+        r.lv: (r.asof_rv, r.asof_ts)
+        for r in asof_join(left, right, on=["k"], ts_col="ts").collect()
+    }
+    assert out["L1"] == ("R1", 100)  # inclusive: right at equal ts matches
+    assert out["L2"] == ("R2", 150)  # most recent prior, not first
+    assert out["L3"] == (None, None)  # no right row at/before ts=50
