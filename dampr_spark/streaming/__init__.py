@@ -4,6 +4,7 @@ from dampr_spark.streaming.pipeline import (
     run_to_memory,
     running_user_totals,
     session_counts,
+    stream_click_attribution,
     streaming_dedup,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "run_to_memory",
     "running_user_totals",
     "session_counts",
+    "stream_click_attribution",
     "streaming_dedup",
 ]

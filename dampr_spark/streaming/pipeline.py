@@ -111,6 +111,41 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_click_attribution(
+    events: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream self-join: purchases joined to clicks by the same user
+    within ``horizon`` — the streaming twin of the batch
+    ``range_join_attribution`` catalog query. Both sides carry watermarks
+    and the join condition bounds event-time distance, so the state store
+    evicts rows older than watermark+horizon instead of buffering the
+    streams forever (the stream-stream join state-bound requirement)."""
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts <= p_ts AND c_ts > p_ts - INTERVAL {horizon}"
+        ),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Execute a streaming query to completion over all currently-available
     input (``availableNow``) into an in-memory table; returns the result as

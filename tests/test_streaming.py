@@ -101,3 +101,19 @@ def test_running_user_totals_matches_batch(spark, sf_dir, events_stream):
     joined = final.join(batch, lsuffix="_s")
     assert (joined["n_events_s"] == joined["n_events"]).all()
     assert (abs(joined["total_value_s"] - joined["total_value"]) < 0.05).all()
+
+
+def test_stream_click_attribution_matches_batch(spark, sf_dir, events_stream):
+    stream_res = {
+        (r.purchase_id, r.click_id)
+        for r in streaming.run_to_memory(
+            streaming.stream_click_attribution(events_stream),
+            "attribution_test",
+            mode="append",
+        ).collect()
+    }
+    batch = {
+        (r.purchase_id, r.click_id)
+        for r in all_queries()["range_join_attribution"].builder(spark, sf_dir).collect()
+    }
+    assert stream_res == batch and batch
