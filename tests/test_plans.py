@@ -1,0 +1,70 @@
+"""Physical-plan shape assertions: the scale claims made in docstrings and
+README design rules, locked as tests. A regression that silently drops a
+pushed filter, un-broadcasts a dimension, or adds a shuffle fails here even
+though results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from dampr_spark.plans import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return (
+        all_queries()[name]
+        .builder(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_filter_where_pushdown(spark):
+    plan = plan_of(spark, "filter_where")
+    # predicates reach the scan (toString truncates the full list at ~100
+    # chars, so assert the prefix plus the date bound that fits)
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity)" in plan
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in plan
+
+
+def test_map_project_column_pruning(spark):
+    plan = plan_of(spark, "map_project")
+    # scan reads exactly the four referenced columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int" in plan
+    assert "l_tax" not in plan and "l_comment" not in plan
+
+
+def test_q14_broadcasts_dimension(spark):
+    plan = plan_of(spark, "q14_promo_revenue_share")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_partial_aggregation(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # partial (map-side) + final HashAggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_topk_no_global_sort(spark):
+    plan = plan_of(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan
+    # no full Sort node — top-k must be heap-based, not sort-the-world
+    assert "Sort [" not in plan
+
+
+def test_asof_join_single_window_no_join_explosion(spark):
+    plan = plan_of(spark, "asof_last_click")
+    # union+window construction: a Window over the union, and NO join node
+    # (the naive range-join-then-argmax would show one)
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = plan_of(spark, "semi_join_by_count")
+    assert "LeftSemi" in plan
