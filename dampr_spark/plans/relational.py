@@ -943,3 +943,41 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@register(
+    "running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+    FROM orders
+    """,
+    tags=("window", "analytics", "extension"),
+)
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (absent in the reference, SURVEY §2.4 'no
+    window functions'): per-customer running revenue + order sequence over
+    an explicit ROWS frame with a unique (date, orderkey) ordering. One
+    shuffle on the partition key; frames evaluate in a single sorted pass."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_total"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
