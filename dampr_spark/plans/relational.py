@@ -981,3 +981,38 @@ def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("running_total"),
         F.row_number().over(w).cast("long").alias("order_seq"),
     )
+
+
+@register(
+    "first_order_per_customer",
+    oracle="""
+    WITH m AS (
+        SELECT o_custkey,
+               min({'d': o_orderdate, 'k': o_orderkey, 'p': o_totalprice}) AS f
+        FROM orders GROUP BY o_custkey)
+    SELECT o_custkey,
+           (f).k AS first_orderkey,
+           (f).d AS first_orderdate,
+           round((f).p, 2) AS first_totalprice
+    FROM m
+    """,
+    tags=("group_by", "first", "extension"),
+)
+def first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'first value per group': lexicographic min over a
+    (date, orderkey, payload) struct — the oracle-checkable twin of the
+    fluent ARReduce.first (dampr/dampr.py:693-699), whose first-seen
+    semantics are nondeterministic across partitions in the reference too.
+    One partial+final aggregate: no window, no sort, one shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    first = F.min(F.struct("o_orderdate", "o_orderkey", "o_totalprice")).alias("f")
+    return (
+        o.groupBy("o_custkey")
+        .agg(first)
+        .select(
+            "o_custkey",
+            F.col("f.o_orderkey").alias("first_orderkey"),
+            F.col("f.o_orderdate").alias("first_orderdate"),
+            F.round(F.col("f.o_totalprice"), 2).alias("first_totalprice"),
+        )
+    )
