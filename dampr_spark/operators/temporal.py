@@ -67,10 +67,13 @@ def asof_join(
 
     # Right rows (_side=0) sort before left rows at equal ts → inclusive
     # (right.ts <= left.ts). The running `last` of the right payload is the
-    # as-of match; one window sort per key, no row multiplication.
+    # as-of match; one window sort per key, no row multiplication. The
+    # trailing `_rpay` orders right rows that tie on (key, ts) by the full
+    # payload struct, so the winner is deterministic across partitionings
+    # (left rows carry a null payload; `_side` already separates them).
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col), F.col("_side"))
+        .orderBy(F.col(ts_col), F.col("_side"), F.col("_rpay"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = l_tagged.unionByName(r_tagged).withColumn(

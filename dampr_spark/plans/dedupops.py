@@ -8,6 +8,7 @@ checks, with pytest recall tests against the exact baselines
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dampr_spark.functions.vector import cosine_sql
 from dampr_spark.operators import dedup, multimodal, similarity
@@ -119,6 +120,22 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("multimodal_features", oracle=None, tags=("multimodal", "extension"))
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column media pipeline: documents→fake media payloads→
-    mapInPandas feature extraction (decode stubbed; plumbing real)."""
+    mapInPandas feature extraction (decode stubbed; plumbing real).
+
+    The driver-facing projection digests the ``array<float>`` feature
+    vector to a scalar (sum, rounded) — array columns are unsortable in the
+    external driver's pandas canonicalizer. The array-returning operator
+    (`multimodal.extract_features`) stays intact for pipeline use."""
     media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
-    return multimodal.extract_features(media, fake=True)
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(
+            F.aggregate(
+                "features", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            6,
+        ).alias("feat_sum"),
+    )

@@ -257,17 +257,22 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "unique_per_group",
     oracle="""
-    SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
     FROM customer GROUP BY c_nationkey
     """,
     tags=("unique",),
 )
 def unique_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`PReduce.unique` (dampr/dampr.py:727-746): first-seen distinct values
-    per group. Set semantics → collect_set, sorted for determinism."""
+    per group. Set semantics → collect_set, sorted for determinism; emitted
+    as a comma-joined scalar (array columns are unsortable in the external
+    driver's pandas canonicalizer — see tests/test_canon_guard.py)."""
     c = _t(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments")
+        F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias(
+            "segments"
+        )
     )
 
 

@@ -106,7 +106,9 @@ def read_urls(spark: SparkSession, urls: list[str], skip_on_error: bool = True) 
             with urlopen(url) as resp:
                 for line in resp.read().decode("utf-8", errors="replace").splitlines():
                     yield (url, line)
-        except URLError:
+        except (URLError, OSError, ValueError):
+            # Same skip set as the fluent api.py urls(): timeouts surface as
+            # OSError and malformed URLs as ValueError, not just URLError.
             if not skip_on_error:
                 raise
 
