@@ -58,11 +58,29 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "vector", "extension"),
 )
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs by cosine ≥ 0.4 (brute-force exact baseline;
-    scale path = RandomHyperplaneLSH.bucketed_pairs)."""
+    """Brute-force exact cosine pairs at ≥ 0.4 — the ORACLE BASELINE for
+    `embedding_near_dups`, kept oracle-checked because it is exactly
+    SQL-expressible. The crossJoin is O(N²): do not reach for this form at
+    corpus scale; the registered scale path is `embedding_near_dups`."""
     return dedup.embedding_cosine_dups(
         _t(spark, sf_dir, "embeddings"), threshold=0.4
     )
+
+
+@register("embedding_near_dups", oracle=None, tags=("dedup", "vector", "extension"))
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH bucketing — the
+    PRIMARY (scale-path) plan: only vectors sharing an (table, bucket) cell
+    are compared, one shuffle keyed by bucket, hot buckets capped. Hash-based
+    candidates → rows-only; recall ≥ 0.9 vs the brute-force baseline is
+    pytest-checked (tests/test_dedup.py::test_bucketed_pairs_recall).
+
+    The 0.4 threshold matches the test corpus (its densest cosine band);
+    at 66° the per-plane collision probability is only ~0.63, hence few
+    planes × many tables (3×12 → expected recall ≈ 0.97). Real near-dup
+    thresholds (≥0.9) prune far harder with 8×4 tables."""
+    lsh = similarity.RandomHyperplaneLSH(dim=64, n_planes=3, n_tables=12)
+    return lsh.bucketed_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 @register("minhash_lsh_dedup", oracle=None, tags=("dedup", "extension"))

@@ -125,6 +125,55 @@ def test_bucketed_pairs_subset_of_brute_force(emb):
     assert a <= e
 
 
+def test_ngram_hot_gram_cap(planted):
+    """Hot-gram pruning: a cap above the longest posting list is a no-op
+    (identical pairs + jaccard values); an impossible cap (below any shared
+    gram) prunes everything; an intermediate cap only ever drops/undercounts
+    (subset at the same threshold, never false pairs)."""
+    base = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(planted, threshold=0.5).collect()
+    }
+    capped_hi = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            planted, threshold=0.5, max_posting=10**6
+        ).collect()
+    }
+    assert capped_hi == base
+    assert (
+        dedup.ngram_jaccard_pairs(planted, threshold=0.5, max_posting=1).count()
+        == 0
+    )
+    capped_mid = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            planted, threshold=0.5, max_posting=2
+        ).collect()
+    }
+    assert set(capped_mid) <= set(base)
+    assert all(capped_mid[k] <= base[k] for k in capped_mid)
+
+
+def test_bucketed_pairs_recall(emb):
+    """The registered embedding_near_dups configuration (3 planes × 12
+    tables, matched to the corpus's 0.4-cosine band) must recover ≥ 90% of
+    the brute-force pairs while emitting no false positives (the exact
+    cosine verify on candidates guarantees precision)."""
+    lsh = similarity.RandomHyperplaneLSH(dim=64, n_planes=3, n_tables=12)
+    approx = {
+        (r.id_a, r.id_b)
+        for r in lsh.bucketed_pairs(emb, threshold=0.4).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_dups(emb, threshold=0.4).collect()
+    }
+    assert approx <= exact  # precision 1.0
+    recall = len(approx & exact) / max(len(exact), 1)
+    assert recall >= 0.9, f"recall {recall}"
+
+
 def test_multimodal_features(planted):
     media = multimodal.documents_as_media(planted)
     feats = multimodal.extract_features(media, fake=True).collect()
