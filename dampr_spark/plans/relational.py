@@ -881,16 +881,36 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_parts", oracle=None, tags=("approx", "extension"))
+@register(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+             <= 0.05 * count(DISTINCT l_partkey) AS approx_ok,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("approx", "extension"),
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-part estimate per return flag. Sketch-based →
-    engine-specific estimates, so rows-only (the exact twin distinct_rows /
-    count_total queries are the oracle-checked versions). At 100 TB this is
-    the only sane distinct-count: fixed-size sketches merge map-side instead
-    of shuffling every key."""
+    """HyperLogLog++ distinct-part estimate per return flag. Raw sketch
+    estimates are engine-specific, so the hash-checked output carries the
+    exact count plus `approx_ok` — each engine asserts its own HLL estimate
+    lands within 5% of exact (rsd here is 2%, so the bound has slack). At
+    100 TB the sketch is the only sane distinct-count: fixed-size state
+    merges map-side instead of shuffling every key; the exact column exists
+    for verification, not for the scale path."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02)
+                - F.count_distinct("l_partkey")
+            )
+            <= 0.05 * F.count_distinct("l_partkey")
+        ).alias("approx_ok"),
         F.count("*").alias("n_rows"),
     )
 
