@@ -543,12 +543,21 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_posting: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard via posting-list self-join: explode n-grams,
     pair ids sharing a gram, count shared grams per pair, then
     J = |∩| / (|A| + |B| − |∩|). No O(N²) compare — cost is bounded by
-    posting-list sizes (a stopword-like hot gram is the skew risk; at scale
-    drop the top-F most frequent grams first)."""
+    posting-list sizes.
+
+    ``max_posting`` is the hot-gram (skew) mitigation: grams whose posting
+    list exceeds the cap are dropped before pairing, bounding the worst
+    per-gram pair fan-out at C(max_posting, 2). A stopword-like gram shared
+    by k docs otherwise emits k² pairs into one task — the classic skew
+    killer at corpus scale. Dropping a gram can only *undercount*
+    intersections (Jaccard biased low → fewer pairs, never false ones);
+    with the cap above the longest posting list the output is exactly the
+    uncapped result (tests/test_dedup.py::test_ngram_hot_gram_cap)."""
     # Single-scan posting-list pairing: each doc's gram count rides along the
     # explode, postings group by gram, and in-bucket id pairs aggregate to
     # intersection counts — ONE evaluation of the (interpreted, expensive)
@@ -568,11 +577,15 @@ def ngram_jaccard_pairs(
         F.size("_arr").alias("n_grams"),
         F.explode_outer("_arr").alias("gram"),
     )
-    return (
+    postings = (
         grams.groupBy("gram")
         .agg(F.collect_list(F.struct("id", "n_grams")).alias("docs"))
         .filter(F.size("docs") >= 2)
-        .select(F.explode(_sorted_struct_pairs(F.col("docs"))).alias("p"))
+    )
+    if max_posting is not None:
+        postings = postings.filter(F.size("docs") <= max_posting)
+    return (
+        postings.select(F.explode(_sorted_struct_pairs(F.col("docs"))).alias("p"))
         .groupBy(
             F.col("p.a.id").alias("id_a"),
             F.col("p.b.id").alias("id_b"),
