@@ -61,6 +61,19 @@ class ValueEmitter:
         self._values = []
 
 
+class Mapper:
+    """Rawest mapper interface (reference dampr/base.py:10-12):
+    ``map(main, *supplemental)`` where each argument is an iterator of
+    (key, value) pairs. The reference hands each map task its own chunk of
+    the MAIN input plus every supplemental dataset read WHOLE
+    (dampr/stagerunner.py:70-74 ``mapper.map(main, *supplemental)``); the
+    Spark equivalent broadcasts the supplemental streams — same semantics,
+    one network ship per executor instead of a re-read per chunk."""
+
+    def map(self, main: Iterator, *supplemental: Iterator) -> Iterable:
+        raise NotImplementedError
+
+
 class BlockMapper:
     """Partition-lifecycle mapper (reference dampr/base.py:62-101):
     ``start() -> iter``, ``add(k, v) -> iter``, ``finish() -> iter`` —
@@ -297,11 +310,33 @@ class PMap(PBase):
             self._rdd.mapPartitions(lambda it: f(v for _, v in it)), self._spark
         )
 
-    def custom_mapper(self, mapper: BlockMapper | type) -> "PMap":
-        """BlockMapper start/add/finish lifecycle (dampr/dampr.py:155-180,
-        dampr/base.py:62-101). Lifecycle methods may return None (the
-        reference's own TopKMapper does, tests/test_dampr.py:248-252)."""
+    def custom_mapper(self, mapper: "Mapper | BlockMapper | type", *sides: "PMap | PReduce") -> "PMap":
+        """Low-level mapper hook (dampr/dampr.py:155-180).
+
+        Two interfaces, as in the reference:
+        - :class:`BlockMapper` — start/add/finish lifecycle
+          (dampr/base.py:62-101). Lifecycle methods may return None (the
+          reference's own TopKMapper does, tests/test_dampr.py:248-252).
+        - :class:`Mapper` — the rawest form, ``map(main, *supplemental)``
+          over (key, value) iterators (dampr/base.py:10-12). ``sides`` are
+          the supplemental streams; the reference re-reads each one WHOLE
+          per map chunk (dampr/stagerunner.py:70-74), so here they ship as
+          broadcasts — each partition sees its slice of the main stream
+          plus every side stream in full. Keep sides broadcast-small, the
+          same constraint the reference's ``memory=True`` cross imposes.
+        """
         proto = mapper() if isinstance(mapper, type) else mapper
+
+        if isinstance(proto, Mapper) or sides:
+            if not isinstance(proto, Mapper):
+                raise TypeError("side datasets require a Mapper subclass")
+            sc = self._spark.sparkContext
+            side_bcs = [sc.broadcast(s._rdd.collect()) for s in sides]
+
+            def run_mapper(it: Iterator) -> Iterator:
+                yield from proto.map(it, *(iter(b.value) for b in side_bcs))
+
+            return PMap(self._rdd.mapPartitions(run_mapper), self._spark)
 
         def run_block(it: Iterator) -> Iterator:
             yield from proto.start() or ()

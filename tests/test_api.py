@@ -9,7 +9,7 @@ import json
 
 import pytest
 
-from dampr_spark.api import BlockMapper, BlockReducer, Dampr, filter_by_count
+from dampr_spark.api import BlockMapper, BlockReducer, Dampr, Mapper, filter_by_count
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -249,6 +249,43 @@ def test_custom_blocks(spark):
     letter_counts = word.flat_map(list).count()
     topk = letter_counts.custom_mapper(TopKMapper(2)).custom_reducer(TopKReducer(2))
     assert sorted(topk.run()) == [("a", 4), ("i", 7)]
+
+
+def test_custom_mapper_multi_input(items):
+    """Reference `Mapper.map(*datasets)` (dampr/base.py:10-12): the rawest
+    extension point receives the main chunk plus supplemental datasets
+    whole (dampr/stagerunner.py:70-74). Here: tag each main value with the
+    sum and count of two side streams — every partition must see BOTH
+    sides in full for the result to be uniform."""
+
+    class TagWithSides(Mapper):
+        def map(self, main, side_a, side_b):
+            total = sum(v for _, v in side_a)
+            n = sum(1 for _ in side_b)
+            for k, v in main:
+                yield k, (v, total, n)
+
+    side_a = Dampr.memory([1, 2, 3], partitions=2)
+    side_b = Dampr.memory(["x", "y"], partitions=2)
+    res = sorted(items.custom_mapper(TagWithSides(), side_a, side_b).run())
+    assert res == [(v, 6, 2) for v in range(10, 20)]
+
+
+def test_custom_mapper_single_input_mapper_form(items):
+    """A bare Mapper (no sides) mirrors the reference doctest
+    `custom_mapper(Map(lambda k, x: [(k, x+1)]))` (dampr/dampr.py:166)."""
+
+    class AddOne(Mapper):
+        def map(self, main):
+            for k, v in main:
+                yield k, v + 1
+
+    assert sorted(items.custom_mapper(AddOne).run()) == list(range(11, 21))
+
+
+def test_custom_mapper_sides_require_mapper(items):
+    with pytest.raises(TypeError):
+        items.custom_mapper(BlockMapper(), items)
 
 
 def test_stream_blocks():
