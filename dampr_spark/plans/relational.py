@@ -109,9 +109,38 @@ def map_tuple_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`sample(prob)` (dampr/dampr.py:114-126), time-seeded in the reference;
     here seeded for reproducibility. No SQL oracle (sampling RNGs differ) —
-    driver does a rows-only check."""
+    driver does a rows-only check; `sample_fraction_check` is the
+    hash-checked twin."""
     li = _t(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "sample_fraction_check",
+    oracle="""
+    SELECT k BETWEEN CAST(0.08 * n AS BIGINT) AND CAST(0.12 * n AS BIGINT)
+             AS within_bounds
+    FROM (SELECT count(*) AS k
+          FROM (SELECT * FROM lineitem USING SAMPLE 10 PERCENT (bernoulli))),
+         (SELECT count(*) AS n FROM lineitem)
+    """,
+    tags=("sample", "extension"),
+)
+def sample_fraction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable `sample(prob)` verification: each engine draws its OWN
+    Bernoulli sample and asserts the draw count lands inside generous
+    binomial bounds (±20% of the 10% mean is >5σ even at sf0.001's 6k
+    rows). Sampled row sets can never match across engines; the boolean
+    does — the same each-engine-asserts-its-own-randomness trick as
+    approx_distinct_parts."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = li.sample(fraction=0.1, seed=42).agg(F.count("*").alias("k"))
+    n = li.agg(F.count("*").alias("n"))
+    return k.crossJoin(n).select(
+        (
+            (F.col("k") >= 0.08 * F.col("n")) & (F.col("k") <= 0.12 * F.col("n"))
+        ).alias("within_bounds")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1040,4 +1069,188 @@ def first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f.o_orderdate").alias("first_orderdate"),
             F.round(F.col("f.o_totalprice"), 2).alias("first_totalprice"),
         )
+    )
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "tpch", "extension"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): the deepest
+    join tree in the catalog — fact-first join order, the two 25-row nation
+    dims broadcast, the nation-pair predicate applied on the *dims* so the
+    5-way join prunes before the big lineitem⋈orders shuffle. supplier /
+    customer stay shuffle joins (at real scale they exceed the broadcast
+    threshold; AQE converts them back when small)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    tags=("join", "tpch", "extension"),
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): the HAVING subquery becomes a
+    left-semi join against the pre-aggregated order quantities — the
+    aggregate runs ONCE and only surviving orderkeys flow into the 3-way
+    join (at scale the semi-join side is tiny: 99th-percentile orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+    tags=("join", "tpch", "extension"),
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (OR-of-ANDs join predicate, adapted to this schema's
+    columns): part is broadcast, and the disjunction stays a single codegen
+    filter after the join rather than three unioned scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "order_gap_days",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           datediff('day',
+                    lag(CAST(o_orderdate AS DATE)) OVER w,
+                    CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "extension"),
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window analytics: days since the same customer's previous
+    order (NULL on the first). Deterministic via the (date, key) tie-break;
+    one window shuffle on o_custkey, no join."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(d, F.lag(d).over(w)).cast("bigint").alias("gap_days"),
     )

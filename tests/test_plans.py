@@ -68,3 +68,37 @@ def test_asof_join_single_window_no_join_explosion(spark):
 def test_semi_join_stays_semi(spark):
     plan = plan_of(spark, "semi_join_by_count")
     assert "LeftSemi" in plan
+
+
+def test_q7_broadcasts_nation_dims(spark):
+    plan = plan_of(spark, "q7_nation_volume")
+    # both 2-row nation selects must broadcast; the nation-name predicate
+    # must prune at their scans, not after the 5-way join
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "In(n_name, [NATION_1,NATION_2])" in plan
+
+
+def test_q18_having_becomes_semi_join(spark):
+    plan = plan_of(spark, "q18_large_volume_customer")
+    assert "LeftSemi" in plan
+
+
+def test_q19_predicate_single_scan(spark):
+    plan = plan_of(spark, "q19_discounted_revenue")
+    # OR-of-ANDs stays one filter over one joined stream — not three
+    # unioned lineitem scans
+    assert plan.count("Scan parquet") == 2  # lineitem + part, once each
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embedding_near_dups_no_cartesian(spark):
+    plan = plan_of(spark, "embedding_near_dups")
+    # the whole point vs embedding_cosine_dups: no nested-loop product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_order_gap_days_single_window_shuffle(spark):
+    plan = plan_of(spark, "order_gap_days")
+    assert "Window" in plan
+    assert plan.count("Exchange") == 1
