@@ -277,3 +277,81 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.crossJoin(F.broadcast(n)).select(
         "token", "df", F.round(F.log(1 + F.col("n_docs") / F.col("df")), 6).alias("idf")
     )
+
+
+_BM25_QUERY_TERMS = ("spark", "query", "join")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "bm25_rank",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               avg(len(string_split(text, ' '))) AS avgdl
+        FROM documents),
+    dl AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        FROM documents),
+    q AS (SELECT unnest(['spark', 'query', 'join']) AS token),
+    df AS (
+        SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM toks JOIN q USING (token) GROUP BY token),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        FROM toks JOIN q USING (token) GROUP BY 1, 2)
+    SELECT doc_id,
+           round(sum(
+               ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1)
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 15
+    """,
+    tags=("text", "search", "extension"),
+)
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking for a literal keyword query — the classic lexical
+    retrieval scorer, entirely in codegen expressions (no UDF).
+
+    Plan shape for 100 TB: ONE pass over documents computes per-doc
+    query-term frequencies and doc length together (tokens are filtered to
+    the query terms right after explode, so the big aggregate state is
+    |query| × matching docs, not the vocabulary); corpus stats (N, avgdl)
+    and per-term document frequencies are 1-row/|query|-row aggregates that
+    broadcast back. TakeOrdered top-k, no global sort. Deterministic
+    tie-break on (rounded score, doc_id) keeps the cut stable cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    k1, b = _BM25_K1, _BM25_B
+    terms = list(_BM25_QUERY_TERMS)
+
+    toks = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("double").alias("dl"),
+        F.explode(F.split("text", " ")).alias("token"),
+    ).filter(F.col("token").isin(terms))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl")
+    )
+    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(15)
+    )
