@@ -64,6 +64,46 @@ def test_simhash_planted(planted):
     assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in found)
 
 
+def test_simhash_udf_matches_sql_spec(planted, spark):
+    """The Arrow-vectorized band UDF is bit-exact to the SQL spec form
+    (simhash_bands ∘ simhash_votes) on every non-null text. Null text is the
+    one deliberate difference: the SQL form yields an array of 4 null bands
+    (transform keeps the outer array), the UDF a null array — both explode
+    to zero joinable band rows, so pair output is identical."""
+    from pyspark.sql import functions as F
+
+    rows = [(10, None), (11, ""), (12, "a b"), (13, "ab")]
+    df = planted.union(spark.createDataFrame(rows, "doc_id long, text string"))
+    tok_hashes = F.transform(
+        F.array_distinct(F.split(F.col("text"), " ")), lambda t: F.xxhash64(t)
+    )
+    got = df.select(
+        "doc_id",
+        dedup.simhash_bands_udf()(tok_hashes).alias("u"),
+        dedup.simhash_bands(dedup.simhash_votes("text")).alias("s"),
+    ).collect()
+    for r in got:
+        if r.u is None:
+            assert r.s is None or all(b is None for b in r.s), (r.doc_id, r.s)
+        else:
+            assert r.u == r.s, (r.doc_id, r.u, r.s)
+
+
+def test_simhash_hot_bucket_cap(planted):
+    """Bucket cap: above any real bucket size it's a no-op (identical pairs
+    and hamming values); a cap of 1 drops every bucket, so no pairs."""
+    base = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_dedup(planted, max_hamming=3).collect()
+    }
+    capped_hi = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_dedup(planted, max_hamming=3, max_bucket=10**6).collect()
+    }
+    assert capped_hi == base and base  # planted dups exist
+    assert dedup.simhash_dedup(planted, max_hamming=3, max_bucket=1).count() == 0
+
+
 def test_ngram_jaccard_planted(planted):
     pairs = dedup.ngram_jaccard_pairs(planted, threshold=0.5).collect()
     found = {(r.id_a, r.id_b): r.jaccard for r in pairs}
