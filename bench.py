@@ -8,11 +8,13 @@ Each query is executed with a count-style action that materializes the full
 result (no driver-side collect of wide rows). A warmup run of a tiny query
 first amortizes JVM/session startup out of per-query numbers.
 
-Each query runs TWICE: the reported per-query numbers and headline total are
-the warm (second) run — per-lineage codegen/planning cold cost dominates at
-this tiny scale (3-4× on the UDF-heavy dedup queries) and makes
-round-over-round diffs meaningless. The cold first-run total is reported
-separately as ``cold_total`` so startup regressions stay visible.
+Each query runs TWICE. The headline ``value`` (and ``queries``) is the COLD
+first-run number — the same meaning the key had in round 1, so
+round-over-round comparisons stay apples-to-apples. The warm second run is
+reported separately as ``warm_total``/``queries_warm``: per-lineage
+codegen/planning cold cost dominates at this tiny scale (3-4× on the
+UDF-heavy dedup queries), so the warm numbers are the better signal for
+*plan* regressions while cold covers startup/planning regressions.
 """
 
 from __future__ import annotations
@@ -40,6 +42,14 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "events_hourly",
     "sessionization",
+    # LLM-pipeline + join flagships (round 3): track the extension layer's
+    # perf round-over-round, not just its correctness.
+    "near_dedup_corpus",
+    "simhash_dedup",
+    "bm25_rank",
+    "q7_nation_volume",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
 ]
 
 
@@ -89,25 +99,28 @@ def main() -> int:
         ).save()
         return time.perf_counter() - t0
 
-    timings: dict[str, float] = {}
-    total = 0.0
+    cold_timings: dict[str, float] = {}
+    warm_timings: dict[str, float] = {}
     cold_total = 0.0
+    warm_total = 0.0
     for name in BENCH_QUERIES:
         cold = run_once(name)
         warm = run_once(name)
         cold_total += cold
-        timings[name] = round(warm, 4)
-        total += warm
-        print(f"# {name}: warm {warm:.3f}s (cold {cold:.3f}s)", file=sys.stderr)
+        warm_total += warm
+        cold_timings[name] = round(cold, 4)
+        warm_timings[name] = round(warm, 4)
+        print(f"# {name}: cold {cold:.3f}s (warm {warm:.3f}s)", file=sys.stderr)
 
     print(
         json.dumps(
             {
                 "metric": "dampr_spark_bench_total",
-                "value": round(total, 4),
+                "value": round(cold_total, 4),
                 "unit": "sec",
-                "queries": timings,
-                "cold_total": round(cold_total, 4),
+                "queries": cold_timings,
+                "warm_total": round(warm_total, 4),
+                "queries_warm": warm_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import heapq
 import json
+import logging
 import operator
 from collections.abc import Callable, Iterable, Iterator
 
@@ -39,6 +40,62 @@ from pyspark import RDD, StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
 _identity = lambda x: x  # noqa: E731
+
+logger = logging.getLogger(__name__)
+_warned_kwargs: set[tuple[str, str]] = set()
+
+
+def _collect_side_broadcast(
+    spark: SparkSession,
+    rdd: RDD,
+    what: str,
+    agg: Callable | None = None,
+    pairs: bool = False,
+):
+    """Collect a supplemental (side) stream to the driver and broadcast it,
+    with an OOM guard: sides are contractually broadcast-small (the
+    reference re-reads them whole per map chunk, dampr/stagerunner.py:70-74),
+    so blowing past ``DAMPR_SPARK_MAX_SIDE_MB`` (default 512) is a pipeline
+    bug — raise a sized, named error instead of stalling the driver. The
+    guard measures the pickled payload, the same bytes the broadcast ships.
+    Unpersist: broadcast blocks are reclaimed by Spark's ContextCleaner when
+    the enclosing pipeline object is garbage-collected; callers that keep
+    pipelines alive across many runs should rebuild them instead."""
+    import os
+    import pickle
+
+    collected = rdd.collect()
+    values = iter(collected) if pairs else (v for _, v in collected)
+    data = agg(values) if agg is not None else list(values)
+    limit_mb = float(os.environ.get("DAMPR_SPARK_MAX_SIDE_MB", "512"))
+    nbytes = len(pickle.dumps(data))
+    if nbytes > limit_mb * 1024 * 1024:
+        raise ValueError(
+            f"{what} is {nbytes / 1e6:.0f} MB pickled — exceeds the "
+            f"{limit_mb:.0f} MB broadcast guard (DAMPR_SPARK_MAX_SIDE_MB). "
+            "Side datasets must be broadcast-small; use a keyed join for "
+            "large sides."
+        )
+    return spark.sparkContext.broadcast(data)
+
+
+def _warn_ignored_kwargs(where: str, kwargs: dict, known: set[str]) -> None:
+    """Reference-API kwargs that are deliberate no-ops on Spark: accept the
+    call site unchanged, but log (once per kwarg) so behavior drift from the
+    reference engine is visible. Unknown kwargs still raise — only the
+    documented reference knobs are swallowed."""
+    unknown = set(kwargs) - known
+    if unknown:
+        raise TypeError(f"{where}() got unexpected keyword arguments {sorted(unknown)}")
+    for k in kwargs:
+        if (where, k) not in _warned_kwargs:
+            _warned_kwargs.add((where, k))
+            logger.warning(
+                "%s(%s=...) is a no-op on the Spark engine: Spark already "
+                "applies map-side partial aggregation / manages spill "
+                "internally; accepted for reference call-site compatibility.",
+                where, k,
+            )
 
 
 class ValueEmitter:
@@ -104,11 +161,24 @@ class BlockReducer:
 
 
 class PBase:
-    """Shared plumbing: every stream is a pair RDD of (key, value)."""
+    """Shared plumbing: every stream is a pair RDD of (key, value).
 
-    def __init__(self, rdd: RDD, spark: SparkSession):
-        self._rdd = rdd
+    ``rdd`` may be a zero-arg thunk returning the RDD: operators whose
+    construction would otherwise trigger driver-side Spark jobs (e.g.
+    ``custom_mapper`` collecting side datasets to broadcast) wrap their work
+    in a thunk so building a pipeline stays job-free; the thunk is forced —
+    once, memoized — the first time a downstream op or action touches
+    ``._rdd``."""
+
+    def __init__(self, rdd: RDD | Callable[[], RDD], spark: SparkSession):
+        self._rdd_or_thunk = rdd
         self._spark = spark
+
+    @property
+    def _rdd(self) -> RDD:
+        if callable(self._rdd_or_thunk):
+            self._rdd_or_thunk = self._rdd_or_thunk()
+        return self._rdd_or_thunk
 
     # -- execution ---------------------------------------------------------
 
@@ -125,13 +195,24 @@ class PBase:
 
     # -- caching / materialization (reference §2.8) ------------------------
 
-    def checkpoint(self, force: bool = False, **_) -> "PMap":
+    def checkpoint(self, force: bool = False, **kwargs) -> "PMap":
         """Stage boundary + result sharing (reference dampr/dampr.py:128-153)
-        → disk persist; consumers of this object reuse the materialization."""
+        → disk persist; consumers of this object reuse the materialization.
+
+        The reference's ``combiner=``/``options=`` kwargs (dampr/dampr.py:148,
+        :687) are accepted for call-site compatibility but are deliberate
+        no-ops on Spark: a checkpoint-time combiner exists to shrink the
+        reference's on-disk intermediate before its reduce stage, and
+        Catalyst/RDD ``reduceByKey`` already applies map-side partial
+        aggregation wherever the downstream reduce is associative — running
+        a second combiner here would do redundant work. Warned once so a
+        ported pipeline's behavior drift is visible, not silent."""
+        _warn_ignored_kwargs("checkpoint", kwargs, {"combiner", "options"})
         return PMap(self._rdd.persist(StorageLevel.DISK_ONLY), self._spark)
 
-    def cached(self, **_) -> "PMap":
+    def cached(self, **kwargs) -> "PMap":
         """In-memory checkpoint (reference dampr/dampr.py:486-497)."""
+        _warn_ignored_kwargs("cached", kwargs, {"options"})
         return PMap(self._rdd.persist(StorageLevel.MEMORY_ONLY), self._spark)
 
 
@@ -262,15 +343,18 @@ class PMap(PBase):
         (dampr/dampr.py:541-573).  ``memory=True`` broadcasts the right side
         (reference caches it in RAM, dampr/base.py:153-158)."""
         if memory:
-            right = self._spark.sparkContext.broadcast(
-                [v for _, v in other._rdd.collect()]
-            )
+            def build() -> RDD:
+                right = _collect_side_broadcast(
+                    self._spark, other._rdd, what="cross_left(memory=True) right side"
+                )
 
-            def bcast_cross(kv):
-                for w in right.value:
-                    yield (kv[0], crosser(kv[1], w))
+                def bcast_cross(kv):
+                    for w in right.value:
+                        yield (kv[0], crosser(kv[1], w))
 
-            return PMap(self._rdd.flatMap(bcast_cross), self._spark)
+                return self._rdd.flatMap(bcast_cross)
+
+            return PMap(build, self._spark)
         pairs = self._rdd.cartesian(other._rdd)
         return PMap(
             pairs.map(lambda lr: (lr[0][0], crosser(lr[0][1], lr[1][1]))),
@@ -286,13 +370,13 @@ class PMap(PBase):
     def cross_set(self, other: "PMap", crosser: Callable, agg: Callable = list) -> "PMap":
         """Materialize the ENTIRE other side via agg and hand it whole to each
         left value — broadcast-variable join (dampr/dampr.py:590-619)."""
-        whole = self._spark.sparkContext.broadcast(
-            agg(v for _, v in other._rdd.collect())
-        )
-        return PMap(
-            self._rdd.map(lambda kv: (kv[0], crosser(kv[1], whole.value))),
-            self._spark,
-        )
+        def build() -> RDD:
+            whole = _collect_side_broadcast(
+                self._spark, other._rdd, what="cross_set other side", agg=agg
+            )
+            return self._rdd.map(lambda kv: (kv[0], crosser(kv[1], whole.value)))
+
+        return PMap(build, self._spark)
 
     # -- §2.7 custom operators --------------------------------------------
 
@@ -323,20 +407,34 @@ class PMap(PBase):
           per map chunk (dampr/stagerunner.py:70-74), so here they ship as
           broadcasts — each partition sees its slice of the main stream
           plus every side stream in full. Keep sides broadcast-small, the
-          same constraint the reference's ``memory=True`` cross imposes.
+          same constraint the reference's ``memory=True`` cross imposes;
+          a side above ``DAMPR_SPARK_MAX_SIDE_MB`` (default 512) raises
+          rather than silently OOMing the driver. The collect + broadcast
+          run at first materialization, not at pipeline construction
+          (the reference also defers supplemental reads to run time);
+          broadcast blocks are reclaimed by Spark's ContextCleaner once
+          the pipeline object is garbage-collected.
         """
         proto = mapper() if isinstance(mapper, type) else mapper
 
         if isinstance(proto, Mapper) or sides:
             if not isinstance(proto, Mapper):
                 raise TypeError("side datasets require a Mapper subclass")
-            sc = self._spark.sparkContext
-            side_bcs = [sc.broadcast(s._rdd.collect()) for s in sides]
 
-            def run_mapper(it: Iterator) -> Iterator:
-                yield from proto.map(it, *(iter(b.value) for b in side_bcs))
+            def build() -> RDD:
+                side_bcs = [
+                    _collect_side_broadcast(
+                        self._spark, s._rdd, what=f"custom_mapper side {i}", pairs=True
+                    )
+                    for i, s in enumerate(sides)
+                ]
 
-            return PMap(self._rdd.mapPartitions(run_mapper), self._spark)
+                def run_mapper(it: Iterator) -> Iterator:
+                    yield from proto.map(it, *(iter(b.value) for b in side_bcs))
+
+                return self._rdd.mapPartitions(run_mapper)
+
+            return PMap(build, self._spark)
 
         def run_block(it: Iterator) -> Iterator:
             yield from proto.start() or ()
@@ -454,6 +552,12 @@ class ARReduce(PBase):
     (dampr/dampr.py:661-708, dampr/dataset.py:84-117)."""
 
     def reduce(self, binop: Callable, reduce_buffer: int | None = None, sort: bool = True) -> PMap:
+        """``reduce_buffer`` (reference dampr/dampr.py:661-691) sizes the
+        reference's in-memory partial-reduce map before it spills; Spark's
+        ``reduceByKey`` map-side combine manages its own spill threshold, so
+        the knob is a documented no-op here (warned once, not silent)."""
+        if reduce_buffer is not None:
+            _warn_ignored_kwargs("ARReduce.reduce", {"reduce_buffer": reduce_buffer}, {"reduce_buffer"})
         reduced = self._rdd.reduceByKey(binop)
         if sort:
             reduced = reduced.sortByKey()

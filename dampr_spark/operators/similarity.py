@@ -67,11 +67,27 @@ class IVFIndex:
         iters: int = 10,
     ) -> "IVFIndex":
         """Train the coarse quantizer: bounded sample → numpy spherical
-        k-means (cosine assignment = argmax dot on unit vectors)."""
-        rows = df.select(vec_col).limit(sample_size).collect()
+        k-means (cosine assignment = argmax dot on unit vectors).
+
+        The sample must be RANDOM, not first-N: ``limit()`` takes whatever
+        partition answers first, so on data sorted/clustered by label the
+        quantizer would train on one region of the space and every other
+        region collapses into a few mega-lists. A seeded Bernoulli
+        ``sample()`` draws uniformly from every partition; a slight
+        oversample followed by a uniform numpy down-select keeps the collect
+        bounded at ~1.2×sample_size rows without re-introducing
+        partition-order bias (``sample().limit()`` would)."""
+        total = df.count()
+        sel = df.select(vec_col)
+        if total > sample_size:
+            frac = min(1.0, 1.2 * sample_size / total)
+            sel = sel.sample(fraction=frac, seed=self.seed)
+        rows = sel.collect()
         x = np.asarray([r[0] for r in rows], dtype=np.float64)
-        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         rng = np.random.default_rng(self.seed)
+        if len(x) > sample_size:
+            x = x[rng.choice(len(x), size=sample_size, replace=False)]
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         c = x[rng.choice(len(x), size=min(self.n_lists, len(x)), replace=False)]
         for _ in range(iters):
             assign = np.argmax(x @ c.T, axis=1)

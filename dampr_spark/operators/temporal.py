@@ -39,6 +39,17 @@ def asof_join(
 
     ``right_cols`` are the right-side columns to carry (default: all but
     keys/ts), emitted as ``{prefix}{col}`` plus ``{prefix}{ts_col}``.
+
+    Tie-break and orderability contract: when several right rows share the
+    same (key, ts), the winner is the MAXIMUM payload struct under Spark's
+    struct ordering over ``(ts_col, *right_cols)`` — deterministic across
+    partitionings and engines (this is what lets the DuckDB oracle hash-match;
+    an arbitrary-winner tie-break would flake). The cost of that determinism
+    is that every carried right column must be an orderable type: a map-typed
+    (or other unorderable) column in ``right_cols`` raises AnalysisException
+    at the window sort. Exclude such columns via ``right_cols``, or wrap them
+    (e.g. ``to_json``) before the join, and the guarantee degrades only for
+    exact (key, ts) ties.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (*on, ts_col)]

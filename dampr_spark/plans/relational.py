@@ -136,7 +136,9 @@ def sample_fraction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     k = li.sample(fraction=0.1, seed=42).agg(F.count("*").alias("k"))
     n = li.agg(F.count("*").alias("n"))
-    return k.crossJoin(n).select(
+    # broadcast one single-row side: BroadcastNestedLoopJoin instead of the
+    # CartesianProduct the planner picks for unhinted cross joins.
+    return k.crossJoin(F.broadcast(n)).select(
         (
             (F.col("k") >= 0.08 * F.col("n")) & (F.col("k") <= 0.12 * F.col("n"))
         ).alias("within_bounds")

@@ -310,7 +310,7 @@ _BM25_K1, _BM25_B = 1.2, 0.75
            ), 6) AS bm25
     FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
     GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id
+    ORDER BY round(bm25, 4) DESC, doc_id
     LIMIT 15
     """,
     tags=("text", "search", "extension"),
@@ -324,8 +324,14 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query terms right after explode, so the big aggregate state is
     |query| × matching docs, not the vocabulary); corpus stats (N, avgdl)
     and per-term document frequencies are 1-row/|query|-row aggregates that
-    broadcast back. TakeOrdered top-k, no global sort. Deterministic
-    tie-break on (rounded score, doc_id) keeps the cut stable cross-engine."""
+    broadcast back. TakeOrdered top-k, no global sort.
+
+    Cut stability: the top-15 cut orders by the score rounded to 4dp (then
+    doc_id). Cross-engine float summation can drift the last bits, and at
+    the emitted 6dp precision a boundary pair straddling rank 15 could order
+    differently per engine; at 4dp near-equal scores collapse into ties that
+    doc_id breaks identically in both engines, so the returned SET is stable
+    while the emitted value keeps its 6dp precision."""
     d = _t(spark, sf_dir, "documents")
     k1, b = _BM25_K1, _BM25_B
     terms = list(_BM25_QUERY_TERMS)
@@ -352,6 +358,6 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(score), 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .orderBy(F.round(F.col("bm25"), 4).desc(), F.col("doc_id"))
         .limit(15)
     )

@@ -271,6 +271,31 @@ def test_custom_mapper_multi_input(items):
     assert res == [(v, 6, 2) for v in range(10, 20)]
 
 
+def test_custom_mapper_sides_deferred_and_guarded(items, monkeypatch):
+    """Side-dataset collect/broadcast happens at first materialization, not
+    at pipeline construction (the reference defers supplemental reads to run
+    time too), and a side above DAMPR_SPARK_MAX_SIDE_MB raises a sized error
+    instead of OOMing the driver."""
+    import pytest
+
+    class Tag(Mapper):
+        def map(self, main, side):
+            vals = [v for _, v in side]
+            for k, v in main:
+                yield k, (v, len(vals))
+
+    side = Dampr.memory([1, 2, 3])
+    pm = items.custom_mapper(Tag(), side)
+    # construction ran no collect: the RDD thunk is still unforced
+    assert callable(pm._rdd_or_thunk)
+    assert sorted(pm.run()) == [(v, 3) for v in range(10, 20)]
+
+    monkeypatch.setenv("DAMPR_SPARK_MAX_SIDE_MB", "0.000001")
+    guarded = items.custom_mapper(Tag(), side)
+    with pytest.raises(ValueError, match="broadcast guard"):
+        guarded.run()
+
+
 def test_custom_mapper_single_input_mapper_form(items):
     """A bare Mapper (no sides) mirrors the reference doctest
     `custom_mapper(Map(lambda k, x: [(k, x+1)]))` (dampr/dampr.py:166)."""
@@ -342,6 +367,41 @@ def test_cached_and_shared(items):
     b = base.filter(lambda x: x % 4 != 0)
     ra, rb = Dampr.run(a, b)
     assert sorted(list(ra.read()) + list(rb.read())) == [x * 2 for x in range(10, 20)]
+
+
+def test_reference_noop_kwargs_accepted(items, caplog):
+    """Reference call sites that pass combiner=/options=/reduce_buffer=
+    (dampr/dampr.py:128-153, :661-691) run unchanged: the knobs are
+    documented no-ops (Spark handles partial aggregation/spill itself),
+    logged as warnings, never silent failures. Unknown kwargs still raise."""
+    import logging
+
+    import pytest
+
+    class _Comb:  # stand-in for the reference's combiner object
+        pass
+
+    with caplog.at_level(logging.WARNING, logger="dampr_spark.api"):
+        doubled = (
+            items.map(lambda x: x * 2)
+            .checkpoint(combiner=_Comb(), options={"compress": True})
+            .run()
+            .read()
+        )
+        total = (
+            items.a_group_by(lambda x: x % 2)
+            .reduce(lambda a, b: a + b, reduce_buffer=1000)
+            .run()
+            .read()
+        )
+    assert sorted(doubled) == [x * 2 for x in range(10, 20)]
+    assert sorted(total) == [
+        (0, sum(x for x in range(10, 20) if x % 2 == 0)),
+        (1, sum(x for x in range(10, 20) if x % 2 == 1)),
+    ]
+    assert any("no-op" in r.message for r in caplog.records)
+    with pytest.raises(TypeError):
+        items.map(lambda x: x).checkpoint(bogus_kwarg=1)
 
 
 def test_sample(items):

@@ -259,6 +259,30 @@ def test_ivf_ann_recall_vs_brute_force(emb):
     assert assigned.count() == rest.count()
 
 
+def test_ivf_fit_sample_unbiased(spark):
+    """On data sorted adversarially by cluster (first partitions hold ONLY
+    cluster A), a first-N sample would train every centroid on cluster A.
+    The seeded random sample must place at least one centroid near each
+    cluster's direction even with sample_size far below cluster A's size."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(loc=[10, 0, 0, 0], scale=0.1, size=(4000, 4))
+    b = rng.normal(loc=[0, 10, 0, 0], scale=0.1, size=(4000, 4))
+    rows = [(i, v.tolist()) for i, v in enumerate(np.vstack([a, b]))]
+    # repartitionByRange on vec_id keeps cluster A physically first.
+    df = (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        .repartitionByRange(8, "vec_id")
+        .sortWithinPartitions("vec_id")
+    )
+    ivf = similarity.IVFIndex(n_lists=4, nprobe=1).fit(df, sample_size=500)
+    c = ivf.centroids
+    for target in ([1, 0, 0, 0], [0, 1, 0, 0]):
+        sims = c @ np.asarray(target, dtype=np.float64)
+        assert sims.max() > 0.9, (target, sims)
+
+
 def test_indexer_union_intersect(docs, tmp_path, spark):
     from dampr_spark.operators.indexer import Indexer
 

@@ -98,6 +98,14 @@ def test_embedding_near_dups_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_sample_fraction_check_no_cartesian(spark):
+    """The two 1-row aggregates cross-join via a broadcast nested loop, not
+    an unhinted CartesianProduct (which would shuffle both sides)."""
+    plan = plan_of(spark, "sample_fraction_check")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_order_gap_days_single_window_shuffle(spark):
     plan = plan_of(spark, "order_gap_days")
     assert "Window" in plan
