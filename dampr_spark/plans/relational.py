@@ -1256,3 +1256,506 @@ def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.datediff(d, F.lag(d).over(w)).cast("bigint").alias("gap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 3: the remaining TPC-H query shapes, adapted to this schema
+# (no partsupp table, no commit/receipt dates — each adaptation keeps the
+# original query's structural challenge: correlated aggregates, exists /
+# not-exists, distinct counts, group-vs-global HAVING)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_top_acctbal_supplier",
+    oracle="""
+    WITH sx AS (
+        SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal, n_name, r_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey),
+    mx AS (SELECT r_name, max(bal) AS mbal FROM sx GROUP BY r_name)
+    SELECT sx.r_name, n_name, s_name, bal AS s_acctbal
+    FROM sx JOIN mx ON sx.r_name = mx.r_name AND sx.bal = mx.mbal
+    """,
+    tags=("join", "tpch", "extension"),
+)
+def q2_top_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated max subquery; adapted — no partsupp, so the
+    correlated aggregate runs over supplier acctbal per region instead of
+    supply cost per part). Decorrelated the way an optimizer would: the
+    per-region max is a 5-row aggregate that broadcasts back onto the
+    supplier⋈nation⋈region join; both engines compare on the 2dp-rounded
+    value so float ties cut identically."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    sx = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", "s_name", F.round("s_acctbal", 2).alias("bal"))
+    )
+    mx = sx.groupBy(F.col("r_name").alias("_r")).agg(F.max("bal").alias("mbal"))
+    return (
+        sx.join(
+            F.broadcast(mx),
+            (sx.r_name == mx._r) & (sx.bal == mx.mbal),
+        )
+        .select("r_name", "n_name", "s_name", F.col("bal").alias("s_acctbal"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region  ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'PROMO')
+    GROUP BY o_year
+    """,
+    tags=("join", "tpch", "extension"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the widest join tree in the
+    catalog — 7 relations. Fact-first: lineitem keeps only PROMO parts via a
+    broadcast of the filtered part dim (1/6 of parts; at 100 TB this is the
+    selective reduction that must happen before the orders shuffle), nation/
+    region broadcast, customer-side region filter prunes before the
+    customer⋈orders join. The share is a conditional-sum ratio in one
+    aggregate pass — no second scan for the denominator."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n1 = (
+        n.join(F.broadcast(r.filter(F.col("r_name") == "AMERICA")),
+               n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"), "left_semi")
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      WHERE p_name LIKE '%red%')
+    GROUP BY nation, o_year
+    """,
+    tags=("join", "tpch", "extension"),
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit; adapted — no partsupp, so profit
+    is discounted revenue without the supply-cost term). The LIKE filter
+    lands on the part dim BEFORE its broadcast; lineitem⋈orders stays the
+    one big shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_profit")
+        )
+    )
+
+
+@register(
+    "q11_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS r
+        FROM lineitem GROUP BY l_suppkey)
+    SELECT l_suppkey, round(r, 2) AS revenue
+    FROM rev WHERE r > (SELECT 0.002 * sum(r) FROM rev)
+    """,
+    tags=("group_by", "tpch", "extension"),
+)
+def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (group-sum vs global-sum HAVING; adapted — no
+    partsupp, so supplier revenue stands in for stock value). The per-key
+    aggregate is computed ONCE (eager local checkpoint — at 100 TB
+    recomputing it for the global sum would re-shuffle the fact table); the
+    1-row global total broadcasts back as a cross join. The threshold
+    compares UNROUNDED sums on both sides (rounding only the emitted value)
+    so boundary suppliers cut identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    total = rev.agg((F.sum("r") * 0.002).alias("_thresh"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(F.col("r") > F.col("_thresh"))
+        .select("l_suppkey", F.round("r", 2).alias("revenue"))
+    )
+
+
+@register(
+    "q12_ship_lag_priority",
+    oracle="""
+    SELECT shipclass,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 90 DAY
+                  THEN 'late' ELSE 'ontime' END AS shipclass,
+             o_orderpriority
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    GROUP BY shipclass
+    """,
+    tags=("join", "tpch", "extension"),
+)
+def q12_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (priority split by shipping class; adapted — no
+    shipmode/commit/receipt columns, so the class is ship lag vs order
+    date). One join + one conditional aggregate; the CASE runs in codegen,
+    the 2-row result needs no sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.when(
+                F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                "late",
+            ).otherwise("ontime").alias("shipclass"),
+            high.alias("_high"),
+        )
+        .groupBy("shipclass")
+        .agg(
+            F.sum(F.when(F.col("_high"), 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(F.col("_high"), 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+    tags=("join", "tpch", "extension"),
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): left outer join
+    so zero-order customers survive with c_count=0 (count of a NULL column
+    skips NULLs in both engines), then a histogram re-aggregate. The filter
+    rides ON the join condition, not a WHERE (a WHERE would turn the outer
+    join inner and drop the zero bucket)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    tags=("join", "tpch", "extension"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue): the revenue view
+    is computed once (eager local checkpoint), its 1-row max broadcasts back,
+    and only the winning supplier row(s) — usually one — join supplier. Both
+    engines compare on the 2dp-rounded revenue so float ties resolve
+    identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+        .localCheckpoint(eager=True)
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    top = (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .select("supplier_no", "total_revenue")
+    )
+    return (
+        s.join(F.broadcast(top), s.s_suppkey == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+    tags=("join", "tpch", "extension"),
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier variety per part group; adapted — lineitem
+    stands in for the missing partsupp relation). The NOT IN becomes a
+    broadcast anti-join against the (tiny) excluded-supplier list; the part
+    predicate filters the dim before broadcast; distinct count is the one
+    shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l1.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l1.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey)
+    """,
+    tags=("join", "tpch", "extension"),
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity revenue, correlated per-part avg):
+    decorrelated into a single window aggregate over l_partkey AFTER the
+    brand semi-join (the per-part avg only needs lineitems of Brand#23
+    parts, because the correlation key determines the brand) — one shuffle,
+    no self-join, no second scan of lineitem."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .withColumn("_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.5 * F.col("_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q20_promo_part_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 50)
+    """,
+    tags=("join", "tpch", "extension"),
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with significant promo-part volume;
+    adapted — lineitem stands in for partsupp/availqty). Nested semi-join
+    chain: filtered part broadcasts into lineitem, the HAVING aggregate
+    shrinks to qualifying suppkeys, and supplier is semi-joined against that
+    (typically tiny) set."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    qualified = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(qualified), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "q21_sole_late_shipper",
+    oracle="""
+    WITH ol AS (
+        SELECT l_orderkey, l_suppkey, max(l_shipdate) AS sd
+        FROM lineitem GROUP BY l_orderkey, l_suppkey)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM (
+      SELECT a.l_suppkey
+      FROM ol a
+      WHERE EXISTS (SELECT 1 FROM ol b
+                    WHERE b.l_orderkey = a.l_orderkey
+                      AND b.l_suppkey <> a.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM ol c
+                        WHERE c.l_orderkey = a.l_orderkey
+                          AND c.l_suppkey <> a.l_suppkey
+                          AND c.sd >= a.sd)
+    ) w JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    """,
+    tags=("join", "tpch", "extension"),
+)
+def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting; adapted — no
+    commit/receipt dates, so 'kept waiting' = sole strictly-latest shipper
+    in a multi-supplier order). The EXISTS / NOT EXISTS pair decorrelates
+    into ONE window pass over (order, supplier) max-shipdates: a supplier
+    qualifies iff the order has >1 supplier, its shipdate equals the order
+    max, and that max is unique — semantically identical to the correlated
+    form, with no self-joins."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    ol = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("sd"))
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        ol.withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_mx", F.max("sd").over(w))
+        .withColumn(
+            "_nmx", F.sum(F.when(F.col("sd") == F.col("_mx"), 1).otherwise(0)).over(w)
+        )
+        .filter((F.col("_n") > 1) & (F.col("sd") == F.col("_mx")) & (F.col("_nmx") == 1))
+    )
+    return (
+        flagged.join(F.broadcast(s), flagged.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+    SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+    """,
+    tags=("join", "tpch", "extension"),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (promising idle customers; adapted — nation stands in
+    for the phone country code). Scalar avg subquery → 1-row broadcast cross
+    join; NOT EXISTS → anti-join on the projected orders keys (at scale the
+    anti-join is the one shuffle; everything else broadcasts)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    n = _t(spark, sf_dir, "nation")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
