@@ -198,3 +198,120 @@ def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join(
         p, c, on=["user_id"], left_ts="p_ts", right_ts="c_ts", lower="INTERVAL 1 HOUR"
     ).select("purchase_id", "click_id", p["user_id"].alias("user_id"))
+
+
+@register(
+    "event_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM events GROUP BY user_id)
+    SELECT CAST(count(t_view) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_view_click,
+           CAST(sum(CASE WHEN t_buy > t_click AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM per_user
+    """,
+    tags=("events", "funnel", "extension"),
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): one conditional
+    min-aggregate per user collapses the event stream to first-touch
+    timestamps, then a single global aggregate counts strictly-ordered
+    progressions. One shuffle on user_id; no self-joins (the naive funnel as
+    a 3-way stream self-join explodes at scale). NULL comparisons drop
+    non-converting users from the stricter stages in both engines."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    return per_user.agg(
+        F.count("t_view").cast("long").alias("n_view"),
+        F.sum(F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_view_click"),
+        F.sum(
+            F.when(
+                (F.col("t_buy") > F.col("t_click")) & (F.col("t_click") > F.col("t_view")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_full_funnel"),
+    )
+
+
+@register(
+    "user_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events)
+    SELECT CAST(cohort_week AS DATE) AS cohort_week,
+           CAST((epoch(act_week) - epoch(cohort_week)) / 604800 AS BIGINT)
+               AS weeks_since,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY 1, weeks_since
+    """,
+    tags=("events", "cohort", "extension"),
+)
+def user_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted in each subsequent active week. Two aggregates on user_id /
+    (user, week) — the distinct-activity aggregate is the only pass over
+    the full stream; the per-user firsts table is |users| rows and joins
+    back keyed. Week arithmetic is integer epoch-seconds/604800 so both
+    engines bucket identically (date_trunc('week') is ISO-Monday in both)."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    weeks_since = (
+        (F.unix_timestamp("act_week") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("long")
+    # cast to DATE on both sides: DuckDB's date_trunc('week') yields DATE,
+    # Spark's yields TIMESTAMP — the hash compare needs one type.
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            weeks_since.alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+    )
+
+
+@register(
+    "events_dedup_exact",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique
+    FROM (SELECT DISTINCT event_type, user_id, ts FROM events)
+    GROUP BY event_type
+    """,
+    tags=("events", "dedup", "extension"),
+)
+def events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact event dedup on the natural key (event_type, user_id, ts) —
+    the at-least-once-delivery cleanup every event pipeline needs.
+    dropDuplicates on the subset is one hash shuffle on the key; the
+    per-type recount piggybacks on the same exchange (Catalyst reuses the
+    partitioning). Streaming twin: dropDuplicates + watermark in
+    dampr_spark.streaming."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.dropDuplicates(["event_type", "user_id", "ts"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
+    )

@@ -1759,3 +1759,57 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "stratified_sample_check",
+    oracle="""
+    WITH f AS (
+        SELECT l_returnflag,
+               CASE l_returnflag WHEN 'A' THEN 0.05 WHEN 'N' THEN 0.15
+                                 ELSE 0.25 END AS frac,
+               count(*) AS n,
+               count(*) FILTER (
+                   WHERE random() < CASE l_returnflag WHEN 'A' THEN 0.05
+                                    WHEN 'N' THEN 0.15 ELSE 0.25 END) AS k
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           k BETWEEN CAST(0.5 * frac * n AS BIGINT)
+                 AND CAST(1.5 * frac * n AS BIGINT) AS within_bounds
+    FROM f
+    """,
+    tags=("sample", "extension"),
+)
+def stratified_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (`df.sampleBy` — per-stratum fractions, the tool
+    for class-balanced training subsets), verified the same way as
+    sample_fraction_check: sampled row sets can never match across engines,
+    so each engine draws its OWN per-stratum Bernoulli sample and asserts
+    the draw count lands inside generous binomial bounds (±50% of the mean
+    is >5sigma at every stratum size the driver tests). The boolean per
+    stratum is what hash-compares."""
+    li = _t(spark, sf_dir, "lineitem")
+    fracs = {"A": 0.05, "N": 0.15, "R": 0.25}
+    sampled = (
+        li.sampleBy("l_returnflag", fractions=fracs, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    totals = li.groupBy(F.col("l_returnflag").alias("_rf")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    frac = (
+        F.when(F.col("l_returnflag") == "A", 0.05)
+        .when(F.col("l_returnflag") == "N", 0.15)
+        .otherwise(0.25)
+    )
+    return (
+        sampled.join(F.broadcast(totals), sampled.l_returnflag == totals._rf)
+        .select(
+            "l_returnflag",
+            (
+                (F.col("k") >= (0.5 * frac * F.col("n")).cast("bigint"))
+                & (F.col("k") <= (1.5 * frac * F.col("n")).cast("bigint"))
+            ).alias("within_bounds"),
+        )
+    )

@@ -361,3 +361,81 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.round(F.col("bm25"), 4).desc(), F.col("doc_id"))
         .limit(15)
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6) AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("text", "dedup", "extension"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health metric: per-source exact-duplicate rate via content
+    hash — the triage view that decides WHICH sources feed exact_dedup
+    before a training run. One aggregate keyed on source; the md5 distinct
+    count shuffles digests, never document bodies."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_unique"),
+        F.round(
+            1.0 - F.countDistinct(F.md5("text")) / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS length_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY length_bucket
+    """,
+    tags=("text", "stats", "extension"),
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution in 100-char buckets — the first plot
+    anyone makes before setting corpus length filters. Integer bucket
+    arithmetic (floor of a bigint division) so both engines bucket
+    identically with no float edge cases."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        (F.floor(F.col("n_chars") / 100) * 100).cast("long").alias("length_bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+@register(
+    "token_freq_zipf",
+    oracle="""
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 50
+    """,
+    tags=("text", "stats", "extension"),
+)
+def token_freq_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token frequencies (the Zipf head) — vocabulary triage for
+    tokenizer and stopword decisions. Explode + count is one shuffle with
+    map-side partial aggregation doing the heavy lifting (the exchange
+    carries one row per distinct token per partition, not per occurrence);
+    TakeOrdered cuts the head with the (freq, token) tie-break both engines
+    share."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(50)
+    )

@@ -81,3 +81,51 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg("x"), 6).alias("centroid"))
     )
+
+
+@register(
+    "ann_batch_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 4),
+    scored AS (
+        SELECT query_id, vec_id,
+               round({V.cosine_sql('embedding', 'qv')}, 6) AS cos_sim
+        FROM embeddings CROSS JOIN q
+        WHERE vec_id >= 4)
+    SELECT query_id, vec_id, cos_sim, rank
+    FROM (SELECT *, CAST(row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+    tags=("vector", "ann", "extension"),
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched brute-force ANN: top-10 neighbors for EACH of 4 query vectors
+    in one pass — the shape a training pipeline uses for bulk retrieval
+    (per-example negatives/neighbors). The query set broadcasts; the corpus
+    is scanned once producing |corpus|×|queries| scored rows; the per-query
+    window ranks them. Rank orders by the 6dp-ROUNDED similarity (then
+    vec_id) so cross-engine float drift cannot reorder the cut. At scale the
+    window key is query_id — fine for real batch sizes (thousands of
+    queries spread across the cluster); for tiny batches the LSH/IVF paths
+    in operators/similarity.py prune the scan instead."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        e.filter(F.col("vec_id") >= 4)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(V.cosine("embedding", "qv"), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
