@@ -98,6 +98,64 @@ def test_embedding_near_dups_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q8_single_scan_per_relation(spark):
+    """The market-share ratio is ONE conditional aggregate — the denominator
+    must not re-scan anything: each of the 8 relations appears exactly once."""
+    plan = plan_of(spark, "q8_market_share")
+    assert plan.count("Scan parquet") == 8
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_aggregates_fact_once(spark):
+    """Group-vs-global HAVING reads the per-supplier aggregate from the
+    eager checkpoint for BOTH consumers — lineitem is never re-scanned, and
+    the 1-row threshold broadcasts (BNLJ, not CartesianProduct)."""
+    plan = plan_of(spark, "q11_revenue_concentration")
+    assert plan.count("Scan parquet") == 0
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_correlated_avg_is_one_window(spark):
+    """The correlated per-part avg decorrelates into a single Window pass —
+    no self-join of lineitem (2 scans: lineitem + the broadcast part dim)."""
+    plan = plan_of(spark, "q17_small_qty_revenue")
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("Window") == 1
+
+
+def test_q21_exists_decorrelated_no_self_join(spark):
+    """EXISTS / NOT-EXISTS become window aggregates over (order, supplier) —
+    lineitem appears once, supplier once, and there is no sort-merge
+    self-join of the pair table."""
+    plan = plan_of(spark, "q21_sole_late_shipper")
+    assert plan.count("Scan parquet") == 2
+    assert "SortMergeJoin" not in plan or plan.count("Scan parquet") == 2
+
+
+def test_q13_left_outer_preserved(spark):
+    """The priority filter rides the join condition; the outer join (and its
+    zero-order customers) must survive into the physical plan."""
+    plan = plan_of(spark, "q13_customer_order_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_ann_batch_topk_window_group_limit(spark):
+    """The per-query rank<=10 cut is pushed below the exchange
+    (WindowGroupLimit partial+final): each partition ships at most 10 rows
+    per query, so the batch-ANN window never concentrates the corpus."""
+    plan = plan_of(spark, "ann_batch_topk")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_event_funnel_no_self_join(spark):
+    """The 3-stage funnel is conditional aggregation, not a 3-way stream
+    self-join: no join operator of any kind in the plan."""
+    plan = plan_of(spark, "event_funnel")
+    assert "Join" not in plan
+
+
 def test_sample_fraction_check_no_cartesian(spark):
     """The two 1-row aggregates cross-join via a broadcast nested loop, not
     an unhinted CartesianProduct (which would shuffle both sides)."""
