@@ -63,3 +63,30 @@ def test_tfidf_example(corpus, tmp_path, spark):
     # 'the' appears in all 3 lines; 'dog' in 1
     assert rows["the"] == (3, pytest.approx(math.log(1 + 3 / 3)))
     assert rows["dog"] == (1, pytest.approx(math.log(1 + 3 / 1)))
+
+
+def test_corpus_prep_example(spark):
+    """The corpus-prep pipeline on a hand-built corpus: the low-quality doc
+    and the exact/near duplicates fall out; the survivors and the token
+    accounting are exact."""
+    import corpus_prep
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "to find some food because it is hungry after a long day of work "
+    )
+    rows = [
+        (1, base * 3),
+        (2, base * 3),                      # exact dup of 1
+        (3, base * 3 + "slightly changed tail here"),  # near dup of 1
+        (4, "x y z"),                        # fails min_tokens / quality
+        (5, ("an entirely different document about spark shuffles joins and "
+             "aggregation strategies that is long enough to pass the gates "
+             "and repeats nothing from the other documents in this corpus ") * 2),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    clean, report = corpus_prep.build(docs, near_dup_threshold=0.5)
+    kept = sorted(r.doc_id for r in clean.select("doc_id").collect())
+    assert kept == [1, 5]
+    rep = report.collect()[0]
+    assert rep.n_docs == 2 and rep.total_tokens > 0
