@@ -48,7 +48,14 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def _load_all() -> None:
     # Import side effect populates the registry.
-    from dampr_spark.plans import dedupops, eventops, relational, textops, vectorops  # noqa: F401
+    from dampr_spark.plans import (  # noqa: F401
+        dedupops,
+        eventops,
+        pipelineops,
+        relational,
+        textops,
+        vectorops,
+    )
 
 
 # Queries that already have a driver-green (rows+schema+hash vs DuckDB)

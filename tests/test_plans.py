@@ -168,3 +168,34 @@ def test_order_gap_days_single_window_shuffle(spark):
     plan = plan_of(spark, "order_gap_days")
     assert "Window" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_repetition_filter_zero_shuffle(spark):
+    plan = plan_of(spark, "repetition_filter")
+    # pure projection: both dup ratios fuse into the scan — no exchange,
+    # no aggregate, no join
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    plan = plan_of(spark, "decontaminate_ngram")
+    # the benchmark gram set must broadcast; the corpus side must never be
+    # the build side of a shuffle join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_token_budget_partitions_by_source(spark):
+    plan = plan_of(spark, "pack_token_budget")
+    # packing parallelizes per source: exactly one hash exchange (on
+    # source), never a single-partition global cumsum
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_corpus_mix_report_single_scan(spark):
+    plan = plan_of(spark, "corpus_mix_report")
+    # grand-total share must come from a window over the aggregate, not a
+    # second pass over documents
+    assert plan.count("Scan parquet") == 1
