@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "q7_nation_volume",
     "q18_large_volume_customer",
     "q19_discounted_revenue",
+    # corpus-pipeline flagships (round 3)
+    "decontaminate_ngram",
+    "pack_token_budget",
 ]
 
 
