@@ -59,7 +59,7 @@ def _load_all() -> None:
 
 
 # Queries that already have a driver-green (rows+schema+hash vs DuckDB)
-# correctness row from a past round (CORRECTNESS_r01/r02). The external
+# correctness row from a past round (CORRECTNESS_r01/r02/r03). The external
 # driver verifies only the FIRST 50 queries in ``queries()`` order, so
 # ``all_queries`` orders the catalog to maximize *cumulative* external
 # coverage: oracle-backed queries the driver has never checked come first,
@@ -82,6 +82,26 @@ _DRIVER_GREEN_HISTORY = frozenset(
         "q3_shipping_priority", "q5_local_supplier_volume",
         "q6_forecast_revenue", "q4_priority_returns", "q10_returned_revenue",
         "q14_promo_revenue_share",
+        # round 3 (CORRECTNESS_r03, all 50 in-window entries green)
+        "event_funnel", "user_retention_cohort", "events_dedup_exact",
+        "decontaminate_ngram", "repetition_filter", "pack_token_budget",
+        "domain_mix_sample", "corpus_mix_report", "cube_revenue",
+        "approx_distinct_parts", "pivot_status_by_priority",
+        "unpivot_part_measures", "running_revenue",
+        "first_order_per_customer", "q7_nation_volume",
+        "q18_large_volume_customer", "q19_discounted_revenue",
+        "order_gap_days", "q2_top_acctbal_supplier", "q8_market_share",
+        "q9_profit_by_nation_year", "q11_revenue_concentration",
+        "q12_ship_lag_priority", "q13_customer_order_distribution",
+        "q15_top_supplier", "q16_supplier_variety", "q17_small_qty_revenue",
+        "q20_promo_part_suppliers", "q21_sole_late_shipper",
+        "q22_idle_customers", "stratified_sample_check", "token_count",
+        "lang_id", "quality_score", "doc_fingerprint", "exact_dedup",
+        "keyword_search_any", "keyword_search_min_match", "token_count_bpe",
+        "training_data_prep", "doc_freq", "tfidf", "bm25_rank",
+        "dedup_rate_by_source", "doc_length_histogram", "token_freq_zipf",
+        "embedding_norms", "ann_cosine_topk", "label_centroids",
+        "ann_batch_topk",
     }
 )
 
