@@ -160,3 +160,49 @@ def fingerprint(col: str = "text") -> Column:
 
 def fingerprint_sql(col: str = "text") -> str:
     return f"md5({normalized_text_sql(col)})"
+
+
+# --- PII detection / redaction ---------------------------------------------
+#
+# Patterns are written in the common subset of Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repeats, alternation — no lookaround,
+# no backreferences, so BOTH engines compile them identically. At 100 TB the
+# Spark side is a codegen'd regexp_replace per row — scan-rate bound, no
+# shuffle, the cheapest possible scrubbing pass.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_counts(col: str = "text") -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_ips) occurrence counts per row."""
+    c = F.col(col)
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0))),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), F.lit(0))),
+        F.size(F.regexp_extract_all(c, F.lit(PII_IPV4_RE), F.lit(0))),
+    )
+
+
+def redact_pii(col: str = "text") -> Column:
+    """Replace emails → [EMAIL], phones → [PHONE], IPv4 → [IP]. Email first:
+    a phone-like digit run inside an email local part must not be clobbered
+    before the email pattern sees it."""
+    c = F.regexp_replace(F.col(col), PII_EMAIL_RE, "[EMAIL]")
+    c = F.regexp_replace(c, PII_PHONE_RE, "[PHONE]")
+    return F.regexp_replace(c, PII_IPV4_RE, "[IP]")
+
+
+def pii_counts_sql(col: str = "text") -> tuple[str, str, str]:
+    return (
+        f"len(regexp_extract_all({col}, '{PII_EMAIL_RE}'))",
+        f"len(regexp_extract_all({col}, '{PII_PHONE_RE}'))",
+        f"len(regexp_extract_all({col}, '{PII_IPV4_RE}'))",
+    )
+
+
+def redact_pii_sql(col: str = "text") -> str:
+    inner = f"regexp_replace({col}, '{PII_EMAIL_RE}', '[EMAIL]', 'g')"
+    inner = f"regexp_replace({inner}, '{PII_PHONE_RE}', '[PHONE]', 'g')"
+    return f"regexp_replace({inner}, '{PII_IPV4_RE}', '[IP]', 'g')"

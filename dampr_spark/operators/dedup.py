@@ -718,3 +718,48 @@ def embedding_cosine_dups(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# shared token-window (common-substring) detection
+# ---------------------------------------------------------------------------
+
+
+def shared_window_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 8,
+    min_shared: int = 2,
+    max_posting: int = 16,
+) -> DataFrame:
+    """Document pairs sharing long verbatim token runs: any two documents
+    with ≥ ``min_shared`` distinct ``window_tokens``-token windows in common
+    (the scalable stand-in for suffix-array substring dedup — a shared
+    50-token substring implies many shared fixed-size windows, so window
+    matches are the detection primitive).
+
+    Plan: explode each doc's distinct windows, group postings by window,
+    pair ids in-bucket, count shared windows per pair. ``max_posting`` drops
+    boilerplate windows (same skew guard as :func:`ngram_jaccard_pairs` —
+    a window shared corpus-wide would emit k² pairs into one task; dropping
+    it only undercounts, never fabricates pairs). One narrow shuffle on the
+    window string, one on the id pair."""
+    g = (
+        _ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(word_ngrams(text_col, window_tokens)).alias("gram"),
+        )
+    )
+    postings = (
+        g.groupBy("gram")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_posting))
+    )
+    return (
+        postings.select(F.explode(_sorted_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

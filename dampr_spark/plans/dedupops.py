@@ -157,3 +157,33 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("feat_sum"),
     )
+
+
+@register(
+    "common_substring_dups",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 7, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')))) AS gram
+        FROM documents WHERE text IS NOT NULL),
+    p AS (
+        SELECT gram FROM g GROUP BY gram
+        HAVING count(*) BETWEEN 2 AND 16)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM g a JOIN p USING (gram) JOIN g b USING (gram)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+    tags=("dedup", "text", "extension"),
+)
+def common_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-overlap pairs: documents sharing ≥2 distinct 8-token windows
+    (the scalable proxy for suffix-array common-substring dedup). Exact and
+    deterministic → full oracle; see operators/dedup.py:shared_window_pairs
+    for the posting-list plan and the boilerplate-window skew cap."""
+    return dedup.shared_window_pairs(
+        _t(spark, sf_dir, "documents"), window_tokens=8, min_shared=2, max_posting=16
+    )

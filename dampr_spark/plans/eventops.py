@@ -315,3 +315,85 @@ def events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
     )
+
+
+@register(
+    "events_dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+        SELECT *, row_number() OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn = 1
+    """,
+    tags=("events", "dedup", "extension"),
+)
+def events_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup: one surviving row per (user_id, event_type) — the
+    newest by event time, event_id as the total-order tie-break (micros-
+    truncated timestamps can collide). The upsert/compaction primitive of
+    every CDC or event-log pipeline.
+
+    Scale shape: one shuffle on the dedup key; the rank window scans each
+    partition once. At 100 TB this is exactly a max_by-style reduction —
+    Spark's partial aggregation can't pre-merge across the window form, so
+    for extreme keys use groupBy(key).agg(max_by(struct, (ts, event_id)));
+    the window form is kept because it yields the full surviving row
+    without a rebuild join."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+@register(
+    "late_event_accounting",
+    oracle="""
+    WITH w AS (
+        SELECT ts,
+               max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS high
+        FROM events)
+    SELECT date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN ts < high - INTERVAL '10 minutes'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+    FROM w
+    GROUP BY 1
+    """,
+    tags=("events", "window", "watermark", "extension"),
+)
+def late_event_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit (batch form): per event-time hour, how many
+    events arrived more than 10 minutes behind the per-user high-water mark
+    (running max event time in arrival order = event_id). This is the batch
+    diagnostic for sizing a streaming ``withWatermark`` delay — the count of
+    rows a given watermark would drop.
+
+    Scale shape: the running max partitions by user_id, so lateness tracking
+    parallelizes per key (a GLOBAL high-water mark would funnel the corpus
+    through one ordered window task); the hourly rollup is one narrow
+    aggregate. Streaming twin: watermark + window in dampr_spark.streaming."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    high = F.max("ts").over(w)
+    late = F.col("ts") < high - F.expr("INTERVAL 10 MINUTES")
+    return (
+        e.select(F.date_trunc("hour", "ts").alias("hour"), late.alias("late"))
+        .groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("late").cast("int")).cast("long").alias("n_late"),
+        )
+    )

@@ -287,3 +287,222 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("token_share"),
     )
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail-' || CAST(doc_id % 7 AS VARCHAR) || '.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                    || CAST(doc_id % 250 AS VARCHAR) AS text
+        FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           CAST({T.pii_counts_sql('text')[0]} AS BIGINT) AS n_emails,
+           CAST({T.pii_counts_sql('text')[1]} AS BIGINT) AS n_phones,
+           CAST({T.pii_counts_sql('text')[2]} AS BIGINT) AS n_ips,
+           CAST(length({T.redact_pii_sql('text')}) AS BIGINT) AS n_redacted_chars,
+           md5({T.redact_pii_sql('text')}) AS redacted_md5
+    FROM aug
+    """,
+    tags=("text", "pipeline", "pii", "extension"),
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact emails / phone numbers / IPv4
+    addresses per document. The synthetic corpus carries no organic PII, so
+    the query first injects deterministic doc_id-derived PII strings — BOTH
+    engines compute the same augmented text, making the redaction counts and
+    the md5 of the scrubbed text a real value-level check.
+
+    Scale shape: pure regexp expressions fused into the scan — zero shuffle,
+    scan-rate bound, exactly how a 100 TB scrub pass should look. Patterns
+    are in the Java-regex ∩ RE2 common subset (no lookaround/backrefs)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sid = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid,
+        F.lit("@mail-"), (F.col("doc_id") % 7).cast("string"), F.lit(".com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+    )
+    a = d.select("doc_id", aug.alias("text"))
+    n_emails, n_phones, n_ips = T.pii_counts("text")
+    red = T.redact_pii("text")
+    return a.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ips.cast("long").alias("n_ips"),
+        F.length(red).cast("long").alias("n_redacted_chars"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+_CHUNK_TOKENS = 32  # tokens per training chunk
+_CHUNK_STRIDE = 24  # stride (8-token overlap between consecutive chunks)
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(range(1, len(toks) + 1, {_CHUNK_STRIDE})) AS st
+        FROM t)
+    SELECT doc_id,
+           CAST((st - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(toks[st:st + {_CHUNK_TOKENS} - 1]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks[st:st + {_CHUNK_TOKENS} - 1], ' ')) AS chunk_md5
+    FROM s
+    """,
+    tags=("text", "pipeline", "chunking", "extension"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    32-token chunks at a 24-token stride (8-token
+    overlap) — the standard context-window chunker for embedding/RAG
+    pipelines. Emits (doc_id, chunk_id, n_tokens, chunk_md5).
+
+    Scale shape: per-row array expressions + one explode — no shuffle at
+    all; chunk rows stream straight to the sink. The md5 digest (not the
+    chunk text) is what downstream joins key on, keeping exchanges narrow."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK_STRIDE))
+    e = d.select(
+        "doc_id",
+        F.col("text"),
+        F.posexplode(starts).alias("pos", "st"),
+    )
+    chunk = F.slice(F.split("text", " "), F.col("st"), F.lit(_CHUNK_TOKENS))
+    return e.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+@register(
+    "lang_rebalance_weights",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum({T.token_count_sql('text')}) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY lang)
+    SELECT lang, n_docs, total_tokens,
+           round(total_tokens * 1.0 / sum(total_tokens) OVER (), 6) AS token_share,
+           round((1.0 / count(*) OVER ())
+                 / (total_tokens * 1.0 / sum(total_tokens) OVER ()), 6) AS sample_weight
+    FROM cells
+    """,
+    tags=("text", "pipeline", "sampling", "extension"),
+)
+def lang_rebalance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix rebalancing: per-language token share and the sampling
+    weight that would flatten the mix to uniform — the knob a multilingual
+    training run turns to up-weight low-resource languages.
+
+    Scale shape: one aggregate keyed on lang (map-side partials do the
+    work), then unpartitioned windows over the tiny |langs|-row aggregate —
+    same funnel-is-fine rationale as corpus_mix_report."""
+    d = _t(spark, sf_dir, "documents")
+    cells = (
+        d.select("lang", T.token_count("text").alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    share = F.col("total_tokens") / F.sum("total_tokens").over(w)
+    return cells.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round((F.lit(1.0) / F.count(F.lit(1)).over(w)) / share, 6).alias(
+            "sample_weight"
+        ),
+    )
+
+
+@register(
+    "doc_length_quantiles",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.50), 6) AS p50,
+           round(quantile_cont(n_chars, 0.75), 6) AS p75,
+           round(quantile_cont(n_chars, 0.90), 6) AS p90
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "pipeline", "stats", "extension"),
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length quantiles per language (the distribution check behind
+    truncation/filter thresholds). Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` both linearly interpolate, so values hash-match.
+
+    Scale note: exact percentile shuffles each group's values; at 100 TB use
+    ``approx_percentile`` (t-digest-style sketch, partial-aggregable) — the
+    catalog keeps the exact form because it is oracle-checkable, and
+    ``approx_distinct_parts`` already covers the sketch-aggregate pattern."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.round(F.percentile("n_chars", F.lit(p)), 6).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.50, 0.75, 0.90)
+        ],
+    )
+
+
+_BUDGET_K = 10  # docs kept per source
+
+
+@register(
+    "budget_sample_per_source",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+    SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank
+    FROM ranked WHERE rn <= {_BUDGET_K}
+    """,
+    tags=("text", "pipeline", "sampling", "extension"),
+)
+def budget_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget per-source sampling: exactly 10 documents per
+    source, chosen by content-stable hash order — the companion to
+    domain_mix_sample (rate-based) when the mix calls for absolute budgets.
+    Hash order, not rand(): the same docs survive on every engine and rerun.
+
+    Scale shape: one shuffle on source; the rank window never materializes
+    more than its partition. At extreme per-source row counts swap the full
+    sort for a two-pass "sample top-k by hash prefix" refinement; the
+    row_number form is the exact spec."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _BUDGET_K)
+        .select("source", "doc_id", F.col("rn").cast("long").alias("sample_rank"))
+    )

@@ -129,3 +129,66 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 10)
     )
+
+
+@register(
+    "nearest_centroid_assign",
+    oracle=f"""
+    WITH cd AS (
+        SELECT label AS clabel, i AS dim,
+               round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY 1, 2),
+    cv AS (SELECT clabel, list(c ORDER BY dim) AS cvec FROM cd GROUP BY clabel),
+    sims AS (
+        SELECT vec_id, label, clabel,
+               round({V.cosine_sql('embedding', 'cvec')}, 6) AS best_sim
+        FROM embeddings, cv),
+    r AS (
+        SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY best_sim DESC, clabel) AS rn
+        FROM sims)
+    SELECT vec_id, label, clabel AS assigned_label, best_sim
+    FROM r WHERE rn = 1
+    """,
+    tags=("vector", "clustering", "extension"),
+)
+def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment: build per-label mean embeddings
+    (components rounded to 6dp so both engines hold bit-identical centroid
+    vectors), assign every vector to its max-cosine centroid, tie-break on
+    the lower label. The assignment step of k-means / SemDeDup-style
+    semantic clustering, as one declarative plan.
+
+    Scale shape: centroids are |labels| rows → BROADCAST into a crossJoin;
+    the per-vector argmax is a groupBy(vec_id) max(struct) — one narrow
+    shuffle of (vec_id, 3 scalars), never the embedding itself. Cosine is a
+    left-to-right double fold (functions/vector.py) matched exactly by the
+    oracle's list_reduce."""
+    e = _t(spark, sf_dir, "embeddings")
+    cd = (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy(F.col("label").alias("clabel"), F.col("pos").alias("dim"))
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+    )
+    cv = cd.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    sims = e.crossJoin(F.broadcast(cv)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(V.cosine("embedding", "cvec"), 6).alias("best_sim"),
+    )
+    best = (
+        sims.groupBy("vec_id", "label")
+        .agg(F.max(F.struct(F.col("best_sim"), (-F.col("clabel")).alias("negc"))).alias("m"))
+    )
+    return best.select(
+        "vec_id",
+        "label",
+        (-F.col("m.negc")).alias("assigned_label"),
+        F.col("m.best_sim").alias("best_sim"),
+    )

@@ -23,25 +23,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# events.parquet physical schema (ts is TIMESTAMP(NANOS) stored as int64;
-# read as long and convert, same as sources/readers.read_table).
-_EVENTS_DDL = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """Stream the events table from a parquet *directory* (the file source
     watches a directory; a bare file path fails with "basePath must be a
     directory"). New files under ``path`` become micro-batches — the pattern
-    for continuously-landing data directories."""
+    for continuously-landing data directories.
+
+    The file source needs an explicit schema; it is inferred from the files
+    already landed (one footer read) rather than hardcoded, because the
+    events fixture has shipped with both TIMESTAMP(NANOS) (arrives as a
+    nanosecond long under ``nanosAsLong``) and TIMESTAMP(MICROS) (arrives as
+    a timestamp) — the conversion branches on what actually landed, same as
+    sources/readers.read_table."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_EVENTS_DDL).parquet(path)
-    # Watermarks require TIMESTAMP (with local tz), not TIMESTAMP_NTZ
-    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); sessions run in UTC so the
-    # wall-clock values still line up with the batch reader's NTZ column.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(path)
+    # Watermarks require TIMESTAMP (with local tz), not TIMESTAMP_NTZ or a
+    # raw long (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); sessions run in UTC so
+    # the wall-clock values still line up with the batch reader's NTZ column.
+    if dict(raw.dtypes).get("ts") == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_aggregate(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
