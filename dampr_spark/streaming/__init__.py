@@ -4,6 +4,7 @@ from dampr_spark.streaming.pipeline import (
     run_to_memory,
     running_user_totals,
     session_counts,
+    session_finalize,
     stream_click_attribution,
     streaming_dedup,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "run_to_memory",
     "running_user_totals",
     "session_counts",
+    "session_finalize",
     "stream_click_attribution",
     "streaming_dedup",
 ]

@@ -23,7 +23,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Stream the events table from a parquet *directory* (the file source
     watches a directory; a bare file path fails with "basePath must be a
     directory"). New files under ``path`` become micro-batches — the pattern
@@ -37,7 +39,10 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     sources/readers.read_table."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    raw = spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(path)
     # Watermarks require TIMESTAMP (with local tz), not TIMESTAMP_NTZ or a
     # raw long (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); sessions run in UTC so
     # the wall-clock values still line up with the batch reader's NTZ column.
@@ -110,6 +115,93 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
+    )
+
+
+def session_finalize(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 minute"
+) -> DataFrame:
+    """Custom stateful sessionizer via ``applyInPandasWithState`` +
+    ``EventTimeTimeout``: per user, accumulate the open session (start, end,
+    count, value sum, first/last event type); a new event past the gap
+    closes and emits the previous session, and the event-time timeout closes
+    idle sessions once the watermark passes session_end + gap. This is the
+    operator ``session_window`` cannot express — arbitrary per-session
+    payload (first/last event type here; in a real pipeline, whole
+    event-sequence features) with explicit state lifecycle.
+
+    Scale notes: state is ONE fixed-width row per open session per user —
+    bounded by active users, evicted by the timeout, never proportional to
+    event count. Events arrive per micro-batch as Arrow batches, sorted
+    in-function (Spark guarantees grouping, not order).
+
+    Emission contract (what the equivalence test checks): a session is
+    emitted iff it is closed — by a successor event in the same replay, or
+    by the watermark reaching end + gap (no-data micro-batches fire the
+    final timeouts under availableNow). Sessions still open at query stop
+    are discarded with the state store.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_value double, first_type string, last_type string"
+    )
+    state_schema = (
+        "start long, end long, n long, total double, first_type string, "
+        "last_type string"
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _emit(key, st):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(st[0], unit="us")],
+                "session_end": [pd.Timestamp(st[1], unit="us")],
+                "n_events": [st[2]],
+                "total_value": [round(st[3], 2)],
+                "first_type": [st[4]],
+                "last_type": [st[5]],
+            }
+        )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # Watermark passed end + gap: the open session is final.
+            yield _emit(key, state.get)
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        st = state.get if state.exists else None
+        for r in rows.itertuples(index=False):
+            ts_us = r.ts.value // 1000  # pandas ns -> µs (state holds longs)
+            if st is not None and ts_us - st[1] > gap_us:
+                yield _emit(key, st)
+                st = None
+            if st is None:
+                st = (ts_us, ts_us, 1, float(r.value), r.event_type, r.event_type)
+            else:
+                st = (
+                    st[0],
+                    max(st[1], ts_us),
+                    st[2] + 1,
+                    st[3] + float(r.value),
+                    st[4],
+                    r.event_type,
+                )
+        state.update(st)
+        # Fire once the watermark passes the idle horizon of the open session.
+        state.setTimeoutTimestamp(st[1] // 1000 + gap_minutes * 60 * 1000)
+
+    # EventTimeTimeout requires a watermark on the input stream.
+    return events.withWatermark("ts", watermark).groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -117,3 +117,124 @@ def test_stream_click_attribution_matches_batch(spark, sf_dir, events_stream):
         for r in all_queries()["range_join_attribution"].builder(spark, sf_dir).collect()
     }
     assert stream_res == batch and batch
+
+
+def test_running_totals_state_carries_across_microbatches(
+    spark, sf_dir, tmp_path_factory
+):
+    """Split events over 3 files + maxFilesPerTrigger=1 -> 3 micro-batches;
+    final per-user totals must still equal the batch aggregate, proving the
+    group state actually carries between batches (a single-batch replay
+    would pass trivially)."""
+    from dampr_spark.sources.readers import read_table
+
+    d = tmp_path_factory.mktemp("stream_multi_in")
+    ev = read_table(spark, sf_dir, "events")
+    # Deterministic 3-way split by event_id.
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"part{i}"))
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(str(d / "part*" / "*.parquet")))):
+        shutil.copy(f, d / f"batch{i}.parquet")
+        shutil.rmtree(d / f"part{i}")
+
+    stream = streaming.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    res = streaming.run_to_memory(
+        streaming.running_user_totals(stream), "running_multi_test", mode="update"
+    ).toPandas()
+    n_batches = res.groupby("user_id").size().max()
+    assert n_batches >= 2, "expected multiple update rows per user (multi-batch)"
+    final = res.sort_values("n_events").groupby("user_id").last()
+    batch = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    joined = final.join(batch, lsuffix="_s")
+    assert (joined["n_events_s"] == joined["n_events"]).all()
+    assert (abs(joined["total_value_s"] - joined["total_value"]) < 0.05).all()
+
+
+def test_session_finalize_matches_batch(spark, sf_dir, events_stream):
+    """EventTimeTimeout sessionizer: emitted sessions must exactly match the
+    batch gap-sessionization, for every session the stream contract closes
+    (all non-final sessions, plus final sessions whose idle horizon the
+    closing watermark passed)."""
+    from pyspark.sql.window import Window
+
+    gap_min, wm_delay_min = 30, 1
+    stream_rows = streaming.run_to_memory(
+        streaming.session_finalize(
+            events_stream, gap_minutes=gap_min, watermark=f"{wm_delay_min} minutes"
+        ),
+        "session_finalize_test",
+        mode="append",
+    ).collect()
+    s = {
+        (r.user_id, r.session_start, r.session_end): (
+            r.n_events,
+            r.total_value,
+            r.first_type,
+            r.last_type,
+        )
+        for r in stream_rows
+    }
+
+    from dampr_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        (
+            F.coalesce(
+                (
+                    F.col("ts").cast("timestamp").cast("long")
+                    - F.lag("ts").over(w).cast("timestamp").cast("long")
+                )
+                > gap_min * 60,
+                F.lit(True),
+            )
+        ).cast("int"),
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    sessions = (
+        flagged.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min_by("event_type", F.struct("ts", "event_id")).alias("first_type"),
+            F.max_by("event_type", F.struct("ts", "event_id")).alias("last_type"),
+        )
+        .collect()
+    )
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    final_wm = max_ts - datetime.timedelta(minutes=wm_delay_min)
+    last_end = {}
+    for r in sessions:
+        if r.user_id not in last_end or r.session_end > last_end[r.user_id]:
+            last_end[r.user_id] = r.session_end
+    b = {}
+    for r in sessions:
+        is_last = r.session_end == last_end[r.user_id]
+        closes = r.session_end + datetime.timedelta(minutes=gap_min) < final_wm
+        if not is_last or closes:
+            b[(r.user_id, r.session_start, r.session_end)] = (
+                r.n_events,
+                r.total_value,
+                r.first_type,
+                r.last_type,
+            )
+    assert s == b and b
