@@ -53,6 +53,13 @@ BENCH_QUERIES = [
     # corpus-pipeline flagships (round 3)
     "decontaminate_ngram",
     "pack_token_budget",
+    # round-4 curation flagships: PII scrub (pure regex scan), sliding
+    # chunker (explode-only), substring-dup pairs (posting-list self-join),
+    # and distributed k-means (iterative broadcast-join refinement).
+    "pii_redact",
+    "chunk_documents",
+    "common_substring_dups",
+    "kmeans_clusters",
 ]
 
 

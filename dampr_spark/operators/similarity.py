@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dampr_spark.functions.vector import cosine, dot
 
@@ -265,3 +266,77 @@ class RandomHyperplaneLSH:
             .distinct()
             .filter(F.col("cos_sim") >= threshold)
         )
+
+
+def kmeans_assign(vectors: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """One Lloyd assignment step: every vector to its max-cosine centroid.
+    Centroids (k rows) BROADCAST into a crossJoin; the per-vector argmax is
+    a groupBy max(struct) — the shuffle carries (id, cluster, sim) scalars,
+    never the vectors."""
+    from dampr_spark.functions.vector import cosine
+
+    sims = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col).alias("id"),
+        F.col("cluster"),
+        cosine(vec_col, "cvec").alias("sim"),
+    )
+    best = sims.groupBy("id").agg(
+        F.max(F.struct(F.col("sim"), (-F.col("cluster")).alias("negc"))).alias("m")
+    )
+    return best.select(
+        "id", (-F.col("m.negc")).alias("cluster"), F.col("m.sim").alias("sim")
+    )
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Fully-distributed Lloyd's k-means over an embedding column —
+    assignments after ``iters`` refinement rounds as (id, cluster, sim).
+
+    Unlike :class:`IVFIndex` (whose coarse quantizer trains driver-side on a
+    bounded sample), every step here is a DataFrame op, so the clustering
+    itself scales to any corpus: per round, k broadcast centroids → cosine
+    argmax assignment (one narrow shuffle of scalars) → centroid recompute
+    via posexplode + per-(cluster, dim) avg (second narrow shuffle; partial
+    aggregation collapses vectors map-side). Centroid tables are k rows —
+    localCheckpointed per round so round N's plan doesn't nest N join
+    lineages. Init is deterministic (k lowest-id vectors), so results are
+    reproducible run-to-run — the same property the dedup samplers get from
+    hash ordering; swap in k-means|| sampling for production-quality seeds
+    on adversarial data.
+
+    This is the clustering half of SemDeDup-style semantic dedup: cluster,
+    then run the in-cluster cosine near-dup pass
+    (:func:`RandomHyperplaneLSH.bucketed_pairs` keyed by cluster)."""
+    vecs = df.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+    centroids = (
+        vecs.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cluster"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = kmeans_assign(vecs, centroids, vec_col, id_col)
+        centroids = (
+            vecs.join(assigned, vecs[id_col] == assigned.id)
+            .select("cluster", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("c"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda s: s["c"],
+                ).alias("cvec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return kmeans_assign(vecs, centroids, vec_col, id_col)

@@ -187,3 +187,18 @@ def common_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.shared_window_pairs(
         _t(spark, sf_dir, "documents"), window_tokens=8, min_shared=2, max_posting=16
     )
+
+
+@register("kmeans_clusters", oracle=None, tags=("vector", "clustering", "extension"))
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table: per-cluster
+    size and mean centroid-cosine after 3 refinement rounds. Iterative
+    float argmax → rows-only; determinism, refinement monotonicity, and
+    label agreement are pytest-checked (tests/test_dedup.py)."""
+    assigned = similarity.kmeans_fit_assign(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=3
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("sim"), 4).alias("avg_sim"),
+    )

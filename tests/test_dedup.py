@@ -412,3 +412,26 @@ def test_asof_join_semantics(spark):
     assert out["L1"] == ("R1", 100)  # inclusive: right at equal ts matches
     assert out["L2"] == ("R2", 150)  # most recent prior, not first
     assert out["L3"] == (None, None)  # no right row at/before ts=50
+
+
+def test_kmeans_deterministic_and_improving(spark, sf_dir):
+    """Distributed Lloyd's: deterministic across runs (fixed init), exactly
+    k clusters, and refinement must not worsen the mean centroid cosine
+    relative to the unrefined (init-centroid) assignment."""
+    from dampr_spark.operators.similarity import kmeans_fit_assign
+    from dampr_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+
+    def run(iters):
+        rows = kmeans_fit_assign(e, k=8, iters=iters).collect()
+        mean = sum(r.sim for r in rows) / len(rows)
+        return {r.id: r.cluster for r in rows}, mean
+
+    a1, m1 = run(0)
+    a2, m2 = run(3)
+    a3, m3 = run(3)
+    assert a2 == a3 and m2 == m3  # reproducible
+    assert len(set(a2.values())) == 8
+    assert m2 >= m1 - 1e-9  # refinement never hurts the fit
+    assert m2 > m1 + 1e-4  # ...and actually moves on this data
