@@ -177,14 +177,20 @@ class RandomHyperplaneLSH:
         return bucket
 
     def bucketize(
-        self, df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        extra_keys: tuple[str, ...] = (),
     ) -> DataFrame:
         """Corpus side: one row per (table, bucket) per vector. Persist or
-        write this out bucketed-by ``bucket`` for repeated query workloads."""
+        write this out bucketed-by ``bucket`` for repeated query workloads.
+        ``extra_keys`` columns ride along (see :meth:`bucketed_pairs`)."""
         tables = [
             df.select(
                 F.col(id_col),
                 F.col(vec_col),
+                *[F.col(c) for c in extra_keys],
                 F.lit(t).alias("table"),
                 self._bucket_expr(F.col(vec_col), t).alias("bucket"),
             )
@@ -238,11 +244,18 @@ class RandomHyperplaneLSH:
     def bucketed_pairs(
         self, df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
         threshold: float = 0.95, max_bucket: int = 1000,
+        extra_keys: tuple[str, ...] = (),
     ) -> DataFrame:
         """All-pairs near-dup at scale: only vectors sharing an LSH bucket
-        are compared (vs. the O(N²) of dedup.embedding_cosine_dups)."""
-        b = self.bucketize(df, vec_col, id_col)
-        grouped = b.groupBy("table", "bucket").agg(
+        are compared (vs. the O(N²) of dedup.embedding_cosine_dups).
+
+        ``extra_keys`` columns join the bucket key, so pairs can only form
+        between rows agreeing on them — pass a cluster-assignment column for
+        SemDeDup-style semantic dedup (examples/semantic_dedup.py): buckets
+        shrink by ~|clusters| and every cluster's pair generation proceeds
+        as an independent parallel unit."""
+        b = self.bucketize(df, vec_col, id_col, extra_keys=extra_keys)
+        grouped = b.groupBy("table", "bucket", *extra_keys).agg(
             F.collect_list(F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))).alias("docs")
         )
         s = F.array_sort(F.col("docs"))

@@ -9,6 +9,7 @@ import sys
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
 
@@ -90,3 +91,52 @@ def test_corpus_prep_example(spark):
     assert kept == [1, 5]
     rep = report.collect()[0]
     assert rep.n_docs == 2 and rep.total_tokens > 0
+
+
+def test_semantic_dedup_example(spark, sf_dir):
+    """SemDeDup composition on a planted corpus (the TESTDATA embeddings
+    carry no organic near-dups): every original unioned with an exact clone
+    at vec_id+10000. Each clone must land in its original's near-dup group
+    (identical vectors share every LSH bucket and every k-means cluster),
+    members must share a k-means cluster, and the cluster-restricted pair
+    set must be a subset of the unrestricted one."""
+    from semantic_dedup import semantic_dedup
+
+    from dampr_spark.operators.similarity import (
+        RandomHyperplaneLSH,
+        kmeans_fit_assign,
+    )
+    from dampr_spark.sources.readers import read_table
+
+    base = read_table(spark, sf_dir, "embeddings").limit(200)
+    clones = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    e = base.union(clones)
+    clusters = semantic_dedup(e, k=4, tau=0.99)
+    pair_of = {r.id: r.canonical for r in clusters.collect()}
+    originals = {r.vec_id for r in base.collect()}
+    # Every original forms a group with exactly its clone.
+    assert len(pair_of) == 2 * len(originals)
+    for vid in originals:
+        assert pair_of[vid] == vid and pair_of[vid + 10000] == vid
+
+    assigned = {r.id: r.cluster for r in kmeans_fit_assign(e, k=4, iters=3).collect()}
+    for member, canon in pair_of.items():
+        assert assigned[member] == assigned[canon]
+
+    lsh = RandomHyperplaneLSH(dim=64, n_planes=6, n_tables=8)
+    unrestricted = {
+        (r.id_a, r.id_b) for r in lsh.bucketed_pairs(e, threshold=0.99).collect()
+    }
+    a2 = e.join(
+        kmeans_fit_assign(e, k=4, iters=3).select(
+            F.col("id").alias("vec_id"), "cluster"
+        ),
+        "vec_id",
+    )
+    restricted = {
+        (r.id_a, r.id_b)
+        for r in lsh.bucketed_pairs(a2, threshold=0.99, extra_keys=("cluster",)).collect()
+    }
+    assert restricted <= unrestricted and restricted
