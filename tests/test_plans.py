@@ -199,3 +199,45 @@ def test_corpus_mix_report_single_scan(spark):
     # grand-total share must come from a window over the aggregate, not a
     # second pass over documents
     assert plan.count("Scan parquet") == 1
+
+
+def test_pii_redact_zero_shuffle(spark):
+    # PII scrubbing is a pure regexp scan pass: no Exchange anywhere.
+    plan = plan_of(spark, "pii_redact")
+    assert "Exchange" not in plan
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    # Sliding-window chunking is explode-only: no Exchange, one scan.
+    plan = plan_of(spark, "chunk_documents")
+    assert "Exchange" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_common_substring_dups_single_scan(spark):
+    # Posting-list self-pairing evaluates the window expression once: ONE
+    # documents scan, no SortMergeJoin of two gram lineages.
+    plan = plan_of(spark, "common_substring_dups")
+    assert plan.count("FileScan") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_nearest_centroid_assign_broadcasts_centroids(spark):
+    # Centroids broadcast into the crossJoin (BroadcastNestedLoopJoin);
+    # the argmax shuffle carries scalars, never embedding arrays — so no
+    # SortMergeJoin and no exchange of the embedding column.
+    plan = plan_of(spark, "nearest_centroid_assign")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_events_dedup_keep_latest_single_shuffle(spark):
+    # One exchange on the dedup key feeds the rank window.
+    plan = plan_of(spark, "events_dedup_keep_latest")
+    assert plan.count("Exchange") == 1
+
+
+def test_budget_sample_partitions_by_source(spark):
+    # Rank window partitions by source — one hash exchange, no global sort.
+    plan = plan_of(spark, "budget_sample_per_source")
+    assert "hashpartitioning(source" in plan
