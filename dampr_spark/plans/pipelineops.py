@@ -506,3 +506,72 @@ def budget_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _BUDGET_K)
         .select("source", "doc_id", F.col("rn").cast("long").alias("sample_rank"))
     )
+
+
+@register(
+    "approx_quantile_check",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50_exact,
+           abs(approx_quantile(n_chars, 0.5) - quantile_cont(n_chars, 0.5))
+               <= 0.05 * quantile_cont(n_chars, 0.5) AS approx_ok
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "pipeline", "sketch", "extension"),
+)
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quantile verification: per language, the exact median
+    (hash-compared across engines) plus each engine asserting ITS OWN
+    approximate-quantile sketch lands within 5% of the exact value — the
+    same each-engine-asserts-own-estimate pattern as approx_distinct_parts,
+    which keeps a sketch operator oracle-checkable.
+
+    Scale note: this is the t-digest-style path for percentiles at 100 TB —
+    percentile_approx partial-aggregates (mergeable sketch state per
+    partition), unlike the exact form which shuffles every group value."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50_exact"),
+        (
+            F.abs(
+                F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000))
+                - F.percentile("n_chars", F.lit(0.5))
+            )
+            <= 0.05 * F.percentile("n_chars", F.lit(0.5))
+        ).alias("approx_ok"),
+    )
+
+
+@register(
+    "quality_by_source",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source, {T.quality_score_sql('text')} AS q FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN q >= 0.5 AND q < 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+           CAST(sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           round(avg(q), 6) AS avg_quality
+    FROM scored
+    GROUP BY source
+    """,
+    tags=("text", "pipeline", "quality", "extension"),
+)
+def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-band histogram (low/mid/high at 0.5/0.8 cuts) —
+    the calibration table for setting per-domain quality thresholds before
+    a filtering pass. One scan, one aggregate keyed on source; the score is
+    pure codegen expressions (functions/text.quality_score)."""
+    d = _t(spark, sf_dir, "documents")
+    q = T.quality_score("text")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((q < 0.5).cast("int")).cast("long").alias("n_low"),
+        F.sum(((q >= 0.5) & (q < 0.8)).cast("int")).cast("long").alias("n_mid"),
+        F.sum((q >= 0.8).cast("int")).cast("long").alias("n_high"),
+        F.round(F.avg(q), 6).alias("avg_quality"),
+    )
