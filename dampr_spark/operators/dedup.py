@@ -770,3 +770,89 @@ def shared_window_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (new-shard vs historical-corpus) dedup
+# ---------------------------------------------------------------------------
+
+
+def drop_seen_exact(
+    new_df: DataFrame,
+    history_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: drop new documents whose fingerprint already
+    exists in the historical corpus, then drop within-shard exact dups
+    (keep min-id). ``history_fps`` is a DataFrame with an ``fp`` column —
+    the persisted fingerprint store a continuously-ingesting pipeline
+    maintains (at 100 TB: a bucketed parquet table keyed on fp, so this
+    anti-join is exchange-free on the history side).
+
+    Two narrow shuffles on 32-byte digests; document bodies never move."""
+    fp = new_df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    fresh = fp.join(history_fps.select("fp"), "fp", "left_anti")
+    keep = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return new_df.join(keep.select(id_col), id_col, "left_semi")
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Asymmetric LSH candidates: (new_id, hist_id) pairs sharing a MinHash
+    band — near-dup detection of a NEW shard against the historical corpus
+    without ever self-joining history (the history side's band table is
+    computed once and reused/persisted across shards in a real pipeline).
+
+    Same signature UDF and banding as :func:`minhash_lsh_candidates`; the
+    join is new-bands ⋈ history-bands on (band, band_hash), so cost scales
+    with |new| × bucket-hit-rate, not |history|². Hot historical buckets
+    (boilerplate) are capped with ``max_bucket`` on the history side."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+
+    def banded(df):
+        sig = _ensure_parallelism(df).select(
+            F.col(id_col).alias("id"),
+            minhash_text_signature_udf(num_perm, shingle_k)(F.col(text_col)).alias(
+                "sig"
+            ),
+        )
+        return sig.select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ),
+                )
+            ).alias("band", "band_hash"),
+        )
+
+    hist = banded(history_df)
+    hot = (
+        hist.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket)
+        .select("band", "band_hash")
+    )
+    hist_pruned = hist.join(hot, ["band", "band_hash"], "left_anti").select(
+        F.col("id").alias("hist_id"), "band", "band_hash"
+    )
+    new_bands = banded(new_df).select(
+        F.col("id").alias("new_id"), "band", "band_hash"
+    )
+    return (
+        new_bands.join(hist_pruned, ["band", "band_hash"])
+        .select("new_id", "hist_id")
+        .distinct()
+    )

@@ -202,3 +202,47 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("sim"), 4).alias("avg_sim"),
     )
+
+
+_HIST_MOD = 5  # doc_id % 5 == 0 plays the already-ingested historical corpus
+
+
+@register(
+    "incremental_dedup",
+    oracle=f"""
+    WITH hist AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents WHERE doc_id % {_HIST_MOD} = 0),
+    fresh AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents WHERE doc_id % {_HIST_MOD} <> 0),
+    unseen AS (
+        SELECT * FROM fresh WHERE fp NOT IN (SELECT fp FROM hist)),
+    keep AS (
+        SELECT fp, min(doc_id) AS doc_id FROM unseen GROUP BY fp)
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM fresh f JOIN keep k ON f.doc_id = k.doc_id
+    GROUP BY f.source
+    """,
+    tags=("dedup", "pipeline", "incremental", "extension"),
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: documents with doc_id % 5 == 0 play the
+    already-ingested historical corpus; the rest arrive as the new shard.
+    New docs whose normalized-text fingerprint already exists in history are
+    dropped, then within-shard dups collapse to the min-id canonical;
+    output is survivors per source. See operators/dedup.drop_seen_exact —
+    the continuous-ingestion shape where history is a persisted
+    (fp-bucketed) fingerprint store, so the anti-join never re-shuffles
+    history."""
+    d = _t(spark, sf_dir, "documents")
+    from dampr_spark.functions.text import fingerprint
+
+    hist_fps = d.filter(F.col("doc_id") % _HIST_MOD == 0).select(
+        fingerprint("text").alias("fp")
+    )
+    new = d.filter(F.col("doc_id") % _HIST_MOD != 0)
+    kept = dedup.drop_seen_exact(new, hist_fps)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))

@@ -435,3 +435,48 @@ def test_kmeans_deterministic_and_improving(spark, sf_dir):
     assert len(set(a2.values())) == 8
     assert m2 >= m1 - 1e-9  # refinement never hurts the fit
     assert m2 > m1 + 1e-4  # ...and actually moves on this data
+
+
+def test_drop_seen_exact_incremental(spark):
+    """New-shard rows already fingerprinted in history are dropped; fresh
+    dups within the shard collapse to the min id."""
+    from dampr_spark.functions.text import fingerprint
+    from dampr_spark.operators.dedup import drop_seen_exact
+
+    hist = spark.createDataFrame(
+        [(100, "seen before"), (101, "also seen")], "doc_id long, text string"
+    ).select(fingerprint("text").alias("fp"))
+    new = spark.createDataFrame(
+        [
+            (1, "seen before"),      # exact historical dup -> dropped
+            (2, "Seen   BEFORE "),   # normalized historical dup -> dropped
+            (3, "brand new"),
+            (4, "brand new"),        # within-shard dup -> collapses to 3
+            (5, "another fresh"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in drop_seen_exact(new, hist).collect())
+    assert kept == [3, 5]
+
+
+def test_incremental_minhash_pairs_asymmetric(spark):
+    """A new doc near-identical to a historical one pairs with it; unrelated
+    new docs pair with nothing; history never pairs with itself."""
+    from dampr_spark.operators.dedup import incremental_minhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    hist = spark.createDataFrame(
+        [(100, base), (101, "completely different historical text " * 8)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base + "tail"), (2, "nothing like anything in history at all " * 8)],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.new_id, r.hist_id)
+        for r in incremental_minhash_pairs(new, hist).collect()
+    }
+    assert (1, 100) in pairs
+    assert all(n == 1 for n, _ in pairs), pairs  # doc 2 pairs with nothing
