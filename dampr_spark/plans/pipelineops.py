@@ -575,3 +575,66 @@ def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((q >= 0.8).cast("int")).cast("long").alias("n_high"),
         F.round(F.avg(q), 6).alias("avg_quality"),
     )
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id, md5(text) AS fp FROM documents),
+    b AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS fp
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, md5(text || ' new') AS fp
+        FROM documents WHERE doc_id % 17 = 0),
+    j AS (
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b.doc_id IS NULL THEN 'removed'
+                    WHEN a.fp <> b.fp THEN 'changed'
+                    ELSE 'unchanged' END AS change_type
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_docs
+    FROM j GROUP BY change_type
+    """,
+    tags=("pipeline", "versioning", "extension"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff — added / removed / changed / unchanged counts
+    between two snapshots by doc_id + content fingerprint (snapshot B is
+    synthesized deterministically from the fixture: every 11th doc removed,
+    every 13th edited, a shifted copy of every 17th added). The audit table
+    a dataset-versioning workflow publishes per release.
+
+    Scale shape: one full outer join keyed on doc_id carrying only
+    (doc_id, 16-byte md5) — bodies never move — then a 4-row aggregate. At
+    100 TB both snapshots are id-bucketed on disk, making the outer join
+    exchange-free (operators/bucketing)."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.select("doc_id", F.md5("text").alias("fp"))
+    b = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(F.col("doc_id") % 13 == 0, F.concat("text", F.lit(" v2")))
+                .otherwise(F.col("text"))
+            ).alias("fp"),
+        )
+        .union(
+            d.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5(F.concat("text", F.lit(" new"))).alias("fp"),
+            )
+        )
+    )
+    j = a.alias("a").join(b.alias("b"), "doc_id", "full_outer").select(
+        F.when(F.col("a.fp").isNull(), "added")
+        .when(F.col("b.fp").isNull(), "removed")
+        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    return j.groupBy("change_type").agg(F.count(F.lit(1)).alias("n_docs"))
