@@ -1,5 +1,6 @@
 from dampr_spark.streaming.pipeline import (
     hourly_aggregate,
+    incremental_dedup_stream,
     read_events_stream,
     run_to_memory,
     running_user_totals,
@@ -11,6 +12,7 @@ from dampr_spark.streaming.pipeline import (
 
 __all__ = [
     "hourly_aggregate",
+    "incremental_dedup_stream",
     "read_events_stream",
     "run_to_memory",
     "running_user_totals",

@@ -253,3 +253,54 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> Da
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def incremental_dedup_stream(
+    docs_stream: DataFrame,
+    history_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming incremental exact-dedup via ``foreachBatch``: every
+    micro-batch anti-joins the persisted fingerprint store, appends its
+    survivors to ``out_dir``, and appends their fingerprints to
+    ``history_dir`` — so a document seen in ANY earlier batch (or earlier
+    in the same batch, min-id wins) never lands twice. This is the
+    continuously-ingesting corpus pipeline: the landed directory is the
+    stream, the fingerprint store is the only state, and both live on disk,
+    not in the state store.
+
+    Scale notes: the store carries 32-byte digests only and at 100 TB is
+    written fp-bucketed (operators/bucketing) so the per-batch anti-join
+    shuffles just the incoming shard. foreachBatch gives at-least-once
+    batch execution — a retried batch re-appends; dedup of the OUTPUT on
+    (fp) at read time, or writing batch-id-suffixed files, restores
+    exactly-once (standard foreachBatch idempotency discipline, documented
+    rather than hidden).
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    from pyspark.errors import AnalysisException
+
+    from dampr_spark.functions.text import fingerprint
+    from dampr_spark.operators.dedup import drop_seen_exact
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            hist = spark.read.parquet(history_dir)
+        except AnalysisException:
+            hist = spark.createDataFrame([], "fp string")
+        kept = drop_seen_exact(batch_df, hist, text_col, id_col)
+        kept.write.mode("append").parquet(out_dir)
+        kept.select(fingerprint(text_col).alias("fp")).write.mode("append").parquet(
+            history_dir
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", out_dir + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

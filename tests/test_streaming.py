@@ -238,3 +238,60 @@ def test_session_finalize_matches_batch(spark, sf_dir, events_stream):
                 r.last_type,
             )
     assert s == b and b
+
+
+def test_incremental_dedup_stream(spark, sf_dir, tmp_path_factory):
+    """foreachBatch incremental dedup: documents land as 3 files processed
+    one per micro-batch; later batches repeat earlier texts under new ids.
+    Only first-seen texts may survive, across batch boundaries."""
+    base_dir = tmp_path_factory.mktemp("docs_land")
+    out_root = tmp_path_factory.mktemp("dedup_out")
+    from dampr_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").limit(90)
+    rows = docs.collect()
+    third = len(rows) // 3
+    b1 = rows[:third]
+    # batch 2: fresh docs + re-sends of half of batch 1 under new ids
+    b2 = rows[third : 2 * third] + [
+        (r.doc_id + 500000, r.text) for r in b1[: third // 2]
+    ]
+    # batch 3: re-sends of batch-2 fresh docs only
+    b3 = [(r.doc_id + 900000, r.text) for r in rows[third : 2 * third]]
+    schema = "doc_id long, text string"
+    for i, batch in enumerate((b1, b2, b3)):
+        spark.createDataFrame(
+            [(int(r[0]), r[1]) for r in batch], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(base_dir / f"stage{i}"))
+    import glob
+    import shutil
+
+    import os
+
+    for i in range(3):
+        f = glob.glob(str(base_dir / f"stage{i}" / "*.parquet"))[0]
+        dst = base_dir / f"batch{i}.parquet"
+        shutil.copy(f, dst)
+        # The file source orders micro-batches by modification time; copies
+        # can land in the same clock tick, so pin strictly increasing mtimes
+        # or batch order (and thus "first seen") is nondeterministic.
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(base_dir / f"stage{i}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(base_dir))
+    )
+    q = streaming.incremental_dedup_stream(
+        stream, str(out_root / "history"), str(out_root / "kept")
+    )
+    q.awaitTermination()
+
+    kept = spark.read.parquet(str(out_root / "kept")).collect()
+    # every text exactly once, and always its first-seen (lowest-id) copy
+    texts = [r.text for r in kept]
+    assert len(texts) == len(set(texts)) == 2 * third
+    first_seen = {r.text: r.doc_id for r in rows[: 2 * third]}
+    for r in kept:
+        assert r.doc_id == first_seen[r.text]
