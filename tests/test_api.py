@@ -516,3 +516,25 @@ def test_text_native_gzip_unsplit(tmp_path, spark):
     (tmp_path / "plain.txt").write_text("p1\np2\n")
     got = sorted(Dampr.text(str(tmp_path), chunk_size=4).run())
     assert got == ["g1", "g2", "g3", "p1", "p2"]
+
+
+def test_indexer_bm25_matches_full_scan(spark, sf_dir, tmp_path):
+    """Index-driven BM25 (postings pruned to query terms) must return
+    exactly the oracle-green full-scan bm25_rank top-k — same scores, same
+    4dp-rounded cut."""
+    from dampr_spark.operators.indexer import Indexer
+    from dampr_spark.plans import all_queries
+    from dampr_spark.plans.textops import _BM25_QUERY_TERMS
+    from dampr_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    ix = Indexer(str(tmp_path / "idx")).build_scored(docs)
+    via_index = {
+        (r.doc_id, r.bm25)
+        for r in ix.search_bm25(spark, list(_BM25_QUERY_TERMS), k=15).collect()
+    }
+    full_scan = {
+        (r.doc_id, r.bm25)
+        for r in all_queries()["bm25_rank"].builder(spark, sf_dir).collect()
+    }
+    assert via_index == full_scan and full_scan

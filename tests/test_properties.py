@@ -158,3 +158,48 @@ def test_ngram_jaccard_matches_python_model(spark_session_holder, docs, n):
 @pytest.fixture(scope="module")
 def spark_session_holder(spark):
     return spark
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefg xyz", min_size=1, max_size=8), min_size=1, max_size=12
+    ),
+    n_emails=st.integers(0, 3),
+    n_phones=st.integers(0, 3),
+    n_ips=st.integers(0, 2),
+)
+def test_pii_redaction_complete(spark_session_holder, words, n_emails, n_phones, n_ips):
+    """After redaction, NO PII pattern may remain, every planted item is
+    counted, and a text with no PII passes through byte-identical."""
+    spark = spark_session_holder
+    from pyspark.sql import functions as F
+
+    from dampr_spark.functions.text import pii_counts, redact_pii
+
+    clean = " ".join(w.strip() or "pad" for w in words)
+    planted = (
+        clean
+        + " " + " ".join(f"user{i}@example{i}.com" for i in range(n_emails))
+        + " " + " ".join(f"+1-555-010{i}" for i in range(n_phones))
+        + " " + " ".join(f"192.168.{i}.7" for i in range(n_ips))
+    )
+    df = spark.createDataFrame([(clean,), (planted,)], "text string")
+    e, p, i = pii_counts("text")
+    out = df.select(
+        "text",
+        e.alias("e"), p.alias("p"), i.alias("i"),
+        redact_pii("text").alias("red"),
+    )
+    rows = {r.text: r for r in out.collect()}
+    red_counts = (
+        spark.createDataFrame([(rows[planted].red,)], "text string")
+        .select(pii_counts("text")[0].alias("e"), pii_counts("text")[1].alias("p"),
+                pii_counts("text")[2].alias("i"))
+        .first()
+    )
+    assert (red_counts.e, red_counts.p, red_counts.i) == (0, 0, 0)
+    assert rows[planted].e == n_emails
+    assert rows[planted].p == n_phones
+    assert rows[planted].i == n_ips
+    assert rows[clean].red == clean  # no-PII text untouched
