@@ -638,3 +638,48 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("change_type")
     )
     return j.groupBy("change_type").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "validate_documents",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS v_text_present,
+           CAST(sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS BIGINT)
+               AS v_len_consistent,
+           CAST(sum(CASE WHEN n_chars BETWEEN 1 AND 1000000 THEN 0 ELSE 1 END) AS BIGINT)
+               AS v_len_in_range,
+           CAST(sum(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 0 ELSE 1 END) AS BIGINT)
+               AS v_known_lang,
+           CAST((SELECT count(*) FROM (
+                 SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) > 1))
+               AS BIGINT) AS n_dup_ids
+    FROM documents
+    """,
+    tags=("pipeline", "validation", "extension"),
+)
+def validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-gate validation report: one aggregate row of expectation
+    violations (text present, stored n_chars consistent with the text,
+    length in range, language in the known set) plus duplicate-id count —
+    the check a production pipeline runs on every landed shard before
+    anything downstream reads it. One scan + one single-row shuffle; the
+    uniqueness check is its own keyed aggregate
+    (operators/expectations.duplicate_keys)."""
+    from dampr_spark.operators.expectations import duplicate_keys, validate
+
+    d = _t(spark, sf_dir, "documents")
+    report = validate(
+        d,
+        {
+            "text_present": F.col("text").isNotNull(),
+            "len_consistent": F.col("n_chars") == F.length("text"),
+            "len_in_range": F.col("n_chars").between(1, 1_000_000),
+            "known_lang": F.col("lang").isin("en", "de", "fr", "es", "zh"),
+        },
+    )
+    dups = duplicate_keys(d, ["doc_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_ids")
+    )
+    return report.crossJoin(F.broadcast(dups))

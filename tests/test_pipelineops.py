@@ -104,3 +104,32 @@ def test_repetition_filter_flags_planted_boilerplate(spark):
 def test_corpus_mix_report_shares_sum_to_one(spark):
     shares = [r.token_share for r in _run(spark, "corpus_mix_report").collect()]
     assert abs(sum(shares) - 1.0) < 1e-3
+
+
+def test_expectations_operators(spark):
+    """validate counts NULL-predicate rows as violations; quarantine tags
+    rows with every failed check; duplicate_keys finds multi-copy keys."""
+    from pyspark.sql import functions as F
+
+    from dampr_spark.operators.expectations import (
+        duplicate_keys,
+        quarantine,
+        validate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ok", 2), (2, None, 4), (3, "bad-len", 99), (3, "dup", 3)],
+        "id long, text string, n long",
+    )
+    checks = {
+        "text_present": F.col("text").isNotNull(),
+        "len_ok": F.col("n") == F.length("text"),  # NULL text -> NULL -> violation
+    }
+    r = validate(df, checks).first()
+    assert (r.n_rows, r.v_text_present, r.v_len_ok) == (4, 1, 2)
+
+    q = {r.id: sorted(r.failed_checks) for r in quarantine(df, checks).collect()}
+    assert q == {2: ["len_ok", "text_present"], 3: ["len_ok"]}
+
+    d = {(r.id,): r.n_copies for r in duplicate_keys(df, ["id"]).collect()}
+    assert d == {(3,): 2}
