@@ -32,10 +32,25 @@ def asof_join(
     ts_col: str = "ts",
     right_cols: list[str] | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right.ts <= left.ts`` per key (backward as-of, inclusive) — null
-    columns when no prior right row exists (left-outer semantics).
+    """For each left row, attach the as-of matching right row per key —
+    null columns when no match exists (left-outer semantics). The full
+    pandas ``merge_asof`` direction surface:
+
+    - ``backward`` (default): most recent right row with
+      ``right.ts <= left.ts``;
+    - ``forward``: earliest right row with ``right.ts >= left.ts``;
+    - ``nearest``: whichever of the two is closer in time, ties preferring
+      the backward match.
+
+    ``tolerance`` (optional) bounds the match distance: a SQL interval
+    string (timestamp ts) or a number (numeric ts); matches farther than
+    the tolerance null out, preserving left-outer shape. All directions
+    keep the union+window construction — ONE shuffle+sort per direction,
+    no row explosion (``nearest`` costs a second window sort over the same
+    partitioning, not a second shuffle).
 
     ``right_cols`` are the right-side columns to carry (default: all but
     keys/ts), emitted as ``{prefix}{col}`` plus ``{prefix}{ts_col}``.
@@ -77,19 +92,52 @@ def asof_join(
     ).select(l_tagged.columns)  # align column order for union
 
     # Right rows (_side=0) sort before left rows at equal ts → inclusive
-    # (right.ts <= left.ts). The running `last` of the right payload is the
-    # as-of match; one window sort per key, no row multiplication. The
+    # (backward: right.ts <= left.ts; forward: right.ts >= left.ts under
+    # the reversed ordering). The running `last` of the right payload is
+    # the as-of match; one window sort per key, no row multiplication. The
     # trailing `_rpay` orders right rows that tie on (key, ts) by the full
     # payload struct, so the winner is deterministic across partitionings
     # (left rows carry a null payload; `_side` already separates them).
-    w = (
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest: {direction}")
+    union = l_tagged.unionByName(r_tagged)
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    w_back = (
         Window.partitionBy(*on)
         .orderBy(F.col(ts_col), F.col("_side"), F.col("_rpay"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(*frame)
     )
-    matched = l_tagged.unionByName(r_tagged).withColumn(
-        "_asof", F.last("_rpay", ignorenulls=True).over(w)
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).desc(), F.col("_side"), F.col("_rpay"))
+        .rowsBetween(*frame)
     )
+    if direction == "backward":
+        matched = union.withColumn(
+            "_asof", F.last("_rpay", ignorenulls=True).over(w_back)
+        )
+    elif direction == "forward":
+        matched = union.withColumn(
+            "_asof", F.last("_rpay", ignorenulls=True).over(w_fwd)
+        )
+    else:  # nearest: both runs over the SAME partitioning, pick the closer
+        matched = union.withColumn(
+            "_b", F.last("_rpay", ignorenulls=True).over(w_back)
+        ).withColumn("_f", F.last("_rpay", ignorenulls=True).over(w_fwd))
+        d_b = F.col(ts_col) - F.col(f"_b.{ts_col}")
+        d_f = F.col(f"_f.{ts_col}") - F.col(ts_col)
+        take_fwd = F.col("_f").isNotNull() & (
+            F.col("_b").isNull() | (d_f < d_b)
+        )
+        matched = matched.withColumn(
+            "_asof", F.when(take_fwd, F.col("_f")).otherwise(F.col("_b"))
+        )
+    if tolerance is not None:
+        tol = F.expr(tolerance) if isinstance(tolerance, str) else F.lit(tolerance)
+        dist = F.abs(F.col(ts_col) - F.col(f"_asof.{ts_col}"))
+        matched = matched.withColumn(
+            "_asof", F.when(dist <= tol, F.col("_asof"))
+        )
     out_cols = [F.col(c) for c in left.columns]
     out_cols.append(F.col(f"_asof.{ts_col}").alias(f"{prefix}{ts_col}"))
     out_cols.extend(F.col(f"_asof.{c}").alias(f"{prefix}{c}") for c in right_cols)

@@ -397,3 +397,43 @@ def late_event_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("late").cast("int")).cast("long").alias("n_late"),
         )
     )
+
+
+@register(
+    "asof_next_signup",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id,
+           s.event_id AS signup_id,
+           CAST(date_diff('microsecond', c.ts, s.ts) // 1000000 AS BIGINT)
+             AS secs_until_signup
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON c.user_id = s.user_id AND c.ts <= s.ts
+    """,
+    tags=("events", "asof", "join", "extension"),
+)
+def asof_next_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each click, the earliest signup at-or-after
+    it by the same user — conversion-lag attribution. Same union+window
+    construction as the backward direction (operators/temporal.asof_join
+    direction='forward'); the oracle is DuckDB's ASOF JOIN with the
+    comparison reversed."""
+    from dampr_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        c, s, on=["user_id"], ts_col="ts", right_cols=["signup_id"],
+        direction="forward",
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.col("asof_signup_id").alias("signup_id"),
+        F.expr("timestampdiff(SECOND, ts, asof_ts)").alias("secs_until_signup"),
+    )

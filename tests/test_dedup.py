@@ -480,3 +480,72 @@ def test_incremental_minhash_pairs_asymmetric(spark):
     }
     assert (1, 100) in pairs
     assert all(n == 1 for n, _ in pairs), pairs  # doc 2 pairs with nothing
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    from dampr_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "L1"), (1, 205, "L2"), (2, 50, "L3")], "k long, ts long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "R1"), (1, 150, "R2"), (1, 300, "R3"), (2, 60, "R4")],
+        "k long, ts long, rv string",
+    )
+
+    fwd = {
+        r.lv: (r.asof_rv, r.asof_ts)
+        for r in asof_join(left, right, ["k"], "ts", direction="forward").collect()
+    }
+    assert fwd["L1"] == ("R1", 100)  # inclusive at equal ts
+    assert fwd["L2"] == ("R3", 300)  # earliest following
+    assert fwd["L3"] == ("R4", 60)
+
+    near = {
+        r.lv: (r.asof_rv, r.asof_ts)
+        for r in asof_join(left, right, ["k"], "ts", direction="nearest").collect()
+    }
+    assert near["L1"] == ("R1", 100)
+    assert near["L2"] == ("R2", 150)  # 55 back vs 95 forward
+    assert near["L3"] == ("R4", 60)   # no backward match at all
+
+    tol = {
+        r.lv: (r.asof_rv, r.asof_ts)
+        for r in asof_join(
+            left, right, ["k"], "ts", direction="nearest", tolerance=20
+        ).collect()
+    }
+    assert tol["L1"] == ("R1", 100)
+    assert tol["L2"] == (None, None)  # nearest is 55 away > 20
+    assert tol["L3"] == ("R4", 60)    # 10 away, inside tolerance
+
+    # nearest tie prefers backward
+    tie_left = spark.createDataFrame([(1, 200, "T")], "k long, ts long, lv string")
+    tie_right = spark.createDataFrame(
+        [(1, 150, "B"), (1, 250, "F")], "k long, ts long, rv string"
+    )
+    t = asof_join(tie_left, tie_right, ["k"], "ts", direction="nearest").first()
+    assert (t.asof_rv, t.asof_ts) == ("B", 150)
+
+
+def test_asof_join_timestamp_tolerance(spark):
+    """Interval tolerance over real timestamps (abs of a day-time interval)."""
+    import datetime as dt
+
+    from dampr_spark.operators.temporal import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0, "L1")], "k long, ts timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, t0 - dt.timedelta(minutes=45), "R1")], "k long, ts timestamp, rv string"
+    )
+    hit = asof_join(
+        left, right, ["k"], "ts", tolerance="INTERVAL 1 HOUR"
+    ).first()
+    assert hit.asof_rv == "R1"
+    miss = asof_join(
+        left, right, ["k"], "ts", tolerance="INTERVAL 10 MINUTES"
+    ).first()
+    assert miss.asof_rv is None
