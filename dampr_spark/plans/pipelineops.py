@@ -683,3 +683,79 @@ def validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_dup_ids")
     )
     return report.crossJoin(F.broadcast(dups))
+
+
+@register(
+    "corpus_apply_updates",
+    oracle="""
+    WITH updates AS (
+        SELECT doc_id, text || ' v2' AS text, 'changed' AS op
+        FROM documents WHERE doc_id % 13 = 0 AND doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id, NULL AS text, 'delete' AS op
+        FROM documents WHERE doc_id % 11 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text, 'insert' AS op
+        FROM documents WHERE doc_id % 17 = 0),
+    merged AS (
+        SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN u.op = 'delete' THEN NULL
+                    WHEN u.op IS NOT NULL THEN u.text
+                    ELSE b.text END AS text,
+               CASE WHEN u.op = 'delete' THEN NULL
+                    WHEN u.op IS NOT NULL THEN u.op
+                    ELSE 'kept' END AS op
+        FROM documents b FULL OUTER JOIN updates u ON b.doc_id = u.doc_id)
+    SELECT op, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM merged WHERE op IS NOT NULL
+    GROUP BY op
+    """,
+    tags=("pipeline", "versioning", "extension"),
+)
+def corpus_apply_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot MERGE (upsert/delete apply): a deterministic change set
+    (every 13th doc updated, every 11th deleted, a shifted copy of every
+    17th inserted) merges into the base corpus — matched rows update or
+    delete, unmatched insert, untouched rows carry through. Output audits
+    the merged snapshot per operation. The plain-parquet MERGE INTO: one
+    full outer join on the id carrying (id, text, op) — the companion
+    operator to corpus_snapshot_diff, together the versioned-dataset
+    read/write cycle."""
+    d = _t(spark, sf_dir, "documents")
+    upd = (
+        d.filter((F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 11 != 0))
+        .select("doc_id", F.concat("text", F.lit(" v2")).alias("u_text"), F.lit("changed").alias("op"))
+        .union(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                "doc_id", F.lit(None).cast("string").alias("u_text"), F.lit("delete").alias("op")
+            )
+        )
+        .union(
+            d.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat("text", F.lit(" new")).alias("u_text"),
+                F.lit("insert").alias("op"),
+            )
+        )
+    )
+    merged = (
+        d.select("doc_id", "text")
+        .join(upd, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("op") == "delete", F.lit(None))
+            .when(F.col("op").isNotNull(), F.col("u_text"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            F.when(F.col("op") == "delete", F.lit(None))
+            .when(F.col("op").isNotNull(), F.col("op"))
+            .otherwise(F.lit("kept"))
+            .alias("op"),
+        )
+        .filter(F.col("op").isNotNull())
+    )
+    return merged.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
