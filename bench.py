@@ -122,12 +122,24 @@ def main() -> int:
         warm_timings[name] = round(warm, 4)
         print(f"# {name}: cold {cold:.3f}s (warm {warm:.3f}s)", file=sys.stderr)
 
+    # Round-over-round comparability: the query list GROWS each round, so
+    # the headline total is not comparable across rounds by itself. Emit a
+    # subtotal over the round-3 query set (the last externally-recorded
+    # list) next to the full totals.
+    r3_set = BENCH_QUERIES[:25]
     print(
         json.dumps(
             {
                 "metric": "dampr_spark_bench_total",
                 "value": round(cold_total, 4),
                 "unit": "sec",
+                "n_queries": len(BENCH_QUERIES),
+                "cold_total_r3_queryset": round(
+                    sum(cold_timings[q] for q in r3_set), 4
+                ),
+                "warm_total_r3_queryset": round(
+                    sum(warm_timings[q] for q in r3_set), 4
+                ),
                 "queries": cold_timings,
                 "warm_total": round(warm_total, 4),
                 "queries_warm": warm_timings,
