@@ -437,3 +437,41 @@ def asof_next_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_signup_id").alias("signup_id"),
         F.expr("timestampdiff(SECOND, ts, asof_ts)").alias("secs_until_signup"),
     )
+
+
+@register(
+    "rolling_event_value",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+           round(avg(value) OVER w, 6) AS avg_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+    tags=("events", "window", "extension"),
+)
+def rolling_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour RANGE-frame window per user: for every event, the
+    count and mean value of that user's events in [t−1h, t]. The
+    time-interval frame the ROWS-frame queries (running_revenue) can't
+    express — frames are defined by event-time distance, not row offsets,
+    so ties and gaps behave correctly.
+
+    Spark's rangeBetween needs a numeric ordering column: order by
+    microsecond epoch (exact — a double epoch would round at 16 digits)
+    with the interval as ±µs. One shuffle on user_id; the frame scan is
+    a per-partition sliding aggregate."""
+    e = _t(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-hour_us, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.round(F.avg("value").over(w), 6).alias("avg_trailing"),
+    )
