@@ -59,14 +59,18 @@ def _load_all() -> None:
 
 
 # Queries that already have a driver-green (rows+schema+hash vs DuckDB)
-# correctness row from a past round (CORRECTNESS_r01/r02/r03). The external
-# driver verifies only the FIRST 50 queries in ``queries()`` order, so
-# ``all_queries`` orders the catalog to maximize *cumulative* external
-# coverage: oracle-backed queries the driver has never checked come first,
-# then previously-green oracle-backed ones (re-check window), and
-# oracle-less (rows-only) entries last — they only ever produce a weaker
-# ``no_oracle`` record, so they must not occupy a hash-checkable slot.
-_DRIVER_GREEN_HISTORY = frozenset(
+# correctness row from a past round. The external driver verifies only the
+# FIRST 50 queries in ``queries()`` order, so ``all_queries`` orders the
+# catalog to maximize *cumulative* external coverage: oracle-backed queries
+# the driver has never checked come first, then previously-green
+# oracle-backed ones (re-check window), and oracle-less (rows-only) entries
+# last — they only ever produce a weaker ``no_oracle`` record, so they must
+# not occupy a hash-checkable slot.
+#
+# The history is UNION(static seed below, every hash-green row in the
+# CORRECTNESS_r*.json files the driver writes at the repo root) — so the
+# window rotates itself each round without a manual list update.
+_STATIC_GREEN_HISTORY = frozenset(
     {
         "ngram_jaccard_dups", "embedding_cosine_dups", "events_hourly",
         "sessionization", "top_users_by_value", "json_props_stats",
@@ -106,10 +110,42 @@ _DRIVER_GREEN_HISTORY = frozenset(
 )
 
 
+_HISTORY_CACHE: frozenset[str] | None = None
+
+
+def _driver_green_history() -> frozenset[str]:
+    """Static seed ∪ every hash-green entry of the driver's recorded
+    CORRECTNESS_r*.json rounds (repo root, two levels above this file).
+    Unreadable/absent files are skipped — ordering degrades gracefully to
+    the static seed."""
+    global _HISTORY_CACHE
+    if _HISTORY_CACHE is not None:
+        return _HISTORY_CACHE
+    import glob
+    import json
+    import os
+
+    names = set(_STATIC_GREEN_HISTORY)
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            if isinstance(rec, dict) and rec.get("hash_match"):
+                names.add(name)
+    _HISTORY_CACHE = frozenset(names)
+    return _HISTORY_CACHE
+
+
 def _window_rank(q: CatalogQuery) -> int:
     if q.oracle is None:
         return 2  # rows-only: never spends a hash-checkable slot
-    if q.name in _DRIVER_GREEN_HISTORY:
+    if q.name in _driver_green_history():
         return 1  # already externally verified; re-check if room remains
     return 0  # oracle-backed, never driver-checked: front of the window
 

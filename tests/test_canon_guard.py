@@ -40,3 +40,27 @@ def test_catalog_output_is_driver_canonicalizable(spark, sf_dir, name):
     # The driver's canon: lexicographic sort over every column. If this
     # throws, the driver's correctness check ERRs for this query.
     pdf.sort_values(list(pdf.columns))
+
+
+def test_window_ordering_prefers_unchecked_oracles():
+    """The driver checks only the first 50 queries: every oracle-backed
+    query WITHOUT a recorded driver-green row must outrank every
+    previously-green one, and rows-only queries must never occupy a
+    hash-checkable slot ahead of an oracle-backed one."""
+    from dampr_spark.plans.catalog import (
+        _driver_green_history,
+        all_queries,
+    )
+
+    qs = list(all_queries().values())
+    hist = _driver_green_history()
+
+    def rank(q):
+        if q.oracle is None:
+            return 2
+        return 1 if q.name in hist else 0
+
+    ranks = [rank(q) for q in qs]
+    assert ranks == sorted(ranks), "catalog order must be rank-sorted"
+    # History parsing actually found the driver's recorded rounds.
+    assert len(hist) >= 92
