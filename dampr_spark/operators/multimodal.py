@@ -200,3 +200,64 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> 
             yield pd.DataFrame({"media_id": ids, "frame_ms": offs, "features": feats})
 
     return media.mapInPandas(run, schema=schema)
+
+
+def audio_segments(
+    media: DataFrame, segment_ms: int = 5000, fake: bool = False
+) -> DataFrame:
+    """Audio segmentation: fixed-duration windows per clip, one output row
+    per segment with its byte-slice and a feature digest — the audio twin
+    of :func:`frame_sample` (video) and :func:`resize_images` (image).
+
+    Spark-side shape: a mapInPandas flat-map; each clip row explodes into
+    ceil(duration/segment_ms) segment rows, bytes sliced proportionally to
+    the segment's time span (a real decoder would resample; the slice keeps
+    the plumbing — schema, batch shape, byte movement — honest). Decode is
+    stubbed like every other modality here (no codec libs in this
+    container): ``fake=False`` raises."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("seg_id", LongType(), False),
+            StructField("start_ms", LongType(), False),
+            StructField("end_ms", LongType(), False),
+            StructField("n_bytes", LongType(), False),
+            StructField("features", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decode requires an audio codec; use fake=True"
+                )
+            ids, segs, starts, ends, sizes, feats = [], [], [], [], [], []
+            for _, row in pdf.iterrows():
+                dur = int(row["duration_ms"] or 0)
+                content = row["content"] or b""
+                n_seg = max((dur + segment_ms - 1) // segment_ms, 1)
+                for s in range(n_seg):
+                    lo = s * segment_ms
+                    hi = min((s + 1) * segment_ms, max(dur, 1))
+                    b0 = len(content) * lo // max(dur, 1)
+                    b1 = len(content) * hi // max(dur, 1)
+                    chunk = content[b0:b1]
+                    ids.append(row["media_id"])
+                    segs.append(s)
+                    starts.append(lo)
+                    ends.append(hi)
+                    sizes.append(len(chunk))
+                    feats.append(_fake_decode(chunk).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "seg_id": segs,
+                    "start_ms": starts,
+                    "end_ms": ends,
+                    "n_bytes": sizes,
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=schema)

@@ -549,3 +549,26 @@ def test_asof_join_timestamp_tolerance(spark):
         left, right, ["k"], "ts", tolerance="INTERVAL 10 MINUTES"
     ).first()
     assert miss.asof_rv is None
+
+
+def test_audio_segments(spark):
+    from dampr_spark.operators import multimodal
+
+    rows = [(7, "audio", b"0123456789" * 10, "audio/wav", None, None, 12_000)]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    segs = multimodal.audio_segments(media, segment_ms=5000, fake=True).collect()
+    # 12s clip at 5s windows -> [0,5000) [5000,10000) [10000,12000)
+    assert [(s.seg_id, s.start_ms, s.end_ms) for s in segs] == [
+        (0, 0, 5000),
+        (1, 5000, 10000),
+        (2, 10000, 12000),
+    ]
+    # byte slices tile the clip exactly and features are per-segment
+    assert sum(s.n_bytes for s in segs) == 100
+    assert all(len(s.features) == multimodal.FEATURE_DIM for s in segs)
+    assert segs[0].features != segs[1].features
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|audio codec"):
+        multimodal.audio_segments(media, fake=False).collect()

@@ -241,3 +241,9 @@ def test_budget_sample_partitions_by_source(spark):
     # Rank window partitions by source — one hash exchange, no global sort.
     plan = plan_of(spark, "budget_sample_per_source")
     assert "hashpartitioning(source" in plan
+
+
+def test_rolling_event_value_single_shuffle(spark):
+    # RANGE-frame window: one exchange on user_id, frame scan in-partition.
+    plan = plan_of(spark, "rolling_event_value")
+    assert plan.count("Exchange") == 1
