@@ -24,7 +24,10 @@ import os
 import sys
 import time
 
-BENCH_QUERIES = [
+# The exact query list BENCH_r03 recorded — the cross-round comparability
+# subtotal is computed over THIS tuple, so append new flagships to the
+# round-4 block below, never into this one.
+_R3_QUERIES = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -53,6 +56,10 @@ BENCH_QUERIES = [
     # corpus-pipeline flagships (round 3)
     "decontaminate_ngram",
     "pack_token_budget",
+)
+
+BENCH_QUERIES = [
+    *_R3_QUERIES,
     # round-4 curation flagships: PII scrub (pure regex scan), sliding
     # chunker (explode-only), substring-dup pairs (posting-list self-join),
     # and distributed k-means (iterative broadcast-join refinement).
@@ -126,7 +133,7 @@ def main() -> int:
     # the headline total is not comparable across rounds by itself. Emit a
     # subtotal over the round-3 query set (the last externally-recorded
     # list) next to the full totals.
-    r3_set = BENCH_QUERIES[:25]
+    r3_set = _R3_QUERIES
     print(
         json.dumps(
             {

@@ -209,6 +209,39 @@ def choose_bands(num_perm: int, threshold: float) -> int:
     return best
 
 
+def _banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_k: int,
+) -> DataFrame:
+    """(id, band, band_hash) rows: Arrow-vectorized MinHash signature →
+    per-band xxhash64 of the signature slice. The shared banding step of
+    the self-join (:func:`minhash_lsh_candidates`) and asymmetric
+    (:func:`incremental_minhash_pairs`) candidate generators — band
+    semantics MUST stay identical between them or their candidate sets
+    silently diverge."""
+    assert num_perm % bands == 0, "bands must divide num_perm"
+    rows_per_band = num_perm // bands
+    sig = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        minhash_text_signature_udf(num_perm, shingle_k)(F.col(text_col)).alias("sig"),
+    )
+    return sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -226,29 +259,10 @@ def minhash_lsh_candidates(
     bucket (boilerplate spam) is the known failure mode — cap it with the
     ``max_bucket`` guard.
     """
-    assert num_perm % bands == 0, "bands must divide num_perm"
-    rows_per_band = num_perm // bands
-
-    # One Arrow-vectorized pass does shingling + hashing + permutations; the
-    # pure-SQL form (char_shingles → shingle_hashes → minhash_signature)
-    # evaluates interpreted higher-order lambdas and is ~20× slower.
-    sig = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        minhash_text_signature_udf(num_perm, shingle_k)(F.col(text_col)).alias("sig"),
-    )
-    # Band key = xxhash64 of the band's signature slice (hash expressions
-    # accept array columns) — an 8-byte shuffle key per (doc, band).
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                ),
-            )
-        ).alias("band", "band_hash"),
-    )
+    # One Arrow-vectorized pass does shingling + hashing + permutations
+    # (the pure-SQL form evaluates interpreted higher-order lambdas and is
+    # ~20× slower); the band key is an 8-byte xxhash64 per (doc, band).
+    banded = _banded_signatures(df, text_col, id_col, num_perm, bands, shingle_k)
     buckets = banded.groupBy("band", "band_hash").agg(
         F.collect_list("id").alias("ids")
     )
@@ -816,29 +830,9 @@ def incremental_minhash_pairs(
     join is new-bands ⋈ history-bands on (band, band_hash), so cost scales
     with |new| × bucket-hit-rate, not |history|². Hot historical buckets
     (boilerplate) are capped with ``max_bucket`` on the history side."""
-    assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
-
-    def banded(df):
-        sig = _ensure_parallelism(df).select(
-            F.col(id_col).alias("id"),
-            minhash_text_signature_udf(num_perm, shingle_k)(F.col(text_col)).alias(
-                "sig"
-            ),
-        )
-        return sig.select(
-            "id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.xxhash64(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                    ),
-                )
-            ).alias("band", "band_hash"),
-        )
-
-    hist = banded(history_df)
+    hist = _banded_signatures(
+        history_df, text_col, id_col, num_perm, bands, shingle_k
+    )
     hot = (
         hist.groupBy("band", "band_hash")
         .agg(F.count(F.lit(1)).alias("_bsz"))
@@ -848,9 +842,9 @@ def incremental_minhash_pairs(
     hist_pruned = hist.join(hot, ["band", "band_hash"], "left_anti").select(
         F.col("id").alias("hist_id"), "band", "band_hash"
     )
-    new_bands = banded(new_df).select(
-        F.col("id").alias("new_id"), "band", "band_hash"
-    )
+    new_bands = _banded_signatures(
+        new_df, text_col, id_col, num_perm, bands, shingle_k
+    ).select(F.col("id").alias("new_id"), "band", "band_hash")
     return (
         new_bands.join(hist_pruned, ["band", "band_hash"])
         .select("new_id", "hist_id")

@@ -236,12 +236,22 @@ def audio_segments(
             for _, row in pdf.iterrows():
                 dur = int(row["duration_ms"] or 0)
                 content = row["content"] or b""
-                n_seg = max((dur + segment_ms - 1) // segment_ms, 1)
+                if dur <= 0:
+                    # Unknown/zero duration: one whole-clip segment with an
+                    # honest [0, 0] span (no phantom 1 ms of audio).
+                    ids.append(row["media_id"])
+                    segs.append(0)
+                    starts.append(0)
+                    ends.append(0)
+                    sizes.append(len(content))
+                    feats.append(_fake_decode(content).tolist())
+                    continue
+                n_seg = (dur + segment_ms - 1) // segment_ms
                 for s in range(n_seg):
                     lo = s * segment_ms
-                    hi = min((s + 1) * segment_ms, max(dur, 1))
-                    b0 = len(content) * lo // max(dur, 1)
-                    b1 = len(content) * hi // max(dur, 1)
+                    hi = min((s + 1) * segment_ms, dur)
+                    b0 = len(content) * lo // dur
+                    b1 = len(content) * hi // dur
                     chunk = content[b0:b1]
                     ids.append(row["media_id"])
                     segs.append(s)

@@ -342,7 +342,11 @@ def kmeans_fit_assign(
             vecs.join(assigned, vecs[id_col] == assigned.id)
             .select("cluster", F.posexplode(vec_col).alias("dim", "x"))
             .groupBy("cluster", "dim")
-            .agg(F.avg(F.col("x").cast("double")).alias("c"))
+            # Round centroid components: F.avg over doubles is not
+            # merge-order deterministic, and an unrounded 1-ulp drift could
+            # flip a near-tied argmax between runs — 6dp absorbs it (same
+            # discipline as the oracle-checked nearest_centroid_assign).
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
             .groupBy("cluster")
             .agg(
                 F.transform(

@@ -218,7 +218,11 @@ _HIST_MOD = 5  # doc_id % 5 == 0 plays the already-ingested historical corpus
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
         FROM documents WHERE doc_id % {_HIST_MOD} <> 0),
     unseen AS (
-        SELECT * FROM fresh WHERE fp NOT IN (SELECT fp FROM hist)),
+        -- NOT EXISTS, not NOT IN: one NULL fingerprint in hist would make
+        -- NOT IN never-true (three-valued logic), while Spark's left_anti
+        -- keeps NULL-keyed rows; NOT EXISTS matches left_anti semantics.
+        SELECT * FROM fresh f0
+        WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = f0.fp)),
     keep AS (
         SELECT fp, min(doc_id) AS doc_id FROM unseen GROUP BY fp)
     SELECT f.source,

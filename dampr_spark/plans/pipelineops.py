@@ -593,7 +593,7 @@ def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
                CASE WHEN a.doc_id IS NULL THEN 'added'
                     WHEN b.doc_id IS NULL THEN 'removed'
-                    WHEN a.fp <> b.fp THEN 'changed'
+                    WHEN a.fp IS DISTINCT FROM b.fp THEN 'changed'
                     ELSE 'unchanged' END AS change_type
         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
     SELECT change_type, CAST(count(*) AS BIGINT) AS n_docs
@@ -613,7 +613,10 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB both snapshots are id-bucketed on disk, making the outer join
     exchange-free (operators/bucketing)."""
     d = _t(spark, sf_dir, "documents")
-    a = d.select("doc_id", F.md5("text").alias("fp"))
+    # Presence markers, NOT fp nullness, decide added/removed — the oracle
+    # keys on doc_id IS NULL, and md5(NULL text) would otherwise misclassify
+    # a NULL-text row present in both snapshots as added+removed.
+    a = d.select("doc_id", F.md5("text").alias("fp"), F.lit(True).alias("a_in"))
     b = (
         d.filter(F.col("doc_id") % 11 != 0)
         .select(
@@ -629,11 +632,12 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.md5(F.concat("text", F.lit(" new"))).alias("fp"),
             )
         )
+        .select("doc_id", "fp", F.lit(True).alias("b_in"))
     )
     j = a.alias("a").join(b.alias("b"), "doc_id", "full_outer").select(
-        F.when(F.col("a.fp").isNull(), "added")
-        .when(F.col("b.fp").isNull(), "removed")
-        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        F.when(F.col("a.a_in").isNull(), "added")
+        .when(F.col("b.b_in").isNull(), "removed")
+        .when(~F.col("a.fp").eqNullSafe(F.col("b.fp")), "changed")
         .otherwise("unchanged")
         .alias("change_type")
     )

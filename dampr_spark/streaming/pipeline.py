@@ -38,7 +38,17 @@ def read_events_stream(
     a timestamp) — the conversion branches on what actually landed, same as
     sources/readers.read_table."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:
+        # Empty landing directory (stream started before the first file
+        # lands — the normal continuous-ingestion case): fall back to the
+        # documented events schema; late-landing files of either timestamp
+        # flavor still convert below on the first non-empty micro-batch.
+        schema = (
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -292,11 +302,17 @@ def incremental_dedup_stream(
             hist = spark.read.parquet(history_dir)
         except AnalysisException:
             hist = spark.createDataFrame([], "fp string")
-        kept = drop_seen_exact(batch_df, hist, text_col, id_col)
-        kept.write.mode("append").parquet(out_dir)
-        kept.select(fingerprint(text_col).alias("fp")).write.mode("append").parquet(
-            history_dir
-        )
+        # Persist the survivors: two writes consume them, and without the
+        # pin the whole anti-join + min-id plan would execute twice — with
+        # the second run re-reading history_dir WHILE appending to it.
+        kept = drop_seen_exact(batch_df, hist, text_col, id_col).persist()
+        try:
+            kept.write.mode("append").parquet(out_dir)
+            kept.select(fingerprint(text_col).alias("fp")).write.mode(
+                "append"
+            ).parquet(history_dir)
+        finally:
+            kept.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(handle)

@@ -572,3 +572,16 @@ def test_audio_segments(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|audio codec"):
         multimodal.audio_segments(media, fake=False).collect()
+
+
+def test_audio_segments_zero_duration(spark):
+    """Unknown/zero duration: one whole-clip segment with an honest [0,0]
+    span, not a phantom 1 ms segment."""
+    from dampr_spark.operators import multimodal
+
+    rows = [(8, "audio", b"payload", "audio/wav", None, None, 0)]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    segs = multimodal.audio_segments(media, segment_ms=5000, fake=True).collect()
+    assert [(s.seg_id, s.start_ms, s.end_ms, s.n_bytes) for s in segs] == [
+        (0, 0, 0, 7)
+    ]

@@ -295,3 +295,14 @@ def test_incremental_dedup_stream(spark, sf_dir, tmp_path_factory):
     first_seen = {r.text: r.doc_id for r in rows[: 2 * third]}
     for r in kept:
         assert r.doc_id == first_seen[r.text]
+
+
+def test_read_events_stream_empty_directory(spark, tmp_path_factory):
+    """Starting the stream BEFORE any file lands (the normal
+    continuously-landing case) must not crash on schema inference."""
+    d = tmp_path_factory.mktemp("empty_landing")
+    stream = streaming.read_events_stream(spark, str(d))
+    res = streaming.run_to_memory(
+        stream.select("event_id"), "empty_dir_test", mode="append"
+    )
+    assert res.count() == 0
