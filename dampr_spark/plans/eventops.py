@@ -475,3 +475,54 @@ def rolling_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_trailing"),
         F.round(F.avg("value").over(w), 6).alias("avg_trailing"),
     )
+
+
+@register(
+    "conversion_lag_quantiles",
+    oracle="""
+    WITH lags AS (
+        SELECT p.user_id,
+               date_diff('microsecond', c.ts, p.ts) / 1000000.0 AS lag_secs
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts)
+    SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+           round(quantile_cont(lag_secs, 0.5), 6) AS p50_secs,
+           round(quantile_cont(lag_secs, 0.9), 6) AS p90_secs,
+           round(quantile_cont(lag_secs, 0.99), 6) AS p99_secs
+    FROM lags
+    """,
+    tags=("events", "asof", "stats", "extension"),
+)
+def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion-lag distribution: as-of join each purchase
+    to its most recent prior click (inner: unconverted purchases drop),
+    then exact p50/p90/p99 of the lag — the funnel-latency report. Composes
+    the as-of operator with the percentile aggregate; both already
+    oracle-proven separately."""
+    from dampr_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    lags = (
+        asof_join(p, c, on=["user_id"], ts_col="ts", right_cols=["click_id"])
+        .filter(F.col("asof_click_id").isNotNull())
+        .select(
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+            ).cast("double").alias("us")
+        )
+        .select((F.col("us") / 1_000_000.0).alias("lag_secs"))
+    )
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.percentile("lag_secs", F.lit(0.5)), 6).alias("p50_secs"),
+        F.round(F.percentile("lag_secs", F.lit(0.9)), 6).alias("p90_secs"),
+        F.round(F.percentile("lag_secs", F.lit(0.99)), 6).alias("p99_secs"),
+    )

@@ -763,3 +763,124 @@ def corpus_apply_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("total_chars"),
     )
+
+
+_MIX_TEMPERATURE = 0.7  # the multilingual-sampling temperature exponent
+
+
+@register(
+    "temperature_mix_weights",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang),
+    shares AS (
+        SELECT lang, n_docs,
+               n_docs * 1.0 / sum(n_docs) OVER () AS p
+        FROM cells)
+    SELECT lang, n_docs,
+           round(p, 6) AS raw_share,
+           round(pow(p, {_MIX_TEMPERATURE})
+                 / sum(pow(p, {_MIX_TEMPERATURE})) OVER (), 6) AS temp_share,
+           round((pow(p, {_MIX_TEMPERATURE})
+                 / sum(pow(p, {_MIX_TEMPERATURE})) OVER ()) / p, 6) AS up_weight
+    FROM shares
+    """,
+    tags=("text", "pipeline", "sampling", "extension"),
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language sampling (the multilingual-training mix:
+    sample language i with probability ∝ p_i^T, T=0.7): raw share,
+    temperature-flattened share, and the per-doc up-weight each language
+    gets. Same tiny-aggregate+window shape as lang_rebalance_weights —
+    uniform is the T→0 limit, raw sampling is T=1."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    p = F.col("n_docs") / F.sum("n_docs").over(w)
+    pt = F.pow(p, F.lit(_MIX_TEMPERATURE))
+    temp_share = pt / F.sum(pt).over(w)
+    return cells.select(
+        "lang",
+        "n_docs",
+        F.round(p, 6).alias("raw_share"),
+        F.round(temp_share, 6).alias("temp_share"),
+        F.round(temp_share / p, 6).alias("up_weight"),
+    )
+
+
+@register(
+    "doc_rarity_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents WHERE text IS NOT NULL),
+    dfreq AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           round(avg(ln(n.n_docs * 1.0 / d.df)), 6) AS rarity
+    FROM tok t JOIN dfreq d USING (token) CROSS JOIN n
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "pipeline", "scoring", "extension"),
+)
+def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document rarity scoring: mean IDF of a document's distinct tokens —
+    the cheap self-information proxy that surfaces documents made of rare
+    vocabulary (high) vs boilerplate (low), used to bias training mixes
+    toward informative text.
+
+    Scale shape: one explode feeds BOTH the per-token document frequencies
+    (tiny: |vocab| rows, broadcast back) and the per-doc aggregate; the
+    1-row corpus count broadcasts. Two narrow shuffles total."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
+    )
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tok.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.round(F.avg(F.log(F.col("n_docs") / F.col("df"))), 6).alias("rarity"),
+        )
+    )
+
+
+@register(
+    "train_val_test_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT source,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+    SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM tagged GROUP BY source, split
+    """,
+    tags=("pipeline", "sampling", "extension"),
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-stable
+    hash (first md5 byte: < 0xcd → train ≈ 205/256, < 0xe6 → val ≈ 25/256,
+    else test ≈ 26/256) — the split every supervised pipeline needs, stable
+    across engines/reruns/shards so no document ever migrates between
+    splits. Zero-shuffle as a tag; one aggregate for the per-source audit
+    emitted here."""
+    d = _t(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
+    )
+    return d.groupBy("source", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
