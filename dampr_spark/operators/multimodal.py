@@ -189,9 +189,12 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> 
                 )
             ids, offs, feats = [], [], []
             for _, row in pdf.iterrows():
-                dur = row["duration_ms"] or 0
+                # Nullable LongType arrives in pandas as float64 with NaN —
+                # NaN is truthy, so `or 0` can't guard it; pd.isna can.
+                v = row["duration_ms"]
+                dur = 0 if pd.isna(v) else int(v)
                 content = row["content"] or b""
-                for off in range(0, max(int(dur), 1), every_ms):
+                for off in range(0, max(dur, 1), every_ms):
                     ids.append(row["media_id"])
                     offs.append(off)
                     feats.append(
@@ -234,7 +237,10 @@ def audio_segments(
                 )
             ids, segs, starts, ends, sizes, feats = [], [], [], [], [], []
             for _, row in pdf.iterrows():
-                dur = int(row["duration_ms"] or 0)
+                # NULL duration_ms surfaces as NaN (truthy!) in pandas; take
+                # the documented unknown-duration path instead of crashing.
+                v = row["duration_ms"]
+                dur = 0 if pd.isna(v) else int(v)
                 content = row["content"] or b""
                 if dur <= 0:
                     # Unknown/zero duration: one whole-clip segment with an

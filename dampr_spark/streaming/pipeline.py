@@ -42,11 +42,15 @@ def read_events_stream(
         schema = spark.read.parquet(path).schema
     except Exception:
         # Empty landing directory (stream started before the first file
-        # lands — the normal continuous-ingestion case): fall back to the
-        # documented events schema; late-landing files of either timestamp
-        # flavor still convert below on the first non-empty micro-batch.
+        # lands — the normal continuous-ingestion case): fall back to
+        # ``ts long``, which reads BOTH flavors (a TIMESTAMP(NANOS) file
+        # arrives as a nanosecond long under nanosAsLong=true; a
+        # TIMESTAMP(MICROS) file is read as its raw microsecond long against
+        # a declared long column — measured, not assumed). A ``ts
+        # timestamp`` fallback would hard-fail on a late-landing NANOS file.
+        # The unit is disambiguated per-value below.
         schema = (
-            "event_id long, ts timestamp, user_id long, event_type string, "
+            "event_id long, ts long, user_id long, event_type string, "
             "value double, props string"
         )
     reader = spark.readStream.schema(schema)
@@ -57,7 +61,14 @@ def read_events_stream(
     # raw long (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); sessions run in UTC so
     # the wall-clock values still line up with the batch reader's NTZ column.
     if dict(raw.dtypes).get("ts") == "bigint":
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # A long ts is nanos (inferred NANOS schema) or micros (empty-dir
+        # fallback over a MICROS file). Epoch magnitude separates them
+        # exactly for any timestamp between 1973 and 5138: micros for the
+        # current era are ~1.8e15, nanos ~1.8e18; threshold 1e17.
+        micros = F.when(
+            F.col("ts") > F.lit(10**17), F.expr("ts div 1000")
+        ).otherwise(F.col("ts"))
+        return raw.withColumn("ts", F.timestamp_micros(micros))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
@@ -183,7 +194,13 @@ def session_finalize(
             yield _emit(key, state.get)
             state.remove()
             return
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        # Sort on (ts, event_id), not ts alone: pandas' default quicksort is
+        # unstable, so same-microsecond events would order nondeterministically
+        # and first_type/last_type could diverge from the batch comparator,
+        # which tie-breaks with min_by/max_by over struct(ts, event_id).
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
         st = state.get if state.exists else None
         for r in rows.itertuples(index=False):
             ts_us = r.ts.value // 1000  # pandas ns -> µs (state holds longs)

@@ -585,3 +585,28 @@ def test_audio_segments_zero_duration(spark):
     assert [(s.seg_id, s.start_ms, s.end_ms, s.n_bytes) for s in segs] == [
         (0, 0, 0, 7)
     ]
+
+
+def test_audio_segments_null_duration(spark):
+    """NULL duration_ms (what documents_as_media emits) reaches pandas as
+    NaN in a float64 column — NaN is truthy, so `or 0` can't guard it; the
+    unknown-duration path must still fire instead of ValueError."""
+    from dampr_spark.operators import multimodal
+
+    rows = [(9, "audio", b"nulldur", "audio/wav", None, None, None)]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    segs = multimodal.audio_segments(media, segment_ms=5000, fake=True).collect()
+    assert [(s.seg_id, s.start_ms, s.end_ms, s.n_bytes) for s in segs] == [
+        (0, 0, 0, 7)
+    ]
+
+
+def test_frame_sample_null_duration(spark):
+    """Same NaN-duration guard for video: a NULL-duration clip yields the
+    single frame at offset 0 (max(dur,1) floor), not a crash."""
+    from dampr_spark.operators import multimodal
+
+    rows = [(10, "video", b"nulldurvid", "video/mp4", None, None, None)]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    frames = multimodal.frame_sample(media, every_ms=1000, fake=True).collect()
+    assert [f.frame_ms for f in frames] == [0]

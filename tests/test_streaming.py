@@ -306,3 +306,38 @@ def test_read_events_stream_empty_directory(spark, tmp_path_factory):
         stream.select("event_id"), "empty_dir_test", mode="append"
     )
     assert res.count() == 0
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_read_events_stream_empty_dir_then_late_file(
+    spark, tmp_path_factory, unit
+):
+    """The empty-dir fallback schema is fixed at stream-definition time; a
+    file of EITHER timestamp flavor landing afterwards must still read and
+    convert to the same wall-clock instant (the fixture has shipped both
+    TIMESTAMP(MICROS) and TIMESTAMP(NANOS) across rounds)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime
+
+    d = tmp_path_factory.mktemp(f"late_landing_{unit}")
+    # Define the stream while the directory is empty -> fallback schema.
+    stream = streaming.read_events_stream(spark, str(d))
+    when = datetime.datetime(2026, 3, 1, 12, 30, 45)
+    table = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([when], pa.timestamp(unit)),
+            "user_id": pa.array([7], pa.int64()),
+            "event_type": pa.array(["click"]),
+            "value": pa.array([1.5], pa.float64()),
+            "props": pa.array(["{}"]),
+        }
+    )
+    pq.write_table(table, str(d / "late.parquet"))
+    res = streaming.run_to_memory(
+        stream.select("event_id", "ts"), f"late_file_{unit}", mode="append"
+    )
+    rows = res.collect()
+    assert len(rows) == 1
+    assert rows[0].ts.replace(tzinfo=None) == when
