@@ -15,7 +15,18 @@ from dampr_spark.operators import dedup, multimodal, similarity
 from dampr_spark.plans.catalog import register
 from dampr_spark.sources.readers import read_table as _t
 
-_NGRAM_ORACLE = """
+# Hot-gram posting cap for the REGISTERED query: grams shared by more than
+# this many docs are dropped before pairing on BOTH engines (the identical
+# HAVING filter below), so the result stays hash-exact while the worst
+# per-gram fan-out is bounded at C(64,2) pairs. 64 sits above the corpus's
+# organic max posting (~25 in r4), so on current data the capped output
+# equals the uncapped one — the cap only bites adversarial/stopword grams,
+# which at 100 TB would otherwise emit k² pairs into a single task
+# (operators/dedup.py:660 documents the skew math;
+# tests/test_dedup.py::test_ngram_hot_gram_cap pins cap-above-max == no-op).
+_NGRAM_MAX_POSTING = 64
+
+_NGRAM_ORACLE = f"""
 WITH grams AS (
   SELECT doc_id AS id,
          unnest(list_distinct(list_transform(
@@ -24,9 +35,12 @@ WITH grams AS (
   FROM documents
 ),
 sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY id),
+keep AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING count(*) BETWEEN 2 AND {_NGRAM_MAX_POSTING}),
 shared AS (
   SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
-  FROM grams a JOIN grams b USING (gram)
+  FROM grams a JOIN keep USING (gram) JOIN grams b USING (gram)
   WHERE a.id < b.id
   GROUP BY 1, 2)
 SELECT id_a, id_b,
@@ -41,9 +55,14 @@ WHERE inter / (sa.n_grams + sb.n_grams - inter) >= 0.1
 @register("ngram_jaccard_dups", oracle=_NGRAM_ORACLE, tags=("dedup", "extension"))
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (posting-list self-join) —
-    the non-approximate dedup baseline, fully oracle-checked."""
+    the non-approximate dedup baseline, fully oracle-checked. Registered
+    WITH the hot-gram posting cap (mirrored in the oracle's HAVING) so the
+    flagship plan is the scale-safe one."""
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.1
+        _t(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.1,
+        max_posting=_NGRAM_MAX_POSTING,
     )
 
 
