@@ -69,7 +69,12 @@ def _load_all() -> None:
 #
 # The history is UNION(static seed below, every hash-green row in the
 # CORRECTNESS_r*.json files the driver writes at the repo root) — so the
-# window rotates itself each round without a manual list update.
+# window rotates itself each round without a manual list update. Within the
+# previously-green rank the refill order is STALENESS, not registration:
+# testdata regenerates every round, so a query last hash-checked in r1 can
+# silently rot on new data; the longest-unchecked greens must win the spare
+# slots. Each name therefore carries the LATEST round it was hash-green in
+# (static-seed-only names count as round 0 = maximally stale).
 _STATIC_GREEN_HISTORY = frozenset(
     {
         "ngram_jaccard_dups", "embedding_cosine_dups", "events_hourly",
@@ -110,49 +115,70 @@ _STATIC_GREEN_HISTORY = frozenset(
 )
 
 
-_HISTORY_CACHE: frozenset[str] | None = None
+_HISTORY_CACHE: dict[str, int] | None = None
 
 
-def _driver_green_history() -> frozenset[str]:
+def _merge_green_rounds(
+    rounds: dict[int, dict], seed: frozenset[str] = _STATIC_GREEN_HISTORY
+) -> dict[str, int]:
+    """Pure core of the history: {round_number: parsed CORRECTNESS json} →
+    {query name: latest round it was hash-green in}. Seed names absent from
+    every file get round 0 (maximally stale, so they refill first)."""
+    latest: dict[str, int] = {name: 0 for name in seed}
+    for rnd, data in rounds.items():
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            if isinstance(rec, dict) and rec.get("hash_match"):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _driver_green_history() -> dict[str, int]:
     """Static seed ∪ every hash-green entry of the driver's recorded
-    CORRECTNESS_r*.json rounds (repo root, two levels above this file).
-    Unreadable/absent files are skipped — ordering degrades gracefully to
-    the static seed."""
+    CORRECTNESS_r*.json rounds (repo root, two levels above this file),
+    keeping the LATEST green round per query name. Unreadable/absent files
+    are skipped — ordering degrades gracefully to the static seed."""
     global _HISTORY_CACHE
     if _HISTORY_CACHE is not None:
         return _HISTORY_CACHE
     import glob
     import json
     import os
+    import re
 
-    names = set(_STATIC_GREEN_HISTORY)
+    rounds: dict[int, dict] = {}
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
         try:
             with open(path) as f:
-                data = json.load(f)
+                rounds[int(m.group(1))] = json.load(f)
         except (OSError, ValueError):
             continue
-        if not isinstance(data, dict):
-            continue
-        for name, rec in data.items():
-            if isinstance(rec, dict) and rec.get("hash_match"):
-                names.add(name)
-    _HISTORY_CACHE = frozenset(names)
+    _HISTORY_CACHE = _merge_green_rounds(rounds)
     return _HISTORY_CACHE
 
 
-def _window_rank(q: CatalogQuery) -> int:
+def _window_key(q: CatalogQuery) -> tuple[int, int]:
+    """Sort key: (rank, staleness). Rank 0 = oracle-backed never checked,
+    rank 1 = previously green (ordered oldest-last-green first — the
+    longest-unchecked query is the likeliest to have rotted on regenerated
+    data), rank 2 = rows-only. Sort is stable → registration order breaks
+    ties within a (rank, round) cell."""
     if q.oracle is None:
-        return 2  # rows-only: never spends a hash-checkable slot
-    if q.name in _driver_green_history():
-        return 1  # already externally verified; re-check if room remains
-    return 0  # oracle-backed, never driver-checked: front of the window
+        return (2, 0)  # rows-only: never spends a hash-checkable slot
+    history = _driver_green_history()
+    if q.name in history:
+        return (1, history[q.name])
+    return (0, 0)  # oracle-backed, never driver-checked: front of the window
 
 
 def all_queries() -> dict[str, CatalogQuery]:
     _load_all()
-    ordered = sorted(_REGISTRY.values(), key=_window_rank)  # stable within rank
+    ordered = sorted(_REGISTRY.values(), key=_window_key)  # stable within key
     return {q.name: q for q in ordered}
 
 

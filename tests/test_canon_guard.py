@@ -64,3 +64,38 @@ def test_window_ordering_prefers_unchecked_oracles():
     assert ranks == sorted(ranks), "catalog order must be rank-sorted"
     # History parsing actually found the driver's recorded rounds.
     assert len(hist) >= 92
+
+
+def test_merge_green_rounds_keeps_latest_round():
+    """Synthetic history: the merge keeps the LATEST hash-green round per
+    name, ignores non-green rows, and seeds static-only names at round 0
+    (maximally stale)."""
+    from dampr_spark.plans.catalog import _merge_green_rounds
+
+    rounds = {
+        1: {"a": {"hash_match": True}, "b": {"hash_match": True}},
+        3: {"b": {"hash_match": True}, "c": {"hash_match": True}},
+        4: {"c": {"hash_match": False}, "d": {"hash_match": True}},
+    }
+    hist = _merge_green_rounds(rounds, seed=frozenset({"e", "a"}))
+    assert hist == {"a": 1, "b": 3, "c": 3, "d": 4, "e": 0}
+
+
+def test_window_refill_orders_stalest_green_first():
+    """Within the previously-green rank, refill slots go to the
+    longest-unchecked queries first: testdata regenerates every round, so a
+    green from r1 is the likeliest to have silently rotted. The catalog
+    order must be non-decreasing in last-green round across rank 1."""
+    from dampr_spark.plans.catalog import _driver_green_history, all_queries
+
+    qs = list(all_queries().values())
+    hist = _driver_green_history()
+    green_rounds = [
+        hist[q.name] for q in qs if q.oracle is not None and q.name in hist
+    ]
+    assert green_rounds == sorted(green_rounds), (
+        "rank-1 refill must be staleness-ordered (oldest last-green first)"
+    )
+    # With the real CORRECTNESS_r*.json history this test has teeth: greens
+    # span multiple rounds, so a registration-ordered refill would fail.
+    assert len(set(green_rounds)) >= 2
