@@ -269,3 +269,344 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.filter(F.col("doc_id") % _HIST_MOD != 0)
     kept = dedup.drop_seen_exact(new, hist_fps)
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# Hash-checkable invariant companions for the oracle-less approximate ops.
+#
+# The approximate dedup/ANN/clustering queries are hash-seed dependent, so
+# their outputs can never hash-match a DuckDB oracle. These companions
+# externalize their INVARIANTS instead, following the proven
+# each-engine-asserts-its-own-estimate pattern of sample_fraction_check /
+# approx_quantile_check: each query emits (a) exact values BOTH engines
+# compute independently (hash-compared for real), and (b) booleans that
+# assert the approximate operator's contract Spark-side — precision of the
+# emitted pairs re-derived from scratch, recall against an exact brute-force
+# audit, run-to-run label agreement — with the oracle pinning the expected
+# outcome. A recall regression, a verify-step bug, or nondeterminism flips a
+# boolean and fails the driver's hash compare.
+#
+# Scale note on the audit subsets: exact recall can't be computed on a full
+# 100 TB corpus (that's why the LSH operators exist) — the standard
+# production design is a bounded fixed-rate audit sample. Here the subset is
+# `doc_id % 2 = 0` (deterministic, cross-engine); at real scale the modulus
+# grows with the corpus so the audited set stays O(10^4) rows and the
+# brute-force pair compare stays a single broadcast-join task set.
+# ---------------------------------------------------------------------------
+
+
+_MINHASH_AUDIT_ORACLE = """
+WITH aud AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+            range(1, greatest(length(text) - 4, 1) + 1),
+            i -> text[i:i+4])) AS sh
+  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+ex AS (
+  SELECT len(list_intersect(a.sh, b.sh))::DOUBLE
+           / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1)
+           AS j
+  FROM aud a JOIN aud b ON a.id < b.id)
+SELECT CAST(count(*) FILTER (j >= 0.8) AS BIGINT)  AS n_exact_pairs,
+       CAST(count(*) FILTER (j >= 0.95) AS BIGINT) AS n_high_pairs,
+       TRUE                                        AS high_recall_ok,
+       CAST(0 AS BIGINT)                           AS n_violations
+FROM ex
+"""
+
+
+@register(
+    "minhash_audit_check",
+    oracle=_MINHASH_AUDIT_ORACLE,
+    tags=("dedup", "invariant", "extension"),
+)
+def minhash_audit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Externally-verified invariants of `minhash_lsh_dedup` (whose own pair
+    set is hash-seed dependent → rows-only):
+
+    - ``n_exact_pairs`` / ``n_high_pairs`` — exact char-5-shingle Jaccard
+      pair counts (≥0.8 / ≥0.95) on the deterministic audit half
+      (`doc_id % 2 = 0`), brute-forced independently by BOTH engines and
+      hash-compared for real.
+    - ``high_recall_ok`` — every audit pair at J ≥ 0.95 appears in the
+      MinHash output. At J ≥ 0.95 the tuned banding's per-pair collision
+      probability is ≥ 1 − (1 − 0.95^r)^b ≈ 0.9998, so this is the
+      structurally-guaranteed recall band (J-=0.8 boundary pairs are
+      counted but not asserted — their collision probability is ~0.77 by
+      design of threshold-tuned banding).
+    - ``n_violations`` — emitted pairs whose exact Jaccard, RE-DERIVED from
+      the raw text (not the pipeline's own verify column), rounds below the
+      threshold. Must be 0: the verify step makes emission exact.
+    """
+    d = _t(spark, sf_dir, "documents")
+    mh = dedup.minhash_lsh_dedup(d, threshold=0.8).localCheckpoint(eager=True)
+
+    aud = d.filter((F.col("doc_id") % 2 == 0) & F.col("text").isNotNull())
+    sh = aud.select(
+        F.col("doc_id").alias("id"), dedup.char_shingles("text", 5).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", dedup.jaccard(F.col("sh_a"), F.col("sh_b")).alias("j")
+        )
+        .filter(F.col("j") >= 0.8)
+        .localCheckpoint(eager=True)
+    )
+    ex_agg = exact.agg(
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        # coalesce: SUM over zero rows is NULL, the oracle's filtered count is 0
+        F.coalesce(F.sum(F.when(F.col("j") >= 0.95, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_high_pairs"),
+    )
+    missed = (
+        exact.filter(F.col("j") >= 0.95)
+        .join(mh, ["id_a", "id_b"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_missed"))
+    )
+    # Precision re-verification mirrors the emission predicate (rounded-6dp
+    # Jaccard ≥ threshold) so a boundary pair like 0.7999996 — emitted
+    # because it rounds to 0.8 — is not miscounted as a violation.
+    full_sh = d.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("id"), dedup.char_shingles("text", 5).alias("sh")
+    )
+    rev = (
+        mh.join(
+            full_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("va")), "id_a"
+        )
+        .join(
+            full_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("vb")), "id_b"
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.round(dedup.jaccard(F.col("va"), F.col("vb")), 6) < 0.8, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_violations")
+        )
+    )
+    return (
+        ex_agg.crossJoin(F.broadcast(missed))
+        .crossJoin(F.broadcast(rev))
+        .select(
+            "n_exact_pairs",
+            "n_high_pairs",
+            (F.col("n_missed") == 0).alias("high_recall_ok"),
+            F.coalesce(F.col("n_violations"), F.lit(0).cast("long")).alias(
+                "n_violations"
+            ),
+        )
+    )
+
+
+@register(
+    "embedding_lsh_check",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           TRUE                     AS recall_ok,
+           CAST(0 AS BIGINT)        AS n_violations
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.4
+    """,
+    tags=("dedup", "vector", "invariant", "extension"),
+)
+def embedding_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Externally-verified invariants of `embedding_near_dups` (hyperplane
+    LSH — hash-dependent pair set → rows-only):
+
+    - ``n_exact_pairs`` — the brute-force cosine ≥ 0.4 pair count, computed
+      exactly by both engines (the same predicate the hash-green
+      `embedding_cosine_dups` already proves cross-engine).
+    - ``recall_ok`` — the LSH pair set covers ≥ 90% of the exact pairs
+      (expected recall ≈ 0.97 at 3 planes × 12 tables; the pytest floor).
+    - ``n_violations`` — LSH-emitted pairs whose cosine, re-derived from the
+      embeddings, rounds below 0.4. Must be 0 (in-bucket verify is exact).
+    """
+    from dampr_spark.functions.vector import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    exact = dedup.embedding_cosine_dups(e, threshold=0.4).localCheckpoint(eager=True)
+    lsh = similarity.RandomHyperplaneLSH(dim=64, n_planes=3, n_tables=12)
+    lp = lsh.bucketed_pairs(e, threshold=0.4).localCheckpoint(eager=True)
+
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_found = exact.join(lp, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    rev = (
+        lp.join(ea, "id_a")
+        .join(eb, "id_b")
+        .agg(
+            F.sum(
+                F.when(F.round(cosine(F.col("va"), F.col("vb")), 6) < 0.4, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_violations")
+        )
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_found))
+        .crossJoin(F.broadcast(rev))
+        .select(
+            "n_exact_pairs",
+            (F.col("n_found") >= 0.9 * F.col("n_exact_pairs")).alias("recall_ok"),
+            F.coalesce(F.col("n_violations"), F.lit(0).cast("long")).alias(
+                "n_violations"
+            ),
+        )
+    )
+
+
+@register(
+    "simhash_audit_check",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs_audit,
+           TRUE                     AS all_found_ok,
+           CAST(0 AS BIGINT)        AS n_violations
+    FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
+    """,
+    tags=("dedup", "invariant", "extension"),
+)
+def simhash_audit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Externally-verified invariants of `simhash_dedup` (seeded token
+    hashing → rows-only). SimHash values exist only Spark-side, so the
+    cross-engine hash-compared value is the audit-subset size; the booleans
+    carry the contract:
+
+    - ``all_found_ok`` — a brute-force all-pairs hamming scan over the audit
+      half (`doc_id % 2 = 0`) recomputes signatures independently and checks
+      every pair at hamming ≤ 3 appears in the banded pipeline's output.
+      This is the pigeonhole completeness guarantee (≤3 flipped bits over 4
+      bands leave ≥1 band identical) — a banding or bucketing bug breaks it.
+    - ``n_violations`` — emitted pairs whose recomputed hamming exceeds the
+      threshold. Must be 0.
+    """
+    d = _t(spark, sf_dir, "documents")
+    emitted = dedup.simhash_dedup(d, max_hamming=3).localCheckpoint(eager=True)
+
+    n_bands = 4
+    tok_hashes = F.transform(
+        F.array_distinct(F.split(F.col("text"), " ")), lambda t: F.xxhash64(t)
+    )
+    aud = (
+        d.filter((F.col("doc_id") % 2 == 0) & F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").alias("id"),
+            dedup.simhash_bands_udf()(tok_hashes).alias("sh"),
+        )
+        .select(
+            "id", *[F.col("sh")[i].alias(f"b{i}") for i in range(n_bands)]
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = aud.select(
+        F.col("id").alias("id_a"), *[F.col(f"b{i}").alias(f"a_b{i}") for i in range(n_bands)]
+    )
+    c = aud.select(
+        F.col("id").alias("id_b"), *[F.col(f"b{i}").alias(f"c_b{i}") for i in range(n_bands)]
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a_b{i}").bitwiseXOR(F.col(f"c_b{i}")))
+        for i in range(n_bands)
+    )
+    brute = (
+        a.join(c, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("h"))
+        .filter(F.col("h") <= 3)
+    )
+    n_audit = d.filter(
+        (F.col("doc_id") % 2 == 0) & F.col("text").isNotNull()
+    ).agg(F.count(F.lit(1)).alias("n_docs_audit"))
+    missed = brute.join(emitted, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missed")
+    )
+    # Re-verify emitted pairs against independently recomputed signatures
+    # (full corpus, not just the audit half).
+    full = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").alias("id"),
+            dedup.simhash_bands_udf()(tok_hashes).alias("sh"),
+        )
+        .select("id", *[F.col("sh")[i].alias(f"b{i}") for i in range(n_bands)])
+    )
+    rev = (
+        emitted.join(
+            full.select(
+                F.col("id").alias("id_a"),
+                *[F.col(f"b{i}").alias(f"a_b{i}") for i in range(n_bands)],
+            ),
+            "id_a",
+        )
+        .join(
+            full.select(
+                F.col("id").alias("id_b"),
+                *[F.col(f"b{i}").alias(f"c_b{i}") for i in range(n_bands)],
+            ),
+            "id_b",
+        )
+        .agg(
+            F.sum(F.when(hamming > 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations")
+        )
+    )
+    return (
+        n_audit.crossJoin(F.broadcast(missed))
+        .crossJoin(F.broadcast(rev))
+        .select(
+            "n_docs_audit",
+            (F.col("n_missed") == 0).alias("all_found_ok"),
+            F.coalesce(F.col("n_violations"), F.lit(0).cast("long")).alias(
+                "n_violations"
+            ),
+        )
+    )
+
+
+@register(
+    "kmeans_agreement_check",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           TRUE                     AS all_assigned_ok,
+           TRUE                     AS deterministic_ok
+    FROM embeddings
+    """,
+    tags=("vector", "clustering", "invariant", "extension"),
+)
+def kmeans_agreement_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Externally-verified invariants of `kmeans_clusters` (iterative float
+    argmax → rows-only): two INDEPENDENT fit+assign runs over the embeddings
+    must agree on every label (deterministic seeding + 6dp-rounded centroid
+    recompute make Lloyd's iterations reproducible), and every vector must
+    receive a label. ``n_vecs`` is the cross-engine hash-compared value.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    a1 = similarity.kmeans_fit_assign(e, k=8, iters=2)
+    a2 = similarity.kmeans_fit_assign(e, k=8, iters=2)
+    n_vecs = e.agg(F.count(F.lit(1)).alias("n_vecs"))
+    joined = a1.select("id", F.col("cluster").alias("c1")).join(
+        a2.select("id", F.col("cluster").alias("c2")), "id"
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_joined"),
+        F.sum(F.when(F.col("c1") != F.col("c2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_disagree"),
+    )
+    return n_vecs.crossJoin(F.broadcast(agg)).select(
+        "n_vecs",
+        (F.coalesce(F.col("n_joined"), F.lit(0)) == F.col("n_vecs")).alias(
+            "all_assigned_ok"
+        ),
+        (F.coalesce(F.col("n_disagree"), F.lit(0).cast("long")) == 0).alias(
+            "deterministic_ok"
+        ),
+    )
