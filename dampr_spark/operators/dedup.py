@@ -29,13 +29,24 @@ from pyspark.sql import functions as F
 from dampr_spark.functions.text import fingerprint
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the input has fewer partitions than the
+    """Round-robin repartition when the input has fewer source files than the
     cluster has slots. A small corpus read from one parquet file arrives as
     ONE partition, serializing every per-row signature/shingle pass onto a
     single core (measured 4× on the sf0.1 bench); at real scale inputs
-    already carry thousands of partitions and this is a no-op."""
+    already carry thousands of files and this is a no-op.
+
+    Deliberately consults ``df.inputFiles()`` (a FileIndex listing), NOT
+    ``df.rdd.getNumPartitions()``: the RDD conversion builds a whole
+    deserialized-row physical plan on every call — a driver-side planning tax
+    on the hot constructor path of every dedup query — and is unavailable
+    under Spark Connect. The file count slightly underestimates partitions
+    when maxPartitionBytes splits big files; the only cost of that is one
+    extra round-robin shuffle of a corpus small enough to live in few files.
+    Non-file-backed inputs (in-memory test frames) report zero files and are
+    left alone — local relations already parallelize across the session
+    default."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if 0 < len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 
