@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step itself is STUBBED (`pillow`/`ffmpeg`/`librosa` are not in
-this container): :func:`decode_image` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (seeded by the
-content hash) produces stable pseudo-features. Everything Spark-side — the
-media schema, batch iteration shape, partition sizing, UDF signatures — is
-real and tested, so swapping in a real codec is a one-function change.
+Decode is REAL when the optional codec libraries are importable on the
+executors (pillow for images, PyAV for audio/video) and honestly stubbed
+otherwise: with no codec lib and ``fake=False`` the operators raise
+``NotImplementedError`` at execution time; ``fake=True`` always selects the
+hermetic deterministic fake decoder (seeded by the content hash), which is
+what the catalog queries and tests in this container use. The probe happens
+inside the mapInPandas body — i.e. on the EXECUTOR, where the library must
+actually live — so a driver-only install can't lie about cluster capability.
+Real-decode tests auto-skip when the libraries are absent
+(tests/test_dedup.py::test_real_image_decode).
 
 Scale notes:
 - media bytes stay in executors end-to-end (mapInPandas streams Arrow record
@@ -76,6 +80,77 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def _pil_image():
+    """``PIL.Image`` if pillow is importable, else None. Called inside the
+    batch functions so the probe runs executor-side."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _pyav():
+    """``av`` (PyAV) if importable, else None — the audio/video decoder."""
+    try:
+        import av  # noqa: PLC0415
+
+        return av
+    except ImportError:
+        return None
+
+
+def _real_image_features(Image, content: bytes | None, dim: int = FEATURE_DIM):
+    """Pillow decode → grayscale → 4×4 thumbnail → ``dim`` floats in [0, 1].
+    Corrupt/undecodable payloads return None (a null feature row) instead of
+    raising: at corpus scale bad media is routine and one rotten blob must
+    not kill a 10k-row Arrow batch."""
+    if not content:
+        return None
+    try:
+        import io  # noqa: PLC0415
+
+        side = int(dim**0.5)
+        img = Image.open(io.BytesIO(content)).convert("L").resize((side, side))
+        return (np.asarray(img, dtype=np.float32) / 255.0).reshape(-1)[:dim].tolist()
+    except Exception:
+        return None
+
+
+def _real_av_features(av, kind: str, content: bytes | None, dim: int = FEATURE_DIM):
+    """PyAV decode → ``dim`` floats. Video: first frame, grayscale 4×4
+    thumbnail. Audio: mean-abs amplitude over ``dim`` equal time windows.
+    None on corrupt/empty payloads (same no-crash policy as images)."""
+    if not content:
+        return None
+    try:
+        import io  # noqa: PLC0415
+
+        with av.open(io.BytesIO(content)) as container:
+            if kind == "video":
+                for frame in container.decode(video=0):
+                    arr = frame.to_ndarray(format="gray")
+                    side = int(dim**0.5)
+                    ys = np.linspace(0, arr.shape[0] - 1, side).astype(int)
+                    xs = np.linspace(0, arr.shape[1] - 1, side).astype(int)
+                    return (arr[np.ix_(ys, xs)].astype(np.float32) / 255.0).reshape(
+                        -1
+                    )[:dim].tolist()
+                return None
+            samples = [
+                f.to_ndarray().astype(np.float32).reshape(-1)
+                for f in container.decode(audio=0)
+            ]
+            if not samples:
+                return None
+            wave = np.abs(np.concatenate(samples))
+            bins = np.array_split(wave, dim)
+            return [float(b.mean()) if len(b) else 0.0 for b in bins]
+    except Exception:
+        return None
+
+
 def _fake_decode(content: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic fake feature vector: md5 of the payload expands into
     ``dim`` floats in [0, 1). Stable across runs/machines — usable in tests
@@ -91,22 +166,42 @@ def _fake_decode(content: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 def extract_features(media: DataFrame, fake: bool = False, batch_size: int = 256) -> DataFrame:
     """Decode + feature-extract media content via mapInPandas.
 
-    With ``fake=False`` this raises NotImplementedError at execution time —
-    the honest marker that no codec library exists in this environment. The
+    With ``fake=False`` the executor probes for the codec library matching
+    each row's kind (pillow for images, PyAV for audio/video) and uses it;
+    if the library is absent it raises NotImplementedError — the honest
+    marker that this environment can't decode. Rows whose payload fails to
+    decode yield null features (corrupt media must not kill the batch). The
     plumbing (Arrow batching, schema, null handling) is identical either way.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = None if fake else _pil_image()
+        av = None if fake else _pyav()
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires pillow/ffmpeg/librosa; "
-                    "re-run with fake=True for the deterministic stub"
-                )
-            feats = [
-                _fake_decode(c if c is not None else b"").tolist()
-                for c in pdf["content"]
-            ]
+            if fake:
+                feats = [
+                    _fake_decode(c if c is not None else b"").tolist()
+                    for c in pdf["content"]
+                ]
+            else:
+                feats = []
+                for kind, c in zip(pdf["kind"], pdf["content"]):
+                    if kind == "image":
+                        if Image is None:
+                            raise NotImplementedError(
+                                "real image decode requires pillow on the "
+                                "executors; re-run with fake=True for the "
+                                "deterministic stub"
+                            )
+                        feats.append(_real_image_features(Image, c))
+                    else:
+                        if av is None:
+                            raise NotImplementedError(
+                                f"real {kind} decode requires PyAV on the "
+                                "executors; re-run with fake=True for the "
+                                "deterministic stub"
+                            )
+                        feats.append(_real_av_features(av, kind, c))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -126,10 +221,10 @@ def resize_images(
 
     Spark-side shape: a 1:1 mapInPandas over Arrow batches — payloads never
     leave the executor, output rows carry the new (width, height) metadata
-    so downstream decode knows the geometry. The pixel work is stubbed like
-    :func:`extract_features`; ``fake=True`` emits a deterministic
-    md5-expanded payload of exactly ``width*height`` bytes (a stable
-    stand-in for a grayscale thumbnail)."""
+    so downstream decode knows the geometry. The pixel work uses pillow when
+    present (PNG re-encode; corrupt payloads → null content); ``fake=True``
+    emits a deterministic md5-expanded payload of exactly ``width*height``
+    bytes (a stable stand-in for a grayscale thumbnail)."""
     schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -143,22 +238,40 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = width * height
+        Image = None if fake else _pil_image()
         for pdf in batches:
-            if not fake:
+            if not fake and Image is None:
                 raise NotImplementedError(
-                    "real image resize requires pillow; use fake=True"
+                    "real image resize requires pillow on the executors; "
+                    "use fake=True for the deterministic stub"
                 )
             out = []
-            for c in pdf["content"]:
-                seed = hashlib.md5(c if c is not None else b"").digest()
-                reps = -(-n // len(seed))  # ceil
-                out.append((seed * reps)[:n])
+            mimes = []
+            for c, mime in zip(pdf["content"], pdf["mime"]):
+                if fake:
+                    seed = hashlib.md5(c if c is not None else b"").digest()
+                    reps = -(-n // len(seed))  # ceil
+                    out.append((seed * reps)[:n])
+                    mimes.append(mime)
+                    continue
+                try:
+                    import io  # noqa: PLC0415
+
+                    img = Image.open(io.BytesIO(c)).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out.append(buf.getvalue())
+                    mimes.append("image/png")
+                except Exception:
+                    # corrupt payload: null thumbnail, original mime kept
+                    out.append(None)
+                    mimes.append(mime)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "content": out,
-                    "mime": pdf["mime"],
+                    "mime": mimes,
                     "width": [width] * len(pdf),
                     "height": [height] * len(pdf),
                 }
@@ -167,11 +280,44 @@ def resize_images(
     return media.mapInPandas(run, schema=schema)
 
 
+def _real_frame_sample(av, content: bytes, every_ms: int, dim: int = FEATURE_DIM):
+    """PyAV sequential decode, keeping the first frame at or past each
+    ``every_ms`` boundary — one pass, no per-sample seeks (seekable
+    containers could seek, but a single forward decode is the shape that
+    streams through an Arrow batch without rewinding byte buffers).
+    Yields (frame_ms, features) tuples; corrupt payloads yield nothing."""
+    if not content:
+        return
+    try:
+        import io  # noqa: PLC0415
+
+        with av.open(io.BytesIO(content)) as container:
+            next_ms = 0
+            side = int(dim**0.5)
+            for frame in container.decode(video=0):
+                if frame.time is None:
+                    continue
+                ms = int(frame.time * 1000)
+                if ms < next_ms:
+                    continue
+                arr = frame.to_ndarray(format="gray")
+                ys = np.linspace(0, arr.shape[0] - 1, side).astype(int)
+                xs = np.linspace(0, arr.shape[1] - 1, side).astype(int)
+                feat = (arr[np.ix_(ys, xs)].astype(np.float32) / 255.0).reshape(-1)[
+                    :dim
+                ].tolist()
+                yield ms, feat
+                next_ms = ms - (ms % every_ms) + every_ms
+    except Exception:
+        return
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
     """Video frame sampling: one output row per sampled frame offset.
 
     Spark-side shape: flat-map via mapInPandas (a batch row explodes into
-    ceil(duration/every_ms) frame rows). The actual frame grab is stubbed
+    ceil(duration/every_ms) frame rows). The frame grab uses PyAV when
+    present (one sequential decode pass per clip); otherwise it is stubbed
     like :func:`extract_features`."""
     schema = StructType(
         [
@@ -182,10 +328,12 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> 
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        av = None if fake else _pyav()
         for pdf in batches:
-            if not fake:
+            if not fake and av is None:
                 raise NotImplementedError(
-                    "real frame sampling requires ffmpeg; use fake=True"
+                    "real frame sampling requires PyAV on the executors; "
+                    "use fake=True for the deterministic stub"
                 )
             ids, offs, feats = [], [], []
             for _, row in pdf.iterrows():
@@ -194,6 +342,12 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> 
                 v = row["duration_ms"]
                 dur = 0 if pd.isna(v) else int(v)
                 content = row["content"] or b""
+                if not fake:
+                    for off, feat in _real_frame_sample(av, content, every_ms):
+                        ids.append(row["media_id"])
+                        offs.append(off)
+                        feats.append(feat)
+                    continue
                 for off in range(0, max(dur, 1), every_ms):
                     ids.append(row["media_id"])
                     offs.append(off)
@@ -203,6 +357,43 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> 
             yield pd.DataFrame({"media_id": ids, "frame_ms": offs, "features": feats})
 
     return media.mapInPandas(run, schema=schema)
+
+
+def _real_audio_segments(av, content: bytes | None, segment_ms: int, dim: int = FEATURE_DIM):
+    """PyAV audio decode → fixed-duration segments of the actual waveform.
+    Yields (seg_id, start_ms, end_ms, n_bytes, features); features is the
+    mean-abs amplitude over ``dim`` equal windows of the segment. Duration
+    comes from the decoded sample count (metadata duration_ms can lie);
+    corrupt payloads yield nothing."""
+    if not content:
+        return
+    try:
+        import io  # noqa: PLC0415
+
+        with av.open(io.BytesIO(content)) as container:
+            stream = container.streams.audio[0]
+            rate = int(stream.rate or 0)
+            frames = [
+                f.to_ndarray().astype(np.float32).reshape(-1)
+                for f in container.decode(audio=0)
+            ]
+        if not frames or rate <= 0:
+            return
+        wave = np.concatenate(frames)
+        per_seg = max(rate * segment_ms // 1000, 1)
+        total_ms = len(wave) * 1000 // rate
+        for s in range(0, -(-len(wave) // per_seg)):
+            chunk = wave[s * per_seg : (s + 1) * per_seg]
+            bins = np.array_split(np.abs(chunk), dim)
+            yield (
+                s,
+                s * segment_ms,
+                min((s + 1) * segment_ms, total_ms),
+                int(chunk.nbytes),
+                [float(b.mean()) if len(b) else 0.0 for b in bins],
+            )
+    except Exception:
+        return
 
 
 def audio_segments(
@@ -215,9 +406,9 @@ def audio_segments(
     Spark-side shape: a mapInPandas flat-map; each clip row explodes into
     ceil(duration/segment_ms) segment rows, bytes sliced proportionally to
     the segment's time span (a real decoder would resample; the slice keeps
-    the plumbing — schema, batch shape, byte movement — honest). Decode is
-    stubbed like every other modality here (no codec libs in this
-    container): ``fake=False`` raises."""
+    the plumbing — schema, batch shape, byte movement — honest). With PyAV
+    present, ``fake=False`` decodes the real waveform and segments it by
+    actual sample count; without it, ``fake=False`` raises."""
     schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -230,12 +421,36 @@ def audio_segments(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        av = None if fake else _pyav()
         for pdf in batches:
-            if not fake:
+            if not fake and av is None:
                 raise NotImplementedError(
-                    "real audio decode requires an audio codec; use fake=True"
+                    "real audio decode requires PyAV on the executors; "
+                    "use fake=True for the deterministic stub"
                 )
             ids, segs, starts, ends, sizes, feats = [], [], [], [], [], []
+            if not fake:
+                for _, row in pdf.iterrows():
+                    for seg in _real_audio_segments(
+                        av, row["content"], segment_ms
+                    ):
+                        ids.append(row["media_id"])
+                        segs.append(seg[0])
+                        starts.append(seg[1])
+                        ends.append(seg[2])
+                        sizes.append(seg[3])
+                        feats.append(seg[4])
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "seg_id": segs,
+                        "start_ms": starts,
+                        "end_ms": ends,
+                        "n_bytes": sizes,
+                        "features": feats,
+                    }
+                )
+                continue
             for _, row in pdf.iterrows():
                 # NULL duration_ms surfaces as NaN (truthy!) in pandas; take
                 # the documented unknown-duration path instead of crashing.

@@ -227,9 +227,68 @@ def test_multimodal_features(planted):
 
 
 def test_multimodal_decode_stub_raises(planted):
+    """Without pillow on the executors, fake=False must fail loudly (the
+    honest can't-decode marker). Auto-skips where pillow IS installed —
+    there the real path is exercised by test_real_image_decode instead."""
+    if multimodal._pil_image() is not None:
+        pytest.skip("pillow installed: real decode path active")
     media = multimodal.documents_as_media(planted)
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
         multimodal.extract_features(media, fake=False).collect()
+
+
+def test_real_image_decode(spark):
+    """Real pillow decode path: PNG payload → 16 grayscale features; corrupt
+    payload → null features (no crash). Auto-skips when pillow is absent
+    (this container); runs for real wherever pillow exists."""
+    Image = multimodal._pil_image()
+    if Image is None:
+        pytest.skip("pillow not installed")
+    import io
+
+    buf = io.BytesIO()
+    Image.new("L", (10, 10), color=128).save(buf, format="PNG")
+    rows = [
+        (1, "image", buf.getvalue(), "image/png", 10, 10, None),
+        (2, "image", b"not-an-image", "image/png", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    assert len(feats[1].features) == multimodal.FEATURE_DIM
+    assert all(abs(v - 128 / 255) < 1e-6 for v in feats[1].features)
+    assert feats[2].features is None
+
+    resized = {
+        r.media_id: r
+        for r in multimodal.resize_images(media, width=4, height=4).collect()
+    }
+    assert resized[1].mime == "image/png"
+    assert Image.open(io.BytesIO(resized[1].content)).size == (4, 4)
+    assert resized[2].content is None
+
+
+def test_real_av_decode(spark):
+    """Real PyAV audio path: WAV payload → segments from the decoded
+    waveform. Auto-skips when PyAV is absent (this container)."""
+    av = multimodal._pyav()
+    if av is None:
+        pytest.skip("PyAV not installed")
+    import io
+    import struct
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<" + "h" * 16000, *([1000] * 16000)))  # 2s
+    rows = [(1, "audio", buf.getvalue(), "audio/wav", None, None, None)]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    segs = multimodal.audio_segments(media, segment_ms=1000).collect()
+    assert len(segs) == 2
+    assert segs[0].start_ms == 0 and segs[0].end_ms == 1000
+    assert all(len(s.features) == multimodal.FEATURE_DIM for s in segs)
 
 
 def test_frame_sample(spark):
