@@ -106,6 +106,36 @@ def main() -> int:
         .collect()
     )
 
+    def release_checkpoints() -> None:
+        # Unpersist every lingering persisted RDD (localCheckpoint blocks from
+        # the run that just finished). Queries with eager localCheckpoints
+        # (near_dedup_corpus, minhash_lsh_dedup, kmeans_clusters) otherwise
+        # leave their blocks behind between the cold and warm runs: the warm
+        # run re-checkpoints from scratch (new lineage, no reuse possible)
+        # while contending with the dead blocks — which made warm read SLOWER
+        # than cold for near_dedup_corpus in rounds 3-4 and hid real plan
+        # regressions. JavaSparkContext.getPersistentRDDs is a java.util.Map;
+        # py4j exposes it as a Python mapping.
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+
+    def calibrate() -> float:
+        # Fixed, data-independent CPU workload (codegen'd xxhash64 sum over
+        # range) measured per bench invocation: the host's CPU availability
+        # varies up to ~2x between rounds (virtualized), which swamps
+        # round-over-round query totals. Per-query ratios to this number
+        # separate host drift from plan regressions without re-deriving
+        # medians.
+        t0 = time.perf_counter()
+        from pyspark.sql import functions as F
+
+        # pmod keeps the running sum < 5e13 — a raw xxhash64 sum overflows
+        # long under ANSI mode.
+        spark.range(0, 50_000_000, 1, 32).select(
+            F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_000)))
+        ).collect()
+        return time.perf_counter() - t0
+
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
         # noop sink materializes every row/column of the result without
@@ -114,7 +144,14 @@ def main() -> int:
         catalog[name].builder(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        release_checkpoints()
+        return dt
+
+    # Calibration sandwich: measure once before and once after the query
+    # loop, report the mean (CPU availability can drift WITHIN a bench run
+    # too — the spread is visible in the two raw numbers).
+    cal_pre = calibrate()
 
     cold_timings: dict[str, float] = {}
     warm_timings: dict[str, float] = {}
@@ -129,6 +166,9 @@ def main() -> int:
         warm_timings[name] = round(warm, 4)
         print(f"# {name}: cold {cold:.3f}s (warm {warm:.3f}s)", file=sys.stderr)
 
+    cal_post = calibrate()
+    calibration_sec = (cal_pre + cal_post) / 2
+
     # Round-over-round comparability: the query list GROWS each round, so
     # the headline total is not comparable across rounds by itself. Emit a
     # subtotal over the round-3 query set (the last externally-recorded
@@ -141,6 +181,14 @@ def main() -> int:
                 "value": round(cold_total, 4),
                 "unit": "sec",
                 "n_queries": len(BENCH_QUERIES),
+                # Host-jitter normalization: divide any query's cold seconds
+                # by calibration_sec before comparing across rounds.
+                "calibration_sec": round(calibration_sec, 4),
+                "calibration_pre_post": [round(cal_pre, 4), round(cal_post, 4)],
+                "queries_norm": {
+                    q: round(t / calibration_sec, 3)
+                    for q, t in cold_timings.items()
+                },
                 "cold_total_r3_queryset": round(
                     sum(cold_timings[q] for q in r3_set), 4
                 ),
