@@ -884,3 +884,75 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source", split.alias("split")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@register(
+    "gopher_rules_report",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS wc,
+             list_sum(list_transform(string_split(text, ' '), t -> len(t)))::DOUBLE
+               / greatest(len(string_split(text, ' ')), 1) AS mwl,
+             len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / greatest(len(string_split(text, ' ')), 1) AS distinct_ratio,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                 ['the','a','an','of','and','to','in','is','it','that'])) AS n_stop
+      FROM documents WHERE text IS NOT NULL)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN wc NOT BETWEEN 20 AND 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordcount,
+           CAST(sum(CASE WHEN mwl NOT BETWEEN 3 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_meanlen,
+           CAST(sum(CASE WHEN n_stop < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword,
+           CAST(sum(CASE WHEN distinct_ratio < 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_distinct,
+           CAST(sum(CASE WHEN wc BETWEEN 20 AND 1000 AND mwl BETWEEN 3 AND 10
+                          AND n_stop >= 2 AND distinct_ratio >= 0.35
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM m GROUP BY source
+    """,
+    tags=("text", "pipeline", "quality", "extension"),
+)
+def gopher_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule gate (word-count bounds, mean-word-length
+    band, required-stopword presence, distinct-token ratio — the rule
+    families of the Gopher/MassiveText filter, thresholds fit to this
+    corpus), reported as per-source violation counts plus the survivors.
+
+    Plan: ONE scan — every rule is a codegen'd expression over the token
+    array, the report is a single partial-aggregated groupBy on source.
+    No UDFs, no second pass; at 100 TB this is the cheapest shape a
+    multi-rule gate can take (rules are columns, not separate filters, so
+    adding a rule costs zero extra I/O). The per-doc boolean columns are
+    reusable as a keep-filter by composing the same exprs with
+    ``df.filter`` — the report and the gate share one plan."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    wc = F.size(toks)
+    mwl = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda acc, x: acc + x
+    ).cast("double") / F.greatest(wc, F.lit(1))
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        wc, F.lit(1)
+    )
+    sw = F.array(*[F.lit(w) for w in T.STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    m = d.select(
+        "source",
+        wc.alias("wc"),
+        mwl.alias("mwl"),
+        distinct_ratio.alias("distinct_ratio"),
+        n_stop.alias("n_stop"),
+    )
+    wc_ok = F.col("wc").between(20, 1000)
+    mwl_ok = F.col("mwl").between(3, 10)
+    stop_ok = F.col("n_stop") >= 2
+    dr_ok = F.col("distinct_ratio") >= 0.35
+    as_cnt = lambda c, n: F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(n)  # noqa: E731
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        as_cnt(~wc_ok, "n_fail_wordcount"),
+        as_cnt(~mwl_ok, "n_fail_meanlen"),
+        as_cnt(~stop_ok, "n_fail_stopword"),
+        as_cnt(~dr_ok, "n_fail_distinct"),
+        as_cnt(wc_ok & mwl_ok & stop_ok & dr_ok, "n_kept"),
+    )

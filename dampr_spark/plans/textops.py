@@ -439,3 +439,77 @@ def token_freq_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("token"))
         .limit(50)
     )
+
+
+_VOCAB_K = 100
+
+
+@register(
+    "oov_rate_by_lang",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL),
+    vocab AS (
+      SELECT tok FROM tok GROUP BY tok
+      ORDER BY count(*) DESC, tok LIMIT {_VOCAB_K}),
+    per_doc AS (
+      SELECT doc_id, any_value(lang) AS lang,
+             count(*) AS n_toks,
+             count(*) FILTER (tok IN (SELECT tok FROM vocab)) AS n_in
+      FROM tok GROUP BY doc_id)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg((n_toks - n_in)::DOUBLE / n_toks), 6) AS avg_oov_frac,
+           round(sum(n_toks - n_in)::DOUBLE / sum(n_toks), 6) AS oov_token_share
+    FROM per_doc GROUP BY lang
+    """,
+    tags=("text", "vocab", "extension"),
+)
+def oov_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency vocabulary build + out-of-vocabulary rate: the top
+    ``_VOCAB_K`` tokens by corpus frequency (deterministic count-desc/token-asc
+    tie-break) form the vocabulary; each document's OOV fraction aggregates
+    per language — the coverage report run before committing to a tokenizer
+    vocab.
+
+    Plan shape at scale: the vocab is a partial-aggregated token count +
+    TakeOrdered (no global sort), then BROADCASTS into the token stream —
+    the per-token membership probe is a broadcast-hash left join, so the
+    only real shuffles are the token count and the per-doc re-aggregation,
+    both partial-aggregated map-side. A real 100 TB vocab build raises K to
+    vocab size (~10^5, still broadcast-sized) and the plan is unchanged."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), F.col("tok"))
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_toks"),
+            F.coalesce(F.sum("_in_vocab"), F.lit(0)).alias("n_in"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.avg(
+                (F.col("n_toks") - F.col("n_in")).cast("double") / F.col("n_toks")
+            ),
+            6,
+        ).alias("avg_oov_frac"),
+        F.round(
+            F.sum(F.col("n_toks") - F.col("n_in")).cast("double")
+            / F.sum("n_toks"),
+            6,
+        ).alias("oov_token_share"),
+    )
