@@ -526,3 +526,42 @@ def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("lag_secs", F.lit(0.9)), 6).alias("p90_secs"),
         F.round(F.percentile("lag_secs", F.lit(0.99)), 6).alias("p99_secs"),
     )
+
+
+@register(
+    "rolling_event_value_bucketed",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+           round(avg(value) OVER w, 6) AS avg_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+    tags=("events", "window", "skew", "extension"),
+)
+def rolling_event_value_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe twin of `rolling_event_value`: the SAME trailing 1-hour
+    window computed through operators.skew.bucketed_range_window (two-phase
+    time bucketing — per-(user, hour) partitions with context replication
+    instead of one partition per user). The oracle is byte-identical to
+    rolling_event_value's, so a hash-green row here is an external proof
+    that the skew mitigation is semantics-preserving. Round-5 spot-proof:
+    with one user holding ~9% of a 1.1M-row table, the hot partition shrinks
+    14x (99k rows -> <=7k per hour bucket) and measured max task time drops
+    1.8x at local[32] — the per-task fixed costs flooring that ratio shrink
+    with scale, the partition bound does not (benchmarks/RESULTS.md)."""
+    from dampr_spark.operators.skew import bucketed_range_window
+
+    e = _t(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    return bucketed_range_window(
+        e,
+        keys=["user_id"],
+        ts_us_col=F.unix_micros(F.col("ts").cast("timestamp")),
+        range_us=hour_us,
+        cols_fn=lambda w: {
+            "n_trailing": F.count(F.lit(1)).over(w),
+            "avg_trailing": F.round(F.avg("value").over(w), 6),
+        },
+    ).select("event_id", "user_id", "n_trailing", "avg_trailing")

@@ -55,3 +55,54 @@ def test_salted_collect_list_matches_plain(hot):
         .count()
     )
     assert per_salt.agg(F.max("count")).first()[0] < 500
+
+
+def test_bucketed_range_window_matches_plain(spark):
+    """bucketed_range_window == plain per-key RANGE window, including rows
+    exactly on bucket boundaries and ties."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    H = 100  # "range" units; bucket width == range
+    rows = [
+        # key, ts: boundary values (0, 100, 200), in-bucket values, ties
+        ("u1", 0), ("u1", 50), ("u1", 100), ("u1", 100), ("u1", 150),
+        ("u1", 200), ("u1", 299), ("u1", 300),
+        ("u2", 10), ("u2", 111),
+    ]
+    df = spark.createDataFrame(
+        [(k, t, float(i)) for i, (k, t) in enumerate(rows)], "k string, t long, v double"
+    )
+    w = Window.partitionBy("k").orderBy("t").rangeBetween(-H, 0)
+    plain = df.select(
+        "k", "t", "v",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.round(F.avg("v").over(w), 6).alias("a"),
+    )
+    bucketed = skew.bucketed_range_window(
+        df,
+        keys=["k"],
+        ts_us_col="t",
+        range_us=H,
+        cols_fn=lambda win: {
+            "n": F.count(F.lit(1)).over(win),
+            "a": F.round(F.avg("v").over(win), 6),
+        },
+    ).select("k", "t", "v", "n", "a")
+    assert sorted(map(tuple, bucketed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_bucketed_range_window_emits_each_row_once(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("t"), F.lit(1.0).alias("v")
+    )
+    out = skew.bucketed_range_window(
+        df, keys=["k"], ts_us_col="t", range_us=50,
+        cols_fn=lambda w: {"n": F.count(F.lit(1)).over(w)},
+    )
+    assert out.count() == 1000
+    assert out.select("k", "t").distinct().count() == 1000
