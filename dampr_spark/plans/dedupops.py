@@ -610,3 +610,74 @@ def kmeans_agreement_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deterministic_ok"
         ),
     )
+
+
+@register(
+    "cluster_consistency_check",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE                     AS pairs_same_cluster_ok,
+           TRUE                     AS canonical_is_min_ok,
+           TRUE                     AS labels_cover_pairs_ok
+    FROM documents
+    """,
+    tags=("dedup", "clustering", "invariant", "extension"),
+)
+def cluster_consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Externally-verified invariants of `near_dup_clusters` (input pair set
+    is hash-seeded → rows-only). Run at iters=6 — double the pipeline
+    default — so convergence holds even for chain-shaped clusters (min-label
+    propagation covers graph diameter <= iters; LSH near-dup clusters are
+    near-cliques, but the CHECK must not inherit that assumption):
+
+    - ``pairs_same_cluster_ok`` — both endpoints of every emitted near-dup
+      pair carry the same canonical label (= propagation converged).
+    - ``canonical_is_min_ok`` — each cluster's canonical is its minimum
+      member id (the documented keep-lowest-id contract drop_near_dups
+      relies on).
+    - ``labels_cover_pairs_ok`` — every id appearing in a pair received a
+      label. ``n_docs`` is the cross-engine hash-compared value.
+    """
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(d, threshold=0.8).localCheckpoint(eager=True)
+    labels = dedup.near_dup_clusters(pairs, iters=6)
+
+    la = labels.select(F.col("id").alias("id_a"), F.col("canonical").alias("ca"))
+    lb = labels.select(F.col("id").alias("id_b"), F.col("canonical").alias("cb"))
+    mismatch = (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .agg(
+            F.sum(F.when(F.col("ca") != F.col("cb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_mismatch")
+        )
+    )
+    not_min = (
+        labels.groupBy("canonical")
+        .agg(F.min("id").alias("m"))
+        .agg(
+            F.sum(F.when(F.col("canonical") != F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_not_min")
+        )
+    )
+    pair_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
+    uncovered = pair_ids.join(labels, "id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_uncovered")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    z = F.lit(0).cast("long")
+    return (
+        n_docs.crossJoin(F.broadcast(mismatch))
+        .crossJoin(F.broadcast(not_min))
+        .crossJoin(F.broadcast(uncovered))
+        .select(
+            "n_docs",
+            (F.coalesce(F.col("n_mismatch"), z) == 0).alias("pairs_same_cluster_ok"),
+            (F.coalesce(F.col("n_not_min"), z) == 0).alias("canonical_is_min_ok"),
+            (F.coalesce(F.col("n_uncovered"), z) == 0).alias("labels_cover_pairs_ok"),
+        )
+    )

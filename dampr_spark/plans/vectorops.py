@@ -192,3 +192,81 @@ def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("m.negc")).alias("assigned_label"),
         F.col("m.best_sim").alias("best_sim"),
     )
+
+
+@register(
+    "ann_recall_check",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    top AS (
+      SELECT round({V.cosine_sql('embedding', 'qv')}, 6) AS cos_sim
+      FROM embeddings CROSS JOIN q
+      WHERE vec_id <> 0
+      ORDER BY cos_sim DESC, vec_id
+      LIMIT 20)
+    SELECT round(min(cos_sim), 6)   AS kth_cos_sim,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           TRUE                     AS lsh_health_ok,
+           TRUE                     AS ivf_health_ok
+    FROM top
+    """,
+    tags=("vector", "ann", "invariant", "extension"),
+)
+def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Externally-verified health invariants of the approximate ANN indexes
+    (`lsh_ann_topk`, `ivf_ann_topk` — hash/float-seeded → rows-only):
+
+    - ``kth_cos_sim`` / ``n_exact`` — the 20th-best exact cosine and the
+      exact top-k size, computed independently by both engines
+      (hash-compared for real; the brute-force baseline is already proven
+      by ann_cosine_topk).
+    - ``lsh_health_ok`` / ``ivf_health_ok`` — each index returns a full
+      k=20 result whose overlap with the exact top-20 clears a
+      broken-index floor (LSH >= 8/20, IVF >= 6/20; chance overlap on this
+      corpus is ~0.2 vectors, measured overlaps are 16-17 and 10-12 — the
+      floors catch a bucketing/probing bug, not parameter-tuning drift,
+      and sit far below the measured band so corpus regeneration cannot
+      flip them).
+    """
+    from dampr_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = list(qrow.embedding)
+    rest = e.filter(F.col("vec_id") != 0)
+
+    brute = similarity.brute_force_topk(rest, qv, k=20).localCheckpoint(eager=True)
+    lsh = similarity.RandomHyperplaneLSH(dim=64, n_planes=6, n_tables=8)
+    lsh_top = lsh.query_topk(lsh.bucketize(rest), qv, k=20)
+    ivf = similarity.IVFIndex(n_lists=16, nprobe=6).fit(rest)
+    ivf_top = ivf.query_topk(ivf.assign(rest), qv, k=20)
+
+    ex = brute.agg(
+        F.round(F.min("cos_sim"), 6).alias("kth_cos_sim"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    ids = brute.select("vec_id")
+    l_agg = lsh_top.agg(F.count(F.lit(1)).alias("n_lsh"))
+    l_hit = ids.join(lsh_top.select("vec_id"), "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("lsh_overlap")
+    )
+    i_agg = ivf_top.agg(F.count(F.lit(1)).alias("n_ivf"))
+    i_hit = ids.join(ivf_top.select("vec_id"), "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("ivf_overlap")
+    )
+    return (
+        ex.crossJoin(F.broadcast(l_agg))
+        .crossJoin(F.broadcast(l_hit))
+        .crossJoin(F.broadcast(i_agg))
+        .crossJoin(F.broadcast(i_hit))
+        .select(
+            "kth_cos_sim",
+            "n_exact",
+            ((F.col("n_lsh") == 20) & (F.col("lsh_overlap") >= 8)).alias(
+                "lsh_health_ok"
+            ),
+            ((F.col("n_ivf") == 20) & (F.col("ivf_overlap") >= 6)).alias(
+                "ivf_health_ok"
+            ),
+        )
+    )
