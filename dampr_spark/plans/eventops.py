@@ -565,3 +565,107 @@ def rolling_event_value_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_trailing": F.round(F.avg("value").over(w), 6),
         },
     ).select("event_id", "user_id", "n_trailing", "avg_trailing")
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events)
+    SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    tags=("events", "sequence", "extension"),
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: counts of consecutive
+    (prev event type -> event type) steps per user timeline — the Markov
+    input of path/journey analytics. One shuffle on user_id for the lag
+    window, then a partial-aggregated count on a |types|^2-bounded key
+    space; output size is independent of corpus size, so the plan is the
+    same at 100 TB."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "session_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(date_diff('microsecond', min(ts), max(ts)) // 1000000 AS BIGINT)
+             AS duration_secs,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchases
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    tags=("events", "session", "extension"),
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session roll-up: gap-based session assignment (30-min
+    inactivity, running sum of new-session flags) then size / duration /
+    purchase count per (user, session). Both window passes share ONE
+    shuffle+sort on (user_id; ts, event_id) — Catalyst assigns lag and the
+    running sum to the same Window physical node — and the final groupBy
+    re-uses the user_id partitioning. The streaming twin is
+    session_window(ts, '30 minutes') in dampr_spark.streaming."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    return numbered.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            )
+            / 1_000_000
+        )
+        .cast("long")
+        .alias("duration_secs"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+    )
