@@ -247,3 +247,37 @@ def test_rolling_event_value_single_shuffle(spark):
     # RANGE-frame window: one exchange on user_id, frame scan in-partition.
     plan = plan_of(spark, "rolling_event_value")
     assert plan.count("Exchange") == 1
+
+
+def test_session_stats_single_sort_shared_by_windows(spark):
+    """lag + running-sum share ONE Exchange+Sort (same partitioning and
+    ordering -> one Window sort pass), and the per-session groupBy reuses
+    the user_id partitioning (no second exchange)."""
+    plan = plan_of(spark, "session_stats")
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort ") == 1
+
+
+def test_gopher_rules_single_scan_single_exchange(spark):
+    """All four rule families evaluate as expression columns in one scan;
+    the per-source report is one partial-aggregated exchange."""
+    plan = plan_of(spark, "gopher_rules_report")
+    assert plan.count("Scan parquet") <= 1  # AQE may fold the scan string
+    assert plan.count("Exchange") == 1
+
+
+def test_oov_vocab_broadcasts(spark):
+    """The top-K vocabulary reaches the token stream as a broadcast join,
+    and the vocab build itself is TakeOrdered (no global Sort)."""
+    plan = plan_of(spark, "oov_rate_by_lang")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_rolling_window_one_exchange(spark):
+    """The skew-safe rolling window still costs exactly one shuffle: the
+    union + bucket replication happen scan-side, the window runs once over
+    (user, bucket)."""
+    plan = plan_of(spark, "rolling_event_value_bucketed")
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
