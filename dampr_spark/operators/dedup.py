@@ -45,7 +45,10 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     Non-file-backed inputs (in-memory test frames) report zero files and are
     left alone — local relations already parallelize across the session
     default."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext — use the shuffle conf
+        target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     if 0 < len(df.inputFiles()) < target:
         return df.repartition(target)
     return df

@@ -203,3 +203,48 @@ def test_pii_redaction_complete(spark_session_holder, words, n_emails, n_phones,
     assert rows[planted].p == n_phones
     assert rows[planted].i == n_ips
     assert rows[clean].red == clean  # no-PII text untouched
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # key
+            st.integers(min_value=0, max_value=500),      # ts
+        ),
+        max_size=40,
+    ),
+    rng=st.integers(min_value=1, max_value=120),          # frame width == bucket width
+)
+@settings(**SETTINGS)
+def test_bucketed_range_window_equals_plain(spark_session_holder, rows, rng):
+    """bucketed_range_window must equal the plain per-key RANGE window for
+    ANY key/ts multiset and any frame width — including duplicate
+    timestamps, bucket-boundary values, and sparse keys."""
+    spark = spark_session_holder
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dampr_spark.operators import skew
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(k, t, float(i)) for i, (k, t) in enumerate(rows)],
+        "k int, t long, v double",
+    )
+    w = Window.partitionBy("k").orderBy("t").rangeBetween(-rng, 0)
+    plain = df.select(
+        "k", "t", "v",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.round(F.sum("v").over(w), 6).alias("s"),
+    )
+    bucketed = skew.bucketed_range_window(
+        df, keys=["k"], ts_us_col="t", range_us=rng,
+        cols_fn=lambda win: {
+            "n": F.count(F.lit(1)).over(win),
+            "s": F.round(F.sum("v").over(win), 6),
+        },
+    ).select("k", "t", "v", "n", "s")
+    assert sorted(map(tuple, bucketed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
