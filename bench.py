@@ -67,6 +67,13 @@ BENCH_QUERIES = [
     "chunk_documents",
     "common_substring_dups",
     "kmeans_clusters",
+    # round-5 flagships: quality-rule gate (single-scan expression columns),
+    # vocabulary/OOV coverage (broadcast vocab probe), per-session roll-up
+    # (one shared window sort), and the skew-safe bucketed rolling window.
+    "gopher_rules_report",
+    "oov_rate_by_lang",
+    "session_stats",
+    "rolling_event_value_bucketed",
 ]
 
 

@@ -303,10 +303,14 @@ WITH aud AS (
             i -> text[i:i+4])) AS sh
   FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
 ex AS (
+  -- size-band prefilter: J >= 0.8 implies |A|/|B| in [0.8, 1.25]
+  -- (J <= min(|A|,|B|)/max(|A|,|B|)), so the band drops no true pair and
+  -- spares the quadratic list_intersect on most of the N^2/2 candidates
   SELECT len(list_intersect(a.sh, b.sh))::DOUBLE
            / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1)
            AS j
-  FROM aud a JOIN aud b ON a.id < b.id)
+  FROM aud a JOIN aud b ON a.id < b.id
+  WHERE len(a.sh) * 5 >= len(b.sh) * 4 AND len(b.sh) * 5 >= len(a.sh) * 4)
 SELECT CAST(count(*) FILTER (j >= 0.8) AS BIGINT)  AS n_exact_pairs,
        CAST(count(*) FILTER (j >= 0.95) AS BIGINT) AS n_high_pairs,
        TRUE                                        AS high_recall_ok,
@@ -345,10 +349,22 @@ def minhash_audit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = aud.select(
         F.col("doc_id").alias("id"), dedup.char_shingles("text", 5).alias("sh")
     )
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    a = sh.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.size("sh").alias("na")
+    )
+    b = sh.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.size("sh").alias("nb")
+    )
+    # Size-band prefilter mirrored in the oracle: J >= 0.8 implies
+    # |A|/|B| in [0.8, 1.25], so the cheap size predicate drops no true
+    # pair and spares the O(|A|+|B|) set intersection on most candidates.
     exact = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("na") * 5 >= F.col("nb") * 4)
+            & (F.col("nb") * 5 >= F.col("na") * 4),
+        )
         .select(
             "id_a", "id_b", dedup.jaccard(F.col("sh_a"), F.col("sh_b")).alias("j")
         )

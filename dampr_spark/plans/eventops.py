@@ -669,3 +669,51 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_purchases"),
     )
+
+
+@register(
+    "hopping_event_counts",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', ts)
+               + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 0 MINUTE END AS t30,
+             event_type, value
+      FROM events),
+    x AS (
+      SELECT unnest([t30, t30 - INTERVAL 30 MINUTE]) AS window_start,
+             event_type, value
+      FROM b)
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM x GROUP BY 1, 2
+    """,
+    tags=("events", "window", "extension"),
+)
+def hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation: 1-hour windows every 30
+    minutes, so each event lands in exactly two overlapping windows —
+    the smoothing shape dashboards use where tumbling windows alias. Uses
+    Spark's native ``F.window(ts, '1 hour', '30 minutes')`` — the SAME
+    operator Structured Streaming runs, so this batch query is the
+    replayable twin of a streaming job. Cost at scale: the window
+    assignment is a 2x row explode fused into the scan, then one
+    partial-aggregated shuffle on (window, type) — bounded output,
+    corpus-size-independent. The oracle derives both candidate starts per
+    event arithmetically (both always qualify for a 2:1 window/slide
+    ratio)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
