@@ -288,10 +288,12 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale note on the audit subsets: exact recall can't be computed on a full
 # 100 TB corpus (that's why the LSH operators exist) — the standard
-# production design is a bounded fixed-rate audit sample. Here the subset is
-# `doc_id % 2 = 0` (deterministic, cross-engine); at real scale the modulus
-# grows with the corpus so the audited set stays O(10^4) rows and the
-# brute-force pair compare stays a single broadcast-join task set.
+# production design is a bounded audit sample. Here the subset is
+# `doc_id % 2 = 0 AND doc_id < 1000` (deterministic, cross-engine): the
+# modulus sets the rate at test scale and the absolute id cap is the audit
+# BUDGET — ≤500 docs at every sf, so the brute-force pair compare stays a
+# bounded broadcast-join task set no matter how large the corpus grows
+# (at sf0.01, ids 0-499, the cap is a no-op).
 # ---------------------------------------------------------------------------
 
 
@@ -301,7 +303,8 @@ WITH aud AS (
          list_distinct(list_transform(
             range(1, greatest(length(text) - 4, 1) + 1),
             i -> text[i:i+4])) AS sh
-  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+  FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id < 1000 AND text IS NOT NULL),
 ex AS (
   -- size-band prefilter: J >= 0.8 implies |A|/|B| in [0.8, 1.25]
   -- (J <= min(|A|,|B|)/max(|A|,|B|)), so the band drops no true pair and
@@ -329,9 +332,10 @@ def minhash_audit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is hash-seed dependent → rows-only):
 
     - ``n_exact_pairs`` / ``n_high_pairs`` — exact char-5-shingle Jaccard
-      pair counts (≥0.8 / ≥0.95) on the deterministic audit half
-      (`doc_id % 2 = 0`), brute-forced independently by BOTH engines and
-      hash-compared for real.
+      pair counts (≥0.8 / ≥0.95) on the deterministic bounded audit set
+      (`doc_id % 2 = 0 AND doc_id < 1000` — ≤500 docs at any sf),
+      brute-forced independently by BOTH engines and hash-compared for
+      real.
     - ``high_recall_ok`` — every audit pair at J ≥ 0.95 appears in the
       MinHash output. At J ≥ 0.95 the tuned banding's per-pair collision
       probability is ≥ 1 − (1 − 0.95^r)^b ≈ 0.9998, so this is the
@@ -345,7 +349,11 @@ def minhash_audit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     mh = dedup.minhash_lsh_dedup(d, threshold=0.8).localCheckpoint(eager=True)
 
-    aud = d.filter((F.col("doc_id") % 2 == 0) & F.col("text").isNotNull())
+    aud = d.filter(
+        (F.col("doc_id") % 2 == 0)
+        & (F.col("doc_id") < 1000)
+        & F.col("text").isNotNull()
+    )
     sh = aud.select(
         F.col("doc_id").alias("id"), dedup.char_shingles("text", 5).alias("sh")
     )
@@ -486,7 +494,8 @@ def embedding_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n_docs_audit,
            TRUE                     AS all_found_ok,
            CAST(0 AS BIGINT)        AS n_violations
-    FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
+    FROM documents
+    WHERE doc_id % 2 = 0 AND doc_id < 1000 AND text IS NOT NULL
     """,
     tags=("dedup", "invariant", "extension"),
 )
@@ -496,8 +505,10 @@ def simhash_audit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine hash-compared value is the audit-subset size; the booleans
     carry the contract:
 
-    - ``all_found_ok`` — a brute-force all-pairs hamming scan over the audit
-      half (`doc_id % 2 = 0`) recomputes signatures independently and checks
+    - ``all_found_ok`` — a brute-force all-pairs hamming scan over the
+      bounded audit set (`doc_id % 2 = 0 AND doc_id < 1000` — the same
+      ≤500-doc audit budget as minhash_audit_check) recomputes signatures
+      independently and checks
       every pair at hamming ≤ 3 appears in the banded pipeline's output.
       This is the pigeonhole completeness guarantee (≤3 flipped bits over 4
       bands leave ≥1 band identical) — a banding or bucketing bug breaks it.
@@ -512,7 +523,11 @@ def simhash_audit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(F.split(F.col("text"), " ")), lambda t: F.xxhash64(t)
     )
     aud = (
-        d.filter((F.col("doc_id") % 2 == 0) & F.col("text").isNotNull())
+        d.filter(
+            (F.col("doc_id") % 2 == 0)
+            & (F.col("doc_id") < 1000)
+            & F.col("text").isNotNull()
+        )
         .select(
             F.col("doc_id").alias("id"),
             dedup.simhash_bands_udf()(tok_hashes).alias("sh"),
@@ -538,7 +553,9 @@ def simhash_audit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("h") <= 3)
     )
     n_audit = d.filter(
-        (F.col("doc_id") % 2 == 0) & F.col("text").isNotNull()
+        (F.col("doc_id") % 2 == 0)
+        & (F.col("doc_id") < 1000)
+        & F.col("text").isNotNull()
     ).agg(F.count(F.lit(1)).alias("n_docs_audit"))
     missed = brute.join(emitted, ["id_a", "id_b"], "left_anti").agg(
         F.count(F.lit(1)).alias("n_missed")
