@@ -15,6 +15,13 @@ reported separately as ``warm_total``/``queries_warm``: per-lineage
 codegen/planning cold cost dominates at this tiny scale (3-4× on the
 UDF-heavy dedup queries), so the warm numbers are the better signal for
 *plan* regressions while cold covers startup/planning regressions.
+
+WARM SEMANTICS CHANGED IN ROUND 5: lingering localCheckpoint blocks are now
+released between the two runs, so the warm run measures a clean re-execution
+instead of contending with the cold run's dead blocks. Warm numbers for
+checkpoint-heavy queries (near_dedup_corpus, minhash_lsh_dedup,
+kmeans_clusters) are therefore NOT comparable with the r3/r4 recorded
+warm baselines; cold numbers are unaffected.
 """
 
 from __future__ import annotations
@@ -122,9 +129,11 @@ def main() -> int:
         # while contending with the dead blocks — which made warm read SLOWER
         # than cold for near_dedup_corpus in rounds 3-4 and hid real plan
         # regressions. JavaSparkContext.getPersistentRDDs is a java.util.Map;
-        # py4j exposes it as a Python mapping.
+        # py4j exposes it as a Python mapping. blocking=True so removal has
+        # actually finished before the next timed run starts (async removal
+        # would leak the contention into the warm measurement).
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist(False)
+            rdd.unpersist(True)
 
     def calibrate() -> float:
         # Fixed, data-independent CPU workload (codegen'd xxhash64 sum over

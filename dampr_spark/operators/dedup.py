@@ -29,29 +29,56 @@ from pyspark.sql import functions as F
 from dampr_spark.functions.text import fingerprint
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the input has fewer source files than the
-    cluster has slots. A small corpus read from one parquet file arrives as
-    ONE partition, serializing every per-row signature/shingle pass onto a
-    single core (measured 4× on the sf0.1 bench); at real scale inputs
-    already carry thousands of files and this is a no-op.
+    """Round-robin repartition when the input would SCAN into fewer
+    partitions than the cluster has slots. A small corpus read from one
+    parquet file arrives as ONE partition, serializing every per-row
+    signature/shingle pass onto a single core (measured 4× on the sf0.1
+    bench); at real scale inputs already carry thousands of files and this
+    is a no-op.
 
     Deliberately consults ``df.inputFiles()`` (a FileIndex listing), NOT
     ``df.rdd.getNumPartitions()``: the RDD conversion builds a whole
     deserialized-row physical plan on every call — a driver-side planning tax
     on the hot constructor path of every dedup query — and is unavailable
-    under Spark Connect. The file count slightly underestimates partitions
-    when maxPartitionBytes splits big files; the only cost of that is one
-    extra round-robin shuffle of a corpus small enough to live in few files.
-    Non-file-backed inputs (in-memory test frames) report zero files and are
-    left alone — local relations already parallelize across the session
-    default."""
+    under Spark Connect. File count alone under-estimates scan partitions
+    for LARGE single files (maxPartitionBytes splits them), so locally
+    statable files contribute ceil(size/maxPartitionBytes) each — a 10 GB
+    single-file corpus is correctly left alone. Files on remote filesystems
+    aren't statted; a remote corpus small in file count is assumed
+    cluster-sized and left alone (the conservative default — repartitioning
+    100 TB by accident is the worse failure). Non-file-backed inputs
+    (in-memory test frames) report zero files and are left alone."""
+    spark = df.sparkSession
     try:
-        target = df.sparkSession.sparkContext.defaultParallelism
+        target = spark.sparkContext.defaultParallelism
     except Exception:  # Spark Connect: no sparkContext — use the shuffle conf
-        target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    if 0 < len(df.inputFiles()) < target:
-        return df.repartition(target)
-    return df
+        target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    files = df.inputFiles()
+    if not files or len(files) >= target:
+        return df
+    import os
+
+    max_bytes = 128 * 1024 * 1024
+    try:
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", str(max_bytes))
+        digits = "".join(c for c in raw if c.isdigit())
+        if digits:
+            max_bytes = int(digits) * (1024 * 1024 if raw.rstrip("b").lower().endswith("m") else 1)
+    except Exception:
+        pass
+    est = 0
+    for f in files:
+        path = f[7:] if f.startswith("file://") else f[5:] if f.startswith("file:") else f
+        if not os.path.isabs(path):
+            return df  # remote/virtual path: don't guess, don't shuffle
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return df
+        est += max(-(-size // max_bytes), 1)
+        if est >= target:
+            return df
+    return df.repartition(target)
 
 
 # ---------------------------------------------------------------------------
@@ -263,6 +290,7 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -281,7 +309,6 @@ def minhash_lsh_candidates(
         F.collect_list("id").alias("ids")
     )
     # Hot-bucket guard: a bucket with B ids yields B^2/2 pairs; cap B.
-    max_bucket = 1000
     pairs = (
         buckets.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
         .select(F.explode(_sorted_pairs(F.col("ids"))).alias("p"))
@@ -320,6 +347,7 @@ def minhash_lsh_dedup(
     num_perm: int = 64,
     bands: int | None = None,
     shingle_k: int = 5,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs: LSH candidates verified with exact shingle Jaccard.
     Only candidate ids re-join the shingle sets — the verify join is
@@ -340,7 +368,7 @@ def minhash_lsh_dedup(
     # on a cluster a lost executor forces a stage recompute, which is the
     # standard localCheckpoint trade and fine for a deterministic plan.
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_perm, bands, shingle_k
+        df, text_col, id_col, num_perm, bands, shingle_k, max_bucket
     ).localCheckpoint(eager=True)
     # Shrink to candidate ids BEFORE building shingle arrays: the semi-join
     # filters rows first, so the (expensive, wide) shingle projection runs

@@ -118,6 +118,22 @@ def _real_image_features(Image, content: bytes | None, dim: int = FEATURE_DIM):
         return None
 
 
+def _gray_features(arr: np.ndarray, dim: int) -> list[float]:
+    """Grayscale frame -> ``dim`` floats in [0, 1]: subsample a
+    sqrt(dim)-sided grid of pixels. Shared by still-image-free AV paths
+    (first-frame features, per-frame sampling)."""
+    side = int(dim**0.5)
+    ys = np.linspace(0, arr.shape[0] - 1, side).astype(int)
+    xs = np.linspace(0, arr.shape[1] - 1, side).astype(int)
+    return (arr[np.ix_(ys, xs)].astype(np.float32) / 255.0).reshape(-1)[:dim].tolist()
+
+
+def _energy_bins(wave: np.ndarray, dim: int) -> list[float]:
+    """Mean-abs amplitude over ``dim`` equal windows of a waveform."""
+    bins = np.array_split(np.abs(wave), dim)
+    return [float(b.mean()) if len(b) else 0.0 for b in bins]
+
+
 def _real_av_features(av, kind: str, content: bytes | None, dim: int = FEATURE_DIM):
     """PyAV decode → ``dim`` floats. Video: first frame, grayscale 4×4
     thumbnail. Audio: mean-abs amplitude over ``dim`` equal time windows.
@@ -130,13 +146,7 @@ def _real_av_features(av, kind: str, content: bytes | None, dim: int = FEATURE_D
         with av.open(io.BytesIO(content)) as container:
             if kind == "video":
                 for frame in container.decode(video=0):
-                    arr = frame.to_ndarray(format="gray")
-                    side = int(dim**0.5)
-                    ys = np.linspace(0, arr.shape[0] - 1, side).astype(int)
-                    xs = np.linspace(0, arr.shape[1] - 1, side).astype(int)
-                    return (arr[np.ix_(ys, xs)].astype(np.float32) / 255.0).reshape(
-                        -1
-                    )[:dim].tolist()
+                    return _gray_features(frame.to_ndarray(format="gray"), dim)
                 return None
             samples = [
                 f.to_ndarray().astype(np.float32).reshape(-1)
@@ -144,9 +154,7 @@ def _real_av_features(av, kind: str, content: bytes | None, dim: int = FEATURE_D
             ]
             if not samples:
                 return None
-            wave = np.abs(np.concatenate(samples))
-            bins = np.array_split(wave, dim)
-            return [float(b.mean()) if len(b) else 0.0 for b in bins]
+            return _energy_bins(np.concatenate(samples), dim)
     except Exception:
         return None
 
@@ -293,20 +301,13 @@ def _real_frame_sample(av, content: bytes, every_ms: int, dim: int = FEATURE_DIM
 
         with av.open(io.BytesIO(content)) as container:
             next_ms = 0
-            side = int(dim**0.5)
             for frame in container.decode(video=0):
                 if frame.time is None:
                     continue
                 ms = int(frame.time * 1000)
                 if ms < next_ms:
                     continue
-                arr = frame.to_ndarray(format="gray")
-                ys = np.linspace(0, arr.shape[0] - 1, side).astype(int)
-                xs = np.linspace(0, arr.shape[1] - 1, side).astype(int)
-                feat = (arr[np.ix_(ys, xs)].astype(np.float32) / 255.0).reshape(-1)[
-                    :dim
-                ].tolist()
-                yield ms, feat
+                yield ms, _gray_features(frame.to_ndarray(format="gray"), dim)
                 next_ms = ms - (ms % every_ms) + every_ms
     except Exception:
         return
@@ -384,13 +385,12 @@ def _real_audio_segments(av, content: bytes | None, segment_ms: int, dim: int = 
         total_ms = len(wave) * 1000 // rate
         for s in range(0, -(-len(wave) // per_seg)):
             chunk = wave[s * per_seg : (s + 1) * per_seg]
-            bins = np.array_split(np.abs(chunk), dim)
             yield (
                 s,
                 s * segment_ms,
                 min((s + 1) * segment_ms, total_ms),
                 int(chunk.nbytes),
-                [float(b.mean()) if len(b) else 0.0 for b in bins],
+                _energy_bins(chunk, dim),
             )
     except Exception:
         return

@@ -114,6 +114,12 @@ def bucketed_range_window(
     """
     from pyspark.sql.window import Window
 
+    reserved = {"_ts_us", "_bucket", "_own"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"bucketed_range_window reserves columns {sorted(reserved)}; "
+            "rename them on the input frame"
+        )
     ts = ts_us_col if isinstance(ts_us_col, Column) else F.col(ts_us_col)
     own = df.withColumn("_ts_us", ts).withColumn(
         "_bucket", F.floor(F.col("_ts_us") / F.lit(range_us))

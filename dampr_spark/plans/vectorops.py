@@ -232,6 +232,8 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:  # data contract: vec_id 0 is the probe vector
+        raise ValueError("embeddings table has no vec_id=0 query vector")
     qv = list(qrow.embedding)
     rest = e.filter(F.col("vec_id") != 0)
 
