@@ -513,3 +513,63 @@ def oov_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("oov_token_share"),
     )
+
+
+@register(
+    "char_entropy_by_source",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, source, unnest(string_split(text, '')) AS c
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+    counts AS (
+      SELECT doc_id, any_value(source) AS source, c, count(*) AS n
+      FROM ch GROUP BY doc_id, c),
+    tot AS (SELECT doc_id, sum(n) AS t FROM counts GROUP BY doc_id),
+    per_doc AS (
+      SELECT counts.doc_id, any_value(source) AS source,
+             round(-sum((n::DOUBLE / t) * log2(n::DOUBLE / t)), 6) AS ent
+      FROM counts JOIN tot USING (doc_id)
+      GROUP BY counts.doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(ent), 6) AS avg_entropy,
+           round(min(ent), 6) AS min_entropy
+    FROM per_doc GROUP BY source
+    """,
+    tags=("text", "quality", "extension"),
+)
+def char_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document, rolled up per
+    source — the junk detector orthogonal to the token-level rules: random
+    bytes score high, repeated-template spam scores low, natural text sits
+    in a narrow band. Plan: explode characters → (doc, char) counts → a
+    doc-total window on the SAME doc partitioning (no extra shuffle) →
+    per-doc entropy → per-source aggregate. Two partial-aggregated
+    shuffles total; per-row cost is O(text length), independent of corpus
+    size."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    ch = d.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), "")).alias("c")
+    )
+    counts = ch.groupBy("doc_id", "c").agg(
+        F.any_value("source").alias("source"), F.count(F.lit(1)).alias("n")
+    )
+    t = F.sum("n").over(Window.partitionBy("doc_id"))
+    p = F.col("n").cast("double") / F.col("t")
+    per_doc = (
+        counts.withColumn("t", t)
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("ent"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("ent"), 6).alias("avg_entropy"),
+        F.round(F.min("ent"), 6).alias("min_entropy"),
+    )
