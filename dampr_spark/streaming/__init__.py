@@ -1,4 +1,5 @@
 from dampr_spark.streaming.pipeline import (
+    hopping_aggregate,
     hourly_aggregate,
     incremental_dedup_stream,
     read_events_stream,
@@ -11,6 +12,7 @@ from dampr_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "hopping_aggregate",
     "hourly_aggregate",
     "incremental_dedup_stream",
     "read_events_stream",

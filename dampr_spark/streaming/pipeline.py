@@ -83,6 +83,32 @@ def hourly_aggregate(events: DataFrame, watermark: str = "2 hours") -> DataFrame
     )
 
 
+def hopping_aggregate(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hopping (sliding) windows per event_type — the streaming twin of the
+    batch ``hopping_event_counts`` catalog query, sharing the exact same
+    ``F.window(ts, window, slide)`` operator so batch replays and live
+    streams produce identical window assignments."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
     """Gap-based sessions per user via ``session_window`` — the streaming
     twin of the batch lag-based ``sessionization`` query. Boundary nuance:

@@ -36,6 +36,22 @@ def test_hourly_aggregate_matches_batch(spark, sf_dir, events_stream):
     assert s == b
 
 
+def test_hopping_aggregate_matches_batch(spark, sf_dir, events_stream):
+    stream_res = streaming.run_to_memory(
+        streaming.hopping_aggregate(events_stream), "hopping_test"
+    )
+    batch_res = all_queries()["hopping_event_counts"].builder(spark, sf_dir)
+    s = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in stream_res.collect()
+    }
+    b = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in batch_res.collect()
+    }
+    assert s == b
+
+
 def test_session_counts_matches_batch(spark, sf_dir, events_stream):
     stream_res = streaming.run_to_memory(
         streaming.session_counts(events_stream), "sessions_test"
