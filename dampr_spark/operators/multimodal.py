@@ -162,11 +162,18 @@ def _real_av_features(av, kind: str, content: bytes | None, dim: int = FEATURE_D
 def _fake_decode(content: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic fake feature vector: md5 of the payload expands into
     ``dim`` floats in [0, 1). Stable across runs/machines — usable in tests
-    and as a placeholder embedding."""
+    and as a placeholder embedding.
+
+    The per-component salt is the ASCII decimal index (not raw bytes) ON
+    PURPOSE: every step — md5, little-endian uint32 of the first four
+    digest bytes, /2^32, float32 narrowing — is then expressible in ANSI
+    SQL over the text payload, which is what lets the `multimodal_features`
+    catalog query carry a full DuckDB oracle (plans/dedupops.py) instead of
+    a rows-only check."""
     out = np.empty(dim, dtype=np.float32)
     h = content or b""
     for i in range(dim):
-        d = hashlib.md5(h + i.to_bytes(2, "little")).digest()
+        d = hashlib.md5(h + str(i).encode()).digest()
         out[i] = int.from_bytes(d[:4], "little") / 2**32
     return out
 

@@ -157,10 +157,49 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.query_topk(assigned, list(q.embedding), k=20)
 
 
-@register("multimodal_features", oracle=None, tags=("multimodal", "extension"))
+def _fake_feat_sql(i: int) -> str:
+    """DuckDB twin of one component of multimodal._fake_decode: float32 of
+    little-endian-uint32(md5(utf8(text) || str(i))[0:4]) / 2^32. The hex
+    digest is parsed nibble-by-nibble (strpos into the hex alphabet)."""
+    h = f"md5(coalesce(text, '') || '{i}')"
+    nib = lambda k: f"(strpos('0123456789abcdef', substr({h}, {k}, 1)) - 1)"  # noqa: E731
+    byte = lambda j: f"({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)})"  # noqa: E731
+    return (
+        f"CAST(({byte(0)} + {byte(1)} * 256 + {byte(2)} * 65536 + "
+        f"{byte(3)} * 16777216) / 4294967296.0 AS REAL)"
+    )
+
+
+# Left-fold sum in the same order as the Spark plan's F.aggregate (double
+# accumulator seeded 0.0), so the 16-term float addition is bit-identical.
+_FAKE_FEAT_SUM = "CAST(0.0 AS DOUBLE)"
+for _i in range(multimodal.FEATURE_DIM):
+    _FAKE_FEAT_SUM = f"({_FAKE_FEAT_SUM} + {_fake_feat_sql(_i)})"
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           CAST(CASE WHEN text IS NULL THEN 0
+                     ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
+           round({_FAKE_FEAT_SUM}, 6) AS feat_sum
+    FROM documents
+    """,
+    tags=("multimodal", "extension"),
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column media pipeline: documents→fake media payloads→
-    mapInPandas feature extraction (decode stubbed; plumbing real).
+    mapInPandas feature extraction (decode deterministic-fake in this
+    container; plumbing real).
+
+    FULLY oracle-checked even though the decode is the stub: the fake
+    decoder is exact md5 arithmetic (see multimodal._fake_decode), so the
+    oracle replays it in SQL — hex-digest nibble parsing, little-endian
+    uint32, /2^32, float32 narrowing, and the identical left-fold sum —
+    which externally verifies the whole Arrow batch path: byte movement,
+    null handling, schema, and per-row feature math.
 
     The driver-facing projection digests the ``array<float>`` feature
     vector to a scalar (sum, rounded) — array columns are unsortable in the
