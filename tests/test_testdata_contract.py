@@ -96,3 +96,14 @@ def test_lineitem_shipdate_spans_1997(con):
     """filter_where/q1/q6 predicates assume the TPC-H-ish 1995-1998 span."""
     lo, hi = con.execute("SELECT min(l_shipdate), max(l_shipdate) FROM lineitem").fetchone()
     assert str(lo) <= "1997-01-01" <= str(hi), (lo, hi)
+
+
+def test_documents_ids_cover_audit_budget(con):
+    """The minhash/simhash audit checks sample `doc_id % 2 = 0 AND
+    doc_id < 1000` — a renumbered id scheme (offset ids, sparse ids) would
+    silently shrink the audit to nothing and turn the checks vacuous. The
+    budget window must keep a healthy population."""
+    n = con.execute(
+        "SELECT count(*) FROM documents WHERE doc_id % 2 = 0 AND doc_id < 1000"
+    ).fetchone()[0]
+    assert n >= 25, f"audit budget window holds only {n} docs"
