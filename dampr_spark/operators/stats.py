@@ -1,0 +1,111 @@
+"""Distributed exact statistics.
+
+Spark's built-in exact ``percentile`` aggregate materializes EVERY value in
+one final merge buffer — measured on the round-5 100x events spot-proof as
+a 10.9 s single task inside an 11.3 s query (the whole stage waits on one
+reducer holding ~2M doubles; at 100 TB it simply OOMs). The mergeable-
+sketch path (``percentile_approx``) is the right default at scale, but when
+a result must be EXACT (the DuckDB-oracle contract here; financial/SLA
+reporting in general), :func:`exact_quantiles` computes the same
+``quantile_cont`` semantics with no single-task bottleneck:
+
+1. global range sort of the value column (parallel TeraSort-style);
+2. per-partition counts -> cumulative offsets (a partition-count-sized
+   table) -> every row's GLOBAL rank = offset + intra-partition row_number;
+3. the (few) ranks each requested quantile needs join back against the
+   ranked rows via a broadcast, and linear interpolation assembles
+   ``v_lo + frac * (v_hi - v_lo)``.
+
+Every shuffle moves either the value column (range exchange) or a
+partition-count table; no task ever holds more than one partition's worth
+of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+) -> DataFrame:
+    """Single-row DataFrame: ``n`` (value count) plus one double column
+    ``q_<i>`` per requested probability, computed with ``quantile_cont``
+    (linear interpolation) semantics — identical to Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont``, without their
+    single-reducer merge.
+
+    NULL values are excluded (matching both engines' aggregate semantics).
+    An empty input yields n=0 and NULL quantiles.
+    """
+    vals = df.select(F.col(value_col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+
+    # Parallel global sort, then recover each row's global rank: the range
+    # exchange clusters by value; spark_partition_id tags the range bucket;
+    # per-bucket row_number plus the cumulative count of earlier buckets is
+    # the exact 0-based global rank. The window on (pid) re-shuffles by pid
+    # — rows of one range bucket stay together, so ranks are exact; ties
+    # may order arbitrarily within a bucket, which cannot change the VALUE
+    # at any rank. The tiebreak column exists ONLY so the range partitioner
+    # can split heavy ties across buckets (a constant-heavy column would
+    # otherwise re-concentrate into one range partition — the exact skew
+    # this operator removes).
+    vals = vals.withColumn("tb", F.monotonically_increasing_id())
+    ranked = (
+        vals.orderBy("v", "tb")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_pid = Window.partitionBy("pid").orderBy("v", "tb")
+    ranked = ranked.withColumn("rn", F.row_number().over(w_pid) - 1)
+
+    counts = ranked.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    # offsets is one row per partition — broadcast-joined back.
+    granked = ranked.join(F.broadcast(offsets), "pid").select(
+        "v", (F.col("off") + F.col("rn")).alias("grank")
+    )
+
+    n_row = vals.agg(F.count(F.lit(1)).alias("n"))
+    # For each prob: pos = (n-1)*p, lo = floor(pos), hi = ceil(pos),
+    # frac = pos - lo. Build the needed-rank table from the single-row n.
+    needed = None
+    for i, p in enumerate(probs):
+        pos = (F.col("n") - 1) * F.lit(float(p))
+        row = n_row.select(
+            F.lit(i).alias("qi"),
+            F.floor(pos).cast("long").alias("r_lo"),
+            F.ceil(pos).cast("long").alias("r_hi"),
+            (pos - F.floor(pos)).alias("frac"),
+        )
+        needed = row if needed is None else needed.unionAll(row)
+
+    sel = granked.join(
+        F.broadcast(needed),
+        (granked.grank == needed.r_lo) | (granked.grank == needed.r_hi),
+    )
+    per_q = sel.groupBy("qi").agg(
+        F.min(F.when(F.col("grank") == F.col("r_lo"), F.col("v"))).alias("v_lo"),
+        F.min(F.when(F.col("grank") == F.col("r_hi"), F.col("v"))).alias("v_hi"),
+        F.first("frac").alias("frac"),
+    )
+    per_q = per_q.select(
+        "qi",
+        (
+            F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo"))
+        ).alias("q"),
+    )
+    out_cols: list[Column] = [
+        F.min(F.when(F.col("qi") == i, F.col("q"))).alias(f"q_{i}")
+        for i in range(len(probs))
+    ]
+    quants = per_q.agg(*out_cols)
+    return n_row.crossJoin(F.broadcast(quants))

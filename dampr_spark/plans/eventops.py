@@ -497,9 +497,16 @@ def rolling_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click→purchase conversion-lag distribution: as-of join each purchase
     to its most recent prior click (inner: unconverted purchases drop),
-    then exact p50/p90/p99 of the lag — the funnel-latency report. Composes
-    the as-of operator with the percentile aggregate; both already
-    oracle-proven separately."""
+    then exact p50/p90/p99 of the lag — the funnel-latency report.
+
+    The quantiles come from operators.stats.exact_quantiles (distributed
+    rank-join selection), NOT the built-in exact ``percentile`` aggregate:
+    the built-in materializes every lag in ONE final merge buffer —
+    measured on the 100x spot-proof as a 10.9 s single task inside an
+    11.3 s query (the whole stage waits on one reducer; at corpus scale it
+    OOMs). Same quantile_cont semantics, same oracle, no single-task
+    bottleneck."""
+    from dampr_spark.operators.stats import exact_quantiles
     from dampr_spark.operators.temporal import asof_join
 
     e = _t(spark, sf_dir, "events")
@@ -520,11 +527,12 @@ def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select((F.col("us") / 1_000_000.0).alias("lag_secs"))
     )
-    return lags.agg(
-        F.count(F.lit(1)).alias("n_conversions"),
-        F.round(F.percentile("lag_secs", F.lit(0.5)), 6).alias("p50_secs"),
-        F.round(F.percentile("lag_secs", F.lit(0.9)), 6).alias("p90_secs"),
-        F.round(F.percentile("lag_secs", F.lit(0.99)), 6).alias("p99_secs"),
+    q = exact_quantiles(lags, "lag_secs", [0.5, 0.9, 0.99])
+    return q.select(
+        F.col("n").alias("n_conversions"),
+        F.round("q_0", 6).alias("p50_secs"),
+        F.round("q_1", 6).alias("p90_secs"),
+        F.round("q_2", 6).alias("p99_secs"),
     )
 
 

@@ -248,3 +248,36 @@ def test_bucketed_range_window_equals_plain(spark_session_holder, rows, rng):
     assert sorted(map(tuple, bucketed.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        max_size=60,
+    ),
+    probs=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(**SETTINGS)
+def test_exact_quantiles_matches_builtin_percentile(spark_session_holder, xs, probs):
+    """Distributed rank-join quantiles must equal Spark's single-reducer
+    exact percentile for any multiset (ties, negatives, singletons) and any
+    probability vector."""
+    spark = spark_session_holder
+    from pyspark.sql import functions as F
+
+    from dampr_spark.operators.stats import exact_quantiles
+
+    if not xs:
+        return
+    df = spark.createDataFrame([(float(v),) for v in xs], "x double")
+    got = exact_quantiles(df, "x", probs).first()
+    exp = df.agg(
+        *[F.percentile("x", F.lit(p)).alias(f"e{i}") for i, p in enumerate(probs)]
+    ).first()
+    assert got["n"] == len(xs)
+    for i in range(len(probs)):
+        assert got[f"q_{i}"] == pytest.approx(exp[f"e{i}"], rel=1e-12, abs=1e-9)
