@@ -456,10 +456,15 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation/filter thresholds). Spark's ``percentile`` and DuckDB's
     ``quantile_cont`` both linearly interpolate, so values hash-match.
 
-    Scale note: exact percentile shuffles each group's values; at 100 TB use
-    ``approx_percentile`` (t-digest-style sketch, partial-aggregable) — the
-    catalog keeps the exact form because it is oracle-checkable, and
-    ``approx_distinct_parts`` already covers the sketch-aggregate pattern."""
+    Scale note: the built-in exact percentile materializes each GROUP's
+    values in one merge buffer — fine when groups are many and small, a
+    single-task bottleneck when a group holds a corpus-sized share (a
+    handful of languages at 100 TB qualifies; measured 10.9 s single task
+    on the global form at 100x events). For few-huge-group shapes use
+    ``operators/stats.exact_quantiles`` per group or ``approx_percentile``
+    (t-digest-style sketch, partial-aggregable); the catalog keeps the
+    built-in form here because it is oracle-checkable at test scale and
+    ``conversion_lag_quantiles`` demonstrates the distributed-exact path."""
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
