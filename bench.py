@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "oov_rate_by_lang",
     "session_stats",
     "rolling_event_value_bucketed",
+    "order_value_quantiles",
 ]
 
 

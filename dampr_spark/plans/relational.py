@@ -1813,3 +1813,33 @@ def stratified_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bounds"),
         )
     )
+
+
+@register(
+    "order_value_quantiles",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(o_totalprice, 0.5), 6)  AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+           round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+    FROM orders
+    """,
+    tags=("stats", "quantile", "extension", "bench"),
+)
+def order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global exact order-value percentiles via
+    operators/stats.exact_quantiles — the distributed rank-join selection
+    (parallel range sort → global rank recovery → broadcast rank join), NOT
+    the built-in percentile aggregate whose final merge buffers every value
+    in one task. Identical quantile_cont semantics, oracle-checked; see
+    conversion_lag_quantiles for the measured 100x contrast."""
+    from dampr_spark.operators.stats import exact_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    q = exact_quantiles(o, "o_totalprice", [0.5, 0.95, 0.99])
+    return q.select(
+        "n",
+        F.round("q_0", 6).alias("p50"),
+        F.round("q_1", 6).alias("p95"),
+        F.round("q_2", 6).alias("p99"),
+    )
