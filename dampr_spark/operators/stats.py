@@ -109,3 +109,87 @@ def exact_quantiles(
     ]
     quants = per_q.agg(*out_cols)
     return n_row.crossJoin(F.broadcast(quants))
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: list[float],
+) -> DataFrame:
+    """Per-group ``quantile_cont`` without per-group single-task merges:
+    one row per group with ``n`` plus ``q_<i>`` per probability.
+
+    The built-in ``percentile`` aggregate is fine when groups are many and
+    small (each merge buffer holds one group), but a few-huge-groups shape
+    (languages over a corpus, event types over a year) concentrates each
+    group's entire value set in one task. Here the global range sort orders
+    by (group, value, tiebreak) — so a huge group SPANS range partitions —
+    and per-(partition, group) counts recover exact within-group ranks; the
+    per-group needed ranks broadcast back exactly as in
+    :func:`exact_quantiles`. No task ever holds more than one range
+    partition.
+    """
+    g = [F.col(c) for c in group_cols]
+    vals = df.select(*g, F.col(value_col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    vals = vals.withColumn("tb", F.monotonically_increasing_id())
+    ranked = vals.orderBy(*group_cols, "v", "tb").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_pid = Window.partitionBy("pid", *group_cols).orderBy("v", "tb")
+    ranked = ranked.withColumn("rn", F.row_number().over(w_pid) - 1)
+
+    # (pid, group) counts: one row per group-run per range partition —
+    # O(partitions + groups) rows total.
+    counts = ranked.groupBy("pid", *group_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "pid", *group_cols, F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    granked = ranked.join(F.broadcast(offsets), ["pid", *group_cols]).select(
+        *group_cols, "v", (F.col("off") + F.col("rn")).alias("grank")
+    )
+
+    n_per_group = vals.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    needed = None
+    for i, p in enumerate(probs):
+        pos = (F.col("n") - 1) * F.lit(float(p))
+        row = n_per_group.select(
+            *group_cols,
+            F.lit(i).alias("qi"),
+            F.floor(pos).cast("long").alias("r_lo"),
+            F.ceil(pos).cast("long").alias("r_hi"),
+            (pos - F.floor(pos)).alias("frac"),
+        )
+        needed = row if needed is None else needed.unionAll(row)
+
+    # Broadcast the per-group needed-rank table; join on the group key AND
+    # the rank hit in one condition so only quantile-boundary rows survive.
+    renamed = needed.withColumnsRenamed({c: f"_g_{c}" for c in group_cols})
+    cond = (F.col("grank") == F.col("r_lo")) | (F.col("grank") == F.col("r_hi"))
+    for c in group_cols:
+        cond = cond & (F.col(c) == F.col(f"_g_{c}"))
+    sel = granked.join(F.broadcast(renamed), cond)
+    per_q = sel.groupBy(*group_cols, "qi").agg(
+        F.min(F.when(F.col("grank") == F.col("r_lo"), F.col("v"))).alias("v_lo"),
+        F.min(F.when(F.col("grank") == F.col("r_hi"), F.col("v"))).alias("v_hi"),
+        F.first("frac").alias("frac"),
+    )
+    per_q = per_q.select(
+        *group_cols,
+        "qi",
+        (F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo"))).alias("q"),
+    )
+    quants = per_q.groupBy(*group_cols).agg(
+        *[
+            F.min(F.when(F.col("qi") == i, F.col("q"))).alias(f"q_{i}")
+            for i in range(len(probs))
+        ]
+    )
+    return n_per_group.join(quants, group_cols, "left")

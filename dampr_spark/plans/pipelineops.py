@@ -961,3 +961,40 @@ def gopher_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_cnt(~dr_ok, "n_fail_distinct"),
         as_cnt(wc_ok & mwl_ok & stop_ok & dr_ok, "n_kept"),
     )
+
+
+@register(
+    "doc_length_quantiles_dist",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.50), 6) AS p50,
+           round(quantile_cont(n_chars, 0.75), 6) AS p75,
+           round(quantile_cont(n_chars, 0.90), 6) AS p90
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "pipeline", "stats", "quantile", "extension"),
+)
+def doc_length_quantiles_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe twin of `doc_length_quantiles`: the SAME per-language exact
+    quantiles computed via operators/stats.exact_group_quantiles — the
+    range sort orders (lang, n_chars), so a corpus-dominating language
+    spans range partitions instead of landing in one percentile merge
+    buffer. The oracle is byte-identical to doc_length_quantiles', so a
+    hash-green row externally proves the distributed selection equals the
+    built-in aggregate on real data every round (same proof pattern as
+    rolling_event_value_bucketed)."""
+    from dampr_spark.operators.stats import exact_group_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    q = exact_group_quantiles(d, ["lang"], "n_chars", [0.25, 0.50, 0.75, 0.90])
+    return q.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.round("q_0", 6).alias("p25"),
+        F.round("q_1", 6).alias("p50"),
+        F.round("q_2", 6).alias("p75"),
+        F.round("q_3", 6).alias("p90"),
+    )
