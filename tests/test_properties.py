@@ -281,3 +281,43 @@ def test_exact_quantiles_matches_builtin_percentile(spark_session_holder, xs, pr
     assert got["n"] == len(xs)
     for i in range(len(probs)):
         assert got[f"q_{i}"] == pytest.approx(exp[f"e{i}"], rel=1e-12, abs=1e-9)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+)
+@settings(**SETTINGS)
+def test_exact_group_quantiles_matches_builtin(spark_session_holder, rows):
+    """Per-group distributed quantiles must equal the built-in per-group
+    percentile aggregate for any grouped multiset."""
+    spark = spark_session_holder
+    from pyspark.sql import functions as F
+
+    from dampr_spark.operators.stats import exact_group_quantiles
+
+    probs = [0.5, 0.9]
+    df = spark.createDataFrame([(g, float(v)) for g, v in rows], "g string, x double")
+    got = {r["g"]: r for r in exact_group_quantiles(df, ["g"], "x", probs).collect()}
+    exp = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.percentile("x", F.lit(p)).alias(f"e{i}") for i, p in enumerate(probs)],
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for gk in exp:
+        assert got[gk]["n"] == exp[gk]["n"]
+        for i in range(len(probs)):
+            assert got[gk][f"q_{i}"] == pytest.approx(
+                exp[gk][f"e{i}"], rel=1e-12, abs=1e-9
+            )
