@@ -998,3 +998,68 @@ def doc_length_quantiles_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q_2", 6).alias("p75"),
         F.round("q_3", 6).alias("p90"),
     )
+
+
+_WS_K = 200  # sample size
+
+# DuckDB twin of Spark's conv(substr(md5(id), 1, 8), 16, 10): big-endian
+# uint32 of the first 8 hex chars, parsed nibble-by-nibble.
+_WS_U_SQL = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {k + 1}, 1)) - 1)"
+        f" * {16 ** (7 - k)}"
+        for k in range(8)
+    )
+    + " + 1) / 4294967296.0"
+)
+
+
+@register(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {T.token_count_sql('text')} AS n_tokens,
+             {_WS_U_SQL} AS u
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id, n_tokens,
+           round(ln(u) / n_tokens, 6) AS sample_key
+    FROM s
+    ORDER BY ln(u) / n_tokens DESC, doc_id
+    LIMIT {_WS_K}
+    """,
+    tags=("pipeline", "sampling", "extension"),
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each document draws a uniform u from the
+    md5 of its id and competes with key ln(u)/w (the monotone form of
+    u^(1/w)); the global top-k IS a weighted sample — here weighted by
+    token count, the 'sample long documents proportionally more' knob of
+    training-data curation.
+
+    Deterministic-by-hash instead of RNG-seeded, so BOTH engines draw the
+    identical sample and the query is fully oracle-checked — unlike
+    `sample_rows`, whose engine RNG makes it rows-only. Scale shape: one
+    scan computing (u, key) as expressions, then TakeOrdered partial top-k
+    per partition — no shuffle of the corpus, no global sort; per-group
+    variants just add the group key to a row_number window
+    (budget_sample_per_source is that shape)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 1
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / T.token_count("text")
+    return (
+        d.select(
+            "doc_id",
+            T.token_count("text").alias("n_tokens"),
+            key.alias("_key"),
+        )
+        .orderBy(F.col("_key").desc(), "doc_id")
+        .limit(_WS_K)
+        .select("doc_id", "n_tokens", F.round("_key", 6).alias("sample_key"))
+    )
