@@ -573,3 +573,25 @@ def char_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("ent"), 6).alias("avg_entropy"),
         F.round(F.min("ent"), 6).alias("min_entropy"),
     )
+
+
+@register(
+    "lang_confusion_matrix",
+    oracle=f"""
+    SELECT lang AS labeled, {T.lang_id_sql('text')} AS predicted,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("text", "quality", "extension"),
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-audit confusion matrix: the language-ID heuristic's
+    predictions against the labeled ``lang`` column, as (labeled,
+    predicted, count) cells — the accuracy report run before trusting a
+    lang filter at corpus scale. One scan + one bounded
+    (|langs|²-key) aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.col("lang").alias("labeled"), T.lang_id("text").alias("predicted")
+    ).agg(F.count(F.lit(1)).alias("n"))

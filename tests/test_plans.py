@@ -281,3 +281,10 @@ def test_bucketed_rolling_window_one_exchange(spark):
     plan = plan_of(spark, "rolling_event_value_bucketed")
     assert plan.count("Exchange") == 1
     assert plan.count("Window") == 1
+
+
+def test_weighted_sample_partial_topk(spark):
+    """A-ES weighted sampling must be scan + partial top-k — no global sort
+    of the corpus."""
+    plan = plan_of(spark, "weighted_sample_topk")
+    assert "TakeOrderedAndProject" in plan
