@@ -42,6 +42,8 @@ def exact_quantiles(
     NULL values are excluded (matching both engines' aggregate semantics).
     An empty input yields n=0 and NULL quantiles.
     """
+    if not probs:
+        raise ValueError("probs must be a non-empty list of probabilities")
     vals = df.select(F.col(value_col).cast("double").alias("v")).filter(
         F.col("v").isNotNull()
     )
@@ -56,10 +58,20 @@ def exact_quantiles(
     # can split heavy ties across buckets (a constant-heavy column would
     # otherwise re-concentrate into one range partition — the exact skew
     # this operator removes).
+    #
+    # The eager localCheckpoint after pid assignment is CORRECTNESS, not an
+    # optimization: range-partition boundaries come from a nondeterministic
+    # reservoir sample, and two downstream branches (the per-pid counts and
+    # the rank recovery) both consume this lineage. Without materialization
+    # they would each re-execute the range exchange and could see DIFFERENT
+    # boundaries — mismatched pids, silently wrong ranks (reproduced with
+    # spark.sql.exchange.reuse=false: p50 off by millions). Checkpointing
+    # pins one materialized assignment that every consumer reads.
     vals = vals.withColumn("tb", F.monotonically_increasing_id())
     ranked = (
         vals.orderBy("v", "tb")
         .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_pid = Window.partitionBy("pid").orderBy("v", "tb")
     ranked = ranked.withColumn("rn", F.row_number().over(w_pid) - 1)
@@ -74,19 +86,33 @@ def exact_quantiles(
         "v", (F.col("off") + F.col("rn")).alias("grank")
     )
 
-    n_row = vals.agg(F.count(F.lit(1)).alias("n"))
+    n_row = ranked.agg(F.count(F.lit(1)).alias("n"))
     # For each prob: pos = (n-1)*p, lo = floor(pos), hi = ceil(pos),
-    # frac = pos - lo. Build the needed-rank table from the single-row n.
-    needed = None
-    for i, p in enumerate(probs):
-        pos = (F.col("n") - 1) * F.lit(float(p))
-        row = n_row.select(
-            F.lit(i).alias("qi"),
-            F.floor(pos).cast("long").alias("r_lo"),
-            F.ceil(pos).cast("long").alias("r_hi"),
-            (pos - F.floor(pos)).alias("frac"),
-        )
-        needed = row if needed is None else needed.unionAll(row)
+    # frac = pos - lo. ONE aggregate explodes into the needed-rank table
+    # (a per-prob unionAll would put len(probs) copies of the count
+    # aggregation into the plan).
+    needed = n_row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("qi"),
+                        F.floor((F.col("n") - 1) * F.lit(float(p)))
+                        .cast("long")
+                        .alias("r_lo"),
+                        F.ceil((F.col("n") - 1) * F.lit(float(p)))
+                        .cast("long")
+                        .alias("r_hi"),
+                        (
+                            (F.col("n") - 1) * F.lit(float(p))
+                            - F.floor((F.col("n") - 1) * F.lit(float(p)))
+                        ).alias("frac"),
+                    )
+                    for i, p in enumerate(probs)
+                ]
+            )
+        ).alias("need")
+    ).select("need.qi", "need.r_lo", "need.r_hi", "need.frac")
 
     sel = granked.join(
         F.broadcast(needed),
@@ -129,14 +155,24 @@ def exact_group_quantiles(
     per-group needed ranks broadcast back exactly as in
     :func:`exact_quantiles`. No task ever holds more than one range
     partition.
+
+    NULL group keys form their own group (matching groupBy semantics) —
+    every internal join is null-safe on the group columns.
     """
+    if not probs:
+        raise ValueError("probs must be a non-empty list of probabilities")
     g = [F.col(c) for c in group_cols]
     vals = df.select(*g, F.col(value_col).cast("double").alias("v")).filter(
         F.col("v").isNotNull()
     )
+    # Eager checkpoint after pid assignment: same correctness requirement
+    # as exact_quantiles — the nondeterministic range-exchange lineage has
+    # multiple consumers and must be materialized exactly once.
     vals = vals.withColumn("tb", F.monotonically_increasing_id())
-    ranked = vals.orderBy(*group_cols, "v", "tb").withColumn(
-        "pid", F.spark_partition_id()
+    ranked = (
+        vals.orderBy(*group_cols, "v", "tb")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_pid = Window.partitionBy("pid", *group_cols).orderBy("v", "tb")
     ranked = ranked.withColumn("rn", F.row_number().over(w_pid) - 1)
@@ -151,30 +187,47 @@ def exact_group_quantiles(
     )
     offsets = counts.select(
         "pid", *group_cols, F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
-    )
-    granked = ranked.join(F.broadcast(offsets), ["pid", *group_cols]).select(
+    ).withColumnsRenamed({c: f"_g_{c}" for c in group_cols})
+    off_cond = F.col("pid") == F.col("_o_pid")
+    offsets = offsets.withColumnRenamed("pid", "_o_pid")
+    for c in group_cols:
+        off_cond = off_cond & F.col(c).eqNullSafe(F.col(f"_g_{c}"))
+    granked = ranked.join(F.broadcast(offsets), off_cond).select(
         *group_cols, "v", (F.col("off") + F.col("rn")).alias("grank")
     )
 
-    n_per_group = vals.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
-    needed = None
-    for i, p in enumerate(probs):
-        pos = (F.col("n") - 1) * F.lit(float(p))
-        row = n_per_group.select(
-            *group_cols,
-            F.lit(i).alias("qi"),
-            F.floor(pos).cast("long").alias("r_lo"),
-            F.ceil(pos).cast("long").alias("r_hi"),
-            (pos - F.floor(pos)).alias("frac"),
-        )
-        needed = row if needed is None else needed.unionAll(row)
+    n_per_group = ranked.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    # ONE aggregate explodes into the per-group needed-rank table.
+    needed = n_per_group.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("qi"),
+                        F.floor((F.col("n") - 1) * F.lit(float(p)))
+                        .cast("long")
+                        .alias("r_lo"),
+                        F.ceil((F.col("n") - 1) * F.lit(float(p)))
+                        .cast("long")
+                        .alias("r_hi"),
+                        (
+                            (F.col("n") - 1) * F.lit(float(p))
+                            - F.floor((F.col("n") - 1) * F.lit(float(p)))
+                        ).alias("frac"),
+                    )
+                    for i, p in enumerate(probs)
+                ]
+            )
+        ).alias("need"),
+    ).select(*group_cols, "need.qi", "need.r_lo", "need.r_hi", "need.frac")
 
     # Broadcast the per-group needed-rank table; join on the group key AND
     # the rank hit in one condition so only quantile-boundary rows survive.
     renamed = needed.withColumnsRenamed({c: f"_g_{c}" for c in group_cols})
     cond = (F.col("grank") == F.col("r_lo")) | (F.col("grank") == F.col("r_hi"))
     for c in group_cols:
-        cond = cond & (F.col(c) == F.col(f"_g_{c}"))
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_g_{c}"))
     sel = granked.join(F.broadcast(renamed), cond)
     per_q = sel.groupBy(*group_cols, "qi").agg(
         F.min(F.when(F.col("grank") == F.col("r_lo"), F.col("v"))).alias("v_lo"),
@@ -191,5 +244,11 @@ def exact_group_quantiles(
             F.min(F.when(F.col("qi") == i, F.col("q"))).alias(f"q_{i}")
             for i in range(len(probs))
         ]
+    ).withColumnsRenamed({c: f"_g_{c}" for c in group_cols})
+    final_cond = None
+    for c in group_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_g_{c}"))
+        final_cond = eq if final_cond is None else final_cond & eq
+    return n_per_group.join(quants, final_cond, "left").select(
+        *group_cols, "n", *[f"q_{i}" for i in range(len(probs))]
     )
-    return n_per_group.join(quants, group_cols, "left")

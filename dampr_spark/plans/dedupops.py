@@ -159,15 +159,11 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fake_feat_sql(i: int) -> str:
     """DuckDB twin of one component of multimodal._fake_decode: float32 of
-    little-endian-uint32(md5(utf8(text) || str(i))[0:4]) / 2^32. The hex
-    digest is parsed nibble-by-nibble (strpos into the hex alphabet)."""
-    h = f"md5(coalesce(text, '') || '{i}')"
-    nib = lambda k: f"(strpos('0123456789abcdef', substr({h}, {k}, 1)) - 1)"  # noqa: E731
-    byte = lambda j: f"({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)})"  # noqa: E731
-    return (
-        f"CAST(({byte(0)} + {byte(1)} * 256 + {byte(2)} * 65536 + "
-        f"{byte(3)} * 16777216) / 4294967296.0 AS REAL)"
-    )
+    little-endian-uint32(md5(utf8(text) || str(i))[0:4]) / 2^32."""
+    from dampr_spark.functions.hashing import md5_uint_sql
+
+    u32 = md5_uint_sql(f"coalesce(text, '') || '{i}'", 4, little_endian=True)
+    return f"CAST({u32} / 4294967296.0 AS REAL)"
 
 
 # Left-fold sum in the same order as the Spark plan's F.aggregate (double

@@ -990,9 +990,13 @@ def doc_length_quantiles_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     q = exact_group_quantiles(d, ["lang"], "n_chars", [0.25, 0.50, 0.75, 0.90])
-    return q.select(
+    # n_docs counts ALL rows per lang (the oracle's count(*)), not the
+    # non-NULL n_chars rows exact_group_quantiles' n reflects — on a corpus
+    # with NULL lengths the two would diverge.
+    n_docs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return n_docs.join(q, "lang").select(
         "lang",
-        F.col("n").alias("n_docs"),
+        "n_docs",
         F.round("q_0", 6).alias("p25"),
         F.round("q_1", 6).alias("p50"),
         F.round("q_2", 6).alias("p75"),
@@ -1003,15 +1007,12 @@ def doc_length_quantiles_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WS_K = 200  # sample size
 
 # DuckDB twin of Spark's conv(substr(md5(id), 1, 8), 16, 10): big-endian
-# uint32 of the first 8 hex chars, parsed nibble-by-nibble.
+# uint32 of the first 4 digest bytes (shared hex-replay helper).
+from dampr_spark.functions.hashing import md5_uint_sql as _md5_uint_sql  # noqa: E402
+
 _WS_U_SQL = (
-    "("
-    + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {k + 1}, 1)) - 1)"
-        f" * {16 ** (7 - k)}"
-        for k in range(8)
-    )
-    + " + 1) / 4294967296.0"
+    f"({_md5_uint_sql('CAST(doc_id AS VARCHAR)', 4, little_endian=False)} + 1)"
+    " / 4294967296.0"
 )
 
 

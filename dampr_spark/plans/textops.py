@@ -524,12 +524,12 @@ def oov_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts AS (
       SELECT doc_id, any_value(source) AS source, c, count(*) AS n
       FROM ch GROUP BY doc_id, c),
-    tot AS (SELECT doc_id, sum(n) AS t FROM counts GROUP BY doc_id),
     per_doc AS (
-      SELECT counts.doc_id, any_value(source) AS source,
-             round(-sum((n::DOUBLE / t) * log2(n::DOUBLE / t)), 6) AS ent
-      FROM counts JOIN tot USING (doc_id)
-      GROUP BY counts.doc_id)
+      -- H = log2(t) - sum(n*log2 n)/t : one aggregation pass, no doc-total
+      -- side table (identical to -sum(p*log2 p) algebraically)
+      SELECT doc_id, any_value(source) AS source,
+             round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS ent
+      FROM counts GROUP BY doc_id)
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
            round(avg(ent), 6) AS avg_entropy,
@@ -542,13 +542,11 @@ def char_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution Shannon entropy per document, rolled up per
     source — the junk detector orthogonal to the token-level rules: random
     bytes score high, repeated-template spam scores low, natural text sits
-    in a narrow band. Plan: explode characters → (doc, char) counts → a
-    doc-total window on the SAME doc partitioning (no extra shuffle) →
-    per-doc entropy → per-source aggregate. Two partial-aggregated
-    shuffles total; per-row cost is O(text length), independent of corpus
-    size."""
-    from pyspark.sql.window import Window
-
+    in a narrow band. Plan: explode characters → (doc, char) counts →
+    per-doc entropy via the identity H = log2(t) − Σ n·log2(n) / t (one
+    aggregation pass — no doc-total window or side table) → per-source
+    aggregate. The (doc, char)→doc re-aggregation reuses the doc-clustered
+    partitioning; per-row cost is O(text length), corpus-size-independent."""
     d = _t(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
@@ -558,15 +556,12 @@ def char_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = ch.groupBy("doc_id", "c").agg(
         F.any_value("source").alias("source"), F.count(F.lit(1)).alias("n")
     )
-    t = F.sum("n").over(Window.partitionBy("doc_id"))
-    p = F.col("n").cast("double") / F.col("t")
-    per_doc = (
-        counts.withColumn("t", t)
-        .groupBy("doc_id")
-        .agg(
-            F.any_value("source").alias("source"),
-            F.round(-F.sum(p * F.log2(p)), 6).alias("ent"),
-        )
+    n = F.col("n").cast("double")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.any_value("source").alias("source"),
+        F.round(
+            F.log2(F.sum(n)) - F.sum(n * F.log2(n)) / F.sum(n), 6
+        ).alias("ent"),
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
