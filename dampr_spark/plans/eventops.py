@@ -725,3 +725,41 @@ def hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "hopping_unique_users",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', ts)
+               + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 0 MINUTE END AS t30,
+             user_id
+      FROM events),
+    x AS (
+      SELECT unnest([t30, t30 - INTERVAL 30 MINUTE]) AS window_start, user_id
+      FROM b)
+    SELECT window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM x GROUP BY window_start
+    """,
+    tags=("events", "window", "distinct", "extension"),
+)
+def hopping_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window audience size: exact distinct users per overlapping
+    1-hour window (every 30 min) — the reach metric dashboards chart.
+    Catalyst expands count(DISTINCT) into a two-stage aggregate (partial
+    distinct per (window, user) map-side, then the count), so no task holds
+    a window's full user set as one buffer; at extreme cardinality swap in
+    approx_count_distinct (HLL, mergeable — the approx_distinct_parts
+    pattern)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
+    )
