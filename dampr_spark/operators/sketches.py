@@ -1,0 +1,136 @@
+"""Frequency-sketch operators: exact top-k heavy hitters at 100 TB scale.
+
+The naive top-k over a high-cardinality column (``groupBy(item).count()``
+then sort) shuffles EVERY distinct item — at corpus scale that is billions
+of n-grams through a full aggregate exchange just to read back twenty rows.
+:func:`heavy_hitters` is the classic two-pass sketch-then-verify plan
+(Misra-Gries summaries, Agarwal et al., "Mergeable Summaries", PODS'12):
+
+1. **Sketch pass** — each input partition folds its rows into a bounded
+   Misra-Gries summary of ``capacity`` counters (``mapInPandas``; the
+   per-batch counting is vectorized ``value_counts``, the merge touches only
+   distinct-per-batch keys). A summary never exceeds ``capacity`` keys, and
+   any item occurring more than ``n_p/(capacity+1)`` times in partition *p*
+   is guaranteed to survive that partition's summary.
+2. **Exact recount** — the union of partition candidate keys (≤ capacity ×
+   partitions rows, in practice far fewer) is broadcast back against the
+   input; only candidate rows enter the count aggregate, so the shuffle
+   carries ≤ capacity × partitions distinct keys instead of the full
+   vocabulary. Candidates get EXACT global counts.
+3. **Guarantee check** — an item absent from every partition summary has
+   total count ≤ Σ n_p/(capacity+1) = N/(capacity+1). If the k-th candidate
+   count exceeds that bound, the exact top-k provably lies inside the
+   candidate set. Otherwise the operator FALLS BACK to the plain exact
+   aggregate — the result is exact either way; the sketch is purely the
+   scale path. The check reads two scalars driver-side (a bounded action,
+   same contract as the catalog's query-vector ``.first()`` lookups).
+
+Determinism: output is the exact top-k ordered by (count desc, item asc) —
+no RNG, no hash seeds — so the operator is fully DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SKETCH_SCHEMA = "item string, wt long"
+
+
+def _mg_merge(acc: dict[str, int], counts: dict[str, int], capacity: int) -> None:
+    """Merge a batch's exact counts into a Misra-Gries summary in place,
+    pruning to ``capacity`` keys by subtracting the (capacity+1)-th largest
+    weight from every counter (the mergeable-summaries pruning step)."""
+    for k, v in counts.items():
+        acc[k] = acc.get(k, 0) + int(v)
+    if len(acc) > capacity:
+        spill = sorted(acc.values(), reverse=True)[capacity]
+        for k in list(acc):
+            w = acc[k] - spill
+            if w > 0:
+                acc[k] = w
+            else:
+                del acc[k]
+
+
+def _sketch_partitions(item_col: str, capacity: int):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[str, int] = {}
+        total = 0
+        for pdf in batches:
+            vals = pdf[item_col].dropna()
+            total += len(vals)
+            if len(vals):
+                _mg_merge(acc, vals.value_counts().to_dict(), capacity)
+        # One summary row per surviving key plus a NULL-keyed row carrying
+        # the partition's total item count (for the global N/(m+1) bound).
+        yield pd.DataFrame(
+            {
+                "item": list(acc.keys()) + [None],
+                "wt": [int(w) for w in acc.values()] + [total],
+            }
+        )
+
+    return run
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int,
+    capacity: int = 8192,
+) -> DataFrame:
+    """Exact global top-``k`` items of ``item_col`` by count, ordered by
+    (count desc, item asc), computed via per-partition Misra-Gries summaries
+    plus an exact candidate recount. NULL items are ignored (they are not
+    countable keys). Output columns: ``item``, ``cnt``.
+
+    ``capacity`` bounds both the summary size and the recount shuffle; the
+    exactness guarantee holds whenever the k-th heaviest count exceeds
+    N/(capacity+1), which the operator verifies — and silently falls back to
+    the full exact aggregate when the data is too flat for the sketch.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if capacity <= k:
+        raise ValueError("capacity must exceed k")
+    from dampr_spark.operators.dedup import _ensure_parallelism
+
+    items = _ensure_parallelism(
+        df.select(F.col(item_col).alias("item")).filter(F.col("item").isNotNull())
+    )
+
+    sketch = items.mapInPandas(
+        _sketch_partitions("item", capacity), schema=_SKETCH_SCHEMA
+    ).localCheckpoint(eager=True)  # one materialization feeds N, candidates, recount
+
+    n_total = sketch.filter(F.col("item").isNull()).agg(
+        F.coalesce(F.sum("wt"), F.lit(0)).alias("n")
+    )
+    candidates = sketch.filter(F.col("item").isNotNull()).select("item").distinct()
+
+    exact = (
+        items.join(F.broadcast(candidates), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    topk = exact.orderBy(F.col("cnt").desc(), F.col("item").asc()).limit(k)
+
+    # Bounded driver-side guarantee check: two scalars.
+    rows = topk.select("cnt").collect()
+    n = n_total.first()["n"]
+    kth = rows[-1]["cnt"] if len(rows) == k else 0
+    if len(rows) == k and kth * (capacity + 1) > n:
+        return topk
+    # Flat data (or fewer candidates than k): the sketch bound cannot
+    # certify the answer — recount everything exactly. Same result shape,
+    # full-vocabulary shuffle, still correct.
+    return (
+        items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("item").asc())
+        .limit(k)
+    )

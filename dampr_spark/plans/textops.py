@@ -590,3 +590,43 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy(
         F.col("lang").alias("labeled"), T.lang_id("text").alias("predicted")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "heavy_hitter_ngrams",
+    oracle="""
+    WITH g AS (
+      SELECT unnest(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS item
+      FROM documents WHERE text IS NOT NULL)
+    SELECT item, CAST(count(*) AS BIGINT) AS cnt
+    FROM g GROUP BY item
+    ORDER BY cnt DESC, item ASC LIMIT 20
+    """,
+    tags=("text", "sketch", "extension"),
+)
+def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word-trigram heavy hitters via the two-pass Misra-Gries
+    sketch-then-verify plan (operators/sketches.py): bounded per-partition
+    summaries → broadcast candidate recount → certified exact top-k, falling
+    back to the full aggregate when the sketch bound can't certify. At
+    corpus scale the full-vocabulary shuffle this avoids is billions of
+    distinct n-grams; the oracle is the plain exact aggregate — the two
+    plans must agree bit-for-bit, which IS the sketch's exactness claim.
+    All gram occurrences count (no per-doc dedup), ties break on the gram
+    string, identically in both engines."""
+    from dampr_spark.operators.sketches import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    cnt = F.greatest(F.size(toks) - 2, F.lit(1))
+    grams = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+            )
+        ).alias("item")
+    )
+    return heavy_hitters(grams, "item", k=20, capacity=8192)
