@@ -892,3 +892,140 @@ def incremental_minhash_pairs(
         .select("new_id", "hist_id")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# span-level (chunk) boilerplate removal
+# ---------------------------------------------------------------------------
+
+
+def remove_boilerplate_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 10,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Span-level boilerplate removal (the RefinedWeb/CCNet line-dedup shape
+    at fixed-chunk granularity): every document is cut into consecutive
+    ``chunk_tokens``-token chunks; a chunk appearing verbatim in ≥
+    ``min_docs`` DISTINCT documents is boilerplate and is removed from ALL
+    of them; survivors reassemble in original order.
+
+    Output per input document (NULL-text rows are dropped): ``n_chunks``,
+    ``n_removed``, ``n_tokens_after`` and ``clean_fp`` (md5 of the
+    reassembled text — the content proof without shipping full strings).
+
+    Plan: one narrow chunk projection → ONE shuffle keyed by the chunk
+    string (distinct-doc counts) → anti-join → per-doc re-aggregation that
+    reuses the id partitioning. Nothing holds more than one document's
+    chunk list in memory; the hot set is corpus-shrink-sized (boilerplate
+    is by definition repeated, so distinct hot chunks ≪ corpus chunks). At
+    real scale the chunk JOIN KEY would be xxhash64(chunk) to keep the
+    exchange narrow — kept as the raw string here so the DuckDB oracle can
+    replay the identical plan."""
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("long")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), n_chunks.alias("n_chunks"), toks.alias("_toks")
+    )
+    base = _ensure_parallelism(base)
+    chunks = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_chunks")),
+                lambda i: F.concat_ws(
+                    " ", F.slice("_toks", (i - F.lit(1)) * chunk_tokens + 1, chunk_tokens)
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    hot = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("chunk")
+    )
+    kept = chunks.join(hot, "chunk", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.size(F.split("chunk", " "))).cast("long").alias("n_tokens_after"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s.chunk,
+                ),
+            )
+        ).alias("clean_fp"),
+    )
+    zero = F.lit(0).cast("long")
+    return base.select(id_col, "n_chunks").join(agg, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        (F.col("n_chunks") - F.coalesce(F.col("n_kept"), zero)).alias("n_removed"),
+        F.coalesce(F.col("n_tokens_after"), zero).alias("n_tokens_after"),
+        F.coalesce(F.col("clean_fp"), F.md5(F.lit(""))).alias("clean_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocked fuzzy (edit-distance) matching
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 2,
+    prefix_chars: int = 80,
+    max_distance: int = 25,
+    max_block: int = 64,
+) -> DataFrame:
+    """Blocked edit-distance matching (the entity-resolution / fuzzy-join
+    primitive): documents are BLOCKED on their first ``block_tokens`` tokens,
+    and only same-block pairs are scored with Levenshtein distance over the
+    first ``prefix_chars`` characters; pairs at distance ≤ ``max_distance``
+    are emitted as ``(id_a, id_b, lev)``.
+
+    The blocking is what makes edit distance survive corpus scale: the
+    O(len²)-per-pair DP runs only inside blocks, never across the full N²
+    — the standard blocking-key design from the record-linkage literature.
+    ``max_block`` is the hot-block guard (same role as ``max_posting`` in
+    :func:`ngram_jaccard_pairs`): a template-heavy block of k docs would
+    emit k² DP comparisons into one task, so over-cap blocks are dropped —
+    only ever undercounting, and a no-op when every block is under the cap
+    (at the cap's default the current corpus max block is 4).
+
+    Plan: narrow (id, block, prefix) projection → ONE shuffle on the block
+    key → in-block pairing + JVM-side ``levenshtein``. Exact and
+    deterministic → fully oracle-checkable."""
+    d = _ensure_parallelism(df.filter(F.col(text_col).isNotNull())).select(
+        F.col(id_col).alias("id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.col(text_col), " "), 1, block_tokens)
+        ).alias("blk"),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("pre"),
+    )
+    ok_blocks = (
+        d.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb").between(2, max_block))
+        .select("blk")
+    )
+    db = d.join(ok_blocks, "blk")
+    a = db.select("blk", F.col("id").alias("id_a"), F.col("pre").alias("pre_a"))
+    b = db.select("blk", F.col("id").alias("id_b"), F.col("pre").alias("pre_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("pre_a", "pre_b").alias("lev"),
+        )
+        .filter(F.col("lev") <= max_distance)
+    )

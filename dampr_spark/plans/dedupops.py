@@ -766,3 +766,87 @@ def cluster_consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_uncovered"), z) == 0).alias("labels_cover_pairs_ok"),
         )
     )
+
+
+_CHUNK_TOKENS = 10
+_CHUNK_MIN_DOCS = 3
+
+@register(
+    "boilerplate_chunk_removal",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    c AS (
+      SELECT doc_id, u['pos'] AS pos, u['chunk'] AS chunk FROM (
+        SELECT doc_id, unnest(list_transform(
+            range(1, CAST(ceil(len(toks) / {_CHUNK_TOKENS}.0) AS BIGINT) + 1),
+            i -> {{'pos': i, 'chunk': array_to_string(
+                      toks[(i-1)*{_CHUNK_TOKENS}+1:i*{_CHUNK_TOKENS}], ' ')}})) AS u
+        FROM t)),
+    hot AS (
+      SELECT chunk FROM c GROUP BY chunk
+      HAVING count(DISTINCT doc_id) >= {_CHUNK_MIN_DOCS}),
+    kept AS (
+      SELECT c.* FROM c LEFT JOIN hot USING (chunk) WHERE hot.chunk IS NULL),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(coalesce(sum(len(string_split(chunk, ' '))), 0) AS BIGINT)
+               AS n_tokens_after,
+             md5(array_to_string(list(chunk ORDER BY pos), ' ')) AS clean_fp
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(ceil(len(t.toks) / {_CHUNK_TOKENS}.0) AS BIGINT) AS n_chunks,
+           CAST(ceil(len(t.toks) / {_CHUNK_TOKENS}.0) AS BIGINT)
+             - coalesce(a.n_kept, 0) AS n_removed,
+           coalesce(a.n_tokens_after, CAST(0 AS BIGINT)) AS n_tokens_after,
+           coalesce(a.clean_fp, md5('')) AS clean_fp
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("dedup", "pipeline", "extension"),
+)
+def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level boilerplate removal (RefinedWeb/CCNet line-dedup at
+    fixed-chunk granularity): chunks shared verbatim by ≥3 documents are
+    stripped from every document; per-doc output carries the removal
+    accounting plus the md5 of the reassembled text, so the oracle verifies
+    CONTENT, order included, not just counts. See
+    operators/dedup.remove_boilerplate_chunks for the one-shuffle plan."""
+    return dedup.remove_boilerplate_chunks(
+        _t(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK_TOKENS,
+        min_docs=_CHUNK_MIN_DOCS,
+    )
+
+
+@register(
+    "fuzzy_match_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS id,
+             array_to_string(string_split(text, ' ')[1:2], ' ') AS blk,
+             left(text, 80) AS pre
+      FROM documents WHERE text IS NOT NULL),
+    ok AS (
+      SELECT blk FROM d GROUP BY blk HAVING count(*) BETWEEN 2 AND 64)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.pre, b.pre) AS INT) AS lev
+    FROM d a JOIN ok USING (blk) JOIN d b USING (blk)
+    WHERE a.id < b.id AND levenshtein(a.pre, b.pre) <= 25
+    """,
+    tags=("dedup", "fuzzy", "extension"),
+)
+def fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein fuzzy matching: same-first-2-tokens blocking,
+    edit distance over the 80-char prefix, pairs at distance ≤ 25 — the
+    entity-resolution primitive with the hot-block cap making the in-block
+    DP quadratic bounded. Exact → fully oracle-checked. See
+    operators/dedup.fuzzy_prefix_pairs."""
+    return dedup.fuzzy_prefix_pairs(
+        _t(spark, sf_dir, "documents"),
+        block_tokens=2,
+        prefix_chars=80,
+        max_distance=25,
+        max_block=64,
+    )

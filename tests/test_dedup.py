@@ -669,3 +669,67 @@ def test_frame_sample_null_duration(spark):
     media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
     frames = multimodal.frame_sample(media, every_ms=1000, fake=True).collect()
     assert [f.frame_ms for f in frames] == [0]
+
+
+def test_remove_boilerplate_chunks_semantics(spark):
+    """A chunk shared by >= min_docs docs is stripped from every doc; the
+    reassembled fingerprint preserves original chunk order; a fully-removed
+    doc keeps a row with md5('')."""
+    import hashlib
+
+    from dampr_spark.operators.dedup import remove_boilerplate_chunks
+
+    boiler = "b0 b1 b2"  # 3-token boilerplate chunk (chunk_tokens=3)
+    rows = [
+        (1, f"{boiler} x1 x2 x3 y1 y2 y3"),
+        (2, f"k1 k2 k3 {boiler}"),
+        (3, f"{boiler} z1 z2 z3"),
+        (4, boiler),          # all chunks removed
+        (5, "u1 u2 u3 u4"),   # untouched (2 chunks: 'u1 u2 u3', 'u4')
+        (6, None),            # NULL text: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_chunks(
+            df, chunk_tokens=3, min_docs=3
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert (out[1].n_chunks, out[1].n_removed, out[1].n_tokens_after) == (3, 1, 6)
+    assert out[1].clean_fp == hashlib.md5(b"x1 x2 x3 y1 y2 y3").hexdigest()
+    assert (out[2].n_chunks, out[2].n_removed) == (2, 1)
+    assert out[2].clean_fp == hashlib.md5(b"k1 k2 k3").hexdigest()
+    assert (out[4].n_removed, out[4].n_tokens_after) == (1, 0)
+    assert out[4].clean_fp == hashlib.md5(b"").hexdigest()
+    assert (out[5].n_removed, out[5].n_tokens_after) == (0, 4)
+    assert out[5].clean_fp == hashlib.md5(b"u1 u2 u3 u4").hexdigest()
+
+
+def test_fuzzy_prefix_pairs_semantics(spark):
+    """Same-block pairs scored by prefix Levenshtein; cross-block and
+    over-distance pairs dropped; an over-cap hot block emits nothing."""
+    from dampr_spark.operators.dedup import fuzzy_prefix_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma DELTA"),   # same block, lev 5 over full prefix
+        (3, "alpha beta totally different tail"),
+        (4, "other block entirely"),
+        # hot block: 4 docs sharing block 'hot blk' with cap 3 -> dropped
+        (10, "hot blk aaaa"),
+        (11, "hot blk aaab"),
+        (12, "hot blk aaac"),
+        (13, "hot blk aaad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.lev
+        for r in fuzzy_prefix_pairs(
+            df, block_tokens=2, prefix_chars=80, max_distance=10, max_block=3
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 5
+    assert all(a < b for a, b in got)
+    assert not any(i in p for p in got for i in (10, 11, 12, 13)), "hot block must be dropped"
+    assert (1, 3) not in got, "distance above threshold must be dropped"
