@@ -763,3 +763,47 @@ def hopping_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
     )
+
+
+@register(
+    "user_value_ewma",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             list(value ORDER BY ts, event_id) AS vals
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id)
+    SELECT user_id, n_events,
+           round(list_reduce(vals, (acc, x) -> acc * 0.5 + x * 0.5), 6) AS ewma
+    FROM per
+    """,
+    tags=("events", "stateful", "extension"),
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event values
+    (α = 0.5), the classic online-stateful metric, expressed as a
+    DECLARATIVE left fold: per-user events collect into a (ts, event_id)-
+    ordered array and ``F.aggregate`` folds e ← α·v + (1−α)·e seeded with
+    the first value. Both engines execute the identical float operation
+    sequence (DuckDB's list_reduce is the same first-element-seeded left
+    fold), so the result is bit-reproducible and fully oracle-checked.
+
+    Scale note: per-user arrays are bounded by per-user event counts (the
+    same per-key skew envelope as sessionization); a pathological hot key
+    takes the time-bucketed pre-fold of `rolling_event_value_bucketed`
+    instead. The streaming twin is an `applyInPandasWithState` fold keeping
+    one double per user."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias(
+            "evs"
+        ),
+    )
+    vals = F.transform(F.col("evs"), lambda s: s.value)
+    ewma = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return per.select("user_id", "n_events", F.round(ewma, 6).alias("ewma"))

@@ -363,3 +363,64 @@ def incremental_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def user_value_ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``user_value_ewma`` catalog query: the
+    α=0.5 exponentially-weighted average as an ``applyInPandasWithState``
+    fold. State per user is exactly (ewma double, n long) — the whole point
+    of EWMA as a streaming metric: O(1) state where the batch form folds an
+    array. Events fold in (ts, event_id) order within each micro-batch, so
+    a chronologically-replayed stream reproduces the batch fold exactly
+    (same float operation sequence, same tie-break).
+
+    Update-mode emission: one row per user per micro-batch carrying the
+    running (n_events, ewma); the latest row per user is the final answer.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, ewma double"
+    state_schema = "e double, n long"
+
+    def update(key, pdfs, state: GroupState):
+        e, n = state.get if state.exists else (None, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows["value"].notna()].sort_values(["ts", "event_id"])
+        for v in rows["value"]:
+            v = float(v)
+            e = v if e is None else e * 0.5 + v * 0.5
+            n += 1
+        if e is not None:
+            state.update((e, n))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "ewma": [round(e, 6)]}
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static join: each streaming event picks up the columns of a
+    STATIC dimension row (user tier, account metadata, model-version
+    routing). Stream-static joins are stateless — the static side is simply
+    (re)read per micro-batch and broadcast when small, so there is no state
+    store to bound and no watermark requirement; this is the right shape
+    for slowly-changing dims at 100 TB (the static side refreshes on
+    restart, or becomes a stream-stream join if it must update live)."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
+def streaming_dedup_within_watermark(
+    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark``: unlike
+    ``dropDuplicates`` (whose per-key state under a watermark is evicted on
+    EVENT TIME of first sight), this guarantees dedup among events whose
+    times are within the watermark delta of each other while still evicting
+    state — the late-data-tolerant form recommended for at-least-once
+    sources (a redelivered event with a slightly different arrival batch
+    still dedups)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -357,3 +357,100 @@ def test_read_events_stream_empty_dir_then_late_file(
     rows = res.collect()
     assert len(rows) == 1
     assert rows[0].ts.replace(tzinfo=None) == when
+
+
+def test_user_value_ewma_stream_matches_batch(spark, sf_dir, events_stream):
+    """Single-batch replay of the whole table: the O(1)-state streaming fold
+    must reproduce the batch array-fold catalog query exactly."""
+    from dampr_spark.plans.catalog import get_query
+
+    stream_res = streaming.run_to_memory(
+        streaming.user_value_ewma_stream(events_stream),
+        "ewma_stream_test",
+        mode="update",
+    ).toPandas()
+    final = stream_res.sort_values("n_events").groupby("user_id").last()
+    batch = (
+        get_query("user_value_ewma").builder(spark, sf_dir).toPandas().set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    j = final.join(batch, lsuffix="_s")
+    assert (j["n_events_s"] == j["n_events"]).all()
+    assert (abs(j["ewma_s"] - j["ewma"]) < 1e-9).all()
+
+
+def test_ewma_state_across_chronological_microbatches(spark, sf_dir, tmp_path_factory):
+    """Chronological 3-way split + maxFilesPerTrigger=1: the EWMA state must
+    carry the fold across micro-batches (order-sensitive, unlike the totals
+    test — a fold restart or misordered batch changes the value)."""
+    from dampr_spark.plans.catalog import get_query
+    from dampr_spark.sources.readers import read_table
+
+    d = tmp_path_factory.mktemp("ewma_multi_in")
+    ev = read_table(spark, sf_dir, "events")
+    all_ts = sorted(r.ts for r in ev.select("ts").collect())
+    lo, hi = all_ts[len(all_ts) // 3], all_ts[2 * len(all_ts) // 3]
+    parts = [
+        ev.filter(F.col("ts") <= F.lit(lo)),
+        ev.filter((F.col("ts") > F.lit(lo)) & (F.col("ts") <= F.lit(hi))),
+        ev.filter(F.col("ts") > F.lit(hi)),
+    ]
+    import glob
+    import shutil
+
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(str(d / f"part{i}"))
+        f = glob.glob(str(d / f"part{i}" / "*.parquet"))[0]
+        shutil.copy(f, d / f"batch{i}.parquet")
+        shutil.rmtree(d / f"part{i}")
+
+    stream = streaming.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    res = streaming.run_to_memory(
+        streaming.user_value_ewma_stream(stream), "ewma_multi_test", mode="update"
+    ).toPandas()
+    final = res.sort_values("n_events").groupby("user_id").last()
+    batch = (
+        get_query("user_value_ewma").builder(spark, sf_dir).toPandas().set_index("user_id")
+    )
+    j = final.join(batch, lsuffix="_s")
+    assert (j["n_events_s"] == j["n_events"]).all()
+    assert (abs(j["ewma_s"] - j["ewma"]) < 1e-9).all()
+
+
+def test_enrich_with_dim_matches_batch(spark, sf_dir, events_stream):
+    """Stream-static join: per-tier event counts after enriching the stream
+    with a static user->tier dim must equal the batch join."""
+    from dampr_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    dim = ev.select("user_id").distinct().select(
+        "user_id", (F.col("user_id") % 3).alias("tier")
+    )
+    enriched = streaming.enrich_with_dim(events_stream, dim)
+    res = streaming.run_to_memory(
+        enriched.groupBy("tier").count(), "enrich_dim_test", mode="complete"
+    ).toPandas().set_index("tier")
+    batch = (
+        ev.join(dim, "user_id", "left").groupBy("tier").count().toPandas().set_index("tier")
+    )
+    assert res["count"].to_dict() == batch["count"].to_dict()
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path_factory):
+    """Redelivered events (the same file landed twice) dedup to the batch
+    distinct count under dropDuplicatesWithinWatermark."""
+    import shutil
+
+    from dampr_spark.sources.readers import read_table
+
+    d = tmp_path_factory.mktemp("dedup_wm_in")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "b.parquet")
+    stream = streaming.read_events_stream(spark, str(d))
+    res = streaming.run_to_memory(
+        streaming.streaming_dedup_within_watermark(stream, ["event_id"]),
+        "dedup_wm_test",
+        mode="append",
+    )
+    n_distinct = read_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert res.count() == n_distinct
