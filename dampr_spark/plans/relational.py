@@ -1843,3 +1843,42 @@ def order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q_1", 6).alias("p95"),
         F.round("q_2", 6).alias("p99"),
     )
+
+
+def _zorder_oracle() -> str:
+    from dampr_spark.operators.layout import z_value_sql
+
+    z = z_value_sql("o_custkey", "CAST(floor(o_totalprice) AS BIGINT)", bits=16)
+    return f"""
+    SELECT o_orderkey, {z} AS z
+    FROM orders
+    ORDER BY z ASC, o_orderkey ASC
+    LIMIT 100
+    """
+
+
+@register(
+    "zorder_curve_topk",
+    oracle=_zorder_oracle(),
+    tags=("layout", "extension"),
+)
+def zorder_curve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve position of every order on the
+    (customer, price) plane — the clustering key behind
+    `operators/layout.zorder_by`, which range-partitions + sorts on this
+    value so 2-D box queries prune files and row groups at scale. The
+    query emits the first 100 curve positions (deterministic tie-break on
+    orderkey); the oracle replays the identical bit-interleave arithmetic
+    in SQL, externally verifying the curve math end to end. Pruning payoff
+    is plan-locked in tests/test_layout.py."""
+    from dampr_spark.operators.layout import z_value
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            z_value(F.col("o_custkey"), F.floor("o_totalprice"), bits=16).alias("z"),
+        )
+        .orderBy(F.col("z").asc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )

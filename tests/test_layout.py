@@ -1,0 +1,89 @@
+"""Z-order layout: curve math vs a Python reference, file-level clustering
+of the z-ordered write, and partition pruning of 2-D box queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dampr_spark.operators.layout import z_bucket, z_value, zorder_by
+
+
+def _z_ref(x: int, y: int, bits: int) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((x >> i) & 1) << (2 * i)
+        out |= ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_z_value_matches_reference(spark):
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", z_value(F.col("x"), F.col("y"), bits=3).alias("z")).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _z_ref(x, y, 3)
+    # Curve positions over a full square are a permutation of 0..63.
+    assert sorted(got.values()) == list(range(64))
+
+
+def test_z_value_masks_high_bits(spark):
+    df = spark.createDataFrame([(1 << 40, 3)], "x long, y long")
+    z = df.select(z_value(F.col("x"), F.col("y"), bits=4).alias("z")).first().z
+    assert z == _z_ref((1 << 40) & 0xF, 3, 4)
+
+
+def test_zorder_by_writes_disjoint_curve_segments(spark, sf_dir, tmp_path_factory):
+    """Range partitioning on z must give each output file a contiguous,
+    non-overlapping z-range — the property that makes every file's min/max
+    envelope tight in BOTH dimensions."""
+    from dampr_spark.sources.readers import read_table
+
+    out = str(tmp_path_factory.mktemp("zorder_out") / "orders_z")
+    o = read_table(spark, sf_dir, "orders")
+    zorder_by(o, "o_custkey", "o_orderkey", n_partitions=8).write.parquet(out)
+
+    back = spark.read.parquet(out).select(
+        F.input_file_name().alias("f"), "z"
+    )
+    ranges = sorted(
+        (r.zmin, r.zmax)
+        for r in back.groupBy("f").agg(F.min("z").alias("zmin"), F.max("z").alias("zmax")).collect()
+    )
+    assert len(ranges) > 1
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"overlapping curve segments: {ranges}"
+
+
+def test_z_bucket_partition_pruning(spark, sf_dir, tmp_path_factory):
+    """Directory-partitioning on the coarse curve segment makes a 2-D box
+    query prune: the filtered read must touch a strict subset of files and
+    the plan must carry a PartitionFilters entry."""
+    from dampr_spark.sources.readers import read_table
+
+    out = str(tmp_path_factory.mktemp("zbucket_out") / "orders_zb")
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "zb", z_bucket(F.col("o_custkey"), F.floor("o_totalprice"), bits=16, bucket_bits=4)
+    )
+    o.write.partitionBy("zb").parquet(out)
+
+    import os
+
+    # The coarse curve segments are real directories, and the box filter
+    # selects a strict subset of them (custkey < 2^14 zeroes z-bits 28/30,
+    # so segments {0,2} of {0,2,8,10} satisfy zb <= 3).
+    dirs = [d for d in os.listdir(out) if d.startswith("zb=")]
+    hit = [d for d in dirs if int(d.split("=")[1]) <= 3]
+    assert 0 < len(hit) < len(dirs)
+
+    # Plan-lock: the filter lands in PartitionFilters (directory pruning),
+    # not as a post-scan data filter.
+    pruned_df = spark.read.parquet(out).filter(F.col("zb") <= 3)
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "zb" in pf and "<= 3" in pf
