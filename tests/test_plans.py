@@ -288,3 +288,39 @@ def test_weighted_sample_partial_topk(spark):
     of the corpus."""
     plan = plan_of(spark, "weighted_sample_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_runtime_bloom_filter_on_shuffle_join(spark, sf_dir):
+    """100 TB join pre-filtering: when the selective dim side is small,
+    Catalyst broadcasts it (the better plan, locked elsewhere); when the
+    dim exceeds the broadcast threshold (simulated by disabling broadcast),
+    the runtime-bloom-filter rule must inject a `might_contain` prefilter
+    on the fact-table scan so the shuffle moves only probably-matching rows
+    — the mechanism that keeps selective shuffle joins viable at scale."""
+    from pyspark.sql import functions as F
+
+    from dampr_spark.sources.readers import read_table
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        l = read_table(spark, sf_dir, "lineitem")
+        o = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_scan,
+        )
