@@ -321,3 +321,73 @@ def test_exact_group_quantiles_matches_builtin(spark_session_holder, rows):
             assert got[gk][f"q_{i}"] == pytest.approx(
                 exp[gk][f"e{i}"], rel=1e-12, abs=1e-9
             )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    items=st.lists(
+        st.sampled_from([f"i{j}" for j in range(12)])
+        | st.text(alphabet="pqr", min_size=1, max_size=3),
+        max_size=120,
+    ),
+    k=st.integers(1, 6),
+    capacity=st.integers(8, 64),
+)
+def test_heavy_hitters_always_exact(spark_session_holder, items, k, capacity):
+    """Whatever the skew/capacity, the two-pass sketch must return the EXACT
+    top-k with (count desc, item asc) tie-break — certified path and
+    fallback path alike."""
+    from collections import Counter
+
+    from dampr_spark.operators.sketches import heavy_hitters
+
+    spark = spark_session_holder
+    if capacity <= k:
+        capacity = k + 1
+    df = spark.createDataFrame(
+        [(v,) for v in items] or [(None,)], "item string"
+    ).repartition(4)
+    got = [(r.item, r.cnt) for r in heavy_hitters(df, "item", k=k, capacity=capacity).collect()]
+    want = sorted(Counter(items).items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    series=st.lists(
+        st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_ewma_fold_matches_pandas(spark_session_holder, series):
+    """The declarative array-fold EWMA equals pandas' ewm(alpha=.5,
+    adjust=False) — an independent implementation of the same recurrence."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    spark = spark_session_holder
+    rows = [
+        (u, i, float(v))
+        for u, vals in enumerate(series)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, seq long, value double")
+    per = df.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("seq", "value"))).alias("evs")
+    )
+    vals = F.transform(F.col("evs"), lambda s: s.value)
+    ewma = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    got = {r.user_id: r.e for r in per.select("user_id", ewma.alias("e")).collect()}
+    for u, valseq in enumerate(series):
+        want = pd.Series(valseq).ewm(alpha=0.5, adjust=False).mean().iloc[-1]
+        assert abs(got[u] - want) < 1e-9, (u, got[u], want)
