@@ -82,6 +82,14 @@ BENCH_QUERIES = [
     "session_stats",
     "rolling_event_value_bucketed",
     "order_value_quantiles",
+    # round-5b flagships: heavy-hitter sketch (two-pass MG + exact recount),
+    # span-level boilerplate removal, blocked Levenshtein matching, the
+    # declarative EWMA fold, and the Z-order curve projection.
+    "heavy_hitter_ngrams",
+    "boilerplate_chunk_removal",
+    "fuzzy_match_pairs",
+    "user_value_ewma",
+    "zorder_curve_topk",
 ]
 
 

@@ -97,11 +97,12 @@ def heavy_hitters(
         raise ValueError("k must be positive")
     if capacity <= k:
         raise ValueError("capacity must exceed k")
-    from dampr_spark.operators.dedup import _ensure_parallelism
-
-    items = _ensure_parallelism(
-        df.select(F.col(item_col).alias("item")).filter(F.col("item").isNotNull())
-    )
+    # Parallelism note: parallelize BEFORE any expensive item-producing
+    # transform (explode, n-gram expansion) feeding this operator — a
+    # repartition here would shuffle the already-materialized item rows and
+    # leave the producing transform serial (measured 4s single-task at
+    # sf0.1 before the fix; see plans/textops.heavy_hitter_ngrams).
+    items = df.select(F.col(item_col).alias("item")).filter(F.col("item").isNotNull())
 
     sketch = items.mapInPandas(
         _sketch_partitions("item", capacity), schema=_SKETCH_SCHEMA
@@ -117,7 +118,14 @@ def heavy_hitters(
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    topk = exact.orderBy(F.col("cnt").desc(), F.col("item").asc()).limit(k)
+    # Eager pin: the guarantee check below and the caller's eventual action
+    # both consume the recount — without it the candidate join + aggregate
+    # would execute twice.
+    topk = (
+        exact.orderBy(F.col("cnt").desc(), F.col("item").asc())
+        .limit(k)
+        .localCheckpoint(eager=True)
+    )
 
     # Bounded driver-side guarantee check: two scalars.
     rows = topk.select("cnt").collect()

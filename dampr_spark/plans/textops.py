@@ -616,9 +616,15 @@ def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans must agree bit-for-bit, which IS the sketch's exactness claim.
     All gram occurrences count (no per-doc dedup), ties break on the gram
     string, identically in both engines."""
+    from dampr_spark.operators.dedup import _ensure_parallelism
     from dampr_spark.operators.sketches import heavy_hitters
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # Parallelize the DOC df, not the exploded grams: the n-gram transform
+    # is the expensive step and must run after the exchange (a post-explode
+    # repartition left it serial — measured 4s single-task at sf0.1).
+    d = _ensure_parallelism(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     toks = F.split(F.col("text"), " ")
     cnt = F.greatest(F.size(toks) - 2, F.lit(1))
     grams = d.select(
@@ -629,4 +635,9 @@ def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("item")
     )
-    return heavy_hitters(grams, "item", k=20, capacity=8192)
+    # capacity 16384: the certification bound N/(m+1) must sit BELOW the
+    # kth trigram count at every bench scale (sf0.1: N=261k -> bound 15.9
+    # vs kth=22; 8192 put the bound at 31.8 and silently fell back to the
+    # full aggregate - correct, but running both paths). Flat-vocabulary
+    # corpora still certify or fall back per the operator contract.
+    return heavy_hitters(grams, "item", k=20, capacity=16384)
