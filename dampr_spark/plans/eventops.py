@@ -807,3 +807,44 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
     )
     return per.select("user_id", "n_events", F.round(ewma, 6).alias("ewma"))
+
+
+@register(
+    "hll_sketch_rollup_check",
+    oracle="""
+    SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+           TRUE AS merged_est_ok
+    FROM events
+    """,
+    tags=("events", "sketch", "invariant", "extension"),
+)
+def hll_sketch_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup, the 100 TB distinct-count pattern: per-day
+    HLL sketches (`hll_sketch_agg`) materialize once at ingest granularity,
+    and ANY later rollup (here: all-time users) merges the fixed-size
+    sketches (`hll_union_agg`) instead of re-scanning raw events — a
+    sketch-table read replaces a corpus-wide distinct shuffle.
+
+    External check follows the each-engine-asserts-own-estimate pattern:
+    ``n_days`` / ``n_exact_users`` are exact values both engines compute and
+    hash-compare; ``merged_est_ok`` asserts Spark-side that the merged
+    estimate lands within 5% of exact (HLL's standard error at default
+    lgConfigK=12 is ~1.6%, so 5% is a stable bound, not a tuned one)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    rolled = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("n_exact_users"))
+    return exact.crossJoin(F.broadcast(rolled)).select(
+        "n_days",
+        "n_exact_users",
+        (
+            F.abs(F.col("est") - F.col("n_exact_users"))
+            <= 0.05 * F.col("n_exact_users")
+        ).alias("merged_est_ok"),
+    )
