@@ -1064,3 +1064,77 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WS_K)
         .select("doc_id", "n_tokens", F.round("_key", 6).alias("sample_key"))
     )
+
+
+@register(
+    "leakage_safe_split",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 80)) AS fp,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS naive_split
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT fp, min(doc_id) AS canonical,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             count(DISTINCT naive_split) AS n_naive
+      FROM d GROUP BY fp),
+    gs AS (
+      SELECT *, CASE WHEN substr(md5(CAST(canonical AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                     WHEN substr(md5(CAST(canonical AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                     ELSE 'test' END AS safe_split
+      FROM g)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_doc_groups,
+           CAST(sum(CASE WHEN n_naive > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_groups_naive,
+           CAST(sum(CASE WHEN safe_split = 'train' THEN n_docs ELSE 0 END) AS BIGINT) AS n_train_docs,
+           CAST(sum(CASE WHEN safe_split = 'val' THEN n_docs ELSE 0 END) AS BIGINT) AS n_val_docs,
+           CAST(sum(CASE WHEN safe_split = 'test' THEN n_docs ELSE 0 END) AS BIGINT) AS n_test_docs
+    FROM gs
+    """,
+    tags=("pipeline", "sampling", "dedup", "extension"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split: duplicate groups (80-char
+    normalized-prefix fingerprint — the deterministic near-dup proxy; exact
+    fingerprints find zero dups on this corpus) are assigned WHOLE to one split by hashing the group's
+    canonical id — the leakage guard the per-document `train_val_test_split`
+    cannot give (a doc and its duplicate landing in train and test is
+    test-set contamination). The report quantifies exactly that:
+    ``n_leaky_groups_naive`` counts dup-groups the naive per-doc hash split
+    straddles across splits, and the safe per-split doc counts show the
+    group-level assignment. One fingerprint shuffle + one bounded aggregate;
+    near-dup (MinHash-cluster) grouping drops in by swapping the fp column
+    for the cluster canonical (seeded → rows-only, so the registered form
+    uses the exact grouping)."""
+    from dampr_spark.functions.text import normalized_text
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # 80-char prefix fingerprint: the deterministic near-dup proxy (template
+    # duplicates share long verbatim prefixes; exact-md5 grouping would be
+    # degenerate on a corpus whose dups are near, not exact).
+    fp = F.md5(F.substring(normalized_text("text"), 1, 80))
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    naive = F.when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
+    g = (
+        d.select(fp.alias("fp"), "doc_id", naive.alias("naive_split"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("naive_split").alias("n_naive"),
+        )
+    )
+    hc = F.substring(F.md5(F.col("canonical").cast("string")), 1, 2)
+    safe = F.when(hc < "cd", "train").when(hc < "e6", "val").otherwise("test")
+    gs = g.withColumn("safe_split", safe)
+    return gs.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("long").alias("n_multi_doc_groups"),
+        F.sum(F.when(F.col("n_naive") > 1, 1).otherwise(0)).cast("long").alias("n_leaky_groups_naive"),
+        F.sum(F.when(F.col("safe_split") == "train", F.col("n_docs")).otherwise(0)).cast("long").alias("n_train_docs"),
+        F.sum(F.when(F.col("safe_split") == "val", F.col("n_docs")).otherwise(0)).cast("long").alias("n_val_docs"),
+        F.sum(F.when(F.col("safe_split") == "test", F.col("n_docs")).otherwise(0)).cast("long").alias("n_test_docs"),
+    )
