@@ -1138,3 +1138,61 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("safe_split") == "val", F.col("n_docs")).otherwise(0)).cast("long").alias("n_val_docs"),
         F.sum(F.when(F.col("safe_split") == "test", F.col("n_docs")).otherwise(0)).cast("long").alias("n_test_docs"),
     )
+
+
+@register(
+    "profile_orders",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders)
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS "column", n.n_rows,
+             CAST((SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS BIGINT) AS n_nulls,
+             CAST((SELECT count(DISTINCT o_orderkey) FROM orders) AS BIGINT) AS n_distinct,
+             CAST((SELECT min(o_orderkey) FROM orders) AS VARCHAR) AS min_repr,
+             CAST((SELECT max(o_orderkey) FROM orders) AS VARCHAR) AS max_repr
+      FROM n
+      UNION ALL
+      SELECT 'o_custkey', n.n_rows,
+             CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT),
+             CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT),
+             CAST((SELECT min(o_custkey) FROM orders) AS VARCHAR),
+             CAST((SELECT max(o_custkey) FROM orders) AS VARCHAR)
+      FROM n
+      UNION ALL
+      SELECT 'o_orderstatus', n.n_rows,
+             CAST((SELECT count(*) FROM orders WHERE o_orderstatus IS NULL) AS BIGINT),
+             CAST((SELECT count(DISTINCT o_orderstatus) FROM orders) AS BIGINT),
+             (SELECT min(o_orderstatus) FROM orders),
+             (SELECT max(o_orderstatus) FROM orders)
+      FROM n
+      UNION ALL
+      SELECT 'o_orderpriority', n.n_rows,
+             CAST((SELECT count(*) FROM orders WHERE o_orderpriority IS NULL) AS BIGINT),
+             CAST((SELECT count(DISTINCT o_orderpriority) FROM orders) AS BIGINT),
+             (SELECT min(o_orderpriority) FROM orders),
+             (SELECT max(o_orderpriority) FROM orders)
+      FROM n
+      UNION ALL
+      SELECT 'o_orderdate', n.n_rows,
+             CAST((SELECT count(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT),
+             CAST((SELECT count(DISTINCT o_orderdate) FROM orders) AS BIGINT),
+             CAST((SELECT min(o_orderdate) FROM orders) AS VARCHAR),
+             CAST((SELECT max(o_orderdate) FROM orders) AS VARCHAR)
+      FROM n)
+    """,
+    tags=("pipeline", "quality", "extension"),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan dataset profile of the orders table (Deequ-style): per
+    column — null count, exact distinct count, min/max — computed as ONE
+    wide aggregate then unpivoted (operators/profile.py), where the naive
+    profiler scans once per column. Doubles are excluded from the REGISTERED
+    column set only because double→string rendering differs across engines
+    (the operator itself profiles any type); the oracle recomputes every
+    cell independently."""
+    from dampr_spark.operators.profile import profile
+
+    return profile(
+        _t(spark, sf_dir, "orders"),
+        cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
+    )

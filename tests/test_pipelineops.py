@@ -133,3 +133,36 @@ def test_expectations_operators(spark):
 
     d = {(r.id,): r.n_copies for r in duplicate_keys(df, ["id"]).collect()}
     assert d == {(3,): 2}
+
+
+def test_profile_operator_semantics(spark):
+    """Null counting, exact distincts, native-type min/max (not
+    lexicographic), all-NULL column edges — in one scan."""
+    from dampr_spark.operators.profile import profile
+
+    rows = [
+        (1, 9.5, "a", None),
+        (2, 100.0, None, None),
+        (10, None, "b", None),
+    ]
+    df = spark.createDataFrame(rows, "k long, v double, s string, z string")
+    got = {r.column: r for r in profile(df).collect()}
+    assert got["k"].n_rows == 3 and got["k"].n_nulls == 0 and got["k"].n_distinct == 3
+    # native-type ordering: min 1, max 10 (lexicographic would say max "9.5"-style)
+    assert (got["k"].min_repr, got["k"].max_repr) == ("1", "10")
+    assert (got["v"].n_nulls, got["v"].n_distinct) == (1, 2)
+    assert got["v"].max_repr == "100.0"
+    assert (got["s"].n_nulls, got["s"].min_repr, got["s"].max_repr) == (1, "a", "b")
+    assert (got["z"].n_nulls, got["z"].n_distinct) == (3, 0)
+    assert got["z"].min_repr is None and got["z"].max_repr is None
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """The wide-aggregate plan must contain exactly one scan of the input
+    (the whole point vs one-aggregate-per-column)."""
+    from dampr_spark.operators.profile import profile
+    from dampr_spark.sources.readers import read_table
+
+    df = profile(read_table(spark, sf_dir, "orders"), cols=["o_orderkey", "o_custkey"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
