@@ -69,3 +69,44 @@ def z_bucket(x: Column, y: Column, bits: int = 16, bucket_bits: int = 8) -> Colu
     partition-filter range scan over the few curve segments that intersect
     the box."""
     return F.shiftright(z_value(x, y, bits), 2 * bits - bucket_bits)
+
+
+def compact_parquet(
+    spark, path: str, target_mb: int = 128, sort_col: str | None = None
+) -> int:
+    """Small-file compaction — the table-maintenance pass every
+    continuously-ingested 100 TB dataset needs (streaming sinks and
+    per-batch appends leave thousands of KB-sized files; each costs a task,
+    a footer read, and an open/close at every scan). Rewrites ``path`` to
+    ceil(bytes / target_mb) files, optionally re-sorting by ``sort_col``
+    (e.g. the z-value) so compaction re-establishes clustering instead of
+    destroying it. Returns the new file count.
+
+    Rewrite is write-new-then-swap within the same directory tree (write to
+    ``path + '.compact'``, then atomic-ish rename) so a crash mid-compact
+    never leaves the table half-rewritten."""
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
+    out = path.rstrip("/") + ".compact"
+    if sort_col is not None:
+        df = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
+    else:
+        df = df.coalesce(n_files)
+    df.write.mode("overwrite").parquet(out)
+    old = path.rstrip("/") + ".old"
+    shutil.move(path, old)
+    shutil.move(out, path)
+    shutil.rmtree(old)
+    return len(
+        [f for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")]
+    )

@@ -32,7 +32,9 @@ def profile(df: DataFrame, cols: list[str] | None = None, exact: bool = True) ->
     n_distinct = (
         (lambda c: F.countDistinct(F.col(c)))
         if exact
-        else (lambda c: F.hll_sketch_estimate(F.hll_sketch_agg(F.col(c))))
+        # hll_sketch_agg accepts int/long/string/binary only — profile any
+        # type by sketching the string form (distinct-count-preserving).
+        else (lambda c: F.hll_sketch_estimate(F.hll_sketch_agg(F.col(c).cast("string"))))
     )
     agg = df.agg(
         F.count(F.lit(1)).alias("_n"),

@@ -87,3 +87,47 @@ def test_z_bucket_partition_pruning(spark, sf_dir, tmp_path_factory):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "zb" in pf and "<= 3" in pf
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path_factory):
+    from dampr_spark.operators.layout import compact_parquet
+    from dampr_spark.sources.readers import read_table
+
+    out = str(tmp_path_factory.mktemp("compact") / "events_many")
+    ev = read_table(spark, sf_dir, "events")
+    n = ev.count()
+    ev.repartition(40).write.parquet(out)  # simulate many small landed files
+    import glob
+
+    assert len(glob.glob(out + "/*.parquet")) >= 40
+    n_files = compact_parquet(spark, out, target_mb=128)
+    assert n_files == 1  # tiny table -> single file
+    back = spark.read.parquet(out)
+    assert back.count() == n
+
+
+def test_compact_parquet_resorts_on_column(spark, sf_dir, tmp_path_factory):
+    """sort_col re-establishes clustering: each compacted file holds a
+    contiguous non-overlapping range of the sort column."""
+    from dampr_spark.operators.layout import compact_parquet
+    from dampr_spark.sources.readers import read_table
+
+    out = str(tmp_path_factory.mktemp("compact2") / "orders_many")
+    read_table(spark, sf_dir, "orders").repartition(20).write.parquet(out)
+    compact_parquet(spark, out, target_mb=1)
+    import glob
+
+    from pyspark.sql import functions as F
+
+    n_before = len(glob.glob(out + "/*.parquet"))
+    compact_parquet(spark, out, target_mb=1, sort_col="o_orderkey")
+    back = spark.read.parquet(out).select(F.input_file_name().alias("f"), "o_orderkey")
+    ranges = sorted(
+        (r.lo, r.hi)
+        for r in back.groupBy("f")
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .collect()
+    )
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo
+    assert n_before >= 1
