@@ -641,3 +641,78 @@ def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full aggregate - correct, but running both paths). Flat-vocabulary
     # corpora still certify or fall back per the operator contract.
     return heavy_hitters(grams, "item", k=20, capacity=16384)
+
+
+@register(
+    "next_token_probs",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+    bi AS (
+      SELECT u['a'] AS a, u['b'] AS b FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> {'a': t[i], 'b': t[i+1]})) AS u
+        FROM toks)),
+    ctx AS (SELECT a, count(*) AS n_ctx FROM bi GROUP BY a),
+    top_ctx AS (SELECT a, n_ctx FROM ctx ORDER BY n_ctx DESC, a LIMIT 5),
+    pair AS (
+      SELECT bi.a, bi.b, count(*) AS n FROM bi JOIN top_ctx USING (a)
+      GROUP BY bi.a, bi.b),
+    ranked AS (
+      SELECT pair.a, pair.b, pair.n, top_ctx.n_ctx,
+             row_number() OVER (PARTITION BY pair.a
+                                ORDER BY pair.n DESC, pair.b) AS rn
+      FROM pair JOIN top_ctx USING (a))
+    SELECT a AS context, b AS next_token,
+           CAST(n AS BIGINT) AS n_pair,
+           round(n / n_ctx, 6) AS prob
+    FROM ranked WHERE rn <= 3
+    """,
+    tags=("text", "lm", "extension"),
+)
+def next_token_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model table: for the 5 most frequent context tokens,
+    the top-3 next tokens with MLE conditional probability — the n-gram LM
+    / autocomplete analytics shape. Plan: one bigram explode (parallelized
+    before the explode), context counts → broadcast top-5 probe (the bigram
+    stream is filtered to 5 keys BEFORE the pair aggregate, so the second
+    shuffle carries only the hot contexts), windowed top-3 per context over
+    a ≤5-context key space."""
+    from pyspark.sql.window import Window
+
+    from dampr_spark.operators.dedup import _ensure_parallelism
+
+    d = _ensure_parallelism(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    t = F.split(F.col("text"), " ")
+    pairs = F.when(
+        F.size(t) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("a"), F.element_at(t, i + 1).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bi = d.select(F.explode(pairs).alias("u")).select("u.a", "u.b")
+    bi = bi.localCheckpoint(eager=True)  # two consumers: ctx counts + pair counts
+    ctx = bi.groupBy("a").agg(F.count(F.lit(1)).alias("n_ctx"))
+    top_ctx = ctx.orderBy(F.col("n_ctx").desc(), F.col("a").asc()).limit(5)
+    pair = (
+        bi.join(F.broadcast(top_ctx.select("a")), "a")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("a").orderBy(F.col("n").desc(), F.col("b").asc())
+    ranked = (
+        pair.join(F.broadcast(top_ctx), "a")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    return ranked.select(
+        F.col("a").alias("context"),
+        F.col("b").alias("next_token"),
+        F.col("n").cast("long").alias("n_pair"),
+        F.round(F.col("n") / F.col("n_ctx"), 6).alias("prob"),
+    )
