@@ -391,3 +391,102 @@ def test_ewma_fold_matches_pandas(spark_session_holder, series):
     for u, valseq in enumerate(series):
         want = pd.Series(valseq).ewm(alpha=0.5, adjust=False).mean().iloc[-1]
         assert abs(got[u] - want) < 1e-9, (u, got[u], want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=9),
+        min_size=1,
+        max_size=10,
+    ),
+    chunk_tokens=st.integers(2, 4),
+    min_docs=st.integers(2, 3),
+)
+def test_boilerplate_removal_matches_python_model(
+    spark_session_holder, docs, chunk_tokens, min_docs
+):
+    import hashlib
+
+    from dampr_spark.operators.dedup import remove_boilerplate_chunks
+
+    spark = spark_session_holder
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_removed, r.n_tokens_after, r.clean_fp)
+        for r in remove_boilerplate_chunks(
+            df, chunk_tokens=chunk_tokens, min_docs=min_docs
+        ).collect()
+    }
+    # python model
+    def chunks_of(toks):
+        return [
+            " ".join(toks[i : i + chunk_tokens])
+            for i in range(0, len(toks), chunk_tokens)
+        ]
+
+    from collections import defaultdict
+
+    chunk_docs = defaultdict(set)
+    for i, toks in enumerate(docs):
+        for c in chunks_of(toks):
+            chunk_docs[c].add(i)
+    hot = {c for c, ds in chunk_docs.items() if len(ds) >= min_docs}
+    for i, toks in enumerate(docs):
+        cs = chunks_of(toks)
+        kept = [c for c in cs if c not in hot]
+        want = (
+            len(cs),
+            len(cs) - len(kept),
+            sum(len(c.split(" ")) for c in kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+        assert got[i] == want, (i, got[i], want)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "yy", "zzz", "w"]), min_size=1, max_size=8),
+        min_size=2,
+        max_size=10,
+    ),
+    max_distance=st.integers(0, 8),
+)
+def test_fuzzy_pairs_match_python_model(spark_session_holder, docs, max_distance):
+    from dampr_spark.operators.dedup import fuzzy_prefix_pairs
+
+    spark = spark_session_holder
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.lev
+        for r in fuzzy_prefix_pairs(
+            df, block_tokens=2, prefix_chars=10, max_distance=max_distance,
+            max_block=100,
+        ).collect()
+    }
+    want = {}
+    blocks = [" ".join(t.split(" ")[:2]) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if blocks[i] == blocks[j]:
+                d = _lev(texts[i][:10], texts[j][:10])
+                if d <= max_distance:
+                    want[(i, j)] = d
+    assert got == want
