@@ -324,3 +324,55 @@ def test_runtime_bloom_filter_on_shuffle_join(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_scan,
         )
+
+
+def test_user_value_ewma_single_exchange(spark):
+    """One groupBy aggregate carries the whole fold: exactly one shuffle,
+    no window sort, no join."""
+    plan = plan_of(spark, "user_value_ewma")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_zorder_curve_heap_topk(spark):
+    """Top-100 curve positions must be heap-based (TakeOrderedAndProject),
+    never a global sort of the table."""
+    plan = plan_of(spark, "zorder_curve_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan
+
+
+def test_fuzzy_match_no_cartesian(spark):
+    """The blocked fuzzy join must join on the block key — a cartesian (the
+    naive all-pairs Levenshtein) must never appear."""
+    plan = plan_of(spark, "fuzzy_match_pairs")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_boilerplate_removal_no_cartesian_hot_anti_join(spark):
+    """Hot-chunk removal is an anti join on the chunk key; no cartesian."""
+    plan = plan_of(spark, "boilerplate_chunk_removal")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_next_token_probs_broadcast_context_probe(spark):
+    """The bigram stream is filtered by a BROADCAST of the 5 hot contexts
+    before the pair aggregate — no shuffle of the full bigram set onto the
+    pair key without the probe."""
+    plan = plan_of(spark, "next_token_probs")
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan
+
+
+def test_profile_orders_single_scan(spark):
+    plan = plan_of(spark, "profile_orders")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_hll_rollup_partial_sketches(spark):
+    """Per-day sketches aggregate partially (map-side) before the merge —
+    the plan must show a two-phase aggregate over hll sketches and no
+    distinct expand on raw events for the merged estimate path."""
+    plan = plan_of(spark, "hll_sketch_rollup_check")
+    assert "hll_union_agg" in plan or "hll_sketch_agg" in plan
