@@ -1196,3 +1196,45 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders"),
         cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
     )
+
+
+@register(
+    "corpus_shuffle_order",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuf42'), doc_id)
+             AS BIGINT) AS shuffle_rank
+    FROM documents
+    ORDER BY shuffle_rank
+    LIMIT 50
+    """,
+    tags=("pipeline", "sampling", "extension"),
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every epoch pipeline
+    needs the corpus in a reproducible pseudorandom order (same order on
+    every engine, every rerun, every shard layout — never
+    `ORDER BY rand()`, which breaks retries and lineage recomputation).
+    Rank = position in md5(doc_id || salt) order; changing the salt gives an
+    independent epoch permutation. The LIMIT keeps the catalog row bounded;
+    the write path is `df.repartitionByRange(n, h).sortWithinPartitions(h)`
+    on the same hash — a full range-partitioned sort, the TeraSort shape,
+    with NO single-task collection point."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuf42")))
+    from pyspark.sql.window import Window
+
+    # Heap top-50 FIRST (TakeOrderedAndProject — per-partition heaps, no
+    # global sort), THEN rank the 50 survivors: a bare global row_number
+    # would move the whole corpus through one WindowExec partition, the
+    # exact single-task funnel this catalog bans.
+    head = (
+        d.select("doc_id", "source", h.alias("_h"))
+        .orderBy(F.col("_h"), F.col("doc_id"))
+        .limit(50)
+    )
+    w = Window.orderBy(F.col("_h"), F.col("doc_id"))
+    return head.select(
+        "doc_id", "source", F.row_number().over(w).cast("long").alias("shuffle_rank")
+    )

@@ -376,3 +376,11 @@ def test_hll_rollup_partial_sketches(spark):
     distinct expand on raw events for the merged estimate path."""
     plan = plan_of(spark, "hll_sketch_rollup_check")
     assert "hll_union_agg" in plan or "hll_sketch_agg" in plan
+
+
+def test_corpus_shuffle_order_heap_first(spark):
+    """Global rank is computed AFTER a heap top-50 — the plan must show
+    TakeOrderedAndProject feeding the window, never a whole-corpus
+    single-partition window sort."""
+    plan = plan_of(spark, "corpus_shuffle_order")
+    assert "TakeOrderedAndProject" in plan
