@@ -9,8 +9,11 @@ parquet:
 3. near dedup        — MinHash-LSH candidate pairs verified with exact
    shingle Jaccard, min-label-propagation clustering, keep one canonical
    per cluster (operators/dedup.minhash_lsh_dedup / drop_near_dups);
-4. token accounting  — per-doc and corpus-total token counts for the
-   training-budget report.
+4. boilerplate strip — fixed-chunk spans shared verbatim by >= boiler_docs
+   surviving documents are accounted per doc
+   (operators/dedup.remove_boilerplate_chunks);
+5. token accounting  — per-doc and corpus-total token counts, plus the
+   boilerplate accounting, for the training-budget report.
 
 Every stage is a declarative DataFrame transform: one scan feeds the
 quality gate, dedup shuffles on 32-byte digests (never document bodies),
@@ -49,10 +52,16 @@ def build(
     pairs = D.minhash_lsh_dedup(exact, threshold=near_dup_threshold)
     clean = D.drop_near_dups(exact, pairs)
     clean = clean.withColumn("n_tokens", T.token_count("text"))
+    boiler = D.remove_boilerplate_chunks(clean, min_docs=3).select(
+        "doc_id", "n_removed", "n_tokens_after"
+    )
+    clean = clean.join(boiler, "doc_id", "left")
     report = clean.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        F.sum("n_removed").alias("boiler_chunks_removed"),
+        F.sum("n_tokens_after").alias("tokens_after_boiler_strip"),
     )
     return clean, report
 
