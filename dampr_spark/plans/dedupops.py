@@ -850,3 +850,50 @@ def fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_distance=25,
         max_block=64,
     )
+
+
+@register(
+    "fuzzy_dup_components",
+    oracle="""
+    WITH RECURSIVE p AS (
+      WITH d AS (
+        SELECT doc_id AS id,
+               array_to_string(string_split(text, ' ')[1:2], ' ') AS blk,
+               left(text, 80) AS pre
+        FROM documents WHERE text IS NOT NULL),
+      ok AS (SELECT blk FROM d GROUP BY blk HAVING count(*) BETWEEN 2 AND 64)
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM d a JOIN ok USING (blk) JOIN d b USING (blk)
+      WHERE a.id < b.id AND levenshtein(a.pre, b.pre) <= 25),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    comp AS (
+      SELECT s AS id, least(s, min(d)) AS component FROM reach GROUP BY s)
+    SELECT component, CAST(count(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY component
+    """,
+    tags=("dedup", "graph", "extension"),
+)
+def fuzzy_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the (deterministic, oracle-exact)
+    fuzzy-match pair graph: per component, its min-id label and member
+    count. This externally verifies the ITERATIVE fixpoint algorithm
+    itself — `operators/graph.connected_components` (join-propagation, no
+    driver union-find) against DuckDB's recursive-CTE transitive closure:
+    two completely different evaluation strategies must produce identical
+    components, every round, on regenerated data."""
+    from dampr_spark.operators.graph import connected_components
+
+    pairs = dedup.fuzzy_prefix_pairs(
+        _t(spark, sf_dir, "documents"),
+        block_tokens=2,
+        prefix_chars=80,
+        max_distance=25,
+        max_block=64,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
