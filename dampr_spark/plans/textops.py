@@ -716,3 +716,73 @@ def next_token_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pair"),
         F.round(F.col("n") / F.col("n_ctx"), 6).alias("prob"),
     )
+
+
+@register("bpe_merges", oracle=None, tags=("text", "tokenizer", "extension"))
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (rank, sym_l, sym_r, weighted count) — 8
+    merge rounds over the corpus's weighted word vocabulary
+    (operators/bpe.py: one corpus-size shuffle for word counts, vocab-size
+    iteration after). Deterministic (lexicographic tie-break) but the
+    iterative symbol-array rewriting is not SQL-expressible → rows-only;
+    round 1 is oracle-verified by `bpe_round1_check` and the full sequence
+    is pinned against a pure-Python reference in tests/test_bpe.py."""
+    from dampr_spark.operators.bpe import train_bpe
+
+    merges = train_bpe(_t(spark, sf_dir, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "rank long, sym_l string, sym_r string, n long",
+    )
+
+
+@register(
+    "bpe_round1_check",
+    oracle="""
+    WITH wc AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL)
+      WHERE len(word) > 0 GROUP BY word),
+    pairs AS (
+      SELECT u['l'] AS l, u['r'] AS r, cnt FROM (
+        SELECT cnt, unnest(list_transform(range(1, len(word)),
+                            i -> {'l': word[i], 'r': word[i+1]})) AS u
+        FROM wc))
+    SELECT l AS sym_l, r AS sym_r, CAST(sum(cnt) AS BIGINT) AS n
+    FROM pairs GROUP BY l, r
+    ORDER BY n DESC, sym_l ASC, sym_r ASC
+    LIMIT 1
+    """,
+    tags=("text", "tokenizer", "invariant", "extension"),
+)
+def bpe_round1_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External verification of BPE training's first round: the top
+    weighted character bigram over the word vocabulary (the pair the first
+    merge MUST pick, tie-broken lexicographically) is SQL-expressible, so
+    both engines compute it independently and hash-compare — anchoring the
+    rows-only `bpe_merges` chain to an oracle-checked starting point."""
+    from dampr_spark.operators.bpe import word_counts
+
+    wc = word_counts(_t(spark, sf_dir, "documents"))
+    pairs = wc.select(
+        "cnt",
+        F.explode(
+            F.when(
+                F.length("word") > 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.struct(
+                        F.col("word").substr(i, F.lit(1)).alias("l"),
+                        F.col("word").substr(i + 1, F.lit(1)).alias("r"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(F.col("p.l").alias("sym_l"), F.col("p.r").alias("sym_r"))
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("sym_l").asc(), F.col("sym_r").asc())
+        .limit(1)
+    )
