@@ -272,3 +272,79 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register("pca_embeddings", oracle=None, tags=("vector", "extension"))
+def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-axis explained variance of the distributed PCA fit over the
+    embeddings table (operators/vectorprep.py: one sufficient-statistics
+    aggregation pass; driver-side eigh of the 64×64 covariance). Partial
+    float sums reduce in nondeterministic order → last-ulp variance jitter
+    → rows-only; the invariants are oracle-checked by
+    `pca_invariants_check` and numpy-reference-pinned in
+    tests/test_vectorprep.py."""
+    from dampr_spark.operators.vectorprep import pca_fit
+
+    model = pca_fit(_t(spark, sf_dir, "embeddings"), k=8)
+    total = float(sum(model.variances))
+    rows = [
+        (i + 1, float(v), float(sum(model.variances[: i + 1]) / total))
+        for i, v in enumerate(model.variances)
+    ]
+    return spark.createDataFrame(
+        rows, "axis long, variance double, cum_ratio_of_topk double"
+    )
+
+
+@register(
+    "pca_invariants_check",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           TRUE AS orthonormal_ok,
+           TRUE AS variance_sorted_ok,
+           TRUE AS projection_norm_ok
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+    tags=("vector", "invariant", "extension"),
+)
+def pca_invariants_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Externally-verified invariants of the PCA fit (each-engine-asserts-
+    own pattern): ``n_vecs`` is hash-compared for real; the booleans assert
+    Spark-side that the learned basis is orthonormal, explained variances
+    are non-increasing, and no projected vector's norm exceeds its input
+    norm (projection onto an orthonormal basis is a contraction) — checked
+    over the WHOLE table via the distributed apply path, not a sample."""
+    import numpy as np
+
+    from dampr_spark.operators.vectorprep import pca_apply, pca_fit
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    model = pca_fit(e, k=8)
+    gram = model.components @ model.components.T
+    orthonormal = bool(np.allclose(gram, np.eye(len(gram)), atol=1e-8))
+    sorted_ok = bool(
+        all(a >= b - 1e-12 for a, b in zip(model.variances, model.variances[1:]))
+    )
+    proj = pca_apply(e, model, out_col="p")
+    sq = lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)  # noqa: E731
+    # centered-input norm: projection contracts ||x - mean||, not ||x||
+    mean = model.mean.tolist()
+    centered_sq = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.array(*[F.lit(m) for m in mean]),
+            lambda a, b: a - b,
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x * x,
+    )
+    viol = proj.select(
+        (sq(F.col("p")) > centered_sq + F.lit(1e-6)).alias("bad")
+    ).agg(F.sum(F.when(F.col("bad"), 1).otherwise(0)).alias("n_bad"))
+    n = e.agg(F.count(F.lit(1)).alias("n_vecs"))
+    return n.crossJoin(F.broadcast(viol)).select(
+        "n_vecs",
+        F.lit(orthonormal).alias("orthonormal_ok"),
+        F.lit(sorted_ok).alias("variance_sorted_ok"),
+        (F.coalesce(F.col("n_bad"), F.lit(0)) == 0).alias("projection_norm_ok"),
+    )
