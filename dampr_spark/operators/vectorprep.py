@@ -47,32 +47,47 @@ class PCAModel:
 
 
 def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8) -> PCAModel:
-    """Exact-statistics PCA over an ``array<float>`` column: one
-    aggregation pass for (n, Σv, ΣvvT), driver-side eigh of the d×d
-    covariance. NULL vectors are skipped."""
-    d = len(df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0])
-    v = F.col(vec_col)
-    sums = [F.sum(v[i].cast("double")).alias(f"s_{i}") for i in range(d)]
-    prods = [
-        F.sum((v[i] * v[j]).cast("double")).alias(f"p_{i}_{j}")
-        for i in range(d)
-        for j in range(i, d)
-    ]
-    row = (
-        df.filter(F.col(vec_col).isNotNull())
-        .agg(F.count(F.lit(1)).alias("n"), *sums, *prods)
-        .first()
+    """Exact-statistics PCA over an ``array<float>`` column: one Arrow
+    scan computes per-partition partial (n, Σv, ΣvvT) with numpy (a BLAS
+    ``XᵀX`` per batch), the ≤partitions 4-KB partial rows merge on the
+    driver, and the d×d covariance eigendecomposes there.
+
+    The obvious alternative — d(d+1)/2 codegen ``sum`` aggregate
+    expressions — was measured at ~24 s of pure PLANNING at d=64 (4160
+    expressions through Catalyst, scale-independent); the pandas partial
+    pass plans in milliseconds, shuffles nothing, and moves one small row
+    per partition to the driver."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = None
+        ss = None
+        for pdf in batches:
+            vecs = [v for v in pdf[vec_col] if v is not None]
+            if not vecs:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            n += len(X)
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            ss = X.T @ X if ss is None else ss + X.T @ X
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema="n long, s array<double>, ss array<double>")
+        .collect()
     )
-    n = row["n"]
+    n = sum(r["n"] for r in rows)
     if n < 2:
         raise ValueError("pca_fit needs at least 2 vectors")
-    s = np.array([row[f"s_{i}"] for i in range(d)])
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    d = len(s)
+    ss = np.sum([np.array(r["ss"]).reshape(d, d) for r in rows], axis=0)
     mean = s / n
-    cov = np.empty((d, d))
-    for i in range(d):
-        for j in range(i, d):
-            e_ij = row[f"p_{i}_{j}"] / n
-            cov[i, j] = cov[j, i] = e_ij - mean[i] * mean[j]
+    cov = ss / n - np.outer(mean, mean)
     w, vecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(w)[::-1][:k]
     return PCAModel(mean=mean, components=vecs[:, order].T, variances=w[order])
