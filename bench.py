@@ -90,6 +90,11 @@ BENCH_QUERIES = [
     "fuzzy_match_pairs",
     "user_value_ewma",
     "zorder_curve_topk",
+    # iterative-algorithm flagships (round 5b): fixpoint connected
+    # components, BPE tokenizer training, PCA sufficient-statistics pass.
+    "fuzzy_dup_components",
+    "bpe_merges",
+    "pca_embeddings",
 ]
 
 
