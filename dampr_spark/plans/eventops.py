@@ -848,3 +848,79 @@ def hll_sketch_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_exact_users")
         ).alias("merged_est_ok"),
     )
+
+
+@register(
+    "interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e FROM events),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS new_grp
+      FROM iv),
+    grp AS (
+      SELECT user_id, s, e,
+             sum(new_grp) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM marked),
+    merged AS (
+      SELECT user_id, g, min(s) AS ms, max(e) AS me
+      FROM grp GROUP BY user_id, g)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(date_diff('second', ms, me)) AS BIGINT) AS covered_sec
+    FROM merged GROUP BY user_id
+    """,
+    tags=("events", "window", "extension"),
+)
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval coalescing — the classic cumulative-max chain
+    algorithm (each user's 5-minute activity intervals merge wherever they
+    overlap; report merged-interval count and covered seconds). One
+    per-user window sort does everything: an interval starts a new merged
+    group iff its start exceeds the running max end of all earlier
+    intervals; the running sum of those flags numbers the groups. Same
+    skew envelope as sessionization (per-user partitions); distinct from
+    it algorithmically — coverage union, not gap splitting."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = e.withColumn(
+        "new_grp",
+        F.when(
+            F.max("e").over(w_prev).isNull()
+            | (F.col("s") > F.max("e").over(w_prev)),
+            1,
+        ).otherwise(0),
+    )
+    grp = marked.withColumn("g", F.sum("new_grp").over(w_run))
+    merged = grp.groupBy("user_id", "g").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.unix_timestamp("me") - F.unix_timestamp("ms"))
+        .cast("long")
+        .alias("covered_sec"),
+    )
