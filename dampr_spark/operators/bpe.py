@@ -49,26 +49,26 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _merge_pass(left: str, right: str):
-    merged = left + right
+def _merge_word(syms: list[str], left: str, right: str) -> list[str]:
+    """One merge applied to one symbol sequence — shared by training
+    (_merge_pass) and application (apply_bpe) so the two can never
+    desynchronize on edge handling."""
+    i, new = 0, []
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            new.append(left + right)
+            i += 2
+        else:
+            new.append(syms[i])
+            i += 1
+    return new
 
+
+def _merge_pass(left: str, right: str):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for syms in pdf["syms"]:
-                syms = list(syms)
-                i = 0
-                new = []
-                while i < len(syms):
-                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
-                        new.append(merged)
-                        i += 2
-                    else:
-                        new.append(syms[i])
-                        i += 1
-                out.append(new)
             pdf = pdf.copy()
-            pdf["syms"] = out
+            pdf["syms"] = [_merge_word(list(s), left, right) for s in pdf["syms"]]
             yield pdf
 
     return run
@@ -130,15 +130,7 @@ def apply_bpe(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
     document)."""
     syms = list(word)
     for left, right, _ in merges:
-        i, new = 0, []
-        while i < len(syms):
-            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
-                new.append(left + right)
-                i += 2
-            else:
-                new.append(syms[i])
-                i += 1
-        syms = new
+        syms = _merge_word(syms, left, right)
     return syms
 
 

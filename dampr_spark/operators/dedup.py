@@ -940,7 +940,11 @@ def remove_boilerplate_chunks(
                 ),
             )
         ).alias("pos", "chunk"),
-    )
+    # Eager pin: `chunks` feeds BOTH the hot-set aggregate and the anti-join
+    # — without it the scan + split + explode lineage executes twice (plus
+    # once more for the final accounting join below, which re-derives only
+    # (id, n_chunks) through a column-pruned scan).
+    ).localCheckpoint(eager=True)
     hot = (
         chunks.groupBy("chunk")
         .agg(F.countDistinct(id_col).alias("nd"))
@@ -1009,7 +1013,10 @@ def fuzzy_prefix_pairs(
             " ", F.slice(F.split(F.col(text_col), " "), 1, block_tokens)
         ).alias("blk"),
         F.substring(F.col(text_col), 1, prefix_chars).alias("pre"),
-    )
+    # Eager pin: `d` feeds the block-count aggregate and both join sides —
+    # one narrow (id, blk, 80-char prefix) materialization replaces three
+    # scan+project executions.
+    ).localCheckpoint(eager=True)
     ok_blocks = (
         d.groupBy("blk")
         .agg(F.count(F.lit(1)).alias("nb"))

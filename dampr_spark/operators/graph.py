@@ -63,8 +63,11 @@ def connected_components(
         n_changed = stepped.filter(F.col("old") != F.col("label")).count()
         labels = stepped.select("id", "label")
         if n_changed == 0:
-            break
-    return labels.select("id", F.col("label").alias("component"))
+            return labels.select("id", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(component diameter exceeds max_iters); raise max_iters"
+    )
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -82,13 +82,23 @@ def compact_parquet(
     (e.g. the z-value) so compaction re-establishes clustering instead of
     destroying it. Returns the new file count.
 
-    Rewrite is write-new-then-swap within the same directory tree (write to
-    ``path + '.compact'``, then atomic-ish rename) so a crash mid-compact
-    never leaves the table half-rewritten."""
+    Rewrite is write-new-then-swap: the live directory is never modified
+    until the replacement is fully written, so a crash during the WRITE
+    loses nothing. The swap itself is two renames — a crash in that narrow
+    window leaves the complete old table at ``path + '.old'`` (recoverable
+    by renaming back), never a half-rewritten mix. Stale ``.compact`` /
+    ``.old`` leftovers from a previously crashed run are cleared up front
+    (a pre-existing ``.old`` would otherwise make ``shutil.move`` NEST the
+    live table inside it instead of replacing it)."""
     import math
     import os
     import shutil
 
+    out = path.rstrip("/") + ".compact"
+    old = path.rstrip("/") + ".old"
+    for stale in (out, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     df = spark.read.parquet(path)
     size = sum(
         os.path.getsize(os.path.join(dp, f))
@@ -97,13 +107,11 @@ def compact_parquet(
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
-    out = path.rstrip("/") + ".compact"
     if sort_col is not None:
         df = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
     else:
         df = df.coalesce(n_files)
     df.write.mode("overwrite").parquet(out)
-    old = path.rstrip("/") + ".old"
     shutil.move(path, old)
     shutil.move(out, path)
     shutil.rmtree(old)

@@ -28,7 +28,9 @@ def profile(df: DataFrame, cols: list[str] | None = None, exact: bool = True) ->
     NULL semantics: min/max ignore NULLs (aggregate convention);
     ``n_distinct`` counts distinct non-null values; an all-NULL column
     yields NULL min/max and zero distinct."""
-    cols = cols or df.columns
+    cols = list(df.columns) if cols is None else cols
+    if not cols:
+        raise ValueError("cols must be None (all) or a non-empty list")
     n_distinct = (
         (lambda c: F.countDistinct(F.col(c)))
         if exact

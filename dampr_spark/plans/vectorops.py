@@ -287,8 +287,14 @@ def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     model = pca_fit(_t(spark, sf_dir, "embeddings"), k=8)
     total = float(sum(model.variances))
+    # Degenerate corpus (all vectors identical -> zero variance): emit 0.0
+    # ratios rather than NaN/inf from float division.
     rows = [
-        (i + 1, float(v), float(sum(model.variances[: i + 1]) / total))
+        (
+            i + 1,
+            float(v),
+            float(sum(model.variances[: i + 1]) / total) if total > 0 else 0.0,
+        )
         for i, v in enumerate(model.variances)
     ]
     return spark.createDataFrame(

@@ -41,6 +41,7 @@ def build(
     min_quality: float = 0.5,
     min_tokens: int = 20,
     near_dup_threshold: float = 0.8,
+    boiler_docs: int = 3,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (clean_corpus, report) — the filtered/deduped corpus and a
     1-row accounting summary."""
@@ -52,7 +53,7 @@ def build(
     pairs = D.minhash_lsh_dedup(exact, threshold=near_dup_threshold)
     clean = D.drop_near_dups(exact, pairs)
     clean = clean.withColumn("n_tokens", T.token_count("text"))
-    boiler = D.remove_boilerplate_chunks(clean, min_docs=3).select(
+    boiler = D.remove_boilerplate_chunks(clean, min_docs=boiler_docs).select(
         "doc_id", "n_removed", "n_tokens_after"
     )
     clean = clean.join(boiler, "doc_id", "left")

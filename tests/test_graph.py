@@ -61,3 +61,12 @@ def test_null_endpoints_dropped_and_degrees(spark):
     assert got == {1: 1, 2: 1, 3: 1}
     deg = {r.id: r.degree for r in degrees(df).collect()}
     assert deg == {1: 1, 2: 2, 3: 1}
+
+
+def test_non_convergence_raises(spark):
+    import pytest as _pytest
+
+    edges = [(i, i + 1) for i in range(11)]  # diameter 11 > max_iters 3
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iters=3)
