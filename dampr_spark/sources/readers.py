@@ -114,3 +114,31 @@ def read_urls(spark: SparkSession, urls: list[str], skip_on_error: bool = True) 
 
     rdd = sc.parallelize(urls, max(1, len(urls))).flatMap(fetch)
     return spark.createDataFrame(rdd, schema="url string, value string")
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV connector (no analogue in the reference — its text source plus
+    user map() plays this role; provided so tabular drops ingest without a
+    hand-rolled parser). With an explicit ``schema`` the read is
+    single-pass; without one Spark runs an inference scan first — always
+    pass the schema at 100 TB. Returns a lazy DataFrame; filters and
+    projections still prune (CSV supports column pruning; predicate
+    pushdown is format-limited — land parquet for real scan economics)."""
+    reader = spark.read.option("header", str(header).lower()).option("sep", delimiter)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC connector — same pushdown/pruning semantics as the parquet
+    reader (both are columnar with min/max statistics)."""
+    return spark.read.orc(path)

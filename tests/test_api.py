@@ -538,3 +538,34 @@ def test_indexer_bm25_matches_full_scan(spark, sf_dir, tmp_path):
         for r in all_queries()["bm25_rank"].builder(spark, sf_dir).collect()
     }
     assert via_index == full_scan and full_scan
+
+
+def test_csv_and_orc_round_trip(spark, sf_dir, tmp_path_factory):
+    """CSV and ORC connectors: write the nation table out in each format
+    and read it back identically (schema-explicit CSV read: single pass)."""
+    from pyspark.sql import functions as F
+
+    from dampr_spark.sources.readers import read_csv, read_orc, read_table
+
+    d = tmp_path_factory.mktemp("fmt_rt")
+    nation = read_table(spark, sf_dir, "nation")
+    want = sorted(tuple(r) for r in nation.collect())
+
+    csv_path = str(d / "nation_csv")
+    nation.write.option("header", "true").csv(csv_path)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in nation.schema)
+    back_csv = read_csv(spark, csv_path, schema=schema)
+    assert sorted(tuple(r) for r in back_csv.collect()) == want
+
+    orc_path = str(d / "nation_orc")
+    nation.write.orc(orc_path)
+    back_orc = read_orc(spark, orc_path)
+    assert sorted(tuple(r) for r in back_orc.collect()) == want
+    # pushdown intact through the ORC scan
+    plan = (
+        back_orc.filter(F.col("n_nationkey") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "n_nationkey" in plan
