@@ -924,3 +924,45 @@ def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("covered_sec"),
     )
+
+
+@register(
+    "value_outliers_by_type",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN abs(e.value - s.mu) > 3 * s.sd
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+    """,
+    tags=("events", "quality", "analytics", "extension"),
+)
+def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier counts per event type — the anomaly-detection gate a
+    metrics pipeline runs before trusting a day's drop. Two passes: a
+    bounded per-type stats aggregate broadcast back against the stream
+    (never a per-row window), then one counting aggregate. Both engines
+    use SAMPLE stddev."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -1882,3 +1882,83 @@ def zorder_curve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("z").asc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+@register(
+    "mom_revenue_growth",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1)
+    SELECT month,
+           round(rev, 2) AS revenue,
+           round(rev - lag(rev) OVER (ORDER BY month), 2) AS delta,
+           round((rev - lag(rev) OVER (ORDER BY month))
+                 / lag(rev) OVER (ORDER BY month) * 100, 4) AS growth_pct
+    FROM m
+    """,
+    tags=("window", "analytics", "extension"),
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the lag-window reporting shape.
+    The window runs over the AGGREGATED monthly table (≤ a few thousand
+    rows at any corpus scale), so the unpartitioned ordering is bounded;
+    the corpus-size work is the one month-keyed aggregate."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") - F.lag("rev").over(w), 2).alias("delta"),
+        F.round(
+            (F.col("rev") - F.lag("rev").over(w)) / F.lag("rev").over(w) * 100, 4
+        ).alias("growth_pct"),
+    )
+
+
+@register(
+    "revenue_share_by_nation",
+    oracle="""
+    WITH n AS (
+      SELECT n.n_name AS nation, sum(o.o_totalprice) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name)
+    SELECT nation,
+           round(rev, 2) AS revenue,
+           round(rev / sum(rev) OVER () * 100, 4) AS share_pct
+    FROM n
+    """,
+    tags=("window", "analytics", "extension"),
+)
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of total revenue. The
+    unpartitioned window sum runs over the 25-row nation aggregate, never
+    the orders table — the corpus-size work is the broadcast-dim join +
+    one aggregate."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    agg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "nation",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w) * 100, 4).alias("share_pct"),
+    )
