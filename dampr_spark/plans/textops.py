@@ -786,3 +786,57 @@ def bpe_round1_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("sym_l").asc(), F.col("sym_r").asc())
         .limit(1)
     )
+
+
+@register(
+    "token_cooccurrence_topk",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents WHERE text IS NOT NULL),
+    ok AS (
+      SELECT tok FROM dt GROUP BY tok HAVING count(*) <= 3000),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS support
+      FROM dt a JOIN ok oa ON a.tok = oa.tok
+      JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      JOIN ok ob ON b.tok = ob.tok
+      GROUP BY a.tok, b.tok)
+    SELECT tok_a, tok_b, support FROM pairs
+    ORDER BY support DESC, tok_a, tok_b LIMIT 20
+    """,
+    tags=("text", "mining", "extension"),
+)
+def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining at pair granularity: the 20 token pairs
+    co-occurring in the most documents (support counts) — the
+    market-basket/association primitive. Plan: distinct (doc, token)
+    posting table → in-document pairing keyed by doc → support aggregate →
+    heap top-20. The document-frequency cap (≤3000 docs, mirrored in the
+    oracle's HAVING) is the apriori-style pruning that keeps in-doc pair
+    fan-out away from stopword-like tokens at corpus scale — here above
+    every organic DF, so it's a no-op on current data."""
+    from dampr_spark.operators.dedup import _ensure_parallelism
+
+    d = _ensure_parallelism(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    dt = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+    ).distinct().localCheckpoint(eager=True)  # feeds the DF cap + both join sides
+    ok = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 3000
+    ).select("tok")
+    dtk = dt.join(F.broadcast(ok), "tok")
+    a = dtk.select("doc_id", F.col("tok").alias("tok_a"))
+    b = dtk.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return pairs.orderBy(
+        F.col("support").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
+    ).limit(20)
