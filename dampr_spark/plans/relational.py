@@ -1943,8 +1943,10 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-to-report: each nation's share of total revenue. The
     unpartitioned window sum runs over the 25-row nation aggregate, never
-    the orders table — the corpus-size work is the broadcast-dim join +
-    one aggregate."""
+    the orders table — the corpus-size work is the orders⋈customer key
+    shuffle join (customer outgrows any broadcast threshold at scale; at
+    100 TB you'd bucket both on custkey — operators/bucketing) plus the
+    broadcast nation dim and one aggregate."""
     from pyspark.sql.window import Window
 
     o = _t(spark, sf_dir, "orders")

@@ -791,9 +791,12 @@ def bpe_round1_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "token_cooccurrence_topk",
     oracle="""
-    WITH dt AS (
+    WITH dt0 AS (
       SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
       FROM documents WHERE text IS NOT NULL),
+    okdoc AS (
+      SELECT doc_id FROM dt0 GROUP BY doc_id HAVING count(*) <= 200),
+    dt AS (SELECT dt0.* FROM dt0 JOIN okdoc USING (doc_id)),
     ok AS (
       SELECT tok FROM dt GROUP BY tok HAVING count(*) <= 3000),
     pairs AS (
@@ -814,8 +817,11 @@ def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting table → in-document pairing keyed by doc → support aggregate →
     heap top-20. The document-frequency cap (≤3000 docs, mirrored in the
     oracle's HAVING) is the apriori-style pruning that keeps in-doc pair
-    fan-out away from stopword-like tokens at corpus scale — here above
-    every organic DF, so it's a no-op on current data."""
+    fan-out away from stopword-like tokens at corpus scale, and the
+    per-document distinct-token cap (≤200, also mirrored) bounds the
+    doc-keyed self-join at C(200,2) pairs per document — the same
+    cap-over-explode trade as every pair-generating family here. Both caps
+    sit above every organic value, so they're no-ops on current data."""
     from dampr_spark.operators.dedup import _ensure_parallelism
 
     d = _ensure_parallelism(
@@ -824,7 +830,11 @@ def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
-    ).distinct().localCheckpoint(eager=True)  # feeds the DF cap + both join sides
+    ).distinct().localCheckpoint(eager=True)  # feeds both caps + join sides
+    okdoc = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ndt")).filter(
+        F.col("ndt") <= 200
+    ).select("doc_id")
+    dt = dt.join(okdoc, "doc_id", "left_semi")
     ok = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= 3000
     ).select("tok")

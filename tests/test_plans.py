@@ -384,3 +384,34 @@ def test_corpus_shuffle_order_heap_first(spark):
     single-partition window sort."""
     plan = plan_of(spark, "corpus_shuffle_order")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_value_outliers_broadcast_stats(spark):
+    """Per-type stats join back as a BROADCAST — never a per-row window
+    over the event stream."""
+    plan = plan_of(spark, "value_outliers_by_type")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_token_cooccurrence_heap_topk_and_broadcast_cap(spark):
+    plan = plan_of(spark, "token_cooccurrence_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan
+
+
+def test_mom_growth_window_over_aggregate_only(spark):
+    """The lag window must sit ABOVE the monthly aggregate (bounded input),
+    with the corpus-size work in the aggregate below it."""
+    plan = plan_of(spark, "mom_revenue_growth")
+    assert "Window" in plan and "HashAggregate" in plan
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:], "aggregate must feed the window"
+
+
+def test_revenue_share_window_over_aggregate_only(spark):
+    plan = plan_of(spark, "revenue_share_by_nation")
+    assert "Window" in plan and "HashAggregate" in plan
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:], "aggregate must feed the window"
