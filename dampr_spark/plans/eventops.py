@@ -966,3 +966,71 @@ def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "robust_outliers_by_type",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM e GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, round(abs(e.value - med.m), 6) AS adev, med.m
+      FROM e JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT dev.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(any_value(dev.m), 6) AS median_value,
+           any_value(mad.mad) AS mad,
+           CAST(sum(CASE WHEN dev.adev > 3 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+    tags=("events", "quality", "analytics", "extension"),
+)
+def robust_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier gate per event type — the
+    heavy-tail-safe twin of `value_outliers_by_type` (mean/σ breaks down
+    when the outliers themselves inflate σ; median and MAD have a 50%
+    breakdown point). Built by REUSING the distributed exact-quantile
+    machinery (operators/stats.exact_group_quantiles — parallel range
+    sort, no single-reducer merge) twice: per-type median, then median of
+    absolute deviations, both broadcast back against the stream. The MAD
+    and deviations are rounded at 6dp on BOTH engines before the
+    3·1.4826·MAD compare, so the interpolation's last-ulp differences
+    can't flip a boundary row."""
+    from dampr_spark.operators.stats import exact_group_quantiles
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    )
+    med = exact_group_quantiles(e, ["event_type"], "value", [0.5]).select(
+        "event_type", F.col("q_0").alias("m")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.round(F.abs(F.col("value") - F.col("m")), 6).alias("adev"),
+        "m",
+    )
+    mad = exact_group_quantiles(
+        dev.select("event_type", F.col("adev").alias("v")), ["event_type"], "v", [0.5]
+    ).select("event_type", F.round(F.col("q_0"), 6).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.any_value("m"), 6).alias("median_value"),
+            F.any_value("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
