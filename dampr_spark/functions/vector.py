@@ -54,3 +54,17 @@ def l2_norm_sql(a: str) -> str:
 
 def cosine_sql(a: str, b: str) -> str:
     return f"{dot_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)})"
+
+
+def valid_vector(a: Column | str) -> Column:
+    """Cosine-domain validity: non-null with positive norm. Every
+    cosine-consuming operator filters on this at entry — a NULL embedding
+    poisons arithmetic into nulls/exceptions and a zero vector makes
+    cosine 0/0 (NaN, whose ordering semantics differ across engines)."""
+    c = F.col(a) if isinstance(a, str) else a
+    return c.isNotNull() & (l2_norm(c) > 0)
+
+
+def valid_vector_sql(a: str) -> str:
+    """DuckDB twin of :func:`valid_vector`."""
+    return f"({a} IS NOT NULL AND {l2_norm_sql(a)} > 0)"

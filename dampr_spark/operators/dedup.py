@@ -549,7 +549,11 @@ def simhash_bands_udf(bits: int = 64):
         nonempty = lengths > 0
         if nonempty.any():
             flat = np.concatenate(
-                [np.asarray(h, dtype=np.int64) for h in hash_arrays if len(h)]
+                [
+                    np.asarray(h, dtype=np.int64)
+                    for h in hash_arrays
+                    if h is not None and len(h)
+                ]
             ).view(np.uint64)
             # bit matrix: (total_tokens, 64) of 0/1 → votes are 2*ones - count
             ones = (flat[:, None] >> shifts[None, :]) & np.uint64(1)
@@ -766,9 +770,11 @@ def embedding_cosine_dups(
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold (brute-force
     pairwise — exact baseline; use similarity.lsh_bucketed_pairs for the
-    O(N·bucket) scale path)."""
-    from dampr_spark.functions.vector import cosine
+    O(N·bucket) scale path). NULL/zero-norm vectors are excluded at entry
+    (cosine is undefined for them)."""
+    from dampr_spark.functions.vector import cosine, valid_vector
 
+    df = df.filter(valid_vector(vec_col))
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     return (

@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dampr_spark.functions.vector import cosine, dot
+from dampr_spark.functions.vector import cosine, valid_vector, dot
 
 
 def brute_force_topk(
@@ -31,10 +31,11 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact cosine top-k for one literal query vector."""
+    """Exact cosine top-k for one literal query vector. NULL/zero-norm
+    vectors are excluded at entry (cosine is undefined for them)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        df.select(
+        df.filter(valid_vector(vec_col)).select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
         )
@@ -78,6 +79,7 @@ class IVFIndex:
         oversample followed by a uniform numpy down-select keeps the collect
         bounded at ~1.2×sample_size rows without re-introducing
         partition-order bias (``sample().limit()`` would)."""
+        df = df.filter(valid_vector(vec_col))
         total = df.count()
         sel = df.select(vec_col)
         if total > sample_size:
@@ -120,7 +122,9 @@ class IVFIndex:
             m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             return pd.Series(np.argmax(m @ ct, axis=1).astype("int32"))
 
-        return df.withColumn("list_id", nearest_list(F.col(vec_col)))
+        return df.filter(valid_vector(vec_col)).withColumn(
+            "list_id", nearest_list(F.col(vec_col))
+        )
 
     def query_topk(
         self,
@@ -185,7 +189,9 @@ class RandomHyperplaneLSH:
     ) -> DataFrame:
         """Corpus side: one row per (table, bucket) per vector. Persist or
         write this out bucketed-by ``bucket`` for repeated query workloads.
-        ``extra_keys`` columns ride along (see :meth:`bucketed_pairs`)."""
+        ``extra_keys`` columns ride along (see :meth:`bucketed_pairs`).
+        NULL/zero-norm vectors are excluded at entry."""
+        df = df.filter(valid_vector(vec_col))
         tables = [
             df.select(
                 F.col(id_col),
@@ -286,7 +292,7 @@ def kmeans_assign(vectors: DataFrame, centroids: DataFrame, vec_col: str, id_col
     Centroids (k rows) BROADCAST into a crossJoin; the per-vector argmax is
     a groupBy max(struct) — the shuffle carries (id, cluster, sim) scalars,
     never the vectors."""
-    from dampr_spark.functions.vector import cosine
+    from dampr_spark.functions.vector import cosine, valid_vector
 
     sims = vectors.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col).alias("id"),
@@ -326,6 +332,7 @@ def kmeans_fit_assign(
     This is the clustering half of SemDeDup-style semantic dedup: cluster,
     then run the in-cluster cosine near-dup pass
     (:func:`RandomHyperplaneLSH.bucketed_pairs` keyed by cluster)."""
+    df = df.filter(valid_vector(vec_col))
     vecs = df.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
     centroids = (
         vecs.orderBy(id_col)

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dampr_spark.functions.vector import cosine_sql
+from dampr_spark.functions.vector import cosine_sql, valid_vector_sql
 from dampr_spark.operators import dedup, multimodal, similarity
 from dampr_spark.plans.catalog import register
 from dampr_spark.sources.readers import read_table as _t
@@ -69,9 +69,10 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_cosine_dups",
     oracle=f"""
+    WITH v AS (SELECT * FROM embeddings WHERE {valid_vector_sql('embedding')})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
     -- rounded predicate mirrors the Spark plan exactly: the builder filters
     -- on the ROUNDED cos_sim column, so a raw cosine in [0.3999995, 0.4)
     -- must be kept by both engines
@@ -127,10 +128,12 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH: probe only the
     query's buckets. Approximate → rows-only; recall vs brute force is
     pytest-checked."""
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter("vec_id = 0").select("embedding").first()
+    from dampr_spark.functions.vector import valid_vector
+
+    e = _t(spark, sf_dir, "embeddings").filter(valid_vector("embedding"))
+    q = e.orderBy("vec_id").limit(1).select("vec_id", "embedding").first()
     lsh = similarity.RandomHyperplaneLSH(dim=64, n_planes=6, n_tables=8)
-    bucketed = lsh.bucketize(e.filter("vec_id <> 0"))
+    bucketed = lsh.bucketize(e.filter(F.col("vec_id") != q.vec_id))
     return lsh.query_topk(bucketed, list(q.embedding), k=20)
 
 
@@ -150,10 +153,13 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via an IVF coarse quantizer (sampled
     spherical k-means → inverted lists → nprobe search). Approximate →
     rows-only; recall vs brute force is pytest-checked."""
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter("vec_id = 0").select("embedding").first()
-    ivf = similarity.IVFIndex(n_lists=16, nprobe=6).fit(e.filter("vec_id <> 0"))
-    assigned = ivf.assign(e.filter("vec_id <> 0"))
+    from dampr_spark.functions.vector import valid_vector
+
+    e = _t(spark, sf_dir, "embeddings").filter(valid_vector("embedding"))
+    q = e.orderBy("vec_id").limit(1).select("vec_id", "embedding").first()
+    rest = e.filter(F.col("vec_id") != q.vec_id)
+    ivf = similarity.IVFIndex(n_lists=16, nprobe=6).fit(rest)
+    assigned = ivf.assign(rest)
     return ivf.query_topk(assigned, list(q.embedding), k=20)
 
 
@@ -475,10 +481,11 @@ def minhash_audit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_lsh_check",
     oracle=f"""
+    WITH v AS (SELECT * FROM embeddings WHERE {valid_vector_sql('embedding')})
     SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
            TRUE                     AS recall_ok,
            CAST(0 AS BIGINT)        AS n_violations
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE round({cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
     """,
     tags=("dedup", "vector", "invariant", "extension"),
@@ -658,11 +665,11 @@ def simhash_audit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kmeans_agreement_check",
-    oracle="""
+    oracle=f"""
     SELECT CAST(count(*) AS BIGINT) AS n_vecs,
            TRUE                     AS all_assigned_ok,
            TRUE                     AS deterministic_ok
-    FROM embeddings
+    FROM embeddings WHERE {valid_vector_sql('embedding')}
     """,
     tags=("vector", "clustering", "invariant", "extension"),
 )
@@ -673,7 +680,11 @@ def kmeans_agreement_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute make Lloyd's iterations reproducible), and every vector must
     receive a label. ``n_vecs`` is the cross-engine hash-compared value.
     """
-    e = _t(spark, sf_dir, "embeddings")
+    from dampr_spark.functions.vector import valid_vector
+
+    # Count the VALID (non-null, positive-norm) vectors — the population
+    # kmeans_fit_assign actually clusters; mirrored in the oracle's WHERE.
+    e = _t(spark, sf_dir, "embeddings").filter(valid_vector("embedding"))
     a1 = similarity.kmeans_fit_assign(e, k=8, iters=2)
     a2 = similarity.kmeans_fit_assign(e, k=8, iters=2)
     n_vecs = e.agg(F.count(F.lit(1)).alias("n_vecs"))

@@ -38,10 +38,10 @@ _GRAMS_SQL = """
     oracle=f"""
     WITH bench_grams AS (
         SELECT DISTINCT unnest({_GRAMS_SQL}) AS gram
-        FROM documents WHERE doc_id % {_BENCH_MOD} = 0),
+        FROM documents WHERE doc_id % {_BENCH_MOD} = 0 AND text IS NOT NULL),
     corpus_grams AS (
         SELECT doc_id, unnest({_GRAMS_SQL}) AS gram
-        FROM documents WHERE doc_id % {_BENCH_MOD} <> 0)
+        FROM documents WHERE doc_id % {_BENCH_MOD} <> 0 AND text IS NOT NULL)
     SELECT c.doc_id,
            CAST(count(*) AS BIGINT) AS n_grams,
            CAST(count(b.gram) AS BIGINT) AS n_shared,
@@ -64,7 +64,10 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, so the exchange carries one narrow (doc_id, counts) row per
     document — never gram-level rows.
     """
-    d = _t(spark, sf_dir, "documents")
+    # NULL-text docs have no grams — dropped on both engines (the engines'
+    # NULL-propagation through split/transform/distinct differs, so keeping
+    # them would be cross-engine-undefined).
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     bench_grams = (
         d.filter(F.col("doc_id") % _BENCH_MOD == 0)
         .select(F.explode(word_ngrams("text", 3)).alias("gram"))
@@ -102,7 +105,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))))
                      / greatest(len(string_split(text, ' ')) - 2, 1)) >= 0.2
              AS is_repetitive
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
     tags=("text", "pipeline", "quality", "extension"),
 )
@@ -114,8 +117,10 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ZERO-shuffle plan: both ratios are pure array expressions over the split
     column, so the whole filter fuses into the parquet scan — at 100 TB this
     is the cheapest possible quality gate (scan-rate bound, embarrassingly
-    parallel, no state)."""
-    d = _t(spark, sf_dir, "documents")
+    parallel, no state). NULL-text docs are dropped on both engines —
+    repetition is undefined for absent text and NULL propagation through
+    split/size differs cross-engine."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks)
     grams = F.transform(
@@ -519,8 +524,9 @@ def budget_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            round(quantile_cont(n_chars, 0.5), 6) AS p50_exact,
-           abs(approx_quantile(n_chars, 0.5) - quantile_cont(n_chars, 0.5))
-               <= 0.05 * quantile_cont(n_chars, 0.5) AS approx_ok
+           approx_quantile(n_chars, 0.5)
+               BETWEEN quantile_cont(n_chars, 0.40) AND quantile_cont(n_chars, 0.60)
+             AS approx_ok
     FROM documents
     GROUP BY lang
     """,
@@ -529,7 +535,7 @@ def budget_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-quantile verification: per language, the exact median
     (hash-compared across engines) plus each engine asserting ITS OWN
-    approximate-quantile sketch lands within 5% of the exact value — the
+    approximate-quantile sketch lands inside the exact p40..p60 band — the
     same each-engine-asserts-own-estimate pattern as approx_distinct_parts,
     which keeps a sketch operator oracle-checkable.
 
@@ -540,13 +546,17 @@ def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50_exact"),
-        (
-            F.abs(
-                F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000))
-                - F.percentile("n_chars", F.lit(0.5))
-            )
-            <= 0.05 * F.percentile("n_chars", F.lit(0.5))
-        ).alias("approx_ok"),
+        # Band containment, not a relative-error bound: the sketch returns
+        # an actual data value while quantile_cont interpolates, so a gap
+        # in the distribution around the median can legitimately exceed any
+        # fixed percentage (reproduced on an adversarial perturbed corpus).
+        # Landing inside the exact p40..p60 band is gap-insensitive.
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000))
+        .between(
+            F.percentile("n_chars", F.lit(0.40)),
+            F.percentile("n_chars", F.lit(0.60)),
+        )
+        .alias("approx_ok"),
     )
 
 

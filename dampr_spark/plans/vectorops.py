@@ -18,39 +18,47 @@ from dampr_spark.sources.readers import read_table as _t
     "embedding_norms",
     oracle=f"""
     SELECT vec_id, label, round({V.l2_norm_sql('embedding')}, 6) AS l2
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
     """,
     tags=("vector", "extension"),
 )
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 norm per embedding — JVM-side array fold, no UDF."""
-    e = _t(spark, sf_dir, "embeddings")
+    """L2 norm per embedding — JVM-side array fold, no UDF. NULL
+    embeddings are dropped on both engines (their norm is undefined; NULL
+    propagation details would otherwise differ cross-engine)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     return e.select("vec_id", "label", F.round(V.l2_norm("embedding"), 6).alias("l2"))
 
 
 @register(
     "ann_cosine_topk",
     oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    WITH v AS (SELECT * FROM embeddings WHERE {V.valid_vector_sql('embedding')}),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM v ORDER BY vec_id LIMIT 1)
     SELECT vec_id, label,
            round({V.cosine_sql('embedding', 'qv')}, 6) AS cos_sim
-    FROM embeddings CROSS JOIN q
-    WHERE vec_id <> 0
+    FROM v CROSS JOIN q
+    WHERE vec_id <> qid
     ORDER BY cos_sim DESC, vec_id
     LIMIT 20
     """,
     tags=("vector", "ann", "extension", "bench"),
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k against the vec_id=0 query vector — the
-    exact-ANN baseline. Plan: broadcast the 1-row query, scan + TakeOrdered
-    (heap per partition, no global sort). Scale path: LSH bucketing in
-    operators/similarity.py."""
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    """Brute-force cosine top-k against the lowest-id VALID query vector —
+    the exact-ANN baseline. Plan: broadcast the 1-row query, scan +
+    TakeOrdered (heap per partition, no global sort). NULL/zero-norm
+    vectors are excluded on both engines (cosine undefined; regeneration-
+    robust). Scale path: LSH bucketing in operators/similarity.py."""
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
+    q = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
     return (
-        e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "vec_id",
             "label",
@@ -66,6 +74,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label, i AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
     FROM embeddings, range(1, 65) t(i)
+    WHERE embedding IS NOT NULL
     GROUP BY label, i
     """,
     tags=("vector", "extension"),
@@ -73,8 +82,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components: posexplode + groupBy(label, dim).
     One shuffle keyed (label, dim) — at scale prefer treeAggregate-style
-    partial vectors, but the declarative form lets AQE size the exchange."""
-    e = _t(spark, sf_dir, "embeddings")
+    partial vectors, but the declarative form lets AQE size the exchange.
+    NULL embeddings are dropped on both engines."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     return (
         e.select("label", F.posexplode("embedding").alias("pos", "x"))
         .select("label", (F.col("pos") + 1).cast("long").alias("dim"), F.col("x").cast("double").alias("x"))
@@ -86,13 +96,14 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_batch_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-               FROM embeddings WHERE vec_id < 4),
+    WITH v AS (SELECT * FROM embeddings WHERE {V.valid_vector_sql('embedding')}),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM v ORDER BY vec_id LIMIT 4),
     scored AS (
-        SELECT query_id, vec_id,
+        SELECT query_id, v.vec_id,
                round({V.cosine_sql('embedding', 'qv')}, 6) AS cos_sim
-        FROM embeddings CROSS JOIN q
-        WHERE vec_id >= 4)
+        FROM v CROSS JOIN q
+        WHERE v.vec_id NOT IN (SELECT query_id FROM q))
     SELECT query_id, vec_id, cos_sim, rank
     FROM (SELECT *, CAST(row_number() OVER (
               PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
@@ -113,13 +124,17 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in operators/similarity.py prune the scan instead."""
     from pyspark.sql.window import Window
 
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 4).select(
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
+    q = e.orderBy("vec_id").limit(4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        e.filter(F.col("vec_id") >= 4)
+        e.join(
+            F.broadcast(q.select(F.col("query_id").alias("vec_id"))),
+            "vec_id",
+            "left_anti",
+        )
         .crossJoin(F.broadcast(q))
         .select(
             "query_id",
@@ -134,16 +149,17 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "nearest_centroid_assign",
     oracle=f"""
-    WITH cd AS (
+    WITH v AS (SELECT * FROM embeddings WHERE {V.valid_vector_sql('embedding')}),
+    cd AS (
         SELECT label AS clabel, i AS dim,
                round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
-        FROM embeddings, range(1, 65) t(i)
+        FROM v, range(1, 65) t(i)
         GROUP BY 1, 2),
     cv AS (SELECT clabel, list(c ORDER BY dim) AS cvec FROM cd GROUP BY clabel),
     sims AS (
         SELECT vec_id, label, clabel,
                round({V.cosine_sql('embedding', 'cvec')}, 6) AS best_sim
-        FROM embeddings, cv),
+        FROM v, cv),
     r AS (
         SELECT *, row_number() OVER (
                   PARTITION BY vec_id ORDER BY best_sim DESC, clabel) AS rn
@@ -164,8 +180,9 @@ def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-vector argmax is a groupBy(vec_id) max(struct) — one narrow
     shuffle of (vec_id, 3 scalars), never the embedding itself. Cosine is a
     left-to-right double fold (functions/vector.py) matched exactly by the
-    oracle's list_reduce."""
-    e = _t(spark, sf_dir, "embeddings")
+    oracle's list_reduce. NULL/zero-norm vectors are excluded on both
+    engines (regeneration-robust)."""
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
     cd = (
         e.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy(F.col("label").alias("clabel"), F.col("pos").alias("dim"))
@@ -197,11 +214,12 @@ def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_recall_check",
     oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    WITH v AS (SELECT * FROM embeddings WHERE {V.valid_vector_sql('embedding')}),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM v ORDER BY vec_id LIMIT 1),
     top AS (
       SELECT round({V.cosine_sql('embedding', 'qv')}, 6) AS cos_sim
-      FROM embeddings CROSS JOIN q
-      WHERE vec_id <> 0
+      FROM v CROSS JOIN q
+      WHERE vec_id <> qid
       ORDER BY cos_sim DESC, vec_id
       LIMIT 20)
     SELECT round(min(cos_sim), 6)   AS kth_cos_sim,
@@ -230,12 +248,12 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from dampr_spark.operators import similarity
 
-    e = _t(spark, sf_dir, "embeddings")
-    qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
-    if qrow is None:  # data contract: vec_id 0 is the probe vector
-        raise ValueError("embeddings table has no vec_id=0 query vector")
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
+    qrow = e.orderBy("vec_id").limit(1).select("vec_id", "embedding").first()
+    if qrow is None:
+        raise ValueError("embeddings table has no valid query vector")
     qv = list(qrow.embedding)
-    rest = e.filter(F.col("vec_id") != 0)
+    rest = e.filter(F.col("vec_id") != qrow.vec_id)
 
     brute = similarity.brute_force_topk(rest, qv, k=20).localCheckpoint(eager=True)
     lsh = similarity.RandomHyperplaneLSH(dim=64, n_planes=6, n_tables=8)

