@@ -1,6 +1,10 @@
 """SemDeDup-style semantic deduplication — cluster embeddings, then find
 near-duplicate pairs only WITHIN clusters:
 
+0. whiten    — optional PCA whitening (operators/vectorprep): one
+   sufficient-statistics pass + broadcast projection; decorrelated unit-
+   variance axes sharpen both the k-means geometry and the LSH hyperplane
+   cuts (the SemDeDup-paper preprocessing);
 1. cluster   — fully-distributed Lloyd's k-means over the embedding column
    (operators/similarity.kmeans_fit_assign): broadcast centroids → cosine
    argmax → posexplode-avg recompute, deterministic first-k init;
@@ -45,9 +49,25 @@ def semantic_dedup(
     kmeans_iters: int = 3,
     tau: float = 0.95,
     dim: int = 64,
+    whiten_dims: int | None = None,
 ) -> DataFrame:
     """(id, canonical) for every vector in a semantic near-dup group —
-    drop rows where id != canonical to shrink the corpus."""
+    drop rows where id != canonical to shrink the corpus. With
+    ``whiten_dims`` set, clustering/LSH run in the PCA-whitened space of
+    that many axes (the verify cosine still scores ORIGINAL embeddings, so
+    tau keeps its meaning)."""
+    original = embeddings
+    if whiten_dims is not None:
+        from dampr_spark.operators.vectorprep import pca_apply, pca_fit
+
+        model = pca_fit(embeddings, vec_col=vec_col, k=whiten_dims)
+        embeddings = (
+            pca_apply(embeddings, model, vec_col=vec_col, out_col="_w", whiten=True)
+            .drop(vec_col)
+            .withColumnRenamed("_w", vec_col)
+            .withColumn(vec_col, F.col(vec_col).cast("array<float>"))
+        )
+        dim = whiten_dims
     assigned = kmeans_fit_assign(
         embeddings, vec_col=vec_col, id_col=id_col, k=k, iters=kmeans_iters
     ).select(F.col("id").alias(id_col), "cluster")
@@ -58,13 +78,35 @@ def semantic_dedup(
     # every cluster proceeds independently. bucketed_pairs verifies with
     # exact cosine on in-bucket candidates only.
     lsh = RandomHyperplaneLSH(dim=dim, n_planes=6, n_tables=8)
-    pairs = lsh.bucketed_pairs(
-        clustered,
-        vec_col=vec_col,
-        id_col=id_col,
-        threshold=tau,
-        extra_keys=("cluster",),
-    )
+    if whiten_dims is None:
+        pairs = lsh.bucketed_pairs(
+            clustered,
+            vec_col=vec_col,
+            id_col=id_col,
+            threshold=tau,
+            extra_keys=("cluster",),
+        )
+    else:
+        # Candidates form in whitened space; the exact-cosine verify runs
+        # on the ORIGINAL embeddings (threshold=None emits all in-bucket
+        # candidates, then the original-space join applies tau).
+        from dampr_spark.functions.vector import cosine
+
+        cand = lsh.bucketed_pairs(
+            clustered,
+            vec_col=vec_col,
+            id_col=id_col,
+            threshold=-1.0,
+            extra_keys=("cluster",),
+        ).select("id_a", "id_b")
+        oa = original.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        ob = original.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = (
+            cand.join(oa, "id_a")
+            .join(ob, "id_b")
+            .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= tau)
+            .select("id_a", "id_b")
+        )
     return near_dup_clusters(pairs.select("id_a", "id_b"))
 
 

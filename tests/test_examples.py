@@ -140,3 +140,22 @@ def test_semantic_dedup_example(spark, sf_dir):
         for r in lsh.bucketed_pairs(a2, threshold=0.99, extra_keys=("cluster",)).collect()
     }
     assert restricted <= unrestricted and restricted
+
+
+def test_semantic_dedup_whitened_variant(spark, sf_dir):
+    """The PCA-whitened path must produce a valid clustering (canonical is
+    a member id, groups are disjoint) and find the same order of magnitude
+    of dup structure as the raw path at a loose tau."""
+    import semantic_dedup
+
+    from dampr_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    raw = semantic_dedup.semantic_dedup(e, k=4, tau=0.4)
+    white = semantic_dedup.semantic_dedup(e, k=4, tau=0.4, whiten_dims=16)
+    for res in (raw, white):
+        rows = res.collect()
+        ids = {r.id for r in rows}
+        assert all(r.canonical in ids for r in rows)
+        assert all(r.canonical <= r.id for r in rows)
+    assert white.count() > 0
