@@ -741,6 +741,20 @@ class Dampr:
         return PMap(df.rdd.map(lambda row: (0, row)), df.sparkSession)
 
     @classmethod
+    def from_sql(cls, query: str, sf_dir: str | None = None) -> PMap:
+        """Raw SQL → fluent stream: runs ``query`` through Catalyst
+        (registering the TESTDATA tables as views when ``sf_dir`` is given
+        — see dampr_spark.sql) and bridges the result into the fluent API.
+        The escape hatch in the OTHER direction from ``to_df``: declare the
+        relational heavy lifting in SQL, post-process with lambdas."""
+        spark = cls._session()
+        if sf_dir is not None:
+            from dampr_spark.sql import register_tables
+
+            register_tables(spark, sf_dir)
+        return cls.from_df(spark.sql(query))
+
+    @classmethod
     def read_input(cls, *datasets: Iterable) -> PMap:
         """Custom dataset taps (dampr/dampr.py:857-877): each dataset is an
         iterable of (key, value) pairs — or a zero-arg callable returning

@@ -569,3 +569,20 @@ def test_csv_and_orc_round_trip(spark, sf_dir, tmp_path_factory):
         .toString()
     )
     assert "PushedFilters: [" in plan and "n_nationkey" in plan
+
+
+def test_from_sql_bridge(spark, sf_dir):
+    """SQL → fluent bridge: declare the aggregate in SQL, post-process with
+    a lambda, read back through the fluent runner."""
+    from dampr_spark.api import Dampr
+
+    Dampr.use_session(spark)
+    res = (
+        Dampr.from_sql(
+            "SELECT n_name, n_regionkey FROM nation ORDER BY n_name", sf_dir
+        )
+        .map(lambda row: f"{row.n_name}:{row.n_regionkey}")
+        .run()
+    )
+    vals = sorted(res.read())
+    assert len(vals) == 25 and all(":" in v for v in vals)
