@@ -490,3 +490,55 @@ def test_fuzzy_pairs_match_python_model(spark_session_holder, docs, max_distance
                 if d <= max_distance:
                     want[(i, j)] = d
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    spans=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 60)),  # (start_sec, dur)
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_interval_coalescing_matches_python_model(spark_session_holder, spans):
+    """The cumulative-max chain merge equals a sorted sweep-line union."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    spark = spark_session_holder
+    base = datetime.datetime(2025, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=s), base + datetime.timedelta(seconds=s + d))
+        for i, (s, d) in enumerate(spans)
+    ]
+    df = spark.createDataFrame(rows, "i long, s timestamp, e timestamp")
+    w_prev = Window.orderBy("s", "e").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("s", "e").rowsBetween(Window.unboundedPreceding, 0)
+    marked = df.withColumn(
+        "new_grp",
+        F.when(
+            F.max("e").over(w_prev).isNull() | (F.col("s") > F.max("e").over(w_prev)),
+            1,
+        ).otherwise(0),
+    ).withColumn("g", F.sum("new_grp").over(w_run))
+    got = sorted(
+        (r.ms, r.me)
+        for r in marked.groupBy("g")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .collect()
+    )
+    # python sweep-line union
+    ivs = sorted((s, s + d) for s, d in spans)
+    merged = []
+    for s, e in ivs:
+        if merged and s <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    want = sorted(
+        (base + datetime.timedelta(seconds=s), base + datetime.timedelta(seconds=e))
+        for s, e in merged
+    )
+    assert got == want
