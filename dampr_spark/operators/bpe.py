@@ -64,6 +64,31 @@ def _merge_word(syms: list[str], left: str, right: str) -> list[str]:
     return new
 
 
+def _train_local(
+    wc: dict[str, int], n_merges: int, min_pair_count: int
+) -> list[tuple[str, str, int]]:
+    """Driver-side merge loop over a collected weighted vocab — identical
+    semantics to the distributed rounds (same counting, same
+    (count desc, pair asc) selection, same _merge_word)."""
+    vocab = {w: list(w) for w in wc}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            n = wc[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + n
+        if not pc:
+            break
+        (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((left, right, cnt))
+        for w in vocab:
+            vocab[w] = _merge_word(vocab[w], left, right)
+    return merges
+
+
 def _merge_pass(left: str, right: str):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -79,15 +104,31 @@ def train_bpe(
     text_col: str = "text",
     n_merges: int = 10,
     min_pair_count: int = 2,
+    local_vocab_limit: int = 100_000,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``n_merges`` BPE merges from the corpus; returns the
     ordered merge list [(left, right, weighted_count), ...]. Stops early
     when the best remaining pair's weighted count drops below
     ``min_pair_count``. Ties break lexicographically on (left, right) —
-    deterministic across runs, partitionings, and engines."""
+    deterministic across runs, partitionings, and engines.
+
+    Fast path: when the distinct-word vocabulary fits under
+    ``local_vocab_limit`` rows, the weighted vocab is collected ONCE and
+    the merge loop runs driver-side — the production trainer design (the
+    corpus is scanned exactly once either way; a web-scale vocab is
+    millions of rows, a few hundred MB — far under driver memory, while
+    per-round Spark jobs cost ~1s each × thousands of merges). Vocabs over
+    the limit take the fully-distributed per-round path. Both paths apply
+    the identical ``_merge_word`` and tie-break, so the learned sequence is
+    THE SAME (pinned by tests/test_bpe.py)."""
+    wc = word_counts(df, text_col).localCheckpoint(eager=True)
+    if wc.count() <= local_vocab_limit:
+        rows = wc.collect()
+        return _train_local(
+            {r["word"]: int(r["cnt"]) for r in rows}, n_merges, min_pair_count
+        )
     vocab = (
-        word_counts(df, text_col)
-        .select("word", "cnt", F.split(F.col("word"), "").alias("syms"))
+        wc.select("word", "cnt", F.split(F.col("word"), "").alias("syms"))
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str, int]] = []

@@ -77,3 +77,12 @@ def test_min_pair_count_stops_early(spark):
     df = spark.createDataFrame([("ab cd",)], "text string")
     # every pair occurs once -> below min_pair_count=2 -> no merges
     assert train_bpe(df, n_merges=5, min_pair_count=2) == []
+
+
+def test_local_and_distributed_paths_agree(spark):
+    """Forcing the distributed per-round path (local_vocab_limit=0) must
+    learn the identical merge sequence as the driver-side fast path."""
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    local = train_bpe(df, n_merges=6)  # vocab far under the default limit
+    dist = train_bpe(df, n_merges=6, local_vocab_limit=0)
+    assert local == dist
