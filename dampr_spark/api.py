@@ -749,9 +749,9 @@ class Dampr:
         relational heavy lifting in SQL, post-process with lambdas."""
         spark = cls._session()
         if sf_dir is not None:
-            from dampr_spark.sql import register_tables
+            from dampr_spark.sql import sql as _sql
 
-            register_tables(spark, sf_dir)
+            return cls.from_df(_sql(spark, sf_dir, query))
         return cls.from_df(spark.sql(query))
 
     @classmethod

@@ -121,16 +121,18 @@ def train_bpe(
     the limit take the fully-distributed per-round path. Both paths apply
     the identical ``_merge_word`` and tie-break, so the learned sequence is
     THE SAME (pinned by tests/test_bpe.py)."""
-    wc = word_counts(df, text_col).localCheckpoint(eager=True)
-    if wc.count() <= local_vocab_limit:
-        rows = wc.collect()
+    # ONE eager materialization serves the routing count, the local-path
+    # collect, and the distributed rounds alike.
+    vocab = (
+        word_counts(df, text_col)
+        .select("word", "cnt", F.split(F.col("word"), "").alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    if vocab.count() <= local_vocab_limit:
+        rows = vocab.select("word", "cnt").collect()
         return _train_local(
             {r["word"]: int(r["cnt"]) for r in rows}, n_merges, min_pair_count
         )
-    vocab = (
-        wc.select("word", "cnt", F.split(F.col("word"), "").alias("syms"))
-        .localCheckpoint(eager=True)
-    )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         pairs = vocab.select(

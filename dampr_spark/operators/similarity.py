@@ -292,7 +292,7 @@ def kmeans_assign(vectors: DataFrame, centroids: DataFrame, vec_col: str, id_col
     Centroids (k rows) BROADCAST into a crossJoin; the per-vector argmax is
     a groupBy max(struct) — the shuffle carries (id, cluster, sim) scalars,
     never the vectors."""
-    from dampr_spark.functions.vector import cosine, valid_vector
+    from dampr_spark.functions.vector import cosine
 
     sims = vectors.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col).alias("id"),

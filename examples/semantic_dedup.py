@@ -57,7 +57,9 @@ def semantic_dedup(
     that many axes (the verify cosine still scores ORIGINAL embeddings, so
     tau keeps its meaning)."""
     original = embeddings
+    residual = None
     if whiten_dims is not None:
+        from dampr_spark.functions.vector import valid_vector
         from dampr_spark.operators.vectorprep import pca_apply, pca_fit
 
         model = pca_fit(embeddings, vec_col=vec_col, k=whiten_dims)
@@ -68,6 +70,17 @@ def semantic_dedup(
             .withColumn(vec_col, F.col(vec_col).cast("array<float>"))
         )
         dim = whiten_dims
+        # Vectors valid in the ORIGINAL space can whiten to zero (exactly
+        # at the corpus mean within the kept subspace) — the whitened
+        # cluster/LSH stages would silently drop them, losing even exact
+        # original-space duplicates. Route them through a raw-space LSH
+        # pass and union the candidates.
+        dropped_ids = (
+            embeddings.filter(~valid_vector(vec_col))
+            .select(id_col)
+            .join(original.filter(valid_vector(vec_col)).select(id_col), id_col)
+        )
+        residual = original.join(dropped_ids, id_col, "left_semi")
     assigned = kmeans_fit_assign(
         embeddings, vec_col=vec_col, id_col=id_col, k=k, iters=kmeans_iters
     ).select(F.col("id").alias(id_col), "cluster")
@@ -88,8 +101,8 @@ def semantic_dedup(
         )
     else:
         # Candidates form in whitened space; the exact-cosine verify runs
-        # on the ORIGINAL embeddings (threshold=None emits all in-bucket
-        # candidates, then the original-space join applies tau).
+        # on the ORIGINAL embeddings (threshold=-1.0 keeps every in-bucket
+        # candidate, then the original-space join applies tau).
         from dampr_spark.functions.vector import cosine
 
         cand = lsh.bucketed_pairs(
@@ -107,6 +120,13 @@ def semantic_dedup(
             .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= tau)
             .select("id_a", "id_b")
         )
+        if residual is not None:
+            raw_lsh = RandomHyperplaneLSH(dim=64, n_planes=6, n_tables=8)
+            pairs = pairs.unionByName(
+                raw_lsh.bucketed_pairs(
+                    residual, vec_col=vec_col, id_col=id_col, threshold=tau
+                ).select("id_a", "id_b")
+            )
     return near_dup_clusters(pairs.select("id_a", "id_b"))
 
 

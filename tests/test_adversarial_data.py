@@ -31,6 +31,13 @@ _HARDENED = [
     "nearest_centroid_assign",
     "repetition_filter",
     "simhash_audit_check",
+    # events-table perturbations (NULL type/value/props) — these queries
+    # filter/propagate nulls identically on both engines and keep the
+    # fixture's events block exercised
+    "user_value_ewma",
+    "value_outliers_by_type",
+    "robust_outliers_by_type",
+    "events_hourly",
 ]
 _HARDENED_ROWS_ONLY = [
     "embedding_near_dups",
