@@ -199,6 +199,35 @@ def main() -> int:
     cal_post = calibrate()
     calibration_sec = (cal_pre + cal_post) / 2
 
+    # Per-family subtotals: lets a reader see where time goes without
+    # re-grouping 40+ lines (families from the catalog's tags would drift
+    # with registration details; this static map names the bench's own
+    # groupings).
+    families = {
+        "tpch": [q for q in BENCH_QUERIES if q.startswith("q1") or q.startswith("q3")
+                 or q.startswith("q5") or q.startswith("q6") or q.startswith("q7")
+                 or q.startswith("q9") or q in ("inner_join_agg", "semi_join_by_count")],
+        "dedup": [q for q in BENCH_QUERIES if "dedup" in q or "dup" in q
+                  or q in ("minhash_lsh_dedup", "ngram_jaccard_dups",
+                            "boilerplate_chunk_removal", "fuzzy_match_pairs")],
+        "text": [q for q in BENCH_QUERIES if q in (
+            "wordcount", "tfidf", "bm25_rank", "training_data_prep",
+            "decontaminate_ngram", "pack_token_budget", "gopher_rules_report",
+            "oov_rate_by_lang", "heavy_hitter_ngrams", "bpe_merges",
+            "pii_redact", "chunk_documents")],
+        "events": [q for q in BENCH_QUERIES if q in (
+            "events_hourly", "sessionization", "session_stats",
+            "rolling_event_value_bucketed", "order_value_quantiles",
+            "user_value_ewma")],
+        "vector": [q for q in BENCH_QUERIES if q in (
+            "ann_cosine_topk", "kmeans_clusters", "pca_embeddings",
+            "zorder_curve_topk")],
+    }
+    family_totals = {
+        fam: round(sum(cold_timings.get(q, 0.0) for q in qs), 4)
+        for fam, qs in families.items()
+    }
+
     # Round-over-round comparability: the query list GROWS each round, so
     # the headline total is not comparable across rounds by itself. Emit a
     # subtotal over the round-3 query set (the last externally-recorded
@@ -219,6 +248,7 @@ def main() -> int:
                     q: round(t / calibration_sec, 3)
                     for q, t in cold_timings.items()
                 },
+                "family_cold_totals": family_totals,
                 "cold_total_r3_queryset": round(
                     sum(cold_timings[q] for q in r3_set), 4
                 ),
