@@ -131,3 +131,28 @@ def test_compact_parquet_resorts_on_column(spark, sf_dir, tmp_path_factory):
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo
     assert n_before >= 1
+
+
+def test_compact_parquet_clears_stale_crash_leftovers(spark, sf_dir, tmp_path_factory):
+    """A previously crashed compaction leaves `.compact`/`.old` dirs; the
+    next run must clear them up front (a stale `.old` would otherwise make
+    shutil.move NEST the live table inside it) and still produce a correct
+    result."""
+    import os
+
+    from dampr_spark.operators.layout import compact_parquet
+    from dampr_spark.sources.readers import read_table
+
+    out = str(tmp_path_factory.mktemp("compact3") / "nation_t")
+    nation = read_table(spark, sf_dir, "nation")
+    n = nation.count()
+    nation.repartition(6).write.parquet(out)
+    # simulate crash leftovers
+    os.makedirs(out + ".old/garbage", exist_ok=True)
+    os.makedirs(out + ".compact", exist_ok=True)
+    with open(out + ".old/garbage/x.parquet", "w") as f:
+        f.write("junk")
+    n_files = compact_parquet(spark, out, target_mb=128)
+    assert n_files == 1
+    assert not os.path.exists(out + ".old") and not os.path.exists(out + ".compact")
+    assert spark.read.parquet(out).count() == n

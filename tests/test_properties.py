@@ -542,3 +542,50 @@ def test_interval_coalescing_matches_python_model(spark_session_holder, spans):
         for s, e in merged
     )
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["p", "q", "r", "s", "t"]), min_size=1, max_size=6),
+        min_size=1,
+        max_size=10,
+    ),
+    max_df=st.integers(1, 6),
+)
+def test_token_cooccurrence_caps_match_python_model(spark_session_holder, docs, max_df):
+    """Pair supports under the document-frequency cap equal the python
+    model: tokens over the DF cap never pair; supports count distinct-doc
+    co-occurrence."""
+    from collections import Counter
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    spark = spark_session_holder
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    dt = df.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).distinct()
+    ok = dt.groupBy("tok").count().filter(F.col("count") <= max_df).select("tok")
+    dtk = dt.join(ok, "tok")
+    a = dtk.select("doc_id", F.col("tok").alias("tok_a"))
+    b = dtk.select("doc_id", F.col("tok").alias("tok_b"))
+    got = {
+        (r.tok_a, r.tok_b): r.support
+        for r in a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .collect()
+    }
+    docsets = [sorted(set(toks)) for toks in docs]
+    dfreq = Counter(t for s in docsets for t in s)
+    keep = {t for t, c in dfreq.items() if c <= max_df}
+    want = Counter()
+    for s in docsets:
+        for x, y in combinations([t for t in s if t in keep], 2):
+            want[(x, y)] += 1
+    assert got == dict(want)
