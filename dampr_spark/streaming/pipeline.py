@@ -424,3 +424,92 @@ def streaming_dedup_within_watermark(
     sources (a redelivered event with a slightly different arrival batch
     still dedups)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def incremental_neardup_stream(
+    docs_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    max_bucket: int = 1000,
+):
+    """Streaming incremental NEAR-dup candidate generation via
+    ``foreachBatch`` — the LSH twin of :func:`incremental_dedup_stream`:
+    every micro-batch (a) computes MinHash band signatures for its
+    documents, (b) emits candidate pairs within the batch AND against the
+    PERSISTED signature store of everything ingested before (asymmetric
+    band join — history is never self-joined), then (c) appends its own
+    signatures to the store. Across any replay, the union of emitted pairs
+    equals the full-corpus banded candidate set (pinned by the
+    batch-equivalence test).
+
+    State is the on-disk store of (id, band, band_hash) rows — 16 small
+    rows per document, bucketable by (band, band_hash) at scale so each
+    batch's join shuffles only the batch side. ``max_bucket`` caps hot
+    STORE buckets exactly like the batch operator. Emitted pairs are
+    CANDIDATES; the exact-Jaccard verify joins document text downstream
+    (the store deliberately holds signatures, not text).
+
+    Same at-least-once caveat as incremental_dedup_stream: a retried batch
+    re-appends signatures and pairs; dedup on read restores exactly-once.
+    """
+    from pyspark.errors import AnalysisException
+
+    from dampr_spark.operators.dedup import _banded_signatures
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new_bands = _banded_signatures(
+            batch_df, text_col, id_col, num_perm, bands, shingle_k
+        ).localCheckpoint(eager=True)
+        try:
+            store = spark.read.parquet(store_dir)
+        except AnalysisException:
+            store = spark.createDataFrame([], "id long, band int, band_hash long")
+        hot = (
+            store.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket)
+            .select("band", "band_hash")
+        )
+        store_pruned = store.join(hot, ["band", "band_hash"], "left_anti")
+        cross = (
+            new_bands.select(F.col("id").alias("id_a"), "band", "band_hash")
+            .join(
+                store_pruned.select(F.col("id").alias("id_b"), "band", "band_hash"),
+                ["band", "band_hash"],
+            )
+            .select("id_a", "id_b")
+        )
+        within = (
+            new_bands.select(F.col("id").alias("id_a"), "band", "band_hash")
+            .join(
+                new_bands.select(F.col("id").alias("id_b"), "band", "band_hash"),
+                ["band", "band_hash"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        pairs = (
+            cross.select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .unionByName(within)
+            .distinct()
+        )
+        pairs.write.mode("append").parquet(out_dir)
+        new_bands.select("id", "band", "band_hash").write.mode("append").parquet(
+            store_dir
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", out_dir + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -454,3 +454,47 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path_factory):
     )
     n_distinct = read_table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert res.count() == n_distinct
+
+
+def test_incremental_neardup_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Two-micro-batch replay of the documents table: the UNION of emitted
+    candidate pairs (within-batch + vs-store) must equal the full-corpus
+    banded candidate set — the signature store really carries LSH state
+    across batches."""
+    import glob
+    import shutil
+
+    from dampr_spark.operators.dedup import minhash_lsh_candidates
+    from dampr_spark.sources.readers import read_table
+
+    base = tmp_path_factory.mktemp("neardup_stream")
+    in_dir, store, out = (str(base / d) for d in ("in", "store", "out"))
+    docs = read_table(spark, sf_dir, "documents")
+    import os
+
+    os.makedirs(in_dir)
+    for i, part in enumerate(
+        [docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)]
+    ):
+        part.coalesce(1).write.parquet(str(base / f"p{i}"))
+        shutil.copy(glob.glob(str(base / f"p{i}" / "*.parquet"))[0], f"{in_dir}/b{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.incremental_neardup_stream(
+        stream, store, out, max_bucket=10**9
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(out).distinct().collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs, max_bucket=10**9).collect()
+    }
+    assert got == want and want, f"missing={want - got} extra={got - want}"
