@@ -1034,3 +1034,56 @@ def robust_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "incremental_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "incremental", "extension"),
+)
+def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the hourly rollup is kept
+    as MERGEABLE partials (count + raw value sum per key) so a new shard
+    never triggers a full recompute — yesterday's persisted partial and the
+    shard's partial re-aggregate by key, and the presentation row (rounded
+    sum) derives at read time. Here event_id % 5 == 4 plays the
+    newly-landed shard; the ORACLE computes the rollup directly over all
+    events, so the hash compare PROVES merge(partial_history, partial_new)
+    == full recompute — the algebraic property (sum/count are commutative
+    monoids) the whole pattern rests on. Rounding happens ONLY at
+    presentation: rounding inside the stored partial would break
+    mergeability (round(a)+round(b) != round(a+b)).
+
+    At scale: partials live partitioned by hour (append = touch only new
+    hours), the merge shuffles |keys| rows, and the same shape maintains
+    any monoid aggregate (HLL sketches for distincts — see
+    hll_sketch_rollup_check)."""
+    e = _t(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),  # UNROUNDED: stays mergeable
+        )
+
+    history = partial(e.filter(F.col("event_id") % 5 != 4))
+    shard = partial(e.filter(F.col("event_id") % 5 == 4))
+    merged = (
+        history.unionByName(shard)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    )
+    return merged.select(
+        "hour", "event_type", "n_events", F.round("sum_value", 2).alias("total_value")
+    )
