@@ -1087,3 +1087,40 @@ def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "hour", "event_type", "n_events", F.round("sum_value", 2).alias("total_value")
     )
+
+
+@register(
+    "salted_distinct_check",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("events", "skew", "extension"),
+)
+def salted_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe distinct counting, externally proven: per-event-type
+    distinct users via the SALTED two-phase plan. The salt is derived from
+    the DISTINCT KEY itself (user_id % 8), so phase 1's
+    (type, salt, user) dedup spreads a hot type's users over 8 reducers
+    while guaranteeing each distinct user lands in exactly ONE salt group
+    — phase 2 therefore just counts phase-1 rows per type (no cross-salt
+    re-dedup needed). Hash-compared against the oracle's direct
+    COUNT(DISTINCT): a single hot key (one event type owning most of a
+    100 TB stream) funnels every (type, user) row through one reducer in
+    the naive plan — distinct aggregates co-locate per group key even with
+    partial aggregation, which is exactly what the salt breaks. NULL
+    types/users excluded identically on both engines."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    phase1 = e.groupBy(
+        "event_type", (F.col("user_id") % 8).alias("salt"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return phase1.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
