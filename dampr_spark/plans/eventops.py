@@ -1124,3 +1124,33 @@ def salted_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("n").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "activity_seasonality",
+    oracle="""
+    SELECT CAST(isodow(ts) - 1 AS INT) AS weekday,
+           CAST(extract(hour FROM ts) AS INT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window", "analytics", "extension"),
+)
+def activity_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: events and distinct users per
+    (ISO weekday, hour-of-day) cell — the capacity-planning heatmap every
+    event pipeline reports. One bounded aggregate (≤168 keys), partial
+    aggregation collapses the stream map-side. Weekday uses the ISO
+    convention on BOTH engines (Spark `weekday` = Monday 0; DuckDB
+    `isodow - 1`) — the cross-engine trap being that each engine's default
+    `dayofweek` numbers Sunday differently."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.weekday("ts").cast("int").alias("weekday"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
