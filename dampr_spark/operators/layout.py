@@ -85,20 +85,28 @@ def compact_parquet(
     Rewrite is write-new-then-swap: the live directory is never modified
     until the replacement is fully written, so a crash during the WRITE
     loses nothing. The swap itself is two renames — a crash in that narrow
-    window leaves the complete old table at ``path + '.old'`` (recoverable
-    by renaming back), never a half-rewritten mix. Stale ``.compact`` /
-    ``.old`` leftovers from a previously crashed run are cleared up front
-    (a pre-existing ``.old`` would otherwise make ``shutil.move`` NEST the
-    live table inside it instead of replacing it)."""
+    window leaves the complete old table at ``path + '.old'`` — and a
+    re-run RECOVERS it automatically: on entry, if ``path`` is missing but
+    ``.old`` exists (the mid-swap crash signature), ``.old`` is renamed
+    back before anything is deleted. ``.old`` is only treated as stale
+    (and removed) when ``path`` itself exists; ``.compact`` leftovers are
+    always stale and cleared up front (a pre-existing ``.old`` would
+    otherwise make ``shutil.move`` NEST the live table inside it instead
+    of replacing it)."""
     import math
     import os
     import shutil
 
     out = path.rstrip("/") + ".compact"
     old = path.rstrip("/") + ".old"
-    for stale in (out, old):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+    if not os.path.exists(path) and os.path.exists(old):
+        # Crash landed between the two swap renames: the live table exists
+        # only at .old. Restore it — deleting .old here would lose the data.
+        shutil.move(old, path)
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    if os.path.exists(old) and os.path.exists(path):
+        shutil.rmtree(old)
     df = spark.read.parquet(path)
     size = sum(
         os.path.getsize(os.path.join(dp, f))

@@ -444,15 +444,28 @@ def incremental_neardup_stream(
     PERSISTED signature store of everything ingested before (asymmetric
     band join — history is never self-joined), then (c) appends its own
     signatures to the store. Across any replay, the union of emitted pairs
-    equals the full-corpus banded candidate set (pinned by the
-    batch-equivalence test).
+    equals the full-corpus banded candidate set when no bucket exceeds
+    ``max_bucket`` (pinned by the batch-equivalence test).
 
     State is the on-disk store of (id, band, band_hash) rows — 16 small
     rows per document, bucketable by (band, band_hash) at scale so each
-    batch's join shuffles only the batch side. ``max_bucket`` caps hot
-    STORE buckets exactly like the batch operator. Emitted pairs are
-    CANDIDATES; the exact-Jaccard verify joins document text downstream
-    (the store deliberately holds signatures, not text).
+    batch's join shuffles only the batch side.
+
+    ``max_bucket`` caps the CUMULATIVE (store + current batch) size of each
+    (band, band_hash) bucket: once a bucket's total signature count exceeds
+    the cap, BOTH its cross-store and its within-batch pairing are skipped
+    for this and every later batch (signatures still append, so the count
+    keeps reflecting the full corpus). Relative to the batch operator with
+    the same cap, the replayed union is therefore a SUPERSET: every pair
+    the batch operator emits is emitted here too (its bucket is under the
+    cap in the full corpus, hence under it at every prefix), plus pairs
+    formed in a later-hot bucket while it was still under the cap — no
+    retraction is possible incrementally, and extra CANDIDATES are
+    harmless because the exact-Jaccard verify filters downstream.
+    Per-batch work stays bounded: a hot bucket never pairs again after
+    crossing the cap. Emitted pairs are CANDIDATES; the exact-Jaccard
+    verify joins document text downstream (the store deliberately holds
+    signatures, not text).
 
     Same at-least-once caveat as incremental_dedup_stream: a retried batch
     re-appends signatures and pairs; dedup on read restores exactly-once.
@@ -470,15 +483,25 @@ def incremental_neardup_stream(
             store = spark.read.parquet(store_dir)
         except AnalysisException:
             store = spark.createDataFrame([], "id long, band int, band_hash long")
+        # Cumulative bucket sizes (history + this batch): a bucket over the
+        # cap is excluded from BOTH pairings — matching the batch
+        # operator's total-size semantics as closely as an incremental
+        # (no-retraction) operator can; see docstring for the exact
+        # superset guarantee.
         hot = (
-            store.groupBy("band", "band_hash")
+            store.select("band", "band_hash")
+            .unionByName(new_bands.select("band", "band_hash"))
+            .groupBy("band", "band_hash")
             .agg(F.count(F.lit(1)).alias("_bsz"))
             .filter(F.col("_bsz") > max_bucket)
             .select("band", "band_hash")
         )
         store_pruned = store.join(hot, ["band", "band_hash"], "left_anti")
+        new_pruned = new_bands.join(
+            hot, ["band", "band_hash"], "left_anti"
+        ).localCheckpoint(eager=True)
         cross = (
-            new_bands.select(F.col("id").alias("id_a"), "band", "band_hash")
+            new_pruned.select(F.col("id").alias("id_a"), "band", "band_hash")
             .join(
                 store_pruned.select(F.col("id").alias("id_b"), "band", "band_hash"),
                 ["band", "band_hash"],
@@ -486,9 +509,9 @@ def incremental_neardup_stream(
             .select("id_a", "id_b")
         )
         within = (
-            new_bands.select(F.col("id").alias("id_a"), "band", "band_hash")
+            new_pruned.select(F.col("id").alias("id_a"), "band", "band_hash")
             .join(
-                new_bands.select(F.col("id").alias("id_b"), "band", "band_hash"),
+                new_pruned.select(F.col("id").alias("id_b"), "band", "band_hash"),
                 ["band", "band_hash"],
             )
             .filter(F.col("id_a") < F.col("id_b"))

@@ -58,6 +58,7 @@ def semantic_dedup(
     tau keeps its meaning)."""
     original = embeddings
     residual = None
+    orig_dim = dim
     if whiten_dims is not None:
         from dampr_spark.functions.vector import valid_vector
         from dampr_spark.operators.vectorprep import pca_apply, pca_fit
@@ -121,7 +122,9 @@ def semantic_dedup(
             .select("id_a", "id_b")
         )
         if residual is not None:
-            raw_lsh = RandomHyperplaneLSH(dim=64, n_planes=6, n_tables=8)
+            # Residual vectors live in the ORIGINAL space — hyperplanes must
+            # match the original dimensionality, not whiten_dims (ADVICE r5).
+            raw_lsh = RandomHyperplaneLSH(dim=orig_dim, n_planes=6, n_tables=8)
             pairs = pairs.unionByName(
                 raw_lsh.bucketed_pairs(
                     residual, vec_col=vec_col, id_col=id_col, threshold=tau

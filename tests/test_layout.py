@@ -156,3 +156,29 @@ def test_compact_parquet_clears_stale_crash_leftovers(spark, sf_dir, tmp_path_fa
     assert n_files == 1
     assert not os.path.exists(out + ".old") and not os.path.exists(out + ".compact")
     assert spark.read.parquet(out).count() == n
+
+
+def test_compact_parquet_recovers_mid_swap_crash(spark, sf_dir, tmp_path_factory):
+    """A crash BETWEEN the two swap renames leaves the live table only at
+    `.old` (and the fresh rewrite at `.compact`). A re-run must restore
+    `.old` back to `path` before any cleanup — deleting it as 'stale'
+    would permanently lose the table (ADVICE r5, medium)."""
+    import os
+    import shutil
+
+    from dampr_spark.operators.layout import compact_parquet
+    from dampr_spark.sources.readers import read_table
+
+    out = str(tmp_path_factory.mktemp("compact4") / "nation_t")
+    nation = read_table(spark, sf_dir, "nation")
+    n = nation.count()
+    nation.repartition(6).write.parquet(out)
+    # Simulate the exact mid-swap crash window: path moved to .old, the new
+    # copy still at .compact, nothing at path.
+    shutil.move(out, out + ".old")
+    spark.read.parquet(out + ".old").coalesce(1).write.parquet(out + ".compact")
+    assert not os.path.exists(out)
+    n_files = compact_parquet(spark, out, target_mb=128)
+    assert n_files == 1
+    assert not os.path.exists(out + ".old") and not os.path.exists(out + ".compact")
+    assert spark.read.parquet(out).count() == n

@@ -498,3 +498,55 @@ def test_incremental_neardup_stream_matches_batch(spark, sf_dir, tmp_path_factor
         for r in minhash_lsh_candidates(docs, max_bucket=10**9).collect()
     }
     assert got == want and want, f"missing={want - got} extra={got - want}"
+
+
+def test_incremental_neardup_stream_cap_superset_of_batch(
+    spark, sf_dir, tmp_path_factory
+):
+    """With an ACTIVE max_bucket cap, the replayed union must be a
+    SUPERSET of the batch operator's capped candidate set (batch pairs all
+    live in under-cap buckets, which are under-cap at every prefix) and a
+    SUBSET of the uncapped full candidate set (pruning never invents
+    pairs). ADVICE r5: the previous store-side-only cap violated both
+    directions; the cap now applies to cumulative store+batch bucket
+    size on both pairings."""
+    import glob
+    import os
+    import shutil
+
+    from dampr_spark.operators.dedup import minhash_lsh_candidates
+    from dampr_spark.sources.readers import read_table
+
+    base = tmp_path_factory.mktemp("neardup_stream_cap")
+    in_dir, store, out = (str(base / d) for d in ("in", "store", "out"))
+    docs = read_table(spark, sf_dir, "documents")
+    os.makedirs(in_dir)
+    for i, part in enumerate(
+        [docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)]
+    ):
+        part.coalesce(1).write.parquet(str(base / f"p{i}"))
+        shutil.copy(
+            glob.glob(str(base / f"p{i}" / "*.parquet"))[0], f"{in_dir}/b{i}.parquet"
+        )
+
+    cap = 3  # small enough that real buckets exceed it on the fixture
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.incremental_neardup_stream(stream, store, out, max_bucket=cap)
+    q.awaitTermination()
+
+    got = {(r.id_a, r.id_b) for r in spark.read.parquet(out).distinct().collect()}
+    batch_capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs, max_bucket=cap).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs, max_bucket=10**9).collect()
+    }
+    assert uncapped - batch_capped, "cap must actually bind on this fixture"
+    assert batch_capped <= got, f"under-emitted: {batch_capped - got}"
+    assert got <= uncapped, f"invented pairs: {got - uncapped}"
