@@ -8,13 +8,26 @@ Each query is executed with a count-style action that materializes the full
 result (no driver-side collect of wide rows). A warmup run of a tiny query
 first amortizes JVM/session startup out of per-query numbers.
 
-Each query runs TWICE. The headline ``value`` (and ``queries``) is the COLD
-first-run number — the same meaning the key had in round 1, so
-round-over-round comparisons stay apples-to-apples. The warm second run is
-reported separately as ``warm_total``/``queries_warm``: per-lineage
-codegen/planning cold cost dominates at this tiny scale (3-4× on the
-UDF-heavy dedup queries), so the warm numbers are the better signal for
-*plan* regressions while cold covers startup/planning regressions.
+Each query runs FOUR times: one cold run + three warm reps. The headline
+``value`` (and ``queries``) is the COLD first-run number — the same meaning
+the key had in round 1, so round-over-round comparisons stay
+apples-to-apples. The warm number per query is the MEDIAN of the three
+warm reps (round 5's apparent q1/wordcount "regressions" were single-rep
+host noise on a host with documented up-to-2x CPU variance; medians make
+round-over-round warm deltas signal): per-lineage codegen/planning cold
+cost dominates at this tiny scale (3-4x on the UDF-heavy dedup queries),
+so the warm numbers are the better signal for *plan* regressions while
+cold covers startup/planning regressions.
+
+OUTPUT FORMAT (round 6): the driver machine-reads only the tail of stdout
+(BENCH_r05 recorded ``parsed: null`` because round 5's single line outgrew
+the driver's 2000-char capture), so the LAST stdout line is now a compact
+summary guaranteed to fit — headline cold total, per-query cold seconds,
+warm_total, and the r3-queryset subtotals. The full verbose payload
+(per-query warm medians + raw reps, calibration, family subtotals,
+normalized timings) goes to an earlier stdout line prefixed ``#VERBOSE ``
+(comment-prefixed so a line-oriented JSON reader skips it) and is also
+written to ``benchmarks/last_bench_verbose.json``.
 
 WARM SEMANTICS CHANGED IN ROUND 5: lingering localCheckpoint blocks are now
 released between the two runs, so the warm run measures a clean re-execution
@@ -183,18 +196,28 @@ def main() -> int:
     # too — the spread is visible in the two raw numbers).
     cal_pre = calibrate()
 
+    import statistics
+
+    warm_reps = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_REPS", "3"))
     cold_timings: dict[str, float] = {}
     warm_timings: dict[str, float] = {}
+    warm_raw: dict[str, list[float]] = {}
     cold_total = 0.0
     warm_total = 0.0
     for name in BENCH_QUERIES:
         cold = run_once(name)
-        warm = run_once(name)
+        reps = [run_once(name) for _ in range(warm_reps)]
+        warm = statistics.median(reps)
         cold_total += cold
         warm_total += warm
         cold_timings[name] = round(cold, 4)
         warm_timings[name] = round(warm, 4)
-        print(f"# {name}: cold {cold:.3f}s (warm {warm:.3f}s)", file=sys.stderr)
+        warm_raw[name] = [round(r, 4) for r in reps]
+        print(
+            f"# {name}: cold {cold:.3f}s (warm median {warm:.3f}s of "
+            f"{['%.3f' % r for r in reps]})",
+            file=sys.stderr,
+        )
 
     cal_post = calibrate()
     calibration_sec = (cal_pre + cal_post) / 2
@@ -233,35 +256,43 @@ def main() -> int:
     # subtotal over the round-3 query set (the last externally-recorded
     # list) next to the full totals.
     r3_set = _R3_QUERIES
-    print(
-        json.dumps(
-            {
-                "metric": "dampr_spark_bench_total",
-                "value": round(cold_total, 4),
-                "unit": "sec",
-                "n_queries": len(BENCH_QUERIES),
-                # Host-jitter normalization: divide any query's cold seconds
-                # by calibration_sec before comparing across rounds.
-                "calibration_sec": round(calibration_sec, 4),
-                "calibration_pre_post": [round(cal_pre, 4), round(cal_post, 4)],
-                "queries_norm": {
-                    q: round(t / calibration_sec, 3)
-                    for q, t in cold_timings.items()
-                },
-                "family_cold_totals": family_totals,
-                "cold_total_r3_queryset": round(
-                    sum(cold_timings[q] for q in r3_set), 4
-                ),
-                "warm_total_r3_queryset": round(
-                    sum(warm_timings[q] for q in r3_set), 4
-                ),
-                "queries": cold_timings,
-                "warm_total": round(warm_total, 4),
-                "queries_warm": warm_timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    verbose = {
+        "metric": "dampr_spark_bench_verbose",
+        # Host-jitter normalization: divide any query's cold seconds by
+        # calibration_sec before comparing across rounds.
+        "calibration_sec": round(calibration_sec, 4),
+        "calibration_pre_post": [round(cal_pre, 4), round(cal_post, 4)],
+        "queries_norm": {
+            q: round(t / calibration_sec, 3) for q, t in cold_timings.items()
+        },
+        "family_cold_totals": family_totals,
+        "queries_warm": warm_timings,
+        "queries_warm_reps": warm_raw,
+    }
+    os.makedirs("benchmarks", exist_ok=True)
+    with open("benchmarks/last_bench_verbose.json", "w") as f:
+        json.dump(verbose, f, indent=1)
+    print("#VERBOSE " + json.dumps(verbose))
+
+    compact = {
+        "metric": "dampr_spark_bench_total",
+        "value": round(cold_total, 4),
+        "unit": "sec",
+        "n_queries": len(BENCH_QUERIES),
+        "queries": {q: round(t, 2) for q, t in cold_timings.items()},
+        "warm_total": round(warm_total, 4),
+        "cold_total_r3_queryset": round(sum(cold_timings[q] for q in r3_set), 4),
+        "warm_total_r3_queryset": round(sum(warm_timings[q] for q in r3_set), 4),
+        "calibration_sec": round(calibration_sec, 4),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # Driver tail capture is 2000 chars; shed per-query detail before
+        # ever risking an unparseable record (BENCH_r05 lesson).
+        compact.pop("queries")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     return 0
 
 

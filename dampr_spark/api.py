@@ -160,6 +160,32 @@ class BlockReducer:
         return ()
 
 
+class Chunker:
+    """Reference-compatible custom-tap base (dampr/dataset.py:420-423): a
+    lazy enumerator of :class:`Dataset` chunks. Subclasses override
+    ``chunks()``; ``Dampr.read_input`` expands each chunk into one
+    partition."""
+
+    def chunks(self):
+        raise NotImplementedError()
+
+
+class Dataset(Chunker):
+    """Reference-compatible custom dataset (dampr/dataset.py:425-442):
+    subclasses override ``read()`` to yield (key, value) pairs. The object
+    is pickled to the executor and read THERE — ``read()`` never runs on
+    the driver, matching the reference's executor-side taps."""
+
+    def read(self):
+        raise NotImplementedError()
+
+    def __iter__(self):
+        return self.read()
+
+    def chunks(self):
+        yield self
+
+
 class PBase:
     """Shared plumbing: every stream is a pair RDD of (key, value).
 
@@ -759,9 +785,31 @@ class Dampr:
         """Custom dataset taps (dampr/dampr.py:857-877): each dataset is an
         iterable of (key, value) pairs — or a zero-arg callable returning
         one, evaluated lazily executor-side — and becomes exactly one
-        partition, matching the reference's N datasets = N partitions."""
+        partition, matching the reference's N datasets = N partitions.
+
+        Reference ``Dataset``/``Chunker`` subclasses port verbatim
+        (dampr/dataset.py:420-442, tests/test_dampr.py:340-367): an object
+        with ``.chunks()`` is expanded driver-side into its chunk datasets
+        (one partition each — the reference's lazy chunk enumeration); an
+        object with ``.read()`` is shipped to the executor and read there.
+        Objects are only ENUMERATED on the driver, never read."""
+
+        def _expand(d):
+            if hasattr(d, "chunks") and not hasattr(d, "read"):
+                return list(d.chunks())  # pure Chunker: enumerate datasets
+            return [d]
+
+        flat = [c for d in datasets for c in _expand(d)]
+
+        def _thunk(d):
+            if hasattr(d, "read"):
+                return d.read  # Dataset protocol: executor-side read()
+            if callable(d):
+                return d
+            return lambda d=list(d): d
+
         sc = cls._session().sparkContext
-        thunks = [d if callable(d) else (lambda d=list(d): d) for d in datasets]
+        thunks = [_thunk(d) for d in flat]
         rdd = sc.parallelize(range(len(thunks)), max(1, len(thunks))).flatMap(
             lambda i: iter(thunks[i]())
         )
@@ -793,10 +841,107 @@ class Dampr:
 
     @classmethod
     def run(cls, *pmers: PBase, name: str | None = None) -> list[ValueEmitter]:
-        """Run several pipelines in one call (dampr/dampr.py:914-945);
-        persist shared parents via .checkpoint() to avoid recompute —
-        the same user-facing rule as the reference."""
-        return [p.run() for p in pmers]
+        """Run several pipelines in one call with the reference's implicit
+        shared-subgraph execution (``Graph.union`` dedup,
+        dampr/runner.py:127-135, dampr/dampr.py:914-945): a parent shared by
+        two of the passed pipelines computes ONCE, without the user calling
+        ``.checkpoint()``.
+
+        On Spark this splits in two:
+
+        - **Shuffle-bounded sharing is native.** Two pipelines built from
+          the same post-shuffle object share the JVM shuffle id, and
+          Spark's scheduler skips already-computed shuffle map stages
+          across the jobs of one application — the map side of a shared
+          ``group_by``/``join``/``sort_by`` runs once with no help
+          (pinned by the accumulator test).
+        - **Narrow/scan sharing needs a persist.** A shared parent with
+          only narrow ops between it and the leaves would re-run its scan
+          per pipeline. Before executing, this walks each pipeline's JVM
+          lineage, finds RDDs reachable from ≥2 pipelines, persists the
+          maximal shared frontier (MEMORY_AND_DISK — closest node to the
+          leaves covers all its ancestors) for the duration of the run,
+          and unpersists after.
+
+        Residual gap vs the reference (documented, inherent): Python
+        lambdas FUSE into a single PythonRDD at construction time, so the
+        narrow Python functions applied between the last shared JVM
+        boundary and the point of divergence re-execute per pipeline —
+        only their upstream scan/shuffle work is shared. A user
+        ``.checkpoint()`` on the shared parent still shares everything,
+        exactly as the reference's explicit checkpoint does."""
+        to_unpersist = _persist_shared_frontier([p._rdd for p in pmers])
+        try:
+            return [p.run() for p in pmers]
+        finally:
+            for jr in to_unpersist:
+                jr.unpersist(False)
+
+
+def _persist_shared_frontier(rdds: list) -> list:
+    """Multi-pipeline lineage dedup support for :meth:`Dampr.run`: walk the
+    JVM dependency graph of each pipeline's RDD, find nodes reachable from
+    two or more pipelines, and persist the MAXIMAL shared nodes (the
+    shared frontier met first walking leaf→root: computing one of those
+    once covers every ancestor, so persisting deeper nodes would be
+    redundant). Returns the JVM RDD handles persisted here (caller
+    unpersists after the run); nodes the user already persisted are left
+    alone — they are already share-safe."""
+    if len(rdds) < 2:
+        return []
+
+    def ancestors(jr) -> dict:
+        out: dict[int, object] = {}
+        stack = [jr]
+        while stack:
+            x = stack.pop()
+            if x.id() in out:
+                continue
+            out[x.id()] = x
+            it = x.dependencies().iterator()
+            while it.hasNext():
+                stack.append(it.next().rdd())
+        return out
+
+    roots = [r._jrdd.rdd() for r in rdds]
+    per_pipeline = [ancestors(jr) for jr in roots]
+    counts: dict[int, int] = {}
+    for anc in per_pipeline:
+        for rid in anc:
+            counts[rid] = counts.get(rid, 0) + 1
+    shared = {rid for rid, c in counts.items() if c >= 2}
+    if not shared:
+        return []
+
+    # Frontier: BFS from each root, stop descending at the first shared
+    # node on each path — its ancestors are covered by computing it once.
+    frontier: dict[int, object] = {}
+    for root in roots:
+        stack = [root]
+        visited: set[int] = set()
+        while stack:
+            x = stack.pop()
+            rid = x.id()
+            if rid in visited:
+                continue
+            visited.add(rid)
+            if rid in shared:
+                frontier[rid] = x
+                continue
+            it = x.dependencies().iterator()
+            while it.hasNext():
+                stack.append(it.next().rdd())
+
+    jvm = rdds[0].ctx._jvm
+    level = jvm.org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK()
+    persisted = []
+    for jr in frontier.values():
+        if jr.getStorageLevel().equals(
+            jvm.org.apache.spark.storage.StorageLevel.NONE()
+        ):
+            jr.persist(level)
+            persisted.append(jr)
+    return persisted
 
 
 def filter_by_count(pipe: PMap, key_func: Callable, filter_func: Callable) -> PMap:

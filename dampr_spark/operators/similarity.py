@@ -154,6 +154,45 @@ class IVFIndex:
         )
 
 
+    def write_partitioned(
+        self, assigned: DataFrame, path: str, lists_per_file: int = 1
+    ) -> None:
+        """Materialize the inverted file: write the ``assign()``-ed corpus
+        hive-partitioned by ``list_id`` (one directory per inverted list).
+        This is what makes ``nprobe`` real I/O savings at 100 TB — the
+        ``list_id`` predicate in :meth:`search_pruned` becomes directory
+        partition pruning, so a search READS nprobe/n_lists of the bytes
+        instead of filtering them after a full scan. The repartition keys
+        rows by list so each list's data lands in one file per list rather
+        than one file per (input partition x list) — the small-file blowup
+        that would otherwise cost a footer read per task at scale."""
+        (
+            assigned.repartition(max(1, self.n_lists // lists_per_file), "list_id")
+            .write.partitionBy("list_id")
+            .mode("overwrite")
+            .parquet(path)
+        )
+
+    def search_pruned(
+        self,
+        spark,
+        path: str,
+        query_vec: list[float],
+        k: int = 10,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Top-k over a :meth:`write_partitioned` layout: identical results
+        to :meth:`query_topk` on the in-memory assigned frame, but the
+        ``list_id IN (probes)`` predicate is now a PARTITION filter on the
+        hive layout — Spark's scan lists only the nprobe matching
+        directories (plan-locked in tests via input_file_name and the
+        scan's PartitionFilters)."""
+        return self.query_topk(
+            spark.read.parquet(path), query_vec, k=k, vec_col=vec_col, id_col=id_col
+        )
+
+
 class RandomHyperplaneLSH:
     """Sign-random-projection LSH (Charikar 2002): bucket id = the sign
     pattern of ``n_planes`` hyperplane dot products. Cosine-similar vectors
@@ -307,12 +346,64 @@ def kmeans_assign(vectors: DataFrame, centroids: DataFrame, vec_col: str, id_col
     )
 
 
+def _seed_centroids_kmeanspp(
+    vecs: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """k-means++ seeding on a bounded DETERMINISTIC sample: order the corpus
+    by (xxhash64(id), id) — a fixed pseudo-random total order with no RNG,
+    the same trick the dedup samplers use — take the first ``sample_size``
+    vectors to the driver (bounded: 2048 x dim doubles ~ 1 MB at dim=64,
+    the same documented driver-side budget as IVFIndex's quantizer fit),
+    and run the D²-weighted k-means++ draw with a FIXED-seed numpy
+    generator in cosine space. Deterministic end-to-end, so two
+    independent fits still agree label-for-label (the driver-checked
+    ``kmeans_agreement_check`` invariant), while the seeds cover the data
+    instead of clumping wherever the lowest ids happen to sit — the
+    lowest-id init's documented failure mode on adversarial data."""
+    import numpy as np
+
+    rows = (
+        vecs.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    chosen = [int(rng.integers(len(X)))]
+    d = np.maximum(1.0 - X @ X[chosen[0]], 0.0)
+    for _ in range(1, min(k, len(X))):
+        tot = d.sum()
+        if tot <= 0:  # every sample point coincides with a chosen seed
+            break
+        nxt = int(rng.choice(len(X), p=d / tot))
+        chosen.append(nxt)
+        d = np.minimum(d, np.maximum(1.0 - X @ X[nxt], 0.0))
+    # Pad (identical-vector corpora) by cycling: ids must still be 1..k.
+    while len(chosen) < k:
+        chosen.append(chosen[len(chosen) % max(len(chosen), 1) - 1])
+    spark = vecs.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, [round(float(c), 6) for c in X[j]]) for i, j in enumerate(chosen)],
+        "cluster int, cvec array<double>",
+    )
+
+
 def kmeans_fit_assign(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 3,
+    init: str = "kmeanspp",
 ) -> DataFrame:
     """Fully-distributed Lloyd's k-means over an embedding column —
     assignments after ``iters`` refinement rounds as (id, cluster, sim).
@@ -324,25 +415,37 @@ def kmeans_fit_assign(
     via posexplode + per-(cluster, dim) avg (second narrow shuffle; partial
     aggregation collapses vectors map-side). Centroid tables are k rows —
     localCheckpointed per round so round N's plan doesn't nest N join
-    lineages. Init is deterministic (k lowest-id vectors), so results are
-    reproducible run-to-run — the same property the dedup samplers get from
-    hash ordering; swap in k-means|| sampling for production-quality seeds
-    on adversarial data.
+    lineages.
+
+    ``init``: ``"kmeanspp"`` (default) seeds with the deterministic
+    fixed-seed k-means++ draw over a hash-ordered bounded sample
+    (:func:`_seed_centroids_kmeanspp`) — spread-out seeds that survive
+    adversarial orderings; ``"lowest_id"`` keeps the legacy k-lowest-ids
+    init (still deterministic, degrades when low ids cluster together).
+    Both are reproducible run-to-run, so two independent fits agree
+    label-for-label (the driver-checked agreement invariant).
 
     This is the clustering half of SemDeDup-style semantic dedup: cluster,
     then run the in-cluster cosine near-dup pass
     (:func:`RandomHyperplaneLSH.bucketed_pairs` keyed by cluster)."""
     df = df.filter(valid_vector(vec_col))
     vecs = df.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
-    centroids = (
-        vecs.orderBy(id_col)
-        .limit(k)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("cluster"),
-            F.col(vec_col).cast("array<double>").alias("cvec"),
+    if init == "kmeanspp":
+        centroids = _seed_centroids_kmeanspp(
+            vecs, vec_col, id_col, k
+        ).localCheckpoint(eager=True)
+    elif init == "lowest_id":
+        centroids = (
+            vecs.orderBy(id_col)
+            .limit(k)
+            .select(
+                F.row_number().over(Window.orderBy(id_col)).alias("cluster"),
+                F.col(vec_col).cast("array<double>").alias("cvec"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
+    else:
+        raise ValueError(f"unknown init {init!r}")
     for _ in range(iters):
         assigned = kmeans_assign(vecs, centroids, vec_col, id_col)
         centroids = (

