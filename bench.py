@@ -108,6 +108,13 @@ BENCH_QUERIES = [
     "fuzzy_dup_components",
     "bpe_merges",
     "pca_embeddings",
+    # round-6 flagships: fuzzy benchmark decontamination (broadcast bench
+    # postings + per-doc argmax), n-gram first-appearance novelty (one
+    # gram-keyed shuffle), and the centroid-outlier screen (broadcast
+    # centroid + TakeOrdered, no corpus shuffle).
+    "fuzzy_decontaminate",
+    "ngram_novelty",
+    "embedding_centroid_outliers",
 ]
 
 

@@ -252,3 +252,51 @@ def exact_group_quantiles(
     return n_per_group.join(quants, final_cond, "left").select(
         *group_cols, "n", *[f"q_{i}" for i in range(len(probs))]
     )
+
+
+def distributed_ntile(
+    df: DataFrame, k: int, order_cols: list[str], out_col: str = "bucket"
+) -> DataFrame:
+    """``ntile(k) OVER (ORDER BY order_cols)`` without the single-task
+    global window: the same range-sort + rank-recovery recipe as
+    :func:`exact_quantiles` (parallel range exchange -> per-partition
+    row_number + broadcast cumulative offsets = exact global rank), then
+    ntile's bucket arithmetic applied to the rank as a plain expression
+    (the first ``n % k`` buckets get ``floor(n/k)+1`` rows, the rest
+    ``floor(n/k)`` — SQL-standard ntile).
+
+    REQUIRES ``order_cols`` to be a deterministic total order (include a
+    unique id as the last column): ntile's result for tied rows depends on
+    tie placement, so a non-unique order would be engine-defined on both
+    sides. With a total order, the output is bit-identical to the window
+    form — pinned by the oracle-checked ``length_curriculum_buckets``."""
+    ranked = (
+        df.orderBy(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # Two consumers (counts + rank join) of a nondeterministically
+        # range-partitioned lineage: materialize once, same correctness
+        # argument as exact_quantiles.
+        .localCheckpoint(eager=True)
+    )
+    w_pid = Window.partitionBy("_pid").orderBy(*order_cols)
+    ranked = ranked.withColumn("_rn", F.row_number().over(w_pid))
+    counts = ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
+    n_row = counts.agg(F.sum("_cnt").alias("_n"))
+    r = F.col("_off") + F.col("_rn")  # 1-based global rank
+    n = F.col("_n")
+    m = n % k  # number of big buckets
+    size_big = F.floor(n / k) + 1
+    size_small = F.floor(n / k)
+    bucket = F.when(
+        r <= m * size_big, F.floor((r - 1) / size_big) + 1
+    ).otherwise(m + F.floor((r - m * size_big - 1) / size_small) + 1)
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(n_row))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("_pid", "_rn", "_off", "_n")
+    )

@@ -1248,3 +1248,251 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.select(
         "doc_id", "source", F.row_number().over(w).cast("long").alias("shuffle_rank")
     )
+
+
+# DuckDB twin of word_ngrams(col, 2): distinct word bigrams, used by the
+# fuzzy decontamination + novelty queries (bigram-level overlap is the
+# right granularity for this corpus's short synthetic docs; real pipelines
+# tune n per tokenizer).
+_BIGRAMS_SQL = """
+    list_distinct(list_transform(
+        range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+        i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))
+"""
+
+_FUZZY_TAU = 0.05  # bigram-Jaccard flag threshold
+
+
+@register(
+    "fuzzy_decontaminate",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_BIGRAMS_SQL} AS g
+        FROM documents WHERE text IS NOT NULL),
+    bench AS (
+        SELECT doc_id AS bench_doc_id, unnest(g) AS gram
+        FROM d WHERE doc_id % {_BENCH_MOD} = 0),
+    corpus AS (
+        SELECT doc_id, unnest(g) AS gram
+        FROM d WHERE doc_id % {_BENCH_MOD} <> 0),
+    sizes AS (SELECT doc_id, len(g) AS n FROM d),
+    pairs AS (
+        SELECT c.doc_id, b.bench_doc_id, count(*) AS shared
+        FROM corpus c JOIN bench b USING (gram)
+        GROUP BY c.doc_id, b.bench_doc_id),
+    scored AS (
+        SELECT p.doc_id, p.bench_doc_id,
+               round(p.shared * 1.0 / (sa.n + sb.n - p.shared), 6) AS jaccard
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_id
+        JOIN sizes sb ON sb.doc_id = p.bench_doc_id
+        WHERE p.shared * 1.0 / (sa.n + sb.n - p.shared) >= {_FUZZY_TAU})
+    SELECT doc_id, bench_doc_id, jaccard
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id
+              ORDER BY jaccard DESC, bench_doc_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    tags=("text", "pipeline", "decontamination", "fuzzy", "extension"),
+)
+def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination — the near-duplicate complement of
+    `decontaminate_ngram`'s exact-overlap check: a training document is
+    flagged when its word-bigram Jaccard with ANY held-out benchmark doc
+    reaches the threshold, reporting the worst-offending benchmark doc
+    (ties -> lowest id). Catches paraphrased/lightly-edited eval leakage
+    that exact n-gram containment misses.
+
+    Plan shape for 100 TB: identical economics to `decontaminate_ngram` —
+    the benchmark side is an eval suite (bounded), so its exploded gram
+    postings BROADCAST; candidate pairs only form for docs sharing a gram
+    with a bench doc (never corpus x bench), and the per-(doc, bench)
+    shared-count aggregate collapses gram rows map-side before the single
+    doc-keyed shuffle. The argmax is a groupBy max_by, not a window over
+    the corpus."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", word_ngrams("text", 2).alias("g"))
+        .localCheckpoint(eager=True)  # feeds bench, corpus, and both size joins
+    )
+    sizes = d.select("doc_id", F.size("g").alias("n"))
+    bench = d.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), F.explode("g").alias("gram")
+    )
+    corpus = d.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
+        "doc_id", F.explode("g").alias("gram")
+    )
+    pairs = (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    scored = (
+        pairs.join(sizes.withColumnRenamed("n", "na"), "doc_id")
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("bench_doc_id"), F.col("n").alias("nb")
+                )
+            ),
+            "bench_doc_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+        )
+        .filter(
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+            >= F.lit(_FUZZY_TAU)
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("jaccard"), (-F.col("bench_doc_id")).alias("negb")
+                )
+            ).alias("m")
+        )
+        .select("doc_id", (-F.col("m.negb")).alias("bench_doc_id"), F.col("m.jaccard").alias("jaccard"))
+    )
+
+
+@register(
+    "ngram_novelty",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_GRAMS_SQL} AS g
+        FROM documents WHERE text IS NOT NULL),
+    grams AS (SELECT doc_id, unnest(g) AS gram FROM d),
+    firsts AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS novelty
+    FROM grams g JOIN firsts f USING (gram)
+    GROUP BY g.doc_id
+    """,
+    tags=("text", "pipeline", "novelty", "extension"),
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct word
+    3-grams that appear for the FIRST time in the corpus in this doc
+    (ingestion order = doc_id). The dedup-adjacent curation signal: a
+    near-zero novelty tail is boilerplate/templated content even when no
+    single pair crosses a dedup threshold; novelty-weighted sampling is a
+    standard repetition-control knob.
+
+    Plan shape for 100 TB: one explode -> groupBy(gram) min(doc_id) (the
+    only gram-keyed shuffle; partial agg collapses repeats map-side), then
+    a gram-keyed join back and a doc-keyed count aggregate. No windows, no
+    per-doc state; hot grams cost one (gram, min) row each."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(word_ngrams("text", 3)).alias("gram"))
+        .localCheckpoint(eager=True)  # feeds both the firsts agg and the join
+    )
+    firsts = d.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        d.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "class_weights",
+    oracle="""
+    WITH c AS (SELECT label, count(*) AS n FROM embeddings
+               WHERE label IS NOT NULL GROUP BY label),
+    t AS (SELECT sum(n) AS total, count(*) AS k FROM c)
+    SELECT label, CAST(n AS BIGINT) AS n,
+           round(total * 1.0 / (k * n), 6) AS weight
+    FROM c, t
+    """,
+    tags=("pipeline", "labels", "extension"),
+)
+def class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights (sklearn's 'balanced' formula
+    total/(k*n_c)) over the embeddings labels — what a training loop feeds
+    its loss to counter class imbalance. NULL labels are excluded on both
+    engines. One tiny aggregate; the per-class table broadcasts back over
+    the 1-row total via crossJoin."""
+    c = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("label").isNotNull())
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # feeds both the total agg and the select
+    )
+    t = c.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("k"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "label",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("total") / (F.col("k") * F.col("n")), 6).alias("weight"),
+    )
+
+
+@register(
+    "length_curriculum_buckets",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, n_chars,
+               ntile(4) OVER (ORDER BY n_chars, doc_id) AS bucket
+        FROM documents WHERE n_chars IS NOT NULL)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM b GROUP BY bucket
+    """,
+    tags=("pipeline", "curriculum", "extension"),
+)
+def length_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-quartile curriculum buckets: ntile(4) over (n_chars, doc_id)
+    — the deterministic tie order makes the bucket CUT identical across
+    engines — then per-bucket size and length stats. The batching prep for
+    length-bucketed training (minimize padding) and shortest-first
+    curricula.
+
+    Scale shape: NOT a global ntile window (a single-task sort of the
+    whole corpus) — the bucket comes from
+    :func:`dampr_spark.operators.stats.distributed_ntile`: a parallel
+    range sort + rank recovery (the exact-quantile recipe) and ntile's
+    bucket arithmetic as a plain expression on the recovered rank. The
+    (n_chars, doc_id) order is total, so the result is bit-identical to
+    the window form the oracle runs."""
+    from dampr_spark.operators.stats import distributed_ntile
+
+    b = distributed_ntile(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "n_chars"),
+        4,
+        ["n_chars", "doc_id"],
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    ).select(F.col("bucket").cast("int").alias("bucket"), "n_docs", "min_chars", "max_chars", "avg_chars")

@@ -372,3 +372,100 @@ def pca_invariants_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(sorted_ok).alias("variance_sorted_ok"),
         (F.coalesce(F.col("n_bad"), F.lit(0)) == 0).alias("projection_norm_ok"),
     )
+
+
+@register(
+    "embedding_centroid_outliers",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE {V.valid_vector_sql('embedding')}),
+    c AS (SELECT i, round(avg(e[i]), 6) AS m
+          FROM v, range(1, 65) t(i) GROUP BY i),
+    cv AS (SELECT list(m ORDER BY i) AS cvec FROM c)
+    SELECT vec_id, label,
+           round({V.cosine_sql('e', 'cvec')}, 6) AS centroid_sim
+    FROM v, cv
+    ORDER BY centroid_sim ASC, vec_id
+    LIMIT 20
+    """,
+    tags=("vector", "outliers", "extension"),
+)
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level embedding OUTLIERS: the 20 vectors least similar to the
+    corpus mean direction — the cheap first-pass anomaly screen a training
+    pipeline runs before spending on kNN-based outlier scores (mislabeled
+    shards, corrupted encoders, and off-domain content all surface here).
+
+    Plan shape for 100 TB: centroid = one posexplode + per-dim avg (partial
+    aggregation collapses map-side; 64 result rows), re-assembled into a
+    single array row and BROADCAST back over the corpus; scoring is one
+    narrow scan + TakeOrdered top-20 — no corpus-keyed shuffle at all.
+    Centroid components are 6dp-rounded on both engines so avg
+    merge-order drift cannot flip the cut."""
+    from dampr_spark.functions.vector import valid_vector
+
+    v = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(valid_vector("embedding"))
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+        .localCheckpoint(eager=True)  # feeds the centroid agg and the scan
+    )
+    cvec = (
+        v.select(F.posexplode("e").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cvec")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(cvec))
+        .select(
+            "vec_id",
+            "label",
+            F.round(V.cosine("e", "cvec"), 6).alias("centroid_sim"),
+        )
+        .orderBy(F.col("centroid_sim").asc(), F.col("vec_id"))
+        .limit(20)
+    )
+
+
+_RANGE_TAU = 0.25
+
+
+@register(
+    "cosine_range_search",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE {V.valid_vector_sql('embedding')}),
+    q AS (SELECT e AS qe FROM v ORDER BY vec_id LIMIT 1)
+    SELECT vec_id, round({V.cosine_sql('e', 'qe')}, 6) AS cos_sim
+    FROM v, q
+    WHERE round({V.cosine_sql('e', 'qe')}, 6) >= {_RANGE_TAU}
+    """,
+    tags=("vector", "ann", "range", "extension"),
+)
+def cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE similarity search: every vector within cosine >= tau of the
+    query (the lowest valid vec_id's embedding — the catalog's query-vector
+    convention), not a fixed top-k. The retrieval shape for 'all near
+    neighbors' tasks (dedup audit, recall sweeps) where k is unknowable
+    upfront. One broadcast of the 1-row query + a narrow scan-filter: no
+    shuffle, no window; the threshold compares the 6dp-ROUNDED similarity
+    so cross-engine float drift cannot flip boundary rows."""
+    from dampr_spark.functions.vector import valid_vector
+
+    v = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(valid_vector("embedding"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .localCheckpoint(eager=True)  # feeds the query pick and the scan
+    )
+    q = v.orderBy("vec_id").limit(1).select(F.col("e").alias("qe"))
+    return (
+        v.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(V.cosine("e", "qe"), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(_RANGE_TAU))
+    )

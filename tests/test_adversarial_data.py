@@ -38,6 +38,15 @@ _HARDENED = [
     "value_outliers_by_type",
     "robust_outliers_by_type",
     "events_hourly",
+    # round-6 additions: text queries drop NULL texts at entry, vector
+    # queries filter valid_vector, class_weights drops NULL labels,
+    # length buckets drop NULL n_chars — all mirrored in their oracles
+    "fuzzy_decontaminate",
+    "ngram_novelty",
+    "class_weights",
+    "length_curriculum_buckets",
+    "embedding_centroid_outliers",
+    "cosine_range_search",
 ]
 _HARDENED_ROWS_ONLY = [
     "embedding_near_dups",

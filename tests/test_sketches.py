@@ -78,3 +78,26 @@ def test_heavy_hitters_recount_is_exact_not_estimate(spark):
         for r in heavy_hitters(df, "item", k=3, capacity=5).collect()
     )
     assert got == {"x": 50, "y": 30, "z": 20}
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    """distributed_ntile must be bit-identical to ntile() OVER (ORDER BY
+    total order) for n % k != 0, n < k, and heavy-tie inputs."""
+    from pyspark.sql.window import Window as W
+
+    from dampr_spark.operators.stats import distributed_ntile
+
+    for n, k in [(10, 4), (3, 4), (1, 4), (97, 8), (64, 8)]:
+        rows = [(i, (i * 7919) % 5) for i in range(n)]  # heavy value ties
+        df = spark.createDataFrame(rows, "id long, v long")
+        got = {
+            r.id: r.bucket
+            for r in distributed_ntile(df, k, ["v", "id"]).collect()
+        }
+        want = {
+            r.id: r.bucket
+            for r in df.select(
+                "id", F.ntile(k).over(W.orderBy("v", "id")).alias("bucket")
+            ).collect()
+        }
+        assert got == want, f"n={n} k={k}"
