@@ -1496,3 +1496,145 @@ def length_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("long").alias("max_chars"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
     ).select(F.col("bucket").cast("int").alias("bucket"), "n_docs", "min_chars", "max_chars", "avg_chars")
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "training_shards_manifest",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'),
+                                    1, 8))::BIGINT % {_N_SHARDS} AS INT) AS shard_id
+        FROM documents WHERE text IS NOT NULL)
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM s GROUP BY shard_id
+    """,
+    tags=("pipeline", "shards", "extension"),
+)
+def training_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment + MANIFEST — the dataloader handoff step:
+    every surviving document is assigned a shard by a salted md5 hash
+    (deterministic: reruns, retries, and both engines agree; never
+    ``rand()``), and the manifest reports per-shard doc/token counts and
+    id ranges — what a loader needs to size epochs and what an auditor
+    needs to prove the split is disjoint and complete.
+
+    Plan shape for 100 TB: the hash is a codegen expression on the scan;
+    the manifest is one shard-keyed aggregate (16..4096 rows) with map-side
+    partials. The physical write is `df.write.partitionBy(shard_id)` or
+    `repartition(n, shard_id)` + per-shard files — the same layout
+    machinery as IVFIndex.write_partitioned; this query is the
+    (oracle-checkable) assignment + accounting half."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _N_SHARDS
+    ).cast("int")
+    s = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        shard.alias("shard_id"),
+    )
+    return s.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
+@register(
+    "dup_cluster_histogram",
+    oracle="""
+    WITH fp AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents WHERE text IS NOT NULL),
+    clusters AS (SELECT f, count(*) AS cluster_size FROM fp GROUP BY f)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM clusters GROUP BY cluster_size
+    """,
+    tags=("dedup", "audit", "extension"),
+)
+def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE distribution — the dedup audit that tells you
+    where the duplication mass lives (a million pairs could be one
+    mega-cluster or a long tail; the removal strategy differs). Exact
+    normalized-text fingerprints -> per-cluster size -> histogram: two
+    digest-keyed aggregates, each with map-side partials; document bodies
+    never shuffle."""
+    fp = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(T.fingerprint("text").alias("f"))
+    )
+    clusters = fp.groupBy("f").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "token_entropy",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL),
+    c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word),
+    n AS (SELECT doc_id, sum(cnt) AS n FROM c GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(any_value(n.n) AS BIGINT) AS n_tokens,
+           round(-sum((c.cnt * 1.0 / n.n) * ln(c.cnt * 1.0 / n.n)), 6)
+               AS entropy
+    FROM c JOIN n USING (doc_id)
+    GROUP BY c.doc_id
+    """,
+    tags=("text", "quality", "extension"),
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram (Shannon) entropy in nats — the
+    repetition-quality signal that catches low-diversity docs a
+    duplicate-ratio filter misses (a doc alternating two words has dup
+    ratio ~1 but near-zero entropy; keyboard-mash has high entropy). The
+    Gopher-family filters threshold on exactly this.
+
+    Plan shape for 100 TB: explode -> (doc, word) count -> per-doc total
+    join (same doc-keyed co-partitioned shuffle — AQE coalesces) -> one
+    aggregate. The entropy sum is a codegen expression; rounded 6dp so
+    cross-engine libm `ln` drift cannot flip the hash (same discipline as
+    the oracle-green TF-IDF log)."""
+    w = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    )
+    c = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    n = c.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt") / F.col("n")
+    return (
+        c.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n").cast("long").alias("n_tokens"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )

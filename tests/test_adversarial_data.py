@@ -47,6 +47,9 @@ _HARDENED = [
     "length_curriculum_buckets",
     "embedding_centroid_outliers",
     "cosine_range_search",
+    "training_shards_manifest",
+    "dup_cluster_histogram",
+    "token_entropy",
 ]
 _HARDENED_ROWS_ONLY = [
     "embedding_near_dups",

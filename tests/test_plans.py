@@ -415,3 +415,41 @@ def test_revenue_share_window_over_aggregate_only(spark):
     assert "Window" in plan and "HashAggregate" in plan
     w = plan.index("Window")
     assert "HashAggregate" in plan[w:], "aggregate must feed the window"
+
+
+def test_fuzzy_decontaminate_broadcasts_bench_side(spark):
+    """The benchmark gram postings and both size lookups must broadcast —
+    the corpus side never shuffles gram-level rows; the only wide exchange
+    is the per-(doc, bench) aggregate."""
+    plan = plan_of(spark, "fuzzy_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cosine_range_search_no_shuffle(spark):
+    """Range search is a broadcast of the 1-row query + a narrow filter
+    scan: no aggregate/join exchange over the corpus at all."""
+    plan = plan_of(spark, "cosine_range_search")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_centroid_outliers_takeordered(spark):
+    """Outlier screen ends in a heap top-20, never a global sort; the
+    centroid row joins via broadcast."""
+    plan = plan_of(spark, "embedding_centroid_outliers")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_length_curriculum_buckets_no_single_partition_window(spark):
+    """The ntile rewrite must not plan a global (empty-partition-spec)
+    window over the corpus: the only window runs per range-partition id.
+    A bare `Window [ntile(...)` with no partition spec is the single-task
+    funnel this catalog bans."""
+    plan = plan_of(spark, "length_curriculum_buckets")
+    assert "ntile" not in plan
+    # the surviving windows are the per-pid row_number and the
+    # partition-count-sized offsets pass — both keyed, neither corpus-wide
+    assert "_pid" in plan
