@@ -536,3 +536,87 @@ def incremental_neardup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_novelty_stream(
+    docs_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+):
+    """Streaming incremental n-gram NOVELTY via ``foreachBatch`` — the
+    stream twin of the batch ``ngram_novelty`` catalog query: per document,
+    the fraction of its distinct word n-grams appearing for the first time
+    in the corpus SO FAR. State is the on-disk store of distinct grams
+    already seen; every micro-batch (a) explodes its docs' distinct grams,
+    (b) anti-joins the store to find never-seen grams, (c) credits each
+    new gram to its min-id doc WITHIN the batch, (d) appends per-doc
+    (n_grams, n_novel, novelty) rows and the new grams to the store.
+
+    Equivalence: when batches partition the corpus in ``id_col`` order
+    (each batch's ids all below the next batch's — the natural shape for
+    an append-only ingest log), a gram's first-appearance doc under this
+    incremental rule IS the global min doc_id, so the replayed union
+    equals the batch query row-for-row (pinned by the equivalence test).
+    Out-of-order batches redefine "first" as "first ARRIVED" — the honest
+    streaming semantics, same caveat family as incremental dedup's
+    history-is-what-arrived-earlier.
+
+    Scale notes: the store is one distinct-gram column — at 100 TB write
+    it gram-bucketed (operators/bucketing) so the per-batch anti-join
+    shuffles only the batch side; storing xxhash64(gram) longs instead of
+    strings cuts the store ~8x at a documented collision risk of
+    n_grams^2 / 2^65. Same at-least-once caveat as the dedup streams: a
+    retried batch re-appends; dedup on read restores exactly-once."""
+    from pyspark.errors import AnalysisException
+
+    from dampr_spark.operators.dedup import word_ngrams
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        d = (
+            batch_df.filter(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(word_ngrams(text_col, n)).alias("gram"),
+            )
+            .localCheckpoint(eager=True)  # feeds firsts, the join, and the agg
+        )
+        try:
+            store = spark.read.parquet(store_dir)
+        except AnalysisException:
+            store = spark.createDataFrame([], "gram string")
+        new_grams = (
+            d.groupBy("gram")
+            .agg(F.min("doc_id").alias("first_doc"))
+            .join(store, "gram", "left_anti")
+            .localCheckpoint(eager=True)  # consumed by the credit join AND the store append
+        )
+        out = (
+            d.join(new_grams, "gram", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                ).cast("long").alias("n_novel"),
+                F.round(
+                    F.sum(
+                        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                    )
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("novelty"),
+            )
+        )
+        out.write.mode("append").parquet(out_dir)
+        new_grams.select("gram").write.mode("append").parquet(store_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", out_dir + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -550,3 +550,49 @@ def test_incremental_neardup_stream_cap_superset_of_batch(
     assert uncapped - batch_capped, "cap must actually bind on this fixture"
     assert batch_capped <= got, f"under-emitted: {batch_capped - got}"
     assert got <= uncapped, f"invented pairs: {got - uncapped}"
+
+
+def test_incremental_novelty_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Replay the documents table in two doc_id-ORDERED micro-batches: the
+    union of per-doc novelty rows must equal the batch `ngram_novelty`
+    catalog query row-for-row — the gram store really carries
+    first-appearance state across batches."""
+    import glob
+    import os
+    import shutil
+
+    from dampr_spark.plans import all_queries
+    from dampr_spark.sources.readers import read_table
+
+    base = tmp_path_factory.mktemp("novelty_stream")
+    in_dir, store, out = (str(base / d) for d in ("in", "store", "out"))
+    docs = read_table(spark, sf_dir, "documents")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    os.makedirs(in_dir)
+    # id-ordered batches: batch 0 strictly below batch 1 (the equivalence
+    # precondition the docstring states)
+    for i, part in enumerate(
+        [docs.filter(F.col("doc_id") <= mid), docs.filter(F.col("doc_id") > mid)]
+    ):
+        part.coalesce(1).write.parquet(str(base / f"p{i}"))
+        shutil.copy(
+            glob.glob(str(base / f"p{i}" / "*.parquet"))[0], f"{in_dir}/b{i}.parquet"
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.incremental_novelty_stream(stream, store, out)
+    q.awaitTermination()
+
+    got = {
+        (r.doc_id, r.n_grams, r.n_novel, r.novelty)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.doc_id, r.n_grams, r.n_novel, r.novelty)
+        for r in all_queries()["ngram_novelty"].builder(spark, sf_dir).collect()
+    }
+    assert got == want and want, f"missing={list(want - got)[:3]} extra={list(got - want)[:3]}"
