@@ -244,14 +244,15 @@ def main() -> int:
             "wordcount", "tfidf", "bm25_rank", "training_data_prep",
             "decontaminate_ngram", "pack_token_budget", "gopher_rules_report",
             "oov_rate_by_lang", "heavy_hitter_ngrams", "bpe_merges",
-            "pii_redact", "chunk_documents")],
+            "pii_redact", "chunk_documents", "fuzzy_decontaminate",
+            "ngram_novelty")],
         "events": [q for q in BENCH_QUERIES if q in (
             "events_hourly", "sessionization", "session_stats",
             "rolling_event_value_bucketed", "order_value_quantiles",
             "user_value_ewma")],
         "vector": [q for q in BENCH_QUERIES if q in (
             "ann_cosine_topk", "kmeans_clusters", "pca_embeddings",
-            "zorder_curve_topk")],
+            "zorder_curve_topk", "embedding_centroid_outliers")],
     }
     family_totals = {
         fam: round(sum(cold_timings.get(q, 0.0) for q in qs), 4)
