@@ -13,7 +13,14 @@ parquet:
    surviving documents are accounted per doc
    (operators/dedup.remove_boilerplate_chunks);
 5. token accounting  — per-doc and corpus-total token counts, plus the
-   boilerplate accounting, for the training-budget report.
+   boilerplate accounting, for the training-budget report;
+6. decontaminate     — (round 6, optional ``bench_docs``) drop surviving
+   docs whose word-bigram Jaccard with any benchmark doc reaches
+   ``contamination_tau`` (operators/dedup.ngram_jaccard machinery via the
+   broadcast-bench join shape of the ``fuzzy_decontaminate`` catalog
+   query);
+7. shard + manifest  — salted-md5 shard assignment, write-ready, with a
+   per-shard doc/token manifest (the ``training_shards_manifest`` shape).
 
 Every stage is a declarative DataFrame transform: one scan feeds the
 quality gate, dedup shuffles on 32-byte digests (never document bodies),
@@ -65,6 +72,74 @@ def build(
         F.sum("n_tokens_after").alias("tokens_after_boiler_strip"),
     )
     return clean, report
+
+
+def decontaminate(
+    clean: DataFrame,
+    bench_docs: DataFrame,
+    tau: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop surviving docs whose word-bigram Jaccard with ANY benchmark doc
+    reaches ``tau`` — the fuzzy_decontaminate catalog shape as a pipeline
+    stage: bench gram postings broadcast, candidates form only on shared
+    grams, one doc-keyed aggregate, then an anti-join."""
+    from dampr_spark.operators.dedup import word_ngrams
+
+    cg = clean.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("gram")
+    )
+    bg = (
+        bench_docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("bench_id"),
+            F.explode(word_ngrams(text_col, 2)).alias("gram"),
+        )
+    )
+    sizes_c = clean.select(id_col, F.size(word_ngrams(text_col, 2)).alias("na"))
+    sizes_b = bench_docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("bench_id"), F.size(word_ngrams(text_col, 2)).alias("nb")
+    )
+    flagged = (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(sizes_c, id_col)
+        .join(F.broadcast(sizes_b), "bench_id")
+        .filter(
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+            >= F.lit(tau)
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return clean.join(flagged, id_col, "left_anti")
+
+
+def shard_manifest(
+    clean: DataFrame, n_shards: int = 16, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(sharded_corpus, manifest): deterministic salted-md5 shard ids plus
+    the per-shard doc/token accounting — write the corpus with
+    ``.write.partitionBy('shard_id')`` and hand the manifest to the
+    dataloader."""
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":shard"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    ).cast("int")
+    sharded = clean.withColumn("shard_id", shard)
+    manifest = sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    return sharded, manifest
 
 
 def main(argv: list[str]) -> int:

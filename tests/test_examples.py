@@ -159,3 +159,35 @@ def test_semantic_dedup_whitened_variant(spark, sf_dir):
         assert all(r.canonical in ids for r in rows)
         assert all(r.canonical <= r.id for r in rows)
     assert white.count() > 0
+
+
+def test_corpus_prep_decontaminate_and_shards(spark):
+    """Round-6 pipeline stages: fuzzy decontamination drops the planted
+    paraphrase of a benchmark doc; shard assignment is deterministic,
+    covers every doc exactly once, and the manifest accounts for all of
+    them."""
+    import corpus_prep
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "a completely different document about spark shuffle partitions"),
+            (3, "the quick brown fox jumps over the lazy dog near the river"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("n_tokens", F.size(F.split("text", " ")))
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id long, text string",
+    )
+    kept = corpus_prep.decontaminate(docs, bench, tau=0.5)
+    assert sorted(r.doc_id for r in kept.collect()) == [2]
+
+    sharded, manifest = corpus_prep.shard_manifest(docs, n_shards=4)
+    rows = sharded.collect()
+    assert all(0 <= r.shard_id < 4 for r in rows) and len(rows) == 3
+    m = manifest.agg(F.sum("n_docs"), F.sum("n_tokens")).first()
+    assert m[0] == 3 and m[1] == sum(r.n_tokens for r in rows)
+    # deterministic across runs
+    again = {r.doc_id: r.shard_id for r in corpus_prep.shard_manifest(docs, 4)[0].collect()}
+    assert again == {r.doc_id: r.shard_id for r in rows}
