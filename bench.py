@@ -153,6 +153,13 @@ def main() -> int:
         .select(F.sum(_noop(F.col("id"))))
         .collect()
     )
+    # ...and the driver-local createDataFrame + eager localCheckpoint path
+    # (first use costs ~2s of one-time session setup — measured round 6;
+    # kmeans++ seeding and the centroid queries hit it mid-query otherwise,
+    # which would bill per-session overhead to one query's cold number).
+    spark.createDataFrame(
+        [(1, [0.0])], "a int, b array<double>"
+    ).localCheckpoint(eager=True).count()
 
     def release_checkpoints() -> None:
         # Unpersist every lingering persisted RDD (localCheckpoint blocks from

@@ -431,9 +431,10 @@ def kmeans_fit_assign(
     df = df.filter(valid_vector(vec_col))
     vecs = df.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
     if init == "kmeanspp":
-        centroids = _seed_centroids_kmeanspp(
-            vecs, vec_col, id_col, k
-        ).localCheckpoint(eager=True)
+        # No checkpoint: the seed DF is createDataFrame-backed (a literal
+        # local collection, no nondeterministic lineage to pin) — only the
+        # per-round recomputed centroids below need one.
+        centroids = _seed_centroids_kmeanspp(vecs, vec_col, id_col, k)
     elif init == "lowest_id":
         centroids = (
             vecs.orderBy(id_col)
