@@ -1042,3 +1042,35 @@ def fuzzy_prefix_pairs(
         )
         .filter(F.col("lev") <= max_distance)
     )
+
+
+def ngram_novelty_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty (the fraction of a doc's distinct word
+    n-grams whose corpus-wide first appearance — min ``id_col`` — is this
+    doc): (id, n_grams, n_novel, novelty). The operator form behind the
+    oracle-checked ``ngram_novelty`` catalog query; see it for semantics.
+    One gram-keyed min shuffle (map-side partials collapse repeats), one
+    gram-keyed join back, one doc-keyed aggregate."""
+    d = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(text_col, n)).alias("gram"),
+        )
+        .localCheckpoint(eager=True)  # feeds the firsts agg and the join
+    )
+    firsts = d.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        d.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            F.round(novel / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )

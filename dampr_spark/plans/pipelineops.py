@@ -1391,31 +1391,12 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape for 100 TB: one explode -> groupBy(gram) min(doc_id) (the
     only gram-keyed shuffle; partial agg collapses repeats map-side), then
     a gram-keyed join back and a doc-keyed count aggregate. No windows, no
-    per-doc state; hot grams cost one (gram, min) row each."""
-    d = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .select("doc_id", F.explode(word_ngrams("text", 3)).alias("gram"))
-        .localCheckpoint(eager=True)  # feeds both the firsts agg and the join
-    )
-    firsts = d.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        d.join(firsts, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).cast("long").alias("n_novel"),
-            F.round(
-                F.sum(
-                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-                )
-                / F.count(F.lit(1)),
-                6,
-            ).alias("novelty"),
-        )
-    )
+    per-doc state; hot grams cost one (gram, min) row each. Implemented by
+    operators/dedup.ngram_novelty_scores (also the 10x scale-proof and
+    streaming-twin surface)."""
+    from dampr_spark.operators.dedup import ngram_novelty_scores
+
+    return ngram_novelty_scores(_t(spark, sf_dir, "documents"), "text", "doc_id", 3)
 
 
 @register(
