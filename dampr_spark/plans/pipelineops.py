@@ -1619,3 +1619,259 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
         )
     )
+
+
+@register(
+    "exact_dedup_keep_best",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               {T.fingerprint_sql('text')} AS fp,
+               {T.quality_score_sql('text')} AS q
+        FROM documents WHERE text IS NOT NULL),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY fp ORDER BY q DESC, doc_id) AS rn
+        FROM scored)
+    SELECT doc_id, source, round(q, 6) AS quality
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("dedup", "pipeline", "extension"),
+)
+def exact_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a KEEP-BEST policy: within each duplicate group
+    keep the highest-quality copy (ties -> lowest doc_id) instead of the
+    min-id canonical — the policy real pipelines actually want when dup
+    groups mix clean and mangled copies of the same text.
+
+    Plan shape: one fingerprint-keyed max_by aggregate (groupBy +
+    max(struct(q, -doc_id, payload)) — partial aggregation keeps one
+    candidate row per group per map task; no window over the corpus,
+    document bodies shuffle once inside the struct)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            T.fingerprint("text").alias("fp"),
+            T.quality_score("text").alias("q"),
+        )
+    )
+    best = d.groupBy("fp").agg(
+        F.max(
+            F.struct(
+                F.col("q"), (-F.col("doc_id")).alias("negid"),
+                F.col("source"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        (-F.col("m.negid")).alias("doc_id"),
+        F.col("m.source").alias("source"),
+        F.round(F.col("m.q"), 6).alias("quality"),
+    )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 50
+
+
+@register(
+    "bigram_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL),
+    uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    n1 AS (SELECT sum(c) AS n FROM uni),
+    bg AS (
+        SELECT unnest(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+                   i -> struct_pack(a := string_split(text, ' ')[i],
+                                    b := string_split(text, ' ')[i+1]))) AS p
+        FROM documents WHERE text IS NOT NULL),
+    big AS (SELECT p.a AS a, p.b AS b, count(*) AS cab FROM bg GROUP BY p.a, p.b),
+    n2 AS (SELECT sum(cab) AS n FROM big),
+    scored AS (
+        SELECT big.a, big.b, big.cab,
+               round(ln((big.cab * 1.0 / n2.n)
+                        / ((ua.c * 1.0 / n1.n) * (ub.c * 1.0 / n1.n))), 6) AS pmi
+        FROM big, n1, n2
+        JOIN uni ua ON ua.w = big.a
+        JOIN uni ub ON ub.w = big.b
+        WHERE big.cab >= {_PMI_MIN_COUNT})
+    SELECT a, b, CAST(cab AS BIGINT) AS cab, pmi
+    FROM scored
+    ORDER BY pmi DESC, a, b
+    LIMIT {_PMI_TOP}
+    """,
+    tags=("text", "collocation", "extension"),
+)
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by pointwise mutual information — the
+    classic phrase-mining signal (PMI = ln p(ab)/(p(a)p(b)) over adjacent
+    token pairs), used to decide which multi-word units a tokenizer or
+    phrase table should treat atomically.
+
+    Plan shape for 100 TB: two vocabulary-sized aggregates (unigram and
+    adjacent-bigram counts, both with map-side partials), two broadcastable
+    scalar totals, and two vocabulary-keyed joins of the bigram table
+    against unigram counts; the final cut is a heap top-50 on the ROUNDED
+    score (TakeOrdered, no global sort). Non-distinct n-grams — this
+    deliberately shares no code with the distinct-set word_ngrams dedup
+    helper."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    uni = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # joined twice (left and right word)
+    )
+    n1 = uni.agg(F.sum("c").alias("n1"))
+    # Guarded: F.sequence(1, 0) is DESCENDING ([1, 0]), not empty, so a
+    # single-token doc would index element_at(toks, 2) out of bounds under
+    # ANSI mode (caught by the adversarial empty-string fixture).
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    big = (
+        d.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= _PMI_MIN_COUNT)
+        .localCheckpoint(eager=True)  # feeds n2 and the scored join
+    )
+    n2 = (
+        d.select(F.explode(pairs).alias("p"))
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    ua = uni.select(F.col("w").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c").alias("cb"))
+    return (
+        big.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "a",
+            "b",
+            F.col("cab").cast("long").alias("cab"),
+            F.round(
+                F.log(
+                    (F.col("cab") / F.col("n2"))
+                    / ((F.col("ca") / F.col("n1")) * (F.col("cb") / F.col("n1")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(_PMI_TOP)
+    )
+
+
+_PSI_BUCKETS = 10
+
+
+@register(
+    "value_drift_psi",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_id, value,
+               CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS grp
+        FROM events WHERE value IS NOT NULL),
+    mm AS (SELECT min(value) AS lo, max(value) AS hi FROM v),
+    b AS (
+        SELECT grp,
+               CASE WHEN mm.hi > mm.lo
+                    THEN least({_PSI_BUCKETS - 1}, CAST(floor(
+                        (value - mm.lo) / (mm.hi - mm.lo) * {_PSI_BUCKETS})
+                        AS INT))
+                    ELSE 0 END AS bucket
+        FROM v, mm),
+    c AS (
+        SELECT bucket,
+               sum(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS nr,
+               sum(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS nc
+        FROM b GROUP BY bucket),
+    t AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM c)
+    SELECT CAST(t.tr AS BIGINT) AS n_ref,
+           CAST(t.tc AS BIGINT) AS n_cur,
+           round(sum(
+               ((c.nr + 1.0) / (t.tr + {_PSI_BUCKETS})
+                - (c.nc + 1.0) / (t.tc + {_PSI_BUCKETS}))
+               * ln(((c.nr + 1.0) / (t.tr + {_PSI_BUCKETS}))
+                    / ((c.nc + 1.0) / (t.tc + {_PSI_BUCKETS})))), 6) AS psi
+    FROM c, t
+    GROUP BY t.tr, t.tc
+    """,
+    tags=("events", "drift", "quality", "extension"),
+)
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two event-value samples — the
+    standard ML-ops drift gate (PSI < 0.1 stable, > 0.25 drifted) a
+    feature pipeline runs between a reference window and the current one.
+    The fixture splits on event_id parity (deterministic at every sf); a
+    real deployment splits on time windows — the plan is identical.
+
+    Plan shape for 100 TB: one min/max aggregate (broadcast back as a
+    1-row frame), one bucket-keyed count aggregate with map-side partials
+    (10 result rows), and a driver-sized PSI fold; the events table is
+    scanned twice (min/max + bucketing) or once if the caller supplies
+    known bounds. Laplace +1 smoothing keeps empty buckets finite on both
+    engines."""
+    v = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "value",
+            F.when(F.col("event_id") % 2 == 0, F.lit("ref"))
+            .otherwise(F.lit("cur"))
+            .alias("grp"),
+        )
+        .localCheckpoint(eager=True)  # feeds the min/max agg and bucketing
+    )
+    mm = v.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    b = v.crossJoin(F.broadcast(mm)).select(
+        "grp",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.lit(_PSI_BUCKETS - 1),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * _PSI_BUCKETS
+                ).cast("int"),
+            ),
+        )
+        .otherwise(0)
+        .alias("bucket"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("grp") == "ref", 1).otherwise(0)).alias("nr"),
+        F.sum(F.when(F.col("grp") == "cur", 1).otherwise(0)).alias("nc"),
+    ).localCheckpoint(eager=True)  # feeds the totals agg and the PSI fold
+    t = c.agg(F.sum("nr").alias("tr"), F.sum("nc").alias("tc"))
+    k = F.lit(float(_PSI_BUCKETS))
+    pr = (F.col("nr") + 1.0) / (F.col("tr") + k)
+    pc = (F.col("nc") + 1.0) / (F.col("tc") + k)
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("tr", "tc")
+        .agg(F.round(F.sum((pr - pc) * F.log(pr / pc)), 6).alias("psi"))
+        .select(
+            F.col("tr").cast("long").alias("n_ref"),
+            F.col("tc").cast("long").alias("n_cur"),
+            "psi",
+        )
+    )

@@ -469,3 +469,46 @@ def cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round(V.cosine("e", "qe"), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= F.lit(_RANGE_TAU))
     )
+
+
+@register(
+    "lang_embedding_centroids",
+    oracle=f"""
+    WITH j AS (
+        SELECT d.lang, CAST(e.embedding AS DOUBLE[]) AS v
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE d.lang IS NOT NULL AND {V.valid_vector_sql('e.embedding')})
+    SELECT lang, i AS dim, round(avg(v[i]), 6) AS centroid,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM j, range(1, 65) t(i)
+    GROUP BY lang, i
+    """,
+    tags=("vector", "multimodal-join", "extension"),
+)
+def lang_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL metadata join: per-language embedding centroids — join
+    the documents table's metadata onto the embeddings table by id, then
+    aggregate vectors by a metadata key. The everyday shape of conditioned
+    vector analysis (per-domain drift, per-language encoder health) that
+    pure single-table vector ops can't express.
+
+    Plan shape for 100 TB: the metadata projection is two columns (id,
+    lang) — at real scale it broadcasts or bucket-joins on the shared id
+    layout (operators/bucketing gives the zero-Exchange form); then one
+    posexplode + (lang, dim)-keyed avg with map-side partials, 64 rows per
+    language out."""
+    from dampr_spark.functions.vector import valid_vector
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull()).select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    e = _t(spark, sf_dir, "embeddings").filter(valid_vector("embedding")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return (
+        e.join(F.broadcast(d), "vec_id")
+        .select("lang", F.posexplode("v").alias("pos", "x"))
+        .groupBy("lang", F.col("pos").alias("pos"))
+        .agg(F.round(F.avg("x"), 6).alias("centroid"), F.count(F.lit(1)).alias("n_vecs"))
+        .select("lang", (F.col("pos") + 1).cast("long").alias("dim"), "centroid", "n_vecs")
+    )

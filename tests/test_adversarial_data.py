@@ -50,6 +50,10 @@ _HARDENED = [
     "training_shards_manifest",
     "dup_cluster_histogram",
     "token_entropy",
+    "exact_dedup_keep_best",
+    "bigram_pmi",
+    "value_drift_psi",
+    "lang_embedding_centroids",
 ]
 _HARDENED_ROWS_ONLY = [
     "embedding_near_dups",
