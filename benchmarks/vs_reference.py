@@ -119,6 +119,17 @@ def run_fluent(corpus: str, outdir: str) -> tuple[float, int]:
 def run_dataframe(spark, corpus: str, outdir: str) -> tuple[float, int]:
     from pyspark.sql import functions as F
 
+    # Split the single text file across every core: the 128 MB default
+    # leaves a multi-GB corpus at ~size/128MB tasks (21 for 2.68 GB on 32
+    # cores — a third of the machine idle). Same per-core chunking rule the
+    # reference and fluent paths already use.
+    import multiprocessing
+
+    per_core = os.stat(corpus).st_size // multiprocessing.cpu_count() + 1
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        str(max(4 * 1024 * 1024, per_core)),
+    )
     t0 = time.perf_counter()
     lines = spark.read.text(corpus)
     tokens = lines.select(
