@@ -453,3 +453,24 @@ def test_length_curriculum_buckets_no_single_partition_window(spark):
     # the surviving windows are the per-pid row_number and the
     # partition-count-sized offsets pass — both keyed, neither corpus-wide
     assert "_pid" in plan
+
+
+def test_bigram_pmi_heap_topk_no_global_sort(spark):
+    """PMI's final cut must be a heap top-50 (TakeOrderedAndProject), and
+    the scalar totals must ride broadcast joins — no corpus-wide sort, no
+    SortMergeJoin against a 1-row frame."""
+    plan = plan_of(spark, "bigram_pmi")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_exact_dedup_keep_best_no_window(spark):
+    """Keep-best dedup is a fingerprint-keyed max_by aggregate — a window
+    (rank-per-group) formulation would sort every group; the aggregate
+    keeps one candidate per group per map task."""
+    plan = plan_of(spark, "exact_dedup_keep_best")
+    assert "Window" not in plan
+    # struct-max over a string payload plans as SortAggregate — still the
+    # partial+final two-phase shape (one candidate per group per map task)
+    assert "partial_max" in plan
+    assert plan.count("Aggregate") >= 2
