@@ -737,6 +737,57 @@ def ngram_jaccard_pairs(
     )
     if max_posting is not None:
         postings = postings.filter(F.size("docs") <= max_posting)
+    scored = (
+        postings.select(F.explode(_sorted_struct_pairs(F.col("docs"))).alias("p"))
+        .groupBy(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.n_grams").alias("n_a"),
+            F.col("p.b.n_grams").alias("n_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        scored.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_posting: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs — Broder's asymmetric resemblance
+    twin: score = |A ∩ B| / min(|A|, |B|). Jaccard misses subset
+    duplication (a doc embedded whole inside a much longer one scores
+    |A|/|B| << 1 on Jaccard but 1.0 on containment); this is the right
+    measure for quote-inclusion, page-within-crawl, and chunk-of-document
+    dup shapes. Same posting-list machinery, shuffles, and ``max_posting``
+    hot-gram cap as :func:`ngram_jaccard_pairs` (the cap can only
+    undercount — never false pairs)."""
+    df = df.filter(F.col(text_col).isNotNull())
+    grams = _ensure_parallelism(df).withColumn("_arr", word_ngrams(text_col, n)).select(
+        F.col(id_col).alias("id"),
+        F.size("_arr").alias("n_grams"),
+        F.explode_outer("_arr").alias("gram"),
+    )
+    postings = (
+        grams.groupBy("gram")
+        .agg(F.collect_list(F.struct("id", "n_grams")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    if max_posting is not None:
+        postings = postings.filter(F.size("docs") <= max_posting)
     return (
         postings.select(F.explode(_sorted_struct_pairs(F.col("docs"))).alias("p"))
         .groupBy(
@@ -750,10 +801,10 @@ def ngram_jaccard_pairs(
             "id_a",
             "id_b",
             F.round(
-                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
-            ).alias("jaccard"),
+                F.col("inter") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("containment"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("containment") >= threshold)
     )
 
 

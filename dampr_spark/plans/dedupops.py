@@ -908,3 +908,49 @@ def fuzzy_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(pairs, src="id_a", dst="id_b")
     return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+_CONTAIN_TAU = 0.3
+
+
+@register(
+    "ngram_containment_dups",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS gram
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY id),
+    keep AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING count(*) BETWEEN 2 AND {_NGRAM_MAX_POSTING}),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+      FROM grams a JOIN keep USING (gram) JOIN grams b USING (gram)
+      WHERE a.id < b.id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(inter * 1.0 / least(sa.n_grams, sb.n_grams), 6) AS containment
+    FROM shared
+    JOIN sizes sa ON sa.id = shared.id_a
+    JOIN sizes sb ON sb.id = shared.id_b
+    WHERE round(inter * 1.0 / least(sa.n_grams, sb.n_grams), 6) >= {_CONTAIN_TAU}
+    """,
+    tags=("dedup", "containment", "extension"),
+)
+def ngram_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram CONTAINMENT pairs (|A∩B| / min(|A|,|B|) >= 0.3) —
+    Broder's asymmetric twin of `ngram_jaccard_dups`: catches a document
+    embedded whole inside a much longer one (quote inclusion,
+    chunk-of-document, page-within-crawl), which Jaccard scores near
+    |A|/|B| and misses. Same posting-list plan and hot-gram cap; the
+    threshold compares the ROUNDED score on both engines."""
+    return dedup.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=3,
+        threshold=_CONTAIN_TAU,
+        max_posting=_NGRAM_MAX_POSTING,
+    )

@@ -1154,3 +1154,39 @@ def activity_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "user_inactivity",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS now FROM events),
+    last AS (SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id)
+    SELECT user_id, last_ts,
+           CAST(date_diff('day', last_ts, mx.now) AS BIGINT) AS idle_days
+    FROM last, mx
+    ORDER BY idle_days DESC, user_id
+    LIMIT 50
+    """,
+    tags=("events", "churn", "extension"),
+)
+def user_inactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inactivity: days between each user's LAST event and the
+    dataset's newest event, top-50 stalest users — the churn/retention
+    screen every activity pipeline runs. One user-keyed max aggregate
+    (map-side partials), a broadcast 1-row dataset-max, and a heap top-50;
+    no window, no second scan of raw events."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts").localCheckpoint(
+        eager=True
+    )  # feeds the global max and the per-user max
+    mx = ev.agg(F.max("ts").alias("now"))
+    last = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    return (
+        last.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            "last_ts",
+            F.datediff(F.col("now"), F.col("last_ts")).cast("long").alias("idle_days"),
+        )
+        .orderBy(F.col("idle_days").desc(), "user_id")
+        .limit(50)
+    )

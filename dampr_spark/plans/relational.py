@@ -1964,3 +1964,47 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 2).alias("revenue"),
         F.round(F.col("rev") / F.sum("rev").over(w) * 100, 4).alias("share_pct"),
     )
+
+
+@register(
+    "copurchase_brand_pairs",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey)
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM ob a JOIN ob b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY brand_a, brand_b
+    ORDER BY n_orders DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+    tags=("relational", "market-basket", "extension"),
+)
+def copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 brand pairs most often bought in
+    the SAME order — the association-mining prep shape (recommendations,
+    assortment analysis). The brand dim broadcasts onto lineitem; distinct
+    (order, brand) collapses line-level rows BEFORE pairing, so the
+    self-join's per-order fan-out is C(brands-in-order, 2) — bounded by
+    the brand vocabulary, never by order size in lines. One order-keyed
+    shuffle for the pairing, a pair-keyed aggregate, heap top-20."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .localCheckpoint(eager=True)  # both sides of the self-join
+    )
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )

@@ -54,6 +54,9 @@ _HARDENED = [
     "bigram_pmi",
     "value_drift_psi",
     "lang_embedding_centroids",
+    "ngram_containment_dups",
+    "user_inactivity",
+    "copurchase_brand_pairs",
 ]
 _HARDENED_ROWS_ONLY = [
     "embedding_near_dups",
