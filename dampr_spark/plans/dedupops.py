@@ -954,3 +954,60 @@ def ngram_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_CONTAIN_TAU,
         max_posting=_NGRAM_MAX_POSTING,
     )
+
+
+@register(
+    "dup_graph_degree_stats",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS gram
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY id),
+    keep AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING count(*) BETWEEN 2 AND {_NGRAM_MAX_POSTING}),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+      FROM grams a JOIN keep USING (gram) JOIN grams b USING (gram)
+      WHERE a.id < b.id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.id = shared.id_a
+      JOIN sizes sb ON sb.id = shared.id_b
+      WHERE inter / (sa.n_grams + sb.n_grams - inter) >= 0.1),
+    sym AS (
+      SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs),
+    deg AS (SELECT id, count(*) AS degree FROM sym GROUP BY id)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
+    """,
+    tags=("dedup", "graph", "audit", "extension"),
+)
+def dup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph (word-3-gram Jaccard >=
+    0.1 pairs) — the skew probe run BEFORE any per-vertex iteration
+    (connected components, min-label collapse): a vertex with degree in
+    the thousands is a template hub that would stall label propagation
+    and should be capped or collapsed via exact dedup first. Reuses the
+    oracle-green pair generation, then operators/graph.degrees + one
+    histogram aggregate (both degree-keyed scalars)."""
+    from dampr_spark.operators.graph import degrees
+
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.1,
+        max_posting=_NGRAM_MAX_POSTING,
+    ).select("id_a", "id_b")
+    return (
+        degrees(pairs, "id_a", "id_b")
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.col("degree").cast("long").alias("degree"), "n_docs")
+    )

@@ -512,3 +512,92 @@ def lang_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("x"), 6).alias("centroid"), F.count(F.lit(1)).alias("n_vecs"))
         .select("lang", (F.col("pos") + 1).cast("long").alias("dim"), "centroid", "n_vecs")
     )
+
+
+@register(
+    "embedding_int8_quantize_report",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE {V.valid_vector_sql('embedding')}),
+    mm AS (
+        SELECT i, min(e[i]) AS lo, max(e[i]) AS hi
+        FROM v, range(1, 65) t(i) GROUP BY i),
+    mml AS (
+        SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM mm),
+    err AS (
+        SELECT label,
+               list_sum(list_transform(range(1, 65), i ->
+                   abs(e[i] - CASE WHEN his[i] > los[i]
+                       THEN los[i] + floor((e[i] - los[i]) / (his[i] - los[i])
+                                           * 255.0 + 0.5) / 255.0
+                                    * (his[i] - los[i])
+                       ELSE los[i] END))) / 64.0 AS mae
+        FROM v, mml)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(mae), 6) AS mean_abs_err,
+           round(max(mae), 6) AS max_mean_abs_err
+    FROM err GROUP BY label
+    """,
+    tags=("vector", "quantization", "extension"),
+)
+def embedding_int8_quantize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (per-dimension min/max) INT8 quantization error report — the
+    storage-compression audit run before shipping an embedding corpus to a
+    quantized ANN index (4x smaller vectors; is the reconstruction error
+    acceptable per label slice?). Codes are floor(t*255 + 0.5) — explicit
+    half-up, so both engines produce IDENTICAL integer codes (min/max are
+    exact — no accumulation drift — and the affine transform is the same
+    double math; F.round/DuckDB round differ in half-even ties, floor+0.5
+    does not).
+
+    Plan shape for 100 TB: one posexplode min/max aggregate (64 rows,
+    map-side partials) assembled into a broadcast 1-row frame; the error
+    scan is a single JVM expression pass (transform + aggregate over the
+    array — no UDF), then a label-keyed aggregate. Nothing corpus-keyed
+    shuffles except the final per-label rows."""
+    from dampr_spark.functions.vector import valid_vector
+
+    v = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(valid_vector("embedding"))
+        .select("label", F.col("embedding").cast("array<double>").alias("e"))
+        .localCheckpoint(eager=True)  # feeds the min/max agg and the error scan
+    )
+    mm = (
+        v.select(F.posexplode("e").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "lo"))), lambda s: s["lo"]
+            ).alias("los"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "hi"))), lambda s: s["hi"]
+            ).alias("his"),
+        )
+    )
+
+    def recon(i):
+        x = F.element_at("e", i)
+        lo = F.element_at("los", i)
+        hi = F.element_at("his", i)
+        code = F.floor((x - lo) / (hi - lo) * F.lit(255.0) + F.lit(0.5))
+        return F.when(hi > lo, lo + code / F.lit(255.0) * (hi - lo)).otherwise(lo)
+
+    err_terms = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: F.abs(F.element_at("e", i) - recon(i)),
+    )
+    mae = (
+        F.aggregate(err_terms, F.lit(0.0), lambda acc, t: acc + t) / F.lit(64.0)
+    ).alias("mae")
+    return (
+        v.crossJoin(F.broadcast(mm))
+        .select("label", mae)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("mae"), 6).alias("mean_abs_err"),
+            F.round(F.max("mae"), 6).alias("max_mean_abs_err"),
+        )
+    )

@@ -620,3 +620,87 @@ def incremental_novelty_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def fit_value_histogram(
+    df: DataFrame, value_col: str = "value", buckets: int = 10
+):
+    """Fit the static reference for :func:`value_drift_stream`: equal-width
+    bucket bounds (lo, hi) over the non-null values and the per-bucket
+    reference counts — a ``buckets``-element list. One min/max aggregate +
+    one bucket-keyed count; the result is O(buckets) driver-side state
+    (the documented bounded-scalar shape)."""
+    v = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("v")
+    )
+    lo, hi = v.agg(F.min("v"), F.max("v")).first()
+    counts = _bucket_counts(v, float(lo), float(hi), buckets)
+    return float(lo), float(hi), counts
+
+
+def _bucket_counts(v: DataFrame, lo: float, hi: float, buckets: int) -> list[int]:
+    b = v.select(
+        (
+            F.least(
+                F.lit(buckets - 1),
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(max(hi - lo, 1e-300)) * buckets).cast(
+                    "int"
+                ),
+            )
+            if hi > lo
+            else F.lit(0)
+        ).alias("bucket")
+    )
+    got = {r["bucket"]: r["n"] for r in b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    return [int(got.get(i, 0)) for i in range(buckets)]
+
+
+def value_drift_stream(
+    events_stream: DataFrame,
+    ref_counts: list[int],
+    lo: float,
+    hi: float,
+    out_dir: str,
+    value_col: str = "value",
+):
+    """Streaming drift monitor — the stream twin of the batch
+    ``value_drift_psi`` catalog query: every micro-batch computes the
+    Population Stability Index of ITS value distribution against a fixed
+    reference histogram (fit once with :func:`fit_value_histogram` on the
+    reference window) and appends one (batch_id, n_events, psi) row.
+    PSI > 0.25 on a batch is the standard page-the-pipeline signal.
+
+    Arithmetic matches the batch query exactly (same equal-width buckets,
+    same Laplace +1 smoothing, same 6dp rounding), so a single-batch
+    replay of the current window reproduces the batch PSI to the digit
+    (pinned by the equivalence test). State is the O(buckets) reference
+    list — broadcast by closure; the per-batch work is one bucket-keyed
+    count of the batch."""
+    import math
+
+    buckets = len(ref_counts)
+    tr = sum(ref_counts)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        v = batch_df.filter(F.col(value_col).isNotNull()).select(
+            F.col(value_col).alias("v")
+        )
+        cur = _bucket_counts(v, lo, hi, buckets)
+        tc = sum(cur)
+        psi = 0.0
+        for nr, nc in zip(ref_counts, cur):
+            pr = (nr + 1.0) / (tr + buckets)
+            pc = (nc + 1.0) / (tc + buckets)
+            psi += (pr - pc) * math.log(pr / pc)
+        spark.createDataFrame(
+            [(int(batch_id), int(tc), round(psi, 6))],
+            "batch_id long, n_events long, psi double",
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        events_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", out_dir + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

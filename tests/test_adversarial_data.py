@@ -57,6 +57,8 @@ _HARDENED = [
     "ngram_containment_dups",
     "user_inactivity",
     "copurchase_brand_pairs",
+    "embedding_int8_quantize_report",
+    "dup_graph_degree_stats",
 ]
 _HARDENED_ROWS_ONLY = [
     "embedding_near_dups",

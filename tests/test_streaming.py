@@ -596,3 +596,45 @@ def test_incremental_novelty_stream_matches_batch(spark, sf_dir, tmp_path_factor
         for r in all_queries()["ngram_novelty"].builder(spark, sf_dir).collect()
     }
     assert got == want and want, f"missing={list(want - got)[:3]} extra={list(got - want)[:3]}"
+
+
+def test_value_drift_stream_matches_batch_psi(spark, sf_dir, tmp_path_factory):
+    """Single availableNow replay of the odd-event_id half against a
+    reference fit on the full value range with even-id counts: the
+    streamed PSI must equal the batch `value_drift_psi` catalog query's
+    value to the digit (same buckets, smoothing, rounding)."""
+    from dampr_spark.plans import all_queries
+    from dampr_spark.sources.readers import read_table
+
+    base = tmp_path_factory.mktemp("psi_stream")
+    ev = read_table(spark, sf_dir, "events")
+    # bounds over ALL non-null values (the batch query's combined min/max),
+    # reference counts over the even-id half
+    v = ev.filter(F.col("value").isNotNull())
+    lo, hi = v.agg(F.min("value"), F.max("value")).first()
+    _, _, ref_counts = streaming.fit_value_histogram(
+        v.filter(F.col("event_id") % 2 == 0)
+    )
+    # fit_value_histogram derives lo/hi from ITS input; rebucket the
+    # reference on the combined bounds instead
+    from dampr_spark.streaming.pipeline import _bucket_counts
+
+    ref_counts = _bucket_counts(
+        v.filter(F.col("event_id") % 2 == 0).select(F.col("value").alias("v")),
+        float(lo), float(hi), 10,
+    )
+
+    cur = v.filter(F.col("event_id") % 2 == 1)
+    in_dir = str(base / "in")
+    cur.coalesce(1).write.parquet(in_dir)
+    stream = spark.readStream.schema(cur.schema).parquet(in_dir)
+    out = str(base / "out")
+    q = streaming.value_drift_stream(stream, ref_counts, float(lo), float(hi), out)
+    q.awaitTermination()
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    want = (
+        all_queries()["value_drift_psi"].builder(spark, sf_dir).first()
+    )
+    assert got[0].psi == want.psi and got[0].n_events == want.n_cur
