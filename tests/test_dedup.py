@@ -823,3 +823,37 @@ def test_ivf_write_partitioned_search_prunes(spark, sf_dir, tmp_path_factory):
         .toString()
     )
     assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """For every pair, containment (inter/min) >= jaccard (inter/union) —
+    so at equal thresholds the containment pair set is a superset, and on
+    the planted subset-dup shape containment flags what Jaccard misses."""
+    from dampr_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from dampr_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_posting=64).collect()
+    }
+    con = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(docs, n=3, threshold=0.1, max_posting=64).collect()
+    }
+    assert set(jac) <= set(con), "containment>=jaccard implies superset at equal tau"
+    for k, j in jac.items():
+        assert con[k] >= j - 1e-9
+
+    # planted subset shape: short doc fully inside a 5x longer one
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long = " ".join(["filler%d word%d stuff%d" % (i, i, i) for i in range(12)]) + " " + short
+    planted = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    c = ngram_containment_pairs(planted, n=3, threshold=0.9).collect()
+    j = ngram_jaccard_pairs(planted, n=3, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b) for r in c] == [(1, 2)] and j == []
