@@ -2008,3 +2008,70 @@ def copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders)) AS recency,
+               count(*) AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey),
+    scored AS (
+        SELECT custkey, recency, frequency, monetary,
+               ntile(4) OVER (ORDER BY recency DESC, custkey)   AS r,
+               ntile(4) OVER (ORDER BY frequency, custkey)      AS f,
+               ntile(4) OVER (ORDER BY monetary, custkey)       AS m
+        FROM base)
+    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(monetary), 6) AS avg_monetary
+    FROM scored GROUP BY r, f, m
+    """,
+    tags=("relational", "segmentation", "extension"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-analytics cut:
+    per customer Recency (days since last order, scored so quartile 4 =
+    most recent), Frequency (order count), Monetary (total spend), each
+    quartiled, then segment-level counts and average spend.
+
+    All three quartile assignments use
+    :func:`dampr_spark.operators.stats.distributed_ntile` — the range-sort
+    rank-recovery rewrite — so NO global single-task ntile window ever
+    runs over the customer table (bit-identical to the oracle's window
+    form because every ORDER BY carries the custkey tiebreak). One
+    customer-keyed aggregate feeds three scalar range sorts and a final
+    64-row-max segment aggregate."""
+    from dampr_spark.operators.stats import distributed_ntile
+
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("now"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "custkey",
+            F.datediff(F.col("now"), F.col("last_order")).alias("recency"),
+            "frequency",
+            "monetary",
+        )
+    )
+    # negated recency orders DESC with the same total order as the oracle's
+    # `ORDER BY recency DESC, custkey`
+    scored = distributed_ntile(
+        base.withColumn("_neg_r", -F.col("recency")), 4, ["_neg_r", "custkey"], "r"
+    )
+    scored = distributed_ntile(scored, 4, ["frequency", "custkey"], "f")
+    scored = distributed_ntile(scored, 4, ["monetary", "custkey"], "m")
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+    )

@@ -60,6 +60,7 @@ _HARDENED = [
     "embedding_int8_quantize_report",
     "dup_graph_degree_stats",
     "quantized_ann_recall_check",
+    "customer_rfm_segments",
 ]
 _HARDENED_ROWS_ONLY = [
     "embedding_near_dups",

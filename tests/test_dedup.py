@@ -904,3 +904,47 @@ def test_scalar_quantizer_roundtrip_and_recall(spark, sf_dir):
     exact = {r.vec_id for r in brute_force_topk(e, q, k=20).collect()}
     quant = {r.vec_id for r in sq.topk(enc, q, k=20).collect()}
     assert len(exact & quant) >= 18
+
+
+def test_ivf_sq8_composition_pruned_quantized_search(spark, sf_dir, tmp_path_factory):
+    """The full ANN-at-scale story composed: IVF-assign the corpus, SQ8
+    encode it, write hive-partitioned by list_id WITHOUT the float
+    column, then search by (a) pruning to the probed lists and (b)
+    ranking cosine on the byte-code reconstruction — the float vectors
+    are never stored or read. Result must match running the same
+    quantized ranking over the unpruned in-memory frame restricted to
+    the probe lists."""
+    import numpy as np
+
+    from dampr_spark.functions.vector import valid_vector
+    from dampr_spark.operators.similarity import IVFIndex, ScalarQuantizer
+    from dampr_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings").filter(valid_vector("embedding"))
+    idx = IVFIndex(n_lists=8, nprobe=3).fit(e, sample_size=2000)
+    sq = ScalarQuantizer().fit(e)
+    enc = sq.encode(idx.assign(e)).select("vec_id", "list_id", "codes")
+    out = str(tmp_path_factory.mktemp("ivf_sq8") / "corpus")
+    idx.write_partitioned(enc, out)
+
+    stored = spark.read.parquet(out)
+    assert "embedding" not in stored.columns  # codes only: 4x smaller
+
+    qvec = [float(x) for x in e.orderBy("vec_id").first().embedding]
+    q = np.asarray(qvec)
+    q /= np.linalg.norm(q)
+    probes = [int(p) for p in np.argsort(-(idx.centroids @ q))[: idx.nprobe]]
+
+    got = sq.topk(stored.filter(F.col("list_id").isin(probes)), qvec, k=10).collect()
+    want = sq.topk(enc.filter(F.col("list_id").isin(probes)), qvec, k=10).collect()
+    assert [(r.vec_id, r.cos_sim) for r in got] == [
+        (r.vec_id, r.cos_sim) for r in want
+    ]
+    # and the probed read really pruned: only probe directories touched
+    import re
+
+    files = stored.filter(F.col("list_id").isin(probes)).select(
+        F.input_file_name().alias("f")
+    ).distinct().collect()
+    dirs = {re.search(r"list_id=(\d+)", r.f).group(1) for r in files}
+    assert dirs == {str(p) for p in probes}
