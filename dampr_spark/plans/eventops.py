@@ -1190,3 +1190,68 @@ def user_inactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("idle_days").desc(), "user_id")
         .limit(50)
     )
+
+
+@register(
+    "user_burstiness",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               (epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000 AS gap_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT user_id,
+               CAST(count(gap_s) AS BIGINT) AS n_gaps,
+               CAST(sum(gap_s) AS BIGINT) AS sum_g,
+               CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_g2
+        FROM g WHERE gap_s IS NOT NULL GROUP BY user_id)
+    SELECT user_id, n_gaps,
+           round((n_gaps * sum_g2 - sum_g * sum_g) * 1.0
+                 / (n_gaps * sum_g), 6) AS fano
+    FROM s
+    WHERE n_gaps >= 5 AND sum_g > 0
+    ORDER BY fano DESC, user_id
+    LIMIT 50
+    """,
+    tags=("events", "temporal", "extension"),
+)
+def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user BURSTINESS of event timing: the Fano factor
+    (variance/mean) of whole-second inter-arrival gaps — >> 1 flags
+    bot-like bursts, ~1 is Poisson, < 1 is metronome-regular; the
+    behavioral screen abuse/quality pipelines run on activity logs.
+    Top-50 burstiest users with >= 5 gaps.
+
+    Numerically EXACT cross-engine: gaps are integer seconds (floor of
+    the microsecond delta), and fano = (n*Σg² − (Σg)²) / (n*Σg) is pure
+    BIGINT arithmetic until one final division — no float accumulation
+    order to drift (variance aggregates would). One per-user window
+    (keyed — no global sort), one user-keyed aggregate, heap top-50."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(F.col("ts")).over(w)
+    gap = F.floor(
+        (us - F.unix_micros(prev.cast("timestamp"))) / F.lit(1_000_000)
+    ).cast("long")
+    g = e.select("user_id", gap.alias("gap_s")).filter(F.col("gap_s").isNotNull())
+    s = g.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.sum("gap_s").alias("sum_g"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("sum_g2"),
+    )
+    return (
+        s.filter((F.col("n_gaps") >= 5) & (F.col("sum_g") > 0))
+        .select(
+            "user_id",
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            F.round(
+                (F.col("n_gaps") * F.col("sum_g2") - F.col("sum_g") * F.col("sum_g"))
+                / (F.col("n_gaps") * F.col("sum_g")),
+                6,
+            ).alias("fano"),
+        )
+        .orderBy(F.col("fano").desc(), "user_id")
+        .limit(50)
+    )

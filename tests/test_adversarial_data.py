@@ -61,6 +61,7 @@ _HARDENED = [
     "dup_graph_degree_stats",
     "quantized_ann_recall_check",
     "customer_rfm_segments",
+    "user_burstiness",
 ]
 _HARDENED_ROWS_ONLY = [
     "embedding_near_dups",
