@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dampr_spark.functions import text as T
+from dampr_spark.functions import vector as V
 from dampr_spark.plans.catalog import register
 from dampr_spark.sources.readers import read_table as _t
 
@@ -850,3 +851,157 @@ def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.col("support").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
     ).limit(20)
+
+
+_RRF_K = 60
+_RRF_POOL = 50  # per-modality candidate pool
+
+
+@register(
+    "hybrid_rrf_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        WHERE text IS NOT NULL),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               avg(len(string_split(text, ' '))) AS avgdl
+        FROM documents WHERE text IS NOT NULL),
+    dl AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        FROM documents WHERE text IS NOT NULL),
+    q AS (SELECT unnest(['spark', 'query', 'join']) AS token),
+    df AS (
+        SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM toks JOIN q USING (token) GROUP BY token),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        FROM toks JOIN q USING (token) GROUP BY 1, 2),
+    bm25 AS (
+        SELECT doc_id,
+               round(sum(
+                   ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({_BM25_K1} + 1)
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY doc_id),
+    lex AS (
+        SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY round(bm25, 4) DESC, doc_id) AS BIGINT) AS r_lex
+        FROM bm25
+        ORDER BY round(bm25, 4) DESC, doc_id LIMIT {_RRF_POOL}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE {V.valid_vector_sql('embedding')}),
+    qv AS (SELECT e AS qe FROM v ORDER BY vec_id LIMIT 1),
+    cos AS (
+        SELECT vec_id AS doc_id,
+               round({V.cosine_sql('e', 'qe')}, 6) AS cos_sim
+        FROM v, qv),
+    vec AS (
+        SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY round(cos_sim, 4) DESC, doc_id) AS BIGINT) AS r_vec
+        FROM cos
+        ORDER BY round(cos_sim, 4) DESC, doc_id LIMIT {_RRF_POOL})
+    SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+           round(COALESCE(1.0 / ({_RRF_K} + r_lex), 0)
+                 + COALESCE(1.0 / ({_RRF_K} + r_vec), 0), 6) AS rrf
+    FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("text", "vector", "search", "hybrid", "extension"),
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: BM25 lexical ranking fused with embedding-cosine
+    ranking by Reciprocal Rank Fusion (rrf = Σ 1/(60 + rank)) — the
+    standard zero-tuning fusion behind modern RAG retrieval stacks
+    (lexical catches exact terms, vectors catch paraphrase; RRF needs no
+    score calibration because it only consumes RANKS).
+
+    Cross-engine exactness: both per-modality rankings order by the
+    4dp-ROUNDED score then doc_id (the bm25_rank cut-stability argument),
+    so the integer ranks agree, and RRF on integer ranks is identical
+    double math. Plan shape: the BM25 side is the oracle-green bm25_rank
+    plan (one filtered-explode pass + broadcast stats); the vector side
+    is a broadcast-query scan; each pool is a heap top-50 and the rank
+    windows run over 50 rows, never the corpus; the fusion join is
+    50x50."""
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    k1, b = _BM25_K1, _BM25_B
+    terms = list(_BM25_QUERY_TERMS)
+
+    toks = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("double").alias("dl"),
+        F.explode(F.split("text", " ")).alias("token"),
+    ).filter(F.col("token").isin(terms))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    bm25 = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+        .orderBy(F.round(F.col("bm25"), 4).desc(), F.col("doc_id"))
+        .limit(_RRF_POOL)
+        .localCheckpoint(eager=True)  # 50 rows; feeds the rank window
+    )
+    lex = bm25.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.round(F.col("bm25"), 4).desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("r_lex"),
+    )
+
+    v = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(V.valid_vector("embedding"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .localCheckpoint(eager=True)  # feeds the query pick and the scan
+    )
+    qv = v.orderBy("vec_id").limit(1).select(F.col("e").alias("qe"))
+    cos = (
+        v.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(V.cosine("e", "qe"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.round(F.col("cos_sim"), 4).desc(), F.col("doc_id"))
+        .limit(_RRF_POOL)
+        .localCheckpoint(eager=True)  # 50 rows; feeds the rank window
+    )
+    vec = cos.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.round(F.col("cos_sim"), 4).desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("r_vec"),
+    )
+
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_vec")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+    )

@@ -62,6 +62,7 @@ _HARDENED = [
     "quantized_ann_recall_check",
     "customer_rfm_segments",
     "user_burstiness",
+    "hybrid_rrf_search",
 ]
 _HARDENED_ROWS_ONLY = [
     "embedding_near_dups",
