@@ -115,6 +115,11 @@ BENCH_QUERIES = [
     "fuzzy_decontaminate",
     "ngram_novelty",
     "embedding_centroid_outliers",
+    # round-6b flagships: PMI collocation mining (two vocab aggregates +
+    # heap top-k) and hybrid BM25+vector RRF retrieval (two bounded pools
+    # fused rank-wise).
+    "bigram_pmi",
+    "hybrid_rrf_search",
 ]
 
 
@@ -252,7 +257,7 @@ def main() -> int:
             "decontaminate_ngram", "pack_token_budget", "gopher_rules_report",
             "oov_rate_by_lang", "heavy_hitter_ngrams", "bpe_merges",
             "pii_redact", "chunk_documents", "fuzzy_decontaminate",
-            "ngram_novelty")],
+            "ngram_novelty", "bigram_pmi", "hybrid_rrf_search")],
         "events": [q for q in BENCH_QUERIES if q in (
             "events_hourly", "sessionization", "session_stats",
             "rolling_event_value_bucketed", "order_value_quantiles",
