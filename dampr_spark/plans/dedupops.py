@@ -1011,3 +1011,62 @@ def dup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .select(F.col("degree").cast("long").alias("degree"), "n_docs")
     )
+
+
+@register(
+    "frame_sample_manifest",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               greatest(n_chars * 10, 1) AS dur
+        FROM documents WHERE n_chars IS NOT NULL),
+    f AS (
+        SELECT media_id, ((dur - 1) // 1000) + 1 AS nf FROM m)
+    SELECT media_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(1000 * nf * (nf - 1) / 2 AS BIGINT) AS sum_frame_ms,
+           TRUE AS features_ok
+    FROM f
+    """,
+    tags=("multimodal", "video", "extension"),
+)
+def frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling PLUMBING, driver-checked end-to-end: documents
+    play media clips (duration_ms = 10x n_chars), `multimodal.frame_sample`
+    explodes each into one row per 1000 ms offset via mapInPandas (the
+    deterministic fake decode in this container; PyAV when present), and
+    the manifest verifies the flat-map structure — frame count =
+    ceil(duration/1000), offsets sum to the arithmetic series, and every
+    frame carries a 16-dim non-null feature vector (the TRUE column is
+    recomputed, not assumed). The oracle replays the structure as pure
+    duration arithmetic.
+
+    Plan shape at scale: one Arrow flat-map pass (batch rows -> frame
+    rows; no shuffle) + a media-keyed aggregate with map-side partials."""
+    from dampr_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.greatest(F.col("n_chars") * 10, F.lit(1)).cast("long").alias("duration_ms"),
+    )
+    frames = multimodal.frame_sample(media, every_ms=1000, fake=True)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_ms").cast("long").alias("sum_frame_ms"),
+        (
+            F.sum(
+                F.when(
+                    F.col("features").isNotNull()
+                    & (F.size("features") == multimodal.FEATURE_DIM),
+                    1,
+                ).otherwise(0)
+            )
+            == F.count(F.lit(1))
+        ).alias("features_ok"),
+    )

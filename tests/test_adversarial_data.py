@@ -63,6 +63,7 @@ _HARDENED = [
     "customer_rfm_segments",
     "user_burstiness",
     "hybrid_rrf_search",
+    "frame_sample_manifest",
 ]
 _HARDENED_ROWS_ONLY = [
     "embedding_near_dups",
