@@ -1718,10 +1718,17 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent-bigram counts, both with map-side partials), two broadcastable
     scalar totals, and two vocabulary-keyed joins of the bigram table
     against unigram counts; the final cut is a heap top-50 on the ROUNDED
-    score (TakeOrdered, no global sort). Non-distinct n-grams — this
+    score (TakeOrdered, no global sort). The bigram total n2 is a
+    sum-of-(len-1) over docs — NEVER a second pair-explode pass (the
+    interpreted transform is the expensive part; round 6 measured the
+    duplicate explode at ~2x query cost). Non-distinct n-grams — this
     deliberately shares no code with the distinct-set word_ngrams dedup
     helper."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from dampr_spark.operators.dedup import _ensure_parallelism
+
+    d = _ensure_parallelism(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     toks = F.split(F.col("text"), " ")
     uni = (
         d.select(F.explode(toks).alias("w"))
@@ -1749,11 +1756,11 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("cab"))
         .filter(F.col("cab") >= _PMI_MIN_COUNT)
-        .localCheckpoint(eager=True)  # feeds n2 and the scored join
     )
-    n2 = (
-        d.select(F.explode(pairs).alias("p"))
-        .agg(F.count(F.lit(1)).alias("n2"))
+    # total adjacent pairs = Σ max(len-1, 0) per doc: arithmetic on the
+    # token count, no re-explode of the pair expression
+    n2 = d.agg(
+        F.sum(F.greatest(F.size(toks) - 1, F.lit(0))).cast("long").alias("n2")
     )
     ua = uni.select(F.col("w").alias("a"), F.col("c").alias("ca"))
     ub = uni.select(F.col("w").alias("b"), F.col("c").alias("cb"))
