@@ -1070,3 +1070,60 @@ def frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.count(F.lit(1))
         ).alias("features_ok"),
     )
+
+
+@register(
+    "audio_segments_manifest",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               greatest(n_chars * 10, 1) AS dur,
+               octet_length(encode(coalesce(text, ''))) AS nb
+        FROM documents WHERE n_chars IS NOT NULL)
+    SELECT media_id,
+           CAST((dur + 4999) // 5000 AS BIGINT) AS n_segments,
+           CAST(nb AS BIGINT) AS total_bytes,
+           CAST(dur AS BIGINT) AS covered_ms,
+           TRUE AS features_ok
+    FROM m
+    """,
+    tags=("multimodal", "audio", "extension"),
+)
+def audio_segments_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation PLUMBING, driver-checked: clips (duration_ms =
+    10x n_chars, payload = text bytes) explode into 5000 ms segments via
+    `multimodal.audio_segments` (mapInPandas flat-map, deterministic fake
+    decode here / PyAV when present); the manifest verifies segment count
+    = ceil(duration/5000), the byte slices TILE the payload exactly
+    (sum(n_bytes) == payload bytes — the nested floor-division slicing
+    loses nothing), the time spans cover the full duration, and every
+    segment carries a 16-dim feature vector. The oracle replays the
+    structure as pure arithmetic on (n_chars, text bytes)."""
+    from dampr_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.greatest(F.col("n_chars") * 10, F.lit(1)).cast("long").alias("duration_ms"),
+    )
+    segs = multimodal.audio_segments(media, segment_ms=5000, fake=True)
+    return segs.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum(F.col("end_ms") - F.col("start_ms")).cast("long").alias("covered_ms"),
+        (
+            F.sum(
+                F.when(
+                    F.col("features").isNotNull()
+                    & (F.size("features") == multimodal.FEATURE_DIM),
+                    1,
+                ).otherwise(0)
+            )
+            == F.count(F.lit(1))
+        ).alias("features_ok"),
+    )

@@ -64,6 +64,7 @@ _HARDENED = [
     "user_burstiness",
     "hybrid_rrf_search",
     "frame_sample_manifest",
+    "audio_segments_manifest",
 ]
 _HARDENED_ROWS_ONLY = [
     "embedding_near_dups",
