@@ -126,25 +126,31 @@ def run_dataframe(spark, corpus: str, outdir: str) -> tuple[float, int]:
     import multiprocessing
 
     per_core = os.stat(corpus).st_size // multiprocessing.cpu_count() + 1
+    prior = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set(
         "spark.sql.files.maxPartitionBytes",
         str(max(4 * 1024 * 1024, per_core)),
     )
-    t0 = time.perf_counter()
-    lines = spark.read.text(corpus)
-    tokens = lines.select(
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.col("value")), r"[^\w]+"))
-        ).alias("word")
-    )
-    doc_freq = tokens.groupBy("word").agg(F.count("*").alias("df"))
-    # corpus line count rides the same action as a broadcast 1-row subquery
-    total = F.broadcast(lines.agg(F.count("*").alias("total")))
-    idf = doc_freq.crossJoin(total).select(
-        "word", "df", F.log(1 + F.col("total") / F.col("df")).alias("idf")
-    )
-    idf.write.mode("overwrite").csv(outdir, sep="\t")
-    dt = time.perf_counter() - t0
+    try:
+        t0 = time.perf_counter()
+        lines = spark.read.text(corpus)
+        tokens = lines.select(
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col("value")), r"[^\w]+"))
+            ).alias("word")
+        )
+        doc_freq = tokens.groupBy("word").agg(F.count("*").alias("df"))
+        # corpus line count rides the same action as a broadcast 1-row subquery
+        total = F.broadcast(lines.agg(F.count("*").alias("total")))
+        idf = doc_freq.crossJoin(total).select(
+            "word", "df", F.log(1 + F.col("total") / F.col("df")).alias("idf")
+        )
+        idf.write.mode("overwrite").csv(outdir, sep="\t")
+        dt = time.perf_counter() - t0
+    finally:
+        # restore: the per-corpus split size must not leak into later runs
+        # sharing this session (other corpora, the fluent path)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prior)
     n = sum(
         sum(1 for _ in open(os.path.join(outdir, p)))
         for p in os.listdir(outdir)

@@ -792,17 +792,24 @@ class Dampr:
         with ``.chunks()`` is expanded driver-side into its chunk datasets
         (one partition each — the reference's lazy chunk enumeration); an
         object with ``.read()`` is shipped to the executor and read there.
-        Objects are only ENUMERATED on the driver, never read."""
+        Objects are only ENUMERATED on the driver, never read.
+
+        Dispatch is by ``isinstance`` against the :class:`Dataset` /
+        :class:`Chunker` bases — the reference's own rule
+        (dampr/dampr.py:866 ``isinstance(dataset, Chunker)``) — never by
+        duck-typed attribute probing: a plain iterable that happens to
+        expose a ``read`` attribute (e.g. an open file consumed by line
+        iteration) must stay on the iterable path."""
 
         def _expand(d):
-            if hasattr(d, "chunks") and not hasattr(d, "read"):
+            if isinstance(d, Chunker) and not isinstance(d, Dataset):
                 return list(d.chunks())  # pure Chunker: enumerate datasets
             return [d]
 
         flat = [c for d in datasets for c in _expand(d)]
 
         def _thunk(d):
-            if hasattr(d, "read"):
+            if isinstance(d, Dataset):
                 return d.read  # Dataset protocol: executor-side read()
             if callable(d):
                 return d

@@ -428,8 +428,17 @@ def kmeans_fit_assign(
     This is the clustering half of SemDeDup-style semantic dedup: cluster,
     then run the in-cluster cosine near-dup pass
     (:func:`RandomHyperplaneLSH.bucketed_pairs` keyed by cluster)."""
+    from pyspark import StorageLevel
+
     df = df.filter(valid_vector(vec_col))
     vecs = df.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+    # The source lineage (scan → filter → select) is read iters+2 times
+    # (seeding sample, one assign+recompute per round, final assign) —
+    # persist it once so every pass after the first reads the cached
+    # column batches instead of re-running the scan. At 100 TB this is
+    # the difference between 1 corpus scan and iters+2 of them;
+    # MEMORY_AND_DISK degrades to spill, never to recompute.
+    vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
     if init == "kmeanspp":
         # No checkpoint: the seed DF is createDataFrame-backed (a literal
         # local collection, no nondeterministic lineage to pin) — only the
@@ -467,7 +476,14 @@ def kmeans_fit_assign(
             )
             .localCheckpoint(eager=True)
         )
-    return kmeans_assign(vecs, centroids, vec_col, id_col)
+    # Pin the final assignment (scalars only: id, cluster, sim) so the
+    # cached corpus can be released before returning — callers get a
+    # materialized result, not a lineage back into the unpersisted cache.
+    out = kmeans_assign(vecs, centroids, vec_col, id_col).localCheckpoint(
+        eager=True
+    )
+    vecs.unpersist()
+    return out
 
 
 class ScalarQuantizer:
@@ -513,7 +529,10 @@ class ScalarQuantizer:
     ) -> DataFrame:
         """Add ``out_col``: array<tinyint> codes (value range shifted by
         -128 to fit the signed byte). Invalid vectors are dropped (cosine
-        is undefined for them anyway)."""
+        is undefined for them anyway). Values outside the fitted per-dim
+        [lo, hi] — the train-on-one-corpus / encode-new-data case — clamp
+        to the range edges (FAISS SQ8 train/encode semantics) instead of
+        producing out-of-byte codes that would wrap on the tinyint cast."""
         los, his = self._bounds()
         v = F.col(vec_col).cast("array<double>")
         dim = len(self.lo)
@@ -522,11 +541,17 @@ class ScalarQuantizer:
             lambda i: (
                 F.when(
                     F.element_at(his, i) > F.element_at(los, i),
-                    F.floor(
-                        (F.element_at(v, i) - F.element_at(los, i))
-                        / (F.element_at(his, i) - F.element_at(los, i))
-                        * F.lit(255.0)
-                        + F.lit(0.5)
+                    F.greatest(
+                        F.lit(0.0),
+                        F.least(
+                            F.lit(255.0),
+                            F.floor(
+                                (F.element_at(v, i) - F.element_at(los, i))
+                                / (F.element_at(his, i) - F.element_at(los, i))
+                                * F.lit(255.0)
+                                + F.lit(0.5)
+                            ),
+                        ),
                     ),
                 ).otherwise(F.lit(0))
                 - F.lit(128)

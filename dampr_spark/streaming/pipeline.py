@@ -634,17 +634,31 @@ def fit_value_histogram(
         F.col(value_col).alias("v")
     )
     lo, hi = v.agg(F.min("v"), F.max("v")).first()
+    if lo is None or hi is None:
+        raise ValueError(
+            f"fit_value_histogram: no non-null values in {value_col!r} — "
+            "cannot fit bucket bounds on an empty reference window"
+        )
     counts = _bucket_counts(v, float(lo), float(hi), buckets)
     return float(lo), float(hi), counts
 
 
 def _bucket_counts(v: DataFrame, lo: float, hi: float, buckets: int) -> list[int]:
+    # Clamp BOTH sides: bounds are fit on a reference window, the stream
+    # carries later data, so values may drift below lo as well as above hi.
+    # Without the low clamp, downward drift lands in negative bucket ids
+    # and silently vanishes from the histogram AND n_events — exactly the
+    # signal a drift monitor exists to catch; clamped, it piles into
+    # bucket 0 and moves the PSI.
     b = v.select(
         (
-            F.least(
-                F.lit(buckets - 1),
-                F.floor((F.col("v") - F.lit(lo)) / F.lit(max(hi - lo, 1e-300)) * buckets).cast(
-                    "int"
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(buckets - 1),
+                    F.floor(
+                        (F.col("v") - F.lit(lo)) / F.lit(max(hi - lo, 1e-300)) * buckets
+                    ).cast("int"),
                 ),
             )
             if hi > lo

@@ -690,3 +690,25 @@ def test_read_input_chunker_expands_to_partitions(spark):
     pipe = Dampr.read_input(ThreeChunks())
     assert pipe._rdd.getNumPartitions() == 3
     assert sorted(pipe.run().read()) == [0, 10, 20]
+
+
+def test_read_input_iterable_with_read_attr_stays_iterable(spark):
+    """Dispatch is isinstance(Dataset/Chunker), not attribute probing
+    (the reference's own rule, dampr/dampr.py:866): a plain iterable that
+    happens to expose a `read` attribute — an open file consumed by line
+    iteration, a response object — must take the iterable path, not be
+    silently re-read through .read()."""
+
+    class PairsWithReadAttr:
+        def __init__(self, pairs):
+            self.pairs = pairs
+
+        def read(self):  # NOT the Dataset protocol — returns a blob
+            return "raw-bytes-not-pairs"
+
+        def __iter__(self):
+            return iter(self.pairs)
+
+    src_obj = PairsWithReadAttr([(0, "a"), (1, "b")])
+    pipe = Dampr.read_input(src_obj)
+    assert sorted(pipe.run()) == ["a", "b"]

@@ -496,6 +496,34 @@ def test_kmeans_deterministic_and_improving(spark, sf_dir):
     assert m2 > m1 + 1e-4  # ...and actually moves on this data
 
 
+def test_kmeans_scans_source_once_per_fit(spark):
+    """The corpus frame is persisted across Lloyd rounds: the source
+    lineage (here a Python map carrying an accumulator) must execute once
+    per input row for the WHOLE fit — seeding sample, every
+    assign+recompute round, and the final assignment all read the cache,
+    not re-run the scan (the iters+2-scans regression flagged in round 6)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dampr_spark.operators.similarity import kmeans_fit_assign
+
+    rng = np.random.default_rng(7)
+    data = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(200)]
+    acc = spark.sparkContext.accumulator(0)
+
+    def tap(t):
+        acc.add(1)
+        return Row(vec_id=t[0], embedding=t[1])
+
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 4).map(tap),
+        "vec_id long, embedding array<double>",
+    )
+    res = kmeans_fit_assign(df, k=4, iters=3)
+    assert res.count() == 200
+    assert acc.value == 200, f"source scanned {acc.value / 200:.1f}x per fit"
+
+
 def test_drop_seen_exact_incremental(spark):
     """New-shard rows already fingerprinted in history are dropped; fresh
     dups within the shard collapse to the min id."""
@@ -904,6 +932,33 @@ def test_scalar_quantizer_roundtrip_and_recall(spark, sf_dir):
     exact = {r.vec_id for r in brute_force_topk(e, q, k=20).collect()}
     quant = {r.vec_id for r in sq.topk(enc, q, k=20).collect()}
     assert len(exact & quant) >= 18
+
+
+def test_scalar_quantizer_clamps_out_of_range_values(spark):
+    """Fit on one corpus, encode new data outside the fitted per-dim
+    range (the train/encode split every streamed corpus hits): values
+    must clamp to the range edges — codes stay in [-128, 127] with no
+    tinyint wraparound, and reconstruction stays inside [lo, hi]."""
+    from dampr_spark.operators.similarity import ScalarQuantizer
+
+    train = spark.createDataFrame(
+        [(1, [0.0, 10.0]), (2, [1.0, 20.0])],
+        "vec_id long, embedding array<double>",
+    )
+    sq = ScalarQuantizer().fit(train)
+    assert sq.lo == [0.0, 10.0] and sq.hi == [1.0, 20.0]
+    fresh = spark.createDataFrame(
+        [(3, [-5.0, 25.0]), (4, [0.5, 15.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in sq.encode(fresh).collect()}
+    assert list(rows[3].codes) == [-128, 127]  # clamped to edges, no wrap
+    assert all(-128 <= c <= 127 for c in rows[4].codes)
+    rec = {
+        r.vec_id: r.r
+        for r in sq.encode(fresh).select("vec_id", sq.decoded("codes").alias("r")).collect()
+    }
+    assert rec[3][0] == 0.0 and rec[3][1] == 20.0  # reconstructs at the edge
 
 
 def test_ivf_sq8_composition_pruned_quantized_search(spark, sf_dir, tmp_path_factory):

@@ -638,3 +638,24 @@ def test_value_drift_stream_matches_batch_psi(spark, sf_dir, tmp_path_factory):
         all_queries()["value_drift_psi"].builder(spark, sf_dir).first()
     )
     assert got[0].psi == want.psi and got[0].n_events == want.n_cur
+
+
+def test_bucket_counts_clamps_downward_drift(spark):
+    """Values below the fitted reference lo must clamp into bucket 0, not
+    vanish into negative bucket ids: downward drift is exactly the signal
+    the PSI monitor exists to catch, and every input row must be counted."""
+    from dampr_spark.streaming.pipeline import _bucket_counts
+
+    v = spark.createDataFrame(
+        [(x,) for x in [-50.0, -1.0, 0.0, 5.0, 9.9, 25.0]], "v double"
+    )
+    counts = _bucket_counts(v, lo=0.0, hi=10.0, buckets=10)
+    assert sum(counts) == 6  # nothing silently dropped
+    assert counts[0] == 3  # -50, -1, 0 all clamp into the lowest bucket
+    assert counts[9] == 2  # 9.9 in-range + 25 clamped high
+
+
+def test_fit_value_histogram_empty_input_raises(spark):
+    empty = spark.createDataFrame([(None,), (None,)], "value double")
+    with pytest.raises(ValueError, match="no non-null values"):
+        streaming.fit_value_histogram(empty)
