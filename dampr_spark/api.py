@@ -196,9 +196,19 @@ class PBase:
     once, memoized — the first time a downstream op or action touches
     ``._rdd``."""
 
-    def __init__(self, rdd: RDD | Callable[[], RDD], spark: SparkSession):
+    def __init__(
+        self,
+        rdd: RDD | Callable[[], RDD],
+        spark: SparkSession,
+        parents: tuple = (),
+    ):
         self._rdd_or_thunk = rdd
         self._spark = spark
+        # Python-level lineage for Dampr.run(share_python=True): every
+        # transform records the PBase objects it was derived from, so the
+        # runner can find parents shared by two pipelines and persist them
+        # BEFORE any child thunk builds its (otherwise fused) PythonRDD.
+        self._parents = tuple(parents)
 
     @property
     def _rdd(self) -> RDD:
@@ -234,12 +244,12 @@ class PBase:
         a second combiner here would do redundant work. Warned once so a
         ported pipeline's behavior drift is visible, not silent."""
         _warn_ignored_kwargs("checkpoint", kwargs, {"combiner", "options"})
-        return PMap(self._rdd.persist(StorageLevel.DISK_ONLY), self._spark)
+        return PMap(self._rdd.persist(StorageLevel.DISK_ONLY), self._spark, parents=(self,))
 
     def cached(self, **kwargs) -> "PMap":
         """In-memory checkpoint (reference dampr/dampr.py:486-497)."""
         _warn_ignored_kwargs("cached", kwargs, {"options"})
-        return PMap(self._rdd.persist(StorageLevel.MEMORY_ONLY), self._spark)
+        return PMap(self._rdd.persist(StorageLevel.MEMORY_ONLY), self._spark, parents=(self,))
 
 
 class PMap(PBase):
@@ -247,14 +257,26 @@ class PMap(PBase):
 
     # -- §2.3 row transforms ----------------------------------------------
 
+    # Every transform below is LAZY — the child holds a thunk that touches
+    # ``parent._rdd`` only at first materialization. This is what lets
+    # ``Dampr.run(share_python=True)`` persist a shared parent before any
+    # child PythonRDD is constructed (PySpark fuses Python lambdas at
+    # construction time; a cached parent is the one fusion barrier).
+
     def map(self, f: Callable) -> "PMap":
-        return PMap(self._rdd.mapValues(f), self._spark)
+        return PMap(lambda: self._rdd.mapValues(f), self._spark, parents=(self,))
 
     def filter(self, f: Callable) -> "PMap":
-        return PMap(self._rdd.filter(lambda kv: f(kv[1])), self._spark)
+        return PMap(
+            lambda: self._rdd.filter(lambda kv: f(kv[1])),
+            self._spark,
+            parents=(self,),
+        )
 
     def flat_map(self, f: Callable) -> "PMap":
-        return PMap(self._rdd.flatMapValues(f), self._spark)
+        return PMap(
+            lambda: self._rdd.flatMapValues(f), self._spark, parents=(self,)
+        )
 
     def map_values(self, f: Callable) -> "PMap":
         """Value is a 2-tuple; map its 2nd field (dampr/dampr.py:290-301)."""
@@ -273,17 +295,25 @@ class PMap(PBase):
         return self.map(lambda v: (v, f(v)))
 
     def sample(self, prob: float, seed: int | None = None) -> "PMap":
-        return PMap(self._rdd.sample(False, prob, seed), self._spark)
+        return PMap(
+            lambda: self._rdd.sample(False, prob, seed),
+            self._spark,
+            parents=(self,),
+        )
 
     def concat(self, *others: "PMap") -> "PMap":
         """Unordered concatenation (union) of streams — the op the reference
         sketched but never shipped (tests/test_dampr.py:464-473 is disabled
         and there is no implementation); provided here per SURVEY §2.6.
         Spark's union is partition-concatenation: no shuffle."""
-        rdd = self._rdd
-        for o in others:
-            rdd = rdd.union(o._rdd)
-        return PMap(rdd, self._spark)
+
+        def build() -> RDD:
+            rdd = self._rdd
+            for o in others:
+                rdd = rdd.union(o._rdd)
+            return rdd
+
+        return PMap(build, self._spark, parents=(self, *others))
 
     def inspect(self, prefix: str = "", exit: bool = False) -> "PMap":
         """Debug pass-through (dampr/dampr.py:469-484). Printing happens
@@ -292,7 +322,7 @@ class PMap(PBase):
             print(f"{prefix}{kv[1]!r}")
             return True
 
-        out = PMap(self._rdd.filter(_peek), self._spark)
+        out = PMap(lambda: self._rdd.filter(_peek), self._spark, parents=(self,))
         if exit:
             out.run()
             raise SystemExit(0)
@@ -303,13 +333,17 @@ class PMap(PBase):
     def group_by(self, key: Callable, vf: Callable = _identity) -> "PReduce":
         """Re-key by key(v), value vf(v) (dampr/dampr.py:372-384)."""
         return PReduce(
-            self._rdd.map(lambda kv: (key(kv[1]), vf(kv[1]))), self._spark
+            lambda: self._rdd.map(lambda kv: (key(kv[1]), vf(kv[1]))),
+            self._spark,
+            parents=(self,),
         )
 
     def a_group_by(self, key: Callable, vf: Callable = _identity) -> "ARReduce":
         """Associative grouping with map-side combine (dampr/dampr.py:386-404)."""
         return ARReduce(
-            self._rdd.map(lambda kv: (key(kv[1]), vf(kv[1]))), self._spark
+            lambda: self._rdd.map(lambda kv: (key(kv[1]), vf(kv[1]))),
+            self._spark,
+            parents=(self,),
         )
 
     def fold_by(self, key: Callable, binop: Callable, value: Callable = _identity) -> "PMap":
@@ -320,8 +354,9 @@ class PMap(PBase):
         """Globally key-sorted output (dampr/dampr.py:412-422): Spark range-
         partitioned sort replaces the reference's sorted-run merge."""
         return PMap(
-            self._rdd.map(lambda kv: (key(kv[1]), kv[1])).sortByKey(),
+            lambda: self._rdd.map(lambda kv: (key(kv[1]), kv[1])).sortByKey(),
             self._spark,
+            parents=(self,),
         )
 
     def count(self, key: Callable = _identity, **_) -> "PMap":
@@ -338,12 +373,14 @@ class PMap(PBase):
     def len(self) -> "PMap":
         """Total item count as a 1-element stream (dampr/dampr.py:245-275);
         per-partition counts + single merge, empty input → [0]."""
-        counts = self._rdd.mapPartitions(lambda it: [sum(1 for _ in it)])
-        # repartition(1), NOT coalesce(1): a shuffle-less coalesce would fuse
-        # the counting into a single task and serialize the whole scan; the
-        # shuffle moves only one int per upstream partition.
-        total = counts.repartition(1).mapPartitions(lambda it: [(0, sum(it))])
-        return PMap(total, self._spark)
+        def build() -> RDD:
+            counts = self._rdd.mapPartitions(lambda it: [sum(1 for _ in it)])
+            # repartition(1), NOT coalesce(1): a shuffle-less coalesce would
+            # fuse the counting into a single task and serialize the whole
+            # scan; the shuffle moves only one int per upstream partition.
+            return counts.repartition(1).mapPartitions(lambda it: [(0, sum(it))])
+
+        return PMap(build, self._spark, parents=(self,))
 
     def topk(self, k: int, key: Callable = _identity) -> "PMap":
         """Partial top-k: heap per partition then global merge
@@ -358,8 +395,11 @@ class PMap(PBase):
         # repartition(1) (shuffled) keeps the per-partition heaps parallel;
         # only ≤ k items per partition cross the wire.
         return PMap(
-            self._rdd.mapPartitions(part_top).repartition(1).mapPartitions(final_top),
+            lambda: self._rdd.mapPartitions(part_top)
+            .repartition(1)
+            .mapPartitions(final_top),
             self._spark,
+            parents=(self,),
         )
 
     # -- §2.5 map-side cross products -------------------------------------
@@ -380,11 +420,13 @@ class PMap(PBase):
 
                 return self._rdd.flatMap(bcast_cross)
 
-            return PMap(build, self._spark)
-        pairs = self._rdd.cartesian(other._rdd)
+            return PMap(build, self._spark, parents=(self, other))
         return PMap(
-            pairs.map(lambda lr: (lr[0][0], crosser(lr[0][1], lr[1][1]))),
+            lambda: self._rdd.cartesian(other._rdd).map(
+                lambda lr: (lr[0][0], crosser(lr[0][1], lr[1][1]))
+            ),
             self._spark,
+            parents=(self, other),
         )
 
     def cross_right(self, other: "PMap", crosser: Callable, memory: bool = False) -> "PMap":
@@ -402,7 +444,7 @@ class PMap(PBase):
             )
             return self._rdd.map(lambda kv: (kv[0], crosser(kv[1], whole.value)))
 
-        return PMap(build, self._spark)
+        return PMap(build, self._spark, parents=(self, other))
 
     # -- §2.7 custom operators --------------------------------------------
 
@@ -411,13 +453,20 @@ class PMap(PBase):
         PMap.join, dampr/dampr.py:424-437) — e.g. the (group_key, result)
         streams that fold_by / reduce emit. For value-derived keys use
         group_by first."""
-        return PJoin(self._rdd, other._rdd, self._spark)
+        return PJoin(
+            lambda: self._rdd,
+            lambda: other._rdd,
+            self._spark,
+            parents=(self, other),
+        )
 
     def partition_map(self, f: Callable[[Iterator], Iterable]) -> "PMap":
         """f(iter_of_values) → yields (new_key, new_value)
         (dampr/dampr.py:201-222); runs on every partition, empty included."""
         return PMap(
-            self._rdd.mapPartitions(lambda it: f(v for _, v in it)), self._spark
+            lambda: self._rdd.mapPartitions(lambda it: f(v for _, v in it)),
+            self._spark,
+            parents=(self,),
         )
 
     def custom_mapper(self, mapper: "Mapper | BlockMapper | type", *sides: "PMap | PReduce") -> "PMap":
@@ -460,7 +509,7 @@ class PMap(PBase):
 
                 return self._rdd.mapPartitions(run_mapper)
 
-            return PMap(build, self._spark)
+            return PMap(build, self._spark, parents=(self, *sides))
 
         def run_block(it: Iterator) -> Iterator:
             yield from proto.start() or ()
@@ -468,18 +517,22 @@ class PMap(PBase):
                 yield from proto.add(k, v) or ()
             yield from proto.finish() or ()
 
-        return PMap(self._rdd.mapPartitions(run_block), self._spark)
+        return PMap(
+            lambda: self._rdd.mapPartitions(run_block),
+            self._spark,
+            parents=(self,),
+        )
 
     def partition_reduce(self, f: Callable[[Iterator], Iterable]) -> "PMap":
         """On a map-chain, partition_reduce groups by the *current* engine
         key first (reference dampr/dampr.py:224-243 checkpoints into grouped
         state) — e.g. keys emitted by a preceding partition_map/custom_mapper."""
-        return PReduce(self._rdd, self._spark).partition_reduce(f)
+        return PReduce(lambda: self._rdd, self._spark, parents=(self,)).partition_reduce(f)
 
     def custom_reducer(self, reducer: "BlockReducer | type") -> "PMap":
         """On a map-chain, groups by the current engine key then applies the
         BlockReducer lifecycle (reference dampr/dampr.py:182-199)."""
-        return PReduce(self._rdd, self._spark).custom_reducer(reducer)
+        return PReduce(lambda: self._rdd, self._spark, parents=(self,)).custom_reducer(reducer)
 
     # -- §2.2 sinks --------------------------------------------------------
 
@@ -512,10 +565,16 @@ class PReduce(PBase):
     def reduce(self, f: Callable[[object, Iterator], object], sort: bool = True) -> PMap:
         """f(key, value_iter) per group; emits (k, result) tuples as values,
         read back in key order (dampr/base.py:197-207,254-257)."""
-        reduced = self._rdd.groupByKey().map(lambda kv: (kv[0], f(kv[0], iter(kv[1]))))
-        if sort:
-            reduced = reduced.sortByKey()
-        return PMap(reduced.map(lambda kv: (kv[0], (kv[0], kv[1]))), self._spark)
+
+        def build() -> RDD:
+            reduced = self._rdd.groupByKey().map(
+                lambda kv: (kv[0], f(kv[0], iter(kv[1])))
+            )
+            if sort:
+                reduced = reduced.sortByKey()
+            return reduced.map(lambda kv: (kv[0], (kv[0], kv[1])))
+
+        return PMap(build, self._spark, parents=(self,))
 
     def unique(self, key: Callable = _identity) -> PMap:
         """Per group, first-seen distinct values by key(v)
@@ -536,13 +595,16 @@ class PReduce(PBase):
         (dampr/dampr.py:224-243,759-766). The reference's StreamReducer
         re-embeds the emitted key into the value — ``(nk, (nk, nv))``
         (dampr/base.py:240-244) — so users read (key, value) tuples."""
-        grouped = self._rdd.groupByKey()
 
         def run_part(it: Iterator) -> Iterator:
             for nk, nv in f((k, iter(vs)) for k, vs in it):
                 yield nk, (nk, nv)
 
-        return PMap(grouped.mapPartitions(run_part), self._spark)
+        return PMap(
+            lambda: self._rdd.groupByKey().mapPartitions(run_part),
+            self._spark,
+            parents=(self,),
+        )
 
     def custom_reducer(self, reducer: BlockReducer | type) -> PMap:
         """BlockReducer lifecycle over the grouped stream
@@ -555,7 +617,11 @@ class PReduce(PBase):
                 yield from proto.add(k, iter(vs)) or ()
             yield from proto.finish() or ()
 
-        return PMap(self._rdd.groupByKey().mapPartitions(run_block), self._spark)
+        return PMap(
+            lambda: self._rdd.groupByKey().mapPartitions(run_block),
+            self._spark,
+            parents=(self,),
+        )
 
     # -- joins (§2.5): both sides grouped, co-group semantics --------------
 
@@ -564,7 +630,12 @@ class PReduce(PBase):
         (dampr/dampr.py:424-437,748-757)."""
         if isinstance(other, PMap):
             raise TypeError("join the grouped form: other.group_by(...) first")
-        return PJoin(self._rdd, other._rdd, self._spark)
+        return PJoin(
+            lambda: self._rdd,
+            lambda: other._rdd,
+            self._spark,
+            parents=(self, other),
+        )
 
     def run(self, name: str | None = None) -> ValueEmitter:
         """Bare run of a grouped stream = groups as (k, [values]) in key
@@ -584,10 +655,14 @@ class ARReduce(PBase):
         the knob is a documented no-op here (warned once, not silent)."""
         if reduce_buffer is not None:
             _warn_ignored_kwargs("ARReduce.reduce", {"reduce_buffer": reduce_buffer}, {"reduce_buffer"})
-        reduced = self._rdd.reduceByKey(binop)
-        if sort:
-            reduced = reduced.sortByKey()
-        return PMap(reduced.map(lambda kv: (kv[0], (kv[0], kv[1]))), self._spark)
+
+        def build() -> RDD:
+            reduced = self._rdd.reduceByKey(binop)
+            if sort:
+                reduced = reduced.sortByKey()
+            return reduced.map(lambda kv: (kv[0], (kv[0], kv[1])))
+
+        return PMap(build, self._spark, parents=(self,))
 
     def sum(self) -> PMap:
         return self.reduce(operator.add)
@@ -601,10 +676,28 @@ class ARReduce(PBase):
 class PJoin(PBase):
     """Co-grouped pair of keyed streams (reference dampr/dampr.py:768-829)."""
 
-    def __init__(self, left: RDD, right: RDD, spark: SparkSession):
-        super().__init__(left, spark)
-        self._left = left
-        self._right = right
+    def __init__(
+        self,
+        left: RDD | Callable[[], RDD],
+        right: RDD | Callable[[], RDD],
+        spark: SparkSession,
+        parents: tuple = (),
+    ):
+        super().__init__(left, spark, parents=parents)
+        self._left_or_thunk = left
+        self._right_or_thunk = right
+
+    @property
+    def _left(self) -> RDD:
+        if callable(self._left_or_thunk):
+            self._left_or_thunk = self._left_or_thunk()
+        return self._left_or_thunk
+
+    @property
+    def _right(self) -> RDD:
+        if callable(self._right_or_thunk):
+            self._right_or_thunk = self._right_or_thunk()
+        return self._right_or_thunk
 
     @staticmethod
     def _emit(k, res, many: bool):
@@ -617,7 +710,6 @@ class PJoin(PBase):
     def reduce(self, aggregate: Callable[[Iterator, Iterator], object], many: bool = False) -> PMap:
         """Inner join: per matching key, aggregate(left_iter, right_iter);
         ``many=True`` flattens an iterator result (dampr/dampr.py:780-802)."""
-        cg = self._left.cogroup(self._right)
 
         def go(kv):
             k, (l, r) = kv
@@ -625,12 +717,18 @@ class PJoin(PBase):
             if l and r:
                 yield from PJoin._emit(k, aggregate(iter(l), iter(r)), many)
 
-        return PMap(cg.flatMap(go).sortByKey().mapValues(lambda v: v), self._spark)
+        return PMap(
+            lambda: self._left.cogroup(self._right)
+            .flatMap(go)
+            .sortByKey()
+            .mapValues(lambda v: v),
+            self._spark,
+            parents=(self,),
+        )
 
     def left_reduce(self, aggregate: Callable[[Iterator, Iterator], object], many: bool = False) -> PMap:
         """Left outer join: right side may be an empty iterator
         (dampr/dampr.py:804-820, dampr/base.py:290-315)."""
-        cg = self._left.cogroup(self._right)
 
         def go(kv):
             k, (l, r) = kv
@@ -638,19 +736,32 @@ class PJoin(PBase):
             if l:
                 yield from PJoin._emit(k, aggregate(iter(l), iter(list(r))), many)
 
-        return PMap(cg.flatMap(go).sortByKey().mapValues(lambda v: v), self._spark)
+        return PMap(
+            lambda: self._left.cogroup(self._right)
+            .flatMap(go)
+            .sortByKey()
+            .mapValues(lambda v: v),
+            self._spark,
+            parents=(self,),
+        )
 
     def outer_reduce(self, aggregate: Callable[[Iterator, Iterator], object], many: bool = False) -> PMap:
         """Full outer join — correct implementation of the reference's dead
         OuterJoin (dampr/base.py:337-371 has an undefined variable at :355
         and advances the wrong iterator at :366; zero tests cover it)."""
-        cg = self._left.cogroup(self._right)
 
         def go(kv):
             k, (l, r) = kv
             yield from PJoin._emit(k, aggregate(iter(list(l)), iter(list(r))), many)
 
-        return PMap(cg.flatMap(go).sortByKey().mapValues(lambda v: v), self._spark)
+        return PMap(
+            lambda: self._left.cogroup(self._right)
+            .flatMap(go)
+            .sortByKey()
+            .mapValues(lambda v: v),
+            self._spark,
+            parents=(self,),
+        )
 
     def run(self, name: str | None = None) -> ValueEmitter:
         """Bare join run = inner join to (list(l), list(r))
@@ -847,7 +958,12 @@ class Dampr:
         return PMap(rdd, cls._session())
 
     @classmethod
-    def run(cls, *pmers: PBase, name: str | None = None) -> list[ValueEmitter]:
+    def run(
+        cls,
+        *pmers: PBase,
+        name: str | None = None,
+        share_python: bool = False,
+    ) -> list[ValueEmitter]:
         """Run several pipelines in one call with the reference's implicit
         shared-subgraph execution (``Graph.union`` dedup,
         dampr/runner.py:127-135, dampr/dampr.py:914-945): a parent shared by
@@ -870,19 +986,86 @@ class Dampr:
           leaves covers all its ancestors) for the duration of the run,
           and unpersists after.
 
-        Residual gap vs the reference (documented, inherent): Python
-        lambdas FUSE into a single PythonRDD at construction time, so the
-        narrow Python functions applied between the last shared JVM
-        boundary and the point of divergence re-execute per pipeline —
-        only their upstream scan/shuffle work is shared. A user
-        ``.checkpoint()`` on the shared parent still shares everything,
-        exactly as the reference's explicit checkpoint does."""
+        Python lambdas FUSE into a single PythonRDD at first
+        materialization, so by default the narrow Python functions between
+        the last shared JVM boundary and the point of divergence re-execute
+        per pipeline — only their upstream scan/shuffle work is shared.
+        ``share_python=True`` closes that last gap: every transform is
+        lazily constructed and records its Python-level parents, so the
+        runner can walk the PBase graph, find the maximal parents shared by
+        ≥2 of the passed pipelines, and persist them (MEMORY_AND_DISK)
+        BEFORE any child thunk builds its PythonRDD — a cached parent is
+        the one fusion barrier PySpark respects, so the shared Python
+        functions then run exactly once, like the reference's
+        ``Graph.union`` dedup. Off by default because pinning an
+        intermediate costs memory the pure-JVM sharing doesn't; it only
+        helps pipelines that have not been materialized before this call
+        (an already-run pipeline's fused RDDs are immutable)."""
+        py_unpersist = (
+            _persist_shared_python_frontier(list(pmers)) if share_python else []
+        )
         to_unpersist = _persist_shared_frontier([p._rdd for p in pmers])
         try:
             return [p.run() for p in pmers]
         finally:
             for jr in to_unpersist:
                 jr.unpersist(False)
+            for r in py_unpersist:
+                r.unpersist()
+
+
+def _persist_shared_python_frontier(pmers: list[PBase]) -> list[RDD]:
+    """share_python support for :meth:`Dampr.run`: walk each pipeline's
+    PBase ``_parents`` graph, find nodes reachable from ≥2 pipelines, and
+    persist the MAXIMAL shared nodes (first shared node met walking
+    leaf→root — computing it once covers its ancestors). Forcing only
+    those nodes' thunks here, before any pipeline root is forced, means
+    every not-yet-built child PythonRDD stops fusing at the cached parent.
+    Returns the RDDs persisted here (caller unpersists after the run)."""
+    if len(pmers) < 2:
+        return []
+
+    def ancestors(p: PBase) -> dict[int, PBase]:
+        out: dict[int, PBase] = {}
+        stack = [p]
+        while stack:
+            x = stack.pop()
+            if id(x) in out:
+                continue
+            out[id(x)] = x
+            stack.extend(x._parents)
+        return out
+
+    per_pipeline = [ancestors(p) for p in pmers]
+    counts: dict[int, int] = {}
+    for anc in per_pipeline:
+        for pid in anc:
+            counts[pid] = counts.get(pid, 0) + 1
+    shared = {pid for pid, c in counts.items() if c >= 2}
+    if not shared:
+        return []
+
+    frontier: dict[int, PBase] = {}
+    for root in pmers:
+        stack = [root]
+        visited: set[int] = set()
+        while stack:
+            x = stack.pop()
+            if id(x) in visited:
+                continue
+            visited.add(id(x))
+            if id(x) in shared and x is not root:
+                frontier[id(x)] = x
+                continue
+            stack.extend(x._parents)
+
+    persisted: list[RDD] = []
+    for node in frontier.values():
+        rdd = node._rdd  # forces only the shared node's own chain
+        if not rdd.is_cached:
+            rdd.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(rdd)
+    return persisted
 
 
 def _persist_shared_frontier(rdds: list) -> list:

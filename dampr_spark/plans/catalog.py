@@ -209,21 +209,32 @@ _DRIVER_WINDOW = 50
 def all_queries() -> dict[str, CatalogQuery]:
     _load_all()
     ordered = sorted(_REGISTRY.values(), key=_window_key)  # stable within key
-    # Rotate ONE rows-only query per round through the window's last slot:
-    # rows-only entries deliberately never spend hash-checkable slots, but
-    # that froze their driver-visible records at r02 (VERDICT r5 §wrong #2)
-    # — a reader of CORRECTNESS history alone would think they last ran
-    # years of rounds ago. Promote the LONGEST-unseen rows-only query to
-    # slot 50 so each gets a fresh (rows-only) driver record every
-    # ~N_rows_only rounds. Never displace a never-checked oracle-backed
-    # query (rank 0): those are worth strictly more than a no_oracle row.
+    # Rotate rows-only queries through the window's last slots: rows-only
+    # entries deliberately never spend hash-checkable slots, but that froze
+    # their driver-visible records at r02 (VERDICT r5 §wrong #2) — a reader
+    # of CORRECTNESS history alone would think they last ran years of
+    # rounds ago. Promote the LONGEST-unseen rows-only queries to the tail
+    # of the window so each gets a fresh (rows-only) driver record. TWO
+    # slots per round (VERDICT r6 next-round #3): the oracle-backed backlog
+    # is empty, so the window has the slack and the stale set clears in
+    # half the rounds. Never displace a never-checked oracle-backed query
+    # (rank 0): those are worth strictly more than a no_oracle row.
+    _ROTATE_SLOTS = 2
     rows_only = [q for q in ordered if q.oracle is None]
     n_rank0 = sum(1 for q in ordered if _window_key(q)[0] == 0)
-    if rows_only and n_rank0 < _DRIVER_WINDOW and len(ordered) > _DRIVER_WINDOW:
-        seen = _rows_only_last_seen()
-        target = min(rows_only, key=lambda q: seen.get(q.name, 0))
+    seen = _rows_only_last_seen()
+    n_rotate = min(
+        _ROTATE_SLOTS,
+        len(rows_only),
+        max(0, _DRIVER_WINDOW - n_rank0),
+        max(0, len(ordered) - _DRIVER_WINDOW),
+    )
+    # Stalest first so it lands earliest in the window tail.
+    for i, target in enumerate(
+        sorted(rows_only, key=lambda q: (seen.get(q.name, 0), q.name))[:n_rotate]
+    ):
         ordered.remove(target)
-        ordered.insert(_DRIVER_WINDOW - 1, target)
+        ordered.insert(_DRIVER_WINDOW - n_rotate + i, target)
     return {q.name: q for q in ordered}
 
 

@@ -455,17 +455,16 @@ def incremental_neardup_stream(
     (band, band_hash) bucket: once a bucket's total signature count exceeds
     the cap, BOTH its cross-store and its within-batch pairing are skipped
     for this and every later batch (signatures still append, so the count
-    keeps reflecting the full corpus). Relative to the batch operator with
-    the same cap, the replayed union is therefore a SUPERSET: every pair
-    the batch operator emits is emitted here too (its bucket is under the
-    cap in the full corpus, hence under it at every prefix), plus pairs
-    formed in a later-hot bucket while it was still under the cap — no
-    retraction is possible incrementally, and extra CANDIDATES are
-    harmless because the exact-Jaccard verify filters downstream.
-    Per-batch work stays bounded: a hot bucket never pairs again after
-    crossing the cap. Emitted pairs are CANDIDATES; the exact-Jaccard
-    verify joins document text downstream (the store deliberately holds
-    signatures, not text).
+    keeps reflecting the full corpus). The RAW sink is a superset of the
+    batch operator's capped set (pairs emitted from a bucket while it was
+    still under the cap can't be retracted from an append-only sink), but
+    every pair row records its emitting (band, band_hash), so
+    :func:`neardup_pairs_view` recovers EXACT batch equivalence at read
+    time by dropping pairs whose every recorded bucket has since crossed
+    the cap (pinned by the cap-equivalence test). Per-batch work stays
+    bounded: a hot bucket never pairs again after crossing the cap.
+    Emitted pairs are CANDIDATES; the exact-Jaccard verify joins document
+    text downstream (the store deliberately holds signatures, not text).
 
     Same at-least-once caveat as incremental_dedup_stream: a retried batch
     re-appends signatures and pairs; dedup on read restores exactly-once.
@@ -500,13 +499,24 @@ def incremental_neardup_stream(
         new_pruned = new_bands.join(
             hot, ["band", "band_hash"], "left_anti"
         ).localCheckpoint(eager=True)
+        # Pairs carry their EMITTING bucket (band, band_hash): the sink is
+        # append-only, so a bucket that goes hot in a later batch can't
+        # retract its early pairs here — :func:`neardup_pairs_view` does
+        # that at read time by dropping pairs whose every recorded bucket
+        # has since crossed the cap, which makes the read view EXACTLY the
+        # batch operator's capped candidate set.
         cross = (
             new_pruned.select(F.col("id").alias("id_a"), "band", "band_hash")
             .join(
                 store_pruned.select(F.col("id").alias("id_b"), "band", "band_hash"),
                 ["band", "band_hash"],
             )
-            .select("id_a", "id_b")
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                "band",
+                "band_hash",
+            )
         )
         within = (
             new_pruned.select(F.col("id").alias("id_a"), "band", "band_hash")
@@ -515,16 +525,9 @@ def incremental_neardup_stream(
                 ["band", "band_hash"],
             )
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+            .select("id_a", "id_b", "band", "band_hash")
         )
-        pairs = (
-            cross.select(
-                F.least("id_a", "id_b").alias("id_a"),
-                F.greatest("id_a", "id_b").alias("id_b"),
-            )
-            .unionByName(within)
-            .distinct()
-        )
+        pairs = cross.unionByName(within).distinct()
         pairs.write.mode("append").parquet(out_dir)
         new_bands.select("id", "band", "band_hash").write.mode("append").parquet(
             store_dir
@@ -535,6 +538,37 @@ def incremental_neardup_stream(
         .option("checkpointLocation", out_dir + "_checkpoint")
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def neardup_pairs_view(
+    spark: SparkSession,
+    out_dir: str,
+    store_dir: str,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Batch-equivalent read view over :func:`incremental_neardup_stream`'s
+    append-only pair sink: keeps a candidate pair iff at least one of its
+    recorded emitting buckets is STILL under ``max_bucket`` in the full
+    signature store — read-time retraction for buckets that went hot after
+    emitting. This is exactly the batch operator's rule (a pair survives
+    the cap iff some under-cap bucket contains both documents), so under
+    an active cap this view EQUALS ``minhash_lsh_candidates(...,
+    max_bucket=...)`` over the ingested corpus, not just a superset
+    (pinned by the cap-equivalence test). One small aggregate over the
+    16-rows-per-doc store + an anti-join — no document text is read."""
+    pairs = spark.read.parquet(out_dir)
+    hot = (
+        spark.read.parquet(store_dir)
+        .groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket)
+        .select("band", "band_hash")
+    )
+    return (
+        pairs.join(hot, ["band", "band_hash"], "left_anti")
+        .select("id_a", "id_b")
+        .distinct()
     )
 
 

@@ -712,3 +712,42 @@ def test_read_input_iterable_with_read_attr_stays_iterable(spark):
     src_obj = PairsWithReadAttr([(0, "a"), (1, "b")])
     pipe = Dampr.read_input(src_obj)
     assert sorted(pipe.run()) == ["a", "b"]
+
+
+def test_run_share_python_computes_shared_lambda_once(spark):
+    """share_python=True closes the documented Python-lambda residual: the
+    narrow Python map shared by both pipelines runs ONCE for the whole
+    Dampr.run (reference Graph.union parity, dampr/runner.py:127-135),
+    because the runner persists the shared PBase frontier before any child
+    thunk builds its fused PythonRDD."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def tag(v):
+        acc.add(1)
+        return v + 1
+
+    base = Dampr.memory(list(range(80))).map(tag)
+    p1 = base.filter(lambda v: v % 2 == 0)
+    p2 = base.map(lambda v: -v)
+    ra, rb = Dampr.run(p1, p2, share_python=True)
+    assert sorted(ra.read()) == [v for v in range(1, 81) if v % 2 == 0]
+    assert sorted(rb.read()) == sorted(-v for v in range(1, 81))
+    assert acc.value == 80, f"shared python map ran {acc.value / 80}x"
+
+
+def test_run_share_python_default_off_still_correct(spark):
+    """Without the option the shared lambda re-runs per pipeline (the
+    documented default residual) but results are identical — the flag is
+    purely a cost knob, never a semantics change."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def tag(v):
+        acc.add(1)
+        return v * 2
+
+    base = Dampr.memory(list(range(40))).map(tag)
+    p1 = base.filter(lambda v: v > 10)
+    p2 = base.filter(lambda v: v <= 10)
+    ra, rb = Dampr.run(p1, p2)
+    assert sorted(ra.read() + rb.read()) == [v * 2 for v in range(40)]
+    assert acc.value == 80  # 2 pipelines x 40 rows: fused re-execution

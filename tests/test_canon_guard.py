@@ -46,10 +46,10 @@ def test_window_ordering_prefers_unchecked_oracles():
     """The driver checks only the first 50 queries: every oracle-backed
     query WITHOUT a recorded driver-green row must outrank every
     previously-green one, and rows-only queries must never occupy a
-    hash-checkable slot ahead of an oracle-backed one — EXCEPT the single
-    rotated rows-only entry at slot 50 (round 6: one rows-only query per
-    round gets a fresh driver record so its CORRECTNESS history doesn't
-    freeze; VERDICT r5 wrong #2)."""
+    hash-checkable slot ahead of an oracle-backed one — EXCEPT the TWO
+    rotated rows-only entries at slots 49-50 (round 7 bumped the rotation
+    from one to two per round now the oracle-backed backlog is empty;
+    VERDICT r6 next-round #3)."""
     from dampr_spark.plans.catalog import (
         _DRIVER_WINDOW,
         _driver_green_history,
@@ -65,9 +65,9 @@ def test_window_ordering_prefers_unchecked_oracles():
         return 1 if q.name in hist else 0
 
     ranks = [rank(q) for q in qs]
-    rotated = qs[_DRIVER_WINDOW - 1]
-    assert rotated.oracle is None, "slot 50 must hold the rotated rows-only query"
-    del ranks[_DRIVER_WINDOW - 1]
+    for slot in (_DRIVER_WINDOW - 1, _DRIVER_WINDOW - 2):
+        assert qs[slot].oracle is None, "slots 49-50 must hold rotated rows-only"
+        del ranks[slot]
     assert ranks == sorted(ranks), "catalog order must be rank-sorted"
     # History parsing actually found the driver's recorded rounds.
     assert len(hist) >= 92

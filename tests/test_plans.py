@@ -474,3 +474,26 @@ def test_exact_dedup_keep_best_no_window(spark):
     # partial+final two-phase shape (one candidate per group per map task)
     assert "partial_max" in plan
     assert plan.count("Aggregate") >= 2
+
+
+def test_driver_window_rotates_two_stalest_rows_only():
+    """The first 50 catalog entries (the driver's correctness window) carry
+    exactly two rows-only queries per round — the two with the OLDEST
+    driver record — so the no_oracle backlog refreshes at two per round
+    without displacing any never-checked oracle-backed query."""
+    from dampr_spark.plans.catalog import _rows_only_last_seen, all_queries
+
+    qs = list(all_queries().items())
+    window_rows_only = [n for n, q in qs[:50] if q.oracle is None]
+    assert len(window_rows_only) == 2
+    seen = _rows_only_last_seen()
+    all_rows_only = sorted(
+        (n for n, q in qs if q.oracle is None),
+        key=lambda n: (seen.get(n, 0), n),
+    )
+    assert set(window_rows_only) == set(all_rows_only[:2])
+    # never-checked oracle-backed queries (if any) must all be in-window
+    from dampr_spark.plans.catalog import _window_key
+
+    rank0 = [n for n, q in qs if _window_key(q)[0] == 0]
+    assert all(n in dict(qs[:50]) for n in rank0)

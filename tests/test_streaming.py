@@ -503,13 +503,13 @@ def test_incremental_neardup_stream_matches_batch(spark, sf_dir, tmp_path_factor
 def test_incremental_neardup_stream_cap_superset_of_batch(
     spark, sf_dir, tmp_path_factory
 ):
-    """With an ACTIVE max_bucket cap, the replayed union must be a
-    SUPERSET of the batch operator's capped candidate set (batch pairs all
-    live in under-cap buckets, which are under-cap at every prefix) and a
-    SUBSET of the uncapped full candidate set (pruning never invents
-    pairs). ADVICE r5: the previous store-side-only cap violated both
-    directions; the cap now applies to cumulative store+batch bucket
-    size on both pairings."""
+    """With an ACTIVE max_bucket cap: the RAW sink must be a superset of
+    the batch operator's capped candidate set (batch pairs all live in
+    under-cap buckets, which are under-cap at every prefix) and a subset
+    of the uncapped full set; and the `neardup_pairs_view` read view —
+    which drops pairs whose every emitting bucket has since gone hot —
+    must EQUAL the batch capped set exactly (VERDICT r6 #6: equivalence,
+    not superset)."""
     import glob
     import os
     import shutil
@@ -550,6 +550,16 @@ def test_incremental_neardup_stream_cap_superset_of_batch(
     assert uncapped - batch_capped, "cap must actually bind on this fixture"
     assert batch_capped <= got, f"under-emitted: {batch_capped - got}"
     assert got <= uncapped, f"invented pairs: {got - uncapped}"
+
+    view = {
+        (r.id_a, r.id_b)
+        for r in streaming.neardup_pairs_view(
+            spark, out, store, max_bucket=cap
+        ).collect()
+    }
+    assert view == batch_capped, (
+        f"view!=batch: extra={view - batch_capped} missing={batch_capped - view}"
+    )
 
 
 def test_incremental_novelty_stream_matches_batch(spark, sf_dir, tmp_path_factory):
