@@ -120,6 +120,11 @@ BENCH_QUERIES = [
     # fused rank-wise).
     "bigram_pmi",
     "hybrid_rrf_search",
+    # round-7 flagships: suffix-run substring dedup (anchor postings ->
+    # diagonal gaps-and-islands runs) and the Gopher-style within-doc
+    # duplication score (positional grams -> per-doc interval union).
+    "repeated_substrings",
+    "duplicate_ngram_coverage",
 ]
 
 

@@ -1125,3 +1125,287 @@ def ngram_novelty_scores(
             F.round(novel / F.count(F.lit(1)), 6).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# suffix-run substring dedup (arbitrary-length repeated substrings)
+# ---------------------------------------------------------------------------
+
+
+def positional_windows(col: str, n: int) -> Column:
+    """Every ``n``-token window of a whitespace-tokenized text WITH its
+    1-based token position: ``array<struct<pos:int, gram:string>>``. Unlike
+    :func:`word_ngrams` this is NOT distinct — positional identity is the
+    whole point (the suffix-run machinery chains adjacent positions into
+    maximal matches). Texts shorter than ``n`` tokens emit an empty array."""
+    toks = F.split(F.col(col), " ")
+    cnt = F.size(toks) - (n - 1)
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
+        ),
+    )
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    anchor_tokens: int = 8,
+    min_len: int | None = None,
+    max_posting: int = 16,
+    within_doc: bool = False,
+    hash_anchors: bool = False,
+) -> DataFrame:
+    """Maximal repeated substrings of ≥ ``min_len`` tokens across documents
+    — the distributed stand-in for suffix-array substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better";
+    reference scope: the engine has no such operator, this is extension
+    surface). Returns ``(id_a, start_a, id_b, start_b, match_len)`` spans
+    with 1-based token starts; a shared substring of L ≥ ``anchor_tokens``
+    tokens appears as one span of ``match_len == L``.
+
+    Suffix-run algorithm (MapReduce suffix-array approximation): every
+    ``anchor_tokens``-token window is emitted AT ITS POSITION; windows are
+    grouped (the posting list), in-bucket occurrence pairs are keyed by the
+    pair diagonal ``(id_a, id_b, offset)``, and consecutive anchor positions
+    on a diagonal chain into maximal runs (gaps-and-islands): a run of R
+    consecutive matching anchors is exactly a common substring of
+    R + anchor_tokens - 1 tokens. Exact for any repeat ≥ ``anchor_tokens``
+    tokens whose windows survive the ``max_posting`` cap; hot (boilerplate)
+    windows are dropped on both engines, which can only shorten or split
+    runs, never fabricate them.
+
+    Shuffle budget: (1) one explode+groupBy keyed by the window (with
+    ``hash_anchors=True`` the key is the 8-byte xxhash64 of the window —
+    the 100 TB path; anchor strings never shuffle), (2) one hash shuffle on
+    the pair diagonal for the run window-function; the island groupBy reuses
+    that partitioning (subset-key clustering), so no third exchange.
+
+    ``within_doc=True`` returns self-repetition runs instead (offset > 0),
+    the primitive behind looping/degenerate-text quality filters."""
+    if min_len is None:
+        min_len = anchor_tokens
+    if min_len < anchor_tokens:
+        raise ValueError(
+            f"min_len ({min_len}) must be >= anchor_tokens ({anchor_tokens}): "
+            "runs are detected at anchor granularity"
+        )
+    from pyspark.sql.window import Window
+
+    anchor = (
+        F.xxhash64(F.col("w.gram")) if hash_anchors else F.col("w.gram")
+    )
+    pos = (
+        _ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(positional_windows(text_col, anchor_tokens)).alias("w"),
+        )
+        .select("id", F.col("w.pos").alias("pos"), anchor.alias("gram"))
+    )
+    postings = (
+        pos.groupBy("gram")
+        .agg(F.collect_list(F.struct("id", "pos")).alias("occ"))
+        .filter((F.size("occ") >= 2) & (F.size("occ") <= max_posting))
+    )
+    pairs = (
+        postings.select(
+            F.explode(_sorted_struct_pairs(F.col("occ"))).alias("p")
+        )
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.a.pos").alias("pos_a"),
+            F.col("p.b.id").alias("id_b"),
+            (F.col("p.b.pos") - F.col("p.a.pos")).alias("offset"),
+        )
+    )
+    pairs = (
+        pairs.filter(F.col("id_a") == F.col("id_b"))
+        if within_doc
+        else pairs.filter(F.col("id_a") != F.col("id_b"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "offset").orderBy("pos_a")
+    spans = (
+        pairs.withColumn("isl", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "offset", "isl")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            (F.count(F.lit(1)) + (anchor_tokens - 1)).alias("match_len"),
+        )
+        .filter(F.col("match_len") >= min_len)
+        .select(
+            "id_a",
+            F.col("start_a").cast("long").alias("start_a"),
+            "id_b",
+            (F.col("start_a") + F.col("offset")).cast("long").alias("start_b"),
+            F.col("match_len").cast("long").alias("match_len"),
+        )
+    )
+    return spans
+
+
+def _interval_union_tokens(sides: DataFrame) -> DataFrame:
+    """Per-id token count covered by the UNION of [s, e] intervals (classic
+    merge-overlaps: running max of prior ends marks island starts). Input
+    columns (id, s, e); output (id, dup_tokens). The running-max window and
+    both downstream aggregates share one hash partitioning on id.
+
+    Intervals are DISTINCT-ed first — not just because duplicates are
+    redundant, but for determinism: with duplicate (s, e) rows the
+    ORDER BY (s, e) is not a total order, and an engine that evaluates the
+    running-max and running-sum windows as separate passes (DuckDB does for
+    the nested form) may tie-break them differently, splitting one island
+    in two. Distinct rows make (s, e) a total order, so every engine
+    agrees."""
+    from pyspark.sql.window import Window
+
+    sides = sides.select("id", "s", "e").distinct()
+
+    wp = (
+        Window.partitionBy("id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wr = (
+        Window.partitionBy("id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = sides.withColumn("prev_e", F.max("e").over(wp)).withColumn(
+        "isl",
+        F.sum(
+            F.when(
+                F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e")), 1
+            ).otherwise(0)
+        ).over(wr),
+    )
+    return (
+        m.groupBy("id", "isl")
+        .agg((F.max("e") - F.min("s") + 1).alias("covered"))
+        .groupBy("id")
+        .agg(F.sum("covered").cast("long").alias("dup_tokens"))
+    )
+
+
+def substring_dedup_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    anchor_tokens: int = 8,
+    min_len: int = 20,
+    max_posting: int = 16,
+    hash_anchors: bool = False,
+) -> DataFrame:
+    """Per-document cross-doc repeated-substring exposure: for every doc
+    touched by a ≥ ``min_len``-token shared span, ``(doc_id, n_partners,
+    max_match_len, dup_tokens, n_tokens, dup_frac)`` where ``dup_tokens``
+    is the UNION of its span intervals (overlapping spans counted once) and
+    ``dup_frac`` the covered fraction of the doc. The curation form of
+    :func:`repeated_substring_spans` — "drop/trim docs with > X% verbatim
+    shared content" filters read straight off ``dup_frac``."""
+    spans = repeated_substring_spans(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        anchor_tokens=anchor_tokens,
+        min_len=min_len,
+        max_posting=max_posting,
+        hash_anchors=hash_anchors,
+    )
+    sides = spans.select(
+        F.col("id_a").alias("id"),
+        F.col("id_b").alias("partner"),
+        F.col("start_a").alias("s"),
+        (F.col("start_a") + F.col("match_len") - 1).alias("e"),
+        "match_len",
+    ).unionByName(
+        spans.select(
+            F.col("id_b").alias("id"),
+            F.col("id_a").alias("partner"),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("match_len") - 1).alias("e"),
+            "match_len",
+        )
+    )
+    stats = sides.groupBy("id").agg(
+        F.countDistinct("partner").cast("long").alias("n_partners"),
+        F.max("match_len").alias("max_match_len"),
+    )
+    cov = _interval_union_tokens(sides.select("id", "s", "e"))
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        stats.join(cov, "id")
+        .join(toks, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_partners",
+            "max_match_len",
+            "dup_tokens",
+            "n_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+def duplicate_ngram_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Gopher-style within-document duplication score (Rae et al. 2021
+    quality filters): per doc, the fraction of tokens covered by word
+    ``n``-grams that occur MORE THAN ONCE inside the same document —
+    ``(doc_id, n_tokens, dup_tokens, dup_frac)`` for EVERY non-null doc
+    (clean docs score 0.0). Looping/degenerate generations and boilerplate
+    scaffolds light up on this metric while cross-doc dedup misses them.
+
+    Plan: positional n-grams → (id, gram) count ≥ 2 keeps only repeated
+    grams (map-side combinable agg, no posting lists) → each kept position
+    spans [pos, pos+n-1] → per-doc interval union. Everything after the
+    explode is keyed by id (one hash partitioning reused across the window
+    and both aggregates)."""
+    base = df.filter(F.col(text_col).isNotNull())
+    pos = _ensure_parallelism(base).select(
+        F.col(id_col).alias("id"),
+        F.explode(positional_windows(text_col, n)).alias("w"),
+    )
+    dup_positions = (
+        pos.groupBy("id", F.col("w.gram").alias("gram"))
+        .agg(F.collect_list("w.pos").alias("ps"))
+        .filter(F.size("ps") >= 2)
+        .select(
+            "id",
+            F.explode("ps").alias("s"),
+        )
+        .withColumn("e", F.col("s") + (n - 1))
+    )
+    cov = _interval_union_tokens(dup_positions.select("id", "s", "e"))
+    toks = base.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        toks.join(cov, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -1127,3 +1127,171 @@ def audio_segments_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.count(F.lit(1))
         ).alias("features_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# suffix-run substring dedup (round 7)
+# ---------------------------------------------------------------------------
+
+# Anchor-window posting cap for the registered substring queries. Same
+# convention as _NGRAM_MAX_POSTING: 64 sits far above the corpus's organic
+# max posting (3 in the r7 testdata), so on real data the capped result
+# equals the uncapped one — the cap exists for the adversarial/boilerplate
+# window that would otherwise emit k² diagonal pairs into one task.
+_SUBSTR_MAX_POSTING = 64
+
+# Shared oracle prefix: positional 8-token windows -> capped postings ->
+# diagonal pairs -> gaps-and-islands runs -> maximal spans >= 20 tokens.
+# (unnest(range)/unnest(list_transform) zip positionally in DuckDB — the
+# lateral generate_series form does not accept column arguments.)
+_SPANS_CTE = f"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL),
+pos AS (
+  SELECT id,
+    unnest(range(1, greatest(len(t)-7, 0)+1)) AS i,
+    unnest(list_transform(range(1, greatest(len(t)-7, 0)+1),
+                          i -> array_to_string(t[i:i+7], ' '))) AS gram
+  FROM toks),
+keep AS (
+  SELECT gram FROM pos GROUP BY gram
+  HAVING count(*) BETWEEN 2 AND {_SUBSTR_MAX_POSTING}),
+pairs AS (
+  SELECT a.id AS id_a, a.i AS pa, b.id AS id_b, b.i - a.i AS off
+  FROM pos a JOIN keep USING (gram) JOIN pos b USING (gram)
+  WHERE a.id < b.id),
+runs AS (
+  SELECT id_a, id_b, off, pa,
+         pa - row_number() OVER (PARTITION BY id_a, id_b, off ORDER BY pa) AS isl
+  FROM pairs),
+spans AS (
+  SELECT id_a, min(pa) AS start_a, id_b, min(pa) + off AS start_b,
+         count(*) + 7 AS match_len
+  FROM runs GROUP BY id_a, id_b, off, isl
+  HAVING count(*) + 7 >= 20)
+"""
+
+
+@register(
+    "repeated_substrings",
+    oracle=_SPANS_CTE
+    + """
+SELECT id_a, CAST(start_a AS BIGINT) AS start_a, id_b,
+       CAST(start_b AS BIGINT) AS start_b, CAST(match_len AS BIGINT) AS match_len
+FROM spans
+""",
+    tags=("dedup", "substring", "extension"),
+)
+def repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document repeated substrings ≥ 20 tokens (Lee et al.
+    suffix-array dedup, re-expressed as the distributed suffix-run plan:
+    positional 8-token anchors → capped posting lists → diagonal-keyed
+    gaps-and-islands runs). Exact — a 93-token planted run comes back as
+    one (start_a, start_b, 93) span, fully oracle-checked. The registered
+    form shuffles anchor STRINGS for oracle parity; at corpus scale pass
+    hash_anchors=True and the same plan shuffles 8-byte xxhash64 keys."""
+    return dedup.repeated_substring_spans(
+        _t(spark, sf_dir, "documents"),
+        anchor_tokens=8,
+        min_len=20,
+        max_posting=_SUBSTR_MAX_POSTING,
+    )
+
+
+@register(
+    "substring_dedup_report",
+    oracle=_SPANS_CTE
+    + """
+, sides AS (
+  SELECT id_a AS id, id_b AS partner, start_a AS s,
+         start_a + match_len - 1 AS e, match_len FROM spans
+  UNION ALL
+  SELECT id_b AS id, id_a AS partner, start_b AS s,
+         start_b + match_len - 1 AS e, match_len FROM spans),
+isl AS (
+  SELECT id, s, e,
+    sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+      OVER (PARTITION BY id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  -- DISTINCT first: duplicate (s,e) intervals would make the (s,e) order
+  -- non-total and the two window passes could tie-break differently,
+  -- splitting an island (operators/dedup.py:_interval_union_tokens)
+  FROM (SELECT id, s, e,
+          max(e) OVER (PARTITION BY id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        FROM (SELECT DISTINCT id, s, e FROM sides))),
+cov AS (
+  SELECT id, CAST(sum(covered) AS BIGINT) AS dup_tokens
+  FROM (SELECT id, g, max(e) - min(s) + 1 AS covered FROM isl GROUP BY id, g)
+  GROUP BY id),
+stats AS (
+  SELECT id, CAST(count(DISTINCT partner) AS BIGINT) AS n_partners,
+         CAST(max(match_len) AS BIGINT) AS max_match_len
+  FROM sides GROUP BY id),
+tc AS (
+  SELECT doc_id AS id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL)
+SELECT stats.id AS doc_id, n_partners, max_match_len, dup_tokens, n_tokens,
+       round(dup_tokens / n_tokens, 6) AS dup_frac
+FROM stats JOIN cov ON stats.id = cov.id JOIN tc ON stats.id = tc.id
+""",
+    tags=("dedup", "substring", "curation", "extension"),
+)
+def substring_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document verbatim-sharing exposure: for every doc touched by a
+    ≥20-token cross-doc span, the partner count, longest span, and the
+    UNION of its span intervals as a token count + fraction (overlapping
+    spans counted once — interval merge via gaps-and-islands). The curation
+    gate form: "drop docs with dup_frac > X" reads straight off this."""
+    return dedup.substring_dedup_report(
+        _t(spark, sf_dir, "documents"),
+        anchor_tokens=8,
+        min_len=20,
+        max_posting=_SUBSTR_MAX_POSTING,
+    )
+
+
+@register(
+    "duplicate_ngram_coverage",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL),
+pos AS (
+  SELECT id,
+    unnest(range(1, greatest(len(t)-2, 0)+1)) AS i,
+    unnest(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                          i -> array_to_string(t[i:i+2], ' '))) AS gram
+  FROM toks),
+dup AS (
+  SELECT id, i AS s, i + 2 AS e FROM pos
+  QUALIFY count(*) OVER (PARTITION BY id, gram) >= 2),
+isl AS (
+  SELECT id, s, e,
+    sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+      OVER (PARTITION BY id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM (SELECT id, s, e,
+          max(e) OVER (PARTITION BY id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        FROM (SELECT DISTINCT id, s, e FROM dup))),
+cov AS (
+  SELECT id, CAST(sum(covered) AS BIGINT) AS dup_tokens
+  FROM (SELECT id, g, max(e) - min(s) + 1 AS covered FROM isl GROUP BY id, g)
+  GROUP BY id),
+tc AS (
+  SELECT doc_id AS id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL)
+SELECT tc.id AS doc_id, n_tokens, CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(COALESCE(dup_tokens, 0) / greatest(n_tokens, 1), 6) AS dup_frac
+FROM tc LEFT JOIN cov ON tc.id = cov.id
+""",
+    tags=("dedup", "quality", "extension"),
+)
+def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style WITHIN-document duplication score for every doc: the
+    fraction of tokens covered by word 3-grams occurring more than once in
+    the same document (interval-union coverage, clean docs score 0.0).
+    Catches looping/degenerate text that cross-doc dedup cannot see."""
+    return dedup.duplicate_ngram_coverage(_t(spark, sf_dir, "documents"), n=3)

@@ -1003,3 +1003,160 @@ def test_ivf_sq8_composition_pruned_quantized_search(spark, sf_dir, tmp_path_fac
     ).distinct().collect()
     dirs = {re.search(r"list_id=(\d+)", r.f).group(1) for r in files}
     assert dirs == {str(p) for p in probes}
+
+
+# ---------------------------------------------------------------------------
+# suffix-run substring dedup
+# ---------------------------------------------------------------------------
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+@pytest.fixture(scope="module")
+def substring_planted(spark):
+    """Docs with a KNOWN 30-token shared run at known positions, plus noise."""
+    shared = _words("run", 30)
+    rows = [
+        # doc 1: 5 unique tokens, then the 30-token run (starts at pos 6)
+        (1, _words("a", 5) + " " + shared + " " + _words("b", 4)),
+        # doc 2: run starts at pos 11
+        (2, _words("c", 10) + " " + shared),
+        # doc 3: all-unique noise
+        (3, _words("z", 40)),
+        # doc 4: looping text — 4-token phrase repeated 5x back-to-back
+        (4, " ".join([_words("loop", 4)] * 5)),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repeated_substring_spans_planted(substring_planted):
+    spans = dedup.repeated_substring_spans(
+        substring_planted, anchor_tokens=8, min_len=20
+    ).collect()
+    cross = [r for r in spans if {r.id_a, r.id_b} == {1, 2}]
+    assert len(cross) == 1
+    (r,) = cross
+    assert (r.id_a, r.start_a, r.id_b, r.start_b, r.match_len) == (1, 6, 2, 11, 30)
+
+
+def test_repeated_substring_spans_min_len_filters(substring_planted):
+    # raising min_len above the planted run drops it
+    spans = dedup.repeated_substring_spans(
+        substring_planted, anchor_tokens=8, min_len=31
+    ).collect()
+    assert not [r for r in spans if {r.id_a, r.id_b} == {1, 2}]
+
+
+def test_repeated_substring_spans_hash_anchors_equal(substring_planted):
+    a = sorted(
+        tuple(r)
+        for r in dedup.repeated_substring_spans(
+            substring_planted, anchor_tokens=8, min_len=20
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in dedup.repeated_substring_spans(
+            substring_planted, anchor_tokens=8, min_len=20, hash_anchors=True
+        ).collect()
+    )
+    assert a == b and len(a) >= 1
+
+
+def test_repeated_substring_spans_within_doc(substring_planted):
+    # doc 4 = 4-token phrase x5 = 20 tokens; with 8-token anchors the
+    # periodic structure yields runs on every multiple-of-4 diagonal whose
+    # longest (offset 4) spans tokens 1..16 matching 5..20 => match_len 16
+    spans = dedup.repeated_substring_spans(
+        substring_planted, anchor_tokens=8, min_len=8, within_doc=True
+    ).collect()
+    assert all(r.id_a == r.id_b == 4 for r in spans)
+    best = max(r.match_len for r in spans)
+    assert best == 16
+    # cross-doc mode must not report doc 4 against itself
+    cross = dedup.repeated_substring_spans(
+        substring_planted, anchor_tokens=8, min_len=8
+    ).collect()
+    assert not [r for r in cross if r.id_a == r.id_b]
+
+
+def test_repeated_substring_cap_undercounts_never_fabricates(spark):
+    # 6 docs all sharing one 12-token run: posting size 6 > cap 4 drops the
+    # hot anchors entirely — no pairs, but nothing invented either
+    shared = _words("hot", 12)
+    rows = [(i, _words(f"u{i}_", 3) + " " + shared) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.repeated_substring_spans(
+        df, anchor_tokens=8, min_len=12, max_posting=4
+    ).collect()
+    assert capped == []
+    full = dedup.repeated_substring_spans(
+        df, anchor_tokens=8, min_len=12, max_posting=64
+    ).collect()
+    assert len(full) == 15  # C(6,2) pairs, one span each
+    assert all(r.match_len == 12 for r in full)
+
+
+def test_repeated_substring_min_len_validation(substring_planted):
+    with pytest.raises(ValueError):
+        dedup.repeated_substring_spans(
+            substring_planted, anchor_tokens=8, min_len=5
+        )
+
+
+def test_substring_report_interval_union(spark):
+    # doc 1 shares [1..30] with doc 2 and [21..50] with doc 3: the union is
+    # 50 tokens, NOT 60 — overlapping spans must merge
+    seg_a = _words("p", 20)  # tokens 1..20 of doc 1
+    seg_b = _words("q", 10)  # tokens 21..30
+    seg_c = _words("r", 20)  # tokens 31..50
+    rows = [
+        (1, " ".join([seg_a, seg_b, seg_c])),
+        (2, " ".join([seg_a, seg_b]) + " " + _words("x", 10)),
+        (3, _words("y", 10) + " " + " ".join([seg_b, seg_c])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = {
+        r.doc_id: r
+        for r in dedup.substring_dedup_report(
+            df, anchor_tokens=8, min_len=20
+        ).collect()
+    }
+    assert rep[1].n_partners == 2
+    assert rep[1].dup_tokens == 50 and rep[1].n_tokens == 50
+    assert rep[1].dup_frac == 1.0
+    assert rep[2].dup_tokens == 30  # [1..30] of doc 2
+    assert rep[3].dup_tokens == 30  # [11..40] of doc 3
+
+
+def test_duplicate_ngram_coverage_planted(substring_planted):
+    cov = {
+        r.doc_id: r
+        for r in dedup.duplicate_ngram_coverage(
+            substring_planted, n=3
+        ).collect()
+    }
+    # doc 4 (4-token phrase x5): every 3-gram window is part of a repeated
+    # phrase => full coverage
+    assert cov[4].dup_frac == 1.0 and cov[4].dup_tokens == cov[4].n_tokens
+    # docs with all-unique tokens score exactly 0 and still appear
+    assert cov[3].dup_frac == 0.0 and cov[3].dup_tokens == 0
+    assert set(cov) == {1, 2, 3, 4}
+
+
+def test_repeated_substring_plan_shuffles(substring_planted):
+    # the island groupBy must REUSE the window's diagonal partitioning:
+    # exactly 3 exchanges (parallelize round-robin, anchor groupBy, diagonal
+    # window) and no nested-loop/cartesian anywhere
+    spans = dedup.repeated_substring_spans(
+        substring_planted, anchor_tokens=8, min_len=20
+    )
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    # ONE diagonal shuffle serves both the run window and the island groupBy
+    assert plan.count("hashpartitioning(id_a") == 1, plan
+    # anchor groupBy is the only other hash exchange
+    assert plan.count("hashpartitioning(gram") == 1, plan
+    assert plan.count("Exchange") <= 3, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
