@@ -134,16 +134,33 @@ def run_dataframe(spark, corpus: str, outdir: str) -> tuple[float, int]:
     try:
         t0 = time.perf_counter()
         lines = spark.read.text(corpus)
+        # Sentinel token per line folds the corpus line count into the SAME
+        # single-pass aggregate as the per-word doc frequencies — one corpus
+        # scan total (the broadcast-subquery form re-scanned the corpus for
+        # the count; at sub-GB scale that second scan was the gap to the
+        # reference's zero-startup design). "\x00" can't tokenize out of
+        # \w+ splits, so it never collides with a real word.
+        sent = "\x00lines\x00"
         tokens = lines.select(
             F.explode(
-                F.array_distinct(F.split(F.lower(F.col("value")), r"[^\w]+"))
+                F.concat(
+                    F.array(F.lit(sent)),
+                    F.array_distinct(
+                        F.split(F.lower(F.col("value")), r"[^\w]+")
+                    ),
+                )
             ).alias("word")
         )
-        doc_freq = tokens.groupBy("word").agg(F.count("*").alias("df"))
-        # corpus line count rides the same action as a broadcast 1-row subquery
-        total = F.broadcast(lines.agg(F.count("*").alias("total")))
-        idf = doc_freq.crossJoin(total).select(
-            "word", "df", F.log(1 + F.col("total") / F.col("df")).alias("idf")
+        # vocab-sized result (tiny): pin it so the scalar read and the sink
+        # both reuse the one scan+combine job
+        agg = (
+            tokens.groupBy("word")
+            .agg(F.count("*").alias("df"))
+            .localCheckpoint(eager=True)
+        )
+        total = agg.filter(F.col("word") == sent).first()["df"]
+        idf = agg.filter(F.col("word") != sent).select(
+            "word", "df", F.log(1 + F.lit(float(total)) / F.col("df")).alias("idf")
         )
         idf.write.mode("overwrite").csv(outdir, sep="\t")
         dt = time.perf_counter() - t0
