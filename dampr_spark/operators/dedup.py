@@ -1409,3 +1409,106 @@ def duplicate_ngram_coverage(
             ).alias("dup_frac"),
         )
     )
+
+
+def _merged_intervals(sides: DataFrame) -> DataFrame:
+    """Merge overlapping [s, e] intervals per id (same gaps-and-islands as
+    :func:`_interval_union_tokens`, but returning the merged intervals
+    themselves): (id, s, e) -> (id, ms, me) disjoint and sorted."""
+    from pyspark.sql.window import Window
+
+    sides = sides.select("id", "s", "e").distinct()
+    wp = (
+        Window.partitionBy("id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wr = (
+        Window.partitionBy("id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = sides.withColumn("prev_e", F.max("e").over(wp)).withColumn(
+        "isl",
+        F.sum(
+            F.when(
+                F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e")), 1
+            ).otherwise(0)
+        ).over(wr),
+    )
+    return m.groupBy("id", "isl").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+
+
+def trim_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    anchor_tokens: int = 8,
+    min_len: int = 20,
+    max_posting: int = 16,
+    hash_anchors: bool = False,
+) -> DataFrame:
+    """The dedup ACTION for :func:`repeated_substring_spans` — Lee et al.
+    ExactSubstr semantics: every repeated substring of ≥ ``min_len`` tokens
+    keeps exactly its first-by-``id_col`` occurrence; later documents have
+    their copy of the span CUT OUT (not the whole doc dropped). Returns
+    ``(doc_id, n_tokens_before, n_tokens_after, text)`` for every non-null
+    doc, with ``text`` rebuilt from the surviving tokens (single-space
+    joined — original inter-token whitespace is not preserved).
+
+    Because spans are keyed ``id_a < id_b``, cutting only the ``id_b`` side
+    is exactly keep-first: content shared by docs A < B < C is cut from B
+    (via the A-B span) and from C (via both A-C and B-C spans, unioned),
+    leaving A the sole holder. Cut intervals per doc are interval-merged,
+    then tokens inside any merged interval are dropped by a JVM expression
+    (no explode of the corpus on the rebuild side — the only per-token work
+    is the original anchor explode in span detection)."""
+    spans = repeated_substring_spans(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        anchor_tokens=anchor_tokens,
+        min_len=min_len,
+        max_posting=max_posting,
+        hash_anchors=hash_anchors,
+    )
+    cuts = _merged_intervals(
+        spans.select(
+            F.col("id_b").alias("id"),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("match_len") - 1).alias("e"),
+        )
+    )
+    per_doc = cuts.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("ms", "me"))).alias("ivals")
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
+    )
+    toks = F.split(F.col("_text"), " ")
+    ivals = F.coalesce(
+        F.col("ivals"),
+        F.array().cast("array<struct<ms:bigint,me:bigint>>"),
+    )
+    kept = F.filter(
+        F.transform(
+            toks, lambda t, i: F.struct((i + 1).cast("long").alias("pos"), t.alias("t"))
+        ),
+        lambda x: ~F.exists(
+            ivals,
+            lambda iv: (iv["ms"] <= x["pos"]) & (x["pos"] <= iv["me"]),
+        ),
+    )
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.size(toks).cast("long").alias("n_tokens_before"),
+            F.size(kept).cast("long").alias("n_tokens_after"),
+            F.concat_ws(
+                " ", F.transform(kept, lambda x: x["t"])
+            ).alias("text"),
+        )
+    )

@@ -1295,3 +1295,52 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same document (interval-union coverage, clean docs score 0.0).
     Catches looping/degenerate text that cross-doc dedup cannot see."""
     return dedup.duplicate_ngram_coverage(_t(spark, sf_dir, "documents"), n=3)
+
+
+@register(
+    "substring_trim_dedup",
+    oracle=_SPANS_CTE
+    + """
+, cuts0 AS (
+  SELECT id_b AS id, start_b AS s, start_b + match_len - 1 AS e FROM spans),
+merged AS (
+  SELECT id, g, min(s) AS ms, max(e) AS me FROM (
+    SELECT id, s, e,
+      sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+        OVER (PARTITION BY id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+    FROM (SELECT id, s, e,
+            max(e) OVER (PARTITION BY id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+          FROM (SELECT DISTINCT id, s, e FROM cuts0)))
+  GROUP BY id, g),
+tokpos AS (
+  SELECT id, unnest(range(1, len(t)+1)) AS i, unnest(t) AS tok FROM toks),
+kept AS (
+  SELECT p.id, CAST(count(*) AS BIGINT) AS n_after,
+         string_agg(p.tok, ' ' ORDER BY p.i) AS new_text
+  FROM tokpos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merged m WHERE m.id = p.id AND p.i BETWEEN m.ms AND m.me)
+  GROUP BY p.id)
+SELECT toks.id AS doc_id,
+       CAST(len(toks.t) AS BIGINT) AS n_tokens_before,
+       COALESCE(kept.n_after, 0) AS n_tokens_after,
+       COALESCE(kept.new_text, '') AS text
+FROM toks LEFT JOIN kept ON toks.id = kept.id
+""",
+    tags=("dedup", "substring", "curation", "extension"),
+)
+def substring_trim_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup ACTION (Lee et al. ExactSubstr keep-first):
+    every ≥20-token repeated span keeps only its lowest-doc_id occurrence;
+    later docs get that span CUT (interval-merged, then a JVM token-filter
+    expression rebuilds the text — no corpus explode on the rebuild side).
+    The oracle hash-compares the FULL rebuilt text of all 500 docs, so the
+    cut positions must match token-for-token across engines."""
+    return dedup.trim_repeated_spans(
+        _t(spark, sf_dir, "documents"),
+        anchor_tokens=8,
+        min_len=20,
+        max_posting=_SUBSTR_MAX_POSTING,
+    )

@@ -65,6 +65,13 @@ _HARDENED = [
     "hybrid_rrf_search",
     "frame_sample_manifest",
     "audio_segments_manifest",
+    # round-7 additions: the substring family drops NULL texts at entry
+    # and the adversarial fixture's whole-doc duplicates become full-length
+    # spans — exercised on both engines
+    "repeated_substrings",
+    "substring_dedup_report",
+    "duplicate_ngram_coverage",
+    "substring_trim_dedup",
 ]
 _HARDENED_ROWS_ONLY = [
     "embedding_near_dups",

@@ -1160,3 +1160,54 @@ def test_repeated_substring_plan_shuffles(substring_planted):
     assert plan.count("hashpartitioning(gram") == 1, plan
     assert plan.count("Exchange") <= 3, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_trim_repeated_spans_keep_first(spark):
+    shared = _words("run", 30)
+    rows = [
+        (1, _words("a", 5) + " " + shared + " " + _words("b", 4)),
+        (2, _words("c", 10) + " " + shared),
+        (3, shared),  # doc entirely the shared run
+        (4, _words("z", 40)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {
+        r.doc_id: r
+        for r in dedup.trim_repeated_spans(
+            df, anchor_tokens=8, min_len=20
+        ).collect()
+    }
+    # lowest doc keeps the run verbatim
+    assert res[1].n_tokens_after == 39 and shared in res[1].text
+    # later docs lose exactly the span, keeping their unique prefix
+    assert res[2].text == _words("c", 10)
+    # a doc that IS the span trims to empty, not dropped
+    assert res[3].n_tokens_after == 0 and res[3].text == ""
+    # untouched docs pass through verbatim
+    assert res[4].text == _words("z", 40)
+    # every doc appears exactly once
+    assert sorted(res) == [1, 2, 3, 4]
+
+
+def test_trim_repeated_spans_overlapping_cuts_union(spark):
+    # doc 3 shares [1..30] with doc 1 and [21..50] with doc 2: cuts merge
+    # to [1..50] (not 60 tokens of cuts), leaving exactly the tail
+    seg_a, seg_b, seg_c = _words("p", 20), _words("q", 10), _words("r", 20)
+    rows = [
+        (1, " ".join([seg_a, seg_b]) + " " + _words("x", 10)),
+        (2, _words("y", 10) + " " + " ".join([seg_b, seg_c])),
+        (3, " ".join([seg_a, seg_b, seg_c]) + " " + _words("tail", 5)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {
+        r.doc_id: r
+        for r in dedup.trim_repeated_spans(
+            df, anchor_tokens=8, min_len=20
+        ).collect()
+    }
+    assert res[3].n_tokens_before == 55
+    assert res[3].text == _words("tail", 5)
+    # earlier docs keep their copies (cuts only land on the id_b side);
+    # doc 2's copy of seg_b+seg_c is cut nowhere because doc 3 > 2
+    assert res[1].n_tokens_after == res[1].n_tokens_before
+    assert res[2].n_tokens_after == res[2].n_tokens_before
