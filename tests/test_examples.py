@@ -191,3 +191,36 @@ def test_corpus_prep_decontaminate_and_shards(spark):
     # deterministic across runs
     again = {r.doc_id: r.shard_id for r in corpus_prep.shard_manifest(docs, 4)[0].collect()}
     assert again == {r.doc_id: r.shard_id for r in rows}
+
+
+def test_exactsubstr_dedup_example(spark):
+    """Full ExactSubstr pipeline on a planted corpus: a doc that is >80%
+    someone else's content is dropped whole, partial sharers get the span
+    trimmed keep-first, clean docs pass through verbatim — and the output
+    corpus has NO remaining cross-doc repeated run >= min_len."""
+    from exactsubstr_dedup import exactsubstr_dedup
+
+    from dampr_spark.operators.dedup import repeated_substring_spans
+
+    def w(p, n):
+        return " ".join(f"{p}{i}" for i in range(n))
+
+    shared = w("run", 30)
+    rows = [
+        (1, w("a", 10) + " " + shared),          # keeps the run (lowest id)
+        (2, w("c", 20) + " " + shared),           # trimmed: 60% dup < 0.8
+        (3, shared + " " + w("t", 2)),            # dropped: 30/32 = 94% dup
+        (4, w("z", 40)),                          # untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in exactsubstr_dedup(docs, min_len=20, drop_frac=0.8).collect()}
+
+    assert sorted(out) == [1, 2, 4]               # doc 3 dropped whole
+    assert out[1].action == "kept" and shared in out[1].text
+    assert out[2].action == "trimmed" and out[2].text == w("c", 20)
+    assert out[4].action == "kept" and out[4].text == w("z", 40)
+    # fixpoint: the cleaned corpus has no remaining >=20-token cross-doc run
+    cleaned = spark.createDataFrame(
+        [(i, out[i].text) for i in sorted(out)], "doc_id long, text string"
+    )
+    assert repeated_substring_spans(cleaned, min_len=20).count() == 0
