@@ -125,6 +125,11 @@ BENCH_QUERIES = [
     # duplication score (positional grams -> per-doc interval union).
     "repeated_substrings",
     "duplicate_ngram_coverage",
+    # round-7 flagships (selection): DSIR hashed-bigram importance toward
+    # the en slice (two bucket aggregates + broadcast ratio join) and the
+    # corpus-fit bigram-LM perplexity gate (one pinned pair-explode).
+    "dsir_en_importance",
+    "bigram_doc_perplexity",
 ]
 
 

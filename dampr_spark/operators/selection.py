@@ -1,0 +1,186 @@
+"""Data-selection operators for training-corpus curation: score documents
+by how much they look like a TARGET distribution (DSIR) or how fluent they
+are under a corpus-fit n-gram LM (perplexity filtering) — the two classic
+pre-training selection signals (Xie et al. 2023 "Data Selection for
+Language Models via Importance Resampling"; CCNet/KenLM-style perplexity
+gates). Reference scope: the engine has no selection layer; this is
+extension surface.
+
+Everything is a declarative DataFrame plan: hashed features and log
+probabilities are JVM expressions (md5-derived buckets, the one hash both
+Spark and DuckDB compute identically, so both operators carry full SQL
+oracles). Scale shape: bucket/vocabulary-sized aggregates with map-side
+partials, broadcastable ratio tables, gram- or bucket-keyed joins — the
+corpus text itself is exploded exactly once per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _adjacent_pairs(text_col: str) -> Column:
+    """Non-distinct adjacent token pairs (whitespace tokenizer) as
+    ``array<struct<a,b>>``; empty for docs under 2 tokens (F.sequence(1, 0)
+    is DESCENDING, so the guard is required under ANSI)."""
+    toks = F.split(F.col(text_col), " ")
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
+def hashed_feature_bucket(gram: Column, n_buckets: int) -> Column:
+    """Stable cross-engine feature hash: first 4 md5 bytes (big-endian) mod
+    ``n_buckets``. md5 is the one hash Spark and DuckDB agree on
+    (functions/hashing.py); xxhash64/hash() are engine-seeded."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weights: per raw document, the hashed-bigram
+    log-likelihood ratio toward the ``target`` corpus —
+    ``log w(doc) = Σ_f k_f(doc) · [ln p_target(bucket_f) − ln p_raw(bucket_f)]``
+    with add-1 smoothing over ``n_buckets`` hashed word-bigram features
+    (Xie et al. 2023). Sampling ∝ exp(log_weight) reshapes the raw corpus
+    toward the target domain. Returns ``(doc_id, n_feats, log_weight)``
+    for every non-null raw doc (featureless docs score 0.0).
+
+    Scale shape: ONE explode of the raw corpus into (doc, bucket) counts
+    (map-side combinable), a second over the target (usually far smaller),
+    two ``n_buckets``-row distributions joined into one broadcastable
+    log-ratio table, and a broadcast join back onto the per-doc bucket
+    counts. No corpus-keyed shuffle ever carries text."""
+    raw_feats = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(_adjacent_pairs(text_col)).alias("p"),
+        )
+        .select(
+            "id",
+            hashed_feature_bucket(
+                F.concat_ws(" ", F.col("p.a"), F.col("p.b")), n_buckets
+            ).alias("bucket"),
+        )
+    )
+    doc_buckets = raw_feats.groupBy("id", "bucket").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    raw_counts = doc_buckets.groupBy("bucket").agg(F.sum("k").alias("rc"))
+    tgt_counts = (
+        target.filter(F.col(text_col).isNotNull())
+        .select(F.explode(_adjacent_pairs(text_col)).alias("p"))
+        .select(
+            hashed_feature_bucket(
+                F.concat_ws(" ", F.col("p.a"), F.col("p.b")), n_buckets
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    ratios = (
+        raw_counts.join(tgt_counts, "bucket", "left")
+        .withColumn("tc", F.coalesce(F.col("tc"), F.lit(0)))
+        .crossJoin(
+            F.broadcast(
+                raw_counts.agg(F.sum("rc").alias("rn")).crossJoin(
+                    tgt_counts.agg(F.sum("tc").alias("tn"))
+                )
+            )
+        )
+        .select(
+            "bucket",
+            (
+                F.log((F.col("tc") + 1) / (F.col("tn") + n_buckets))
+                - F.log((F.col("rc") + 1) / (F.col("rn") + n_buckets))
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        doc_buckets.join(F.broadcast(ratios), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("k").cast("long").alias("n_feats"),
+            F.round(F.sum(F.col("k") * F.col("lr")), 6).alias("log_weight"),
+        )
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id")
+    )
+    return base.join(scored, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+    )
+
+
+def bigram_doc_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document perplexity under an add-1-smoothed bigram LM fit on the
+    corpus itself — the CCNet/KenLM-style fluency gate (typical-text docs
+    score low; rare-construction, shuffled, or off-distribution docs score
+    high). ``p(b|a) = (c(a,b)+1) / (c(a·)+V)`` with V = distinct tokens in
+    bigram positions; returns ``(doc_id, n_bigrams, avg_nll, ppl)`` for
+    every doc with ≥ 1 bigram, ``ppl = exp(avg_nll)``.
+
+    Scale shape: the corpus pair-explodes ONCE into a pinned (doc, a, b)
+    count frame that feeds the model aggregates AND the scoring join (the
+    bigram_pmi lesson: the interpreted pair transform dominates, never run
+    it twice); the model tables are vocabulary-sized with map-side
+    partials; scoring is one gram-keyed join plus a doc aggregate. Rounded
+    6dp so cross-engine libm/summation-order drift cannot flip the hash
+    (same discipline as token_entropy)."""
+    dp = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(_adjacent_pairs(text_col)).alias("p"),
+        )
+        .groupBy("id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=True)  # feeds model AND scoring
+    )
+    big = dp.groupBy("a", "b").agg(F.sum("k").alias("cab"))
+    ctx = big.groupBy("a").agg(F.sum("cab").alias("ca"))
+    vocab = (
+        dp.select(F.col("a").alias("w"))
+        .unionByName(dp.select(F.col("b").alias("w")))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    nll = -F.log((F.col("cab") + 1) / (F.col("ca") + F.col("v")))
+    return (
+        dp.join(big, ["a", "b"])
+        .join(ctx, "a")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("k") * nll) / F.sum("k"), 6
+            ).alias("avg_nll"),
+            F.round(
+                F.exp(F.sum(F.col("k") * nll) / F.sum("k")), 6
+            ).alias("ppl"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "avg_nll", "ppl")
+    )

@@ -1882,3 +1882,96 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# data selection (round 7): DSIR importance weights + bigram-LM perplexity
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+_DSIR_BUCKET_SQL = f"({_md5_uint_sql('gram', 4, little_endian=False)} % {_DSIR_BUCKETS})"
+
+
+@register(
+    "dsir_en_importance",
+    oracle=f"""
+WITH pairs AS (
+  SELECT doc_id AS id, lang,
+    unnest(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+    )) AS gram
+  FROM documents WHERE text IS NOT NULL),
+feats AS (SELECT id, lang, {_DSIR_BUCKET_SQL} AS bucket FROM pairs),
+db AS (SELECT id, bucket, count(*) AS k FROM feats GROUP BY 1, 2),
+rc AS (SELECT bucket, sum(k) AS rc FROM db GROUP BY 1),
+tg AS (SELECT bucket, count(*) AS tc FROM feats WHERE lang = 'en' GROUP BY 1),
+tot AS (SELECT (SELECT sum(rc) FROM rc) AS rn, (SELECT sum(tc) FROM tg) AS tn),
+lr AS (
+  SELECT rc.bucket,
+         ln((COALESCE(tg.tc, 0) + 1) * 1.0 / (tot.tn + {_DSIR_BUCKETS}))
+       - ln((rc.rc + 1) * 1.0 / (tot.rn + {_DSIR_BUCKETS})) AS lr
+  FROM rc LEFT JOIN tg USING (bucket), tot),
+sc AS (
+  SELECT id, CAST(sum(k) AS BIGINT) AS n_feats,
+         round(sum(k * lr), 6) AS log_weight
+  FROM db JOIN lr USING (bucket) GROUP BY id)
+SELECT d.doc_id, COALESCE(sc.n_feats, 0) AS n_feats,
+       COALESCE(sc.log_weight, 0.0) AS log_weight
+FROM documents d LEFT JOIN sc ON sc.id = d.doc_id
+WHERE d.text IS NOT NULL
+""",
+    tags=("curation", "selection", "extension"),
+)
+def dsir_en_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights toward the English slice of the corpus
+    (Xie et al. 2023): per doc, the hashed-bigram log-likelihood ratio
+    Σ k_f·[ln p_en(f) − ln p_raw(f)] with add-1 smoothing over 256
+    md5-hashed word-bigram buckets (md5 = the cross-engine hash, so the
+    feature space is oracle-replayable). Sampling ∝ exp(log_weight)
+    reshapes the corpus toward the target domain; here en docs score high
+    and zh/fr/de/es docs negative — the language split doubles as a
+    verifiable domain boundary."""
+    from dampr_spark.operators.selection import dsir_importance_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        d, d.filter(F.col("lang") == "en"), n_buckets=_DSIR_BUCKETS
+    )
+
+
+@register(
+    "bigram_doc_perplexity",
+    oracle="""
+WITH p0 AS (
+  SELECT doc_id AS id,
+    unnest(list_transform(
+      range(1, greatest(len(t) - 1, 0) + 1),
+      i -> struct_pack(a := t[i], b := t[i+1]))) AS p
+  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL)),
+dp AS (SELECT id, p.a AS a, p.b AS b, count(*) AS k FROM p0 GROUP BY 1, 2, 3),
+big AS (SELECT a, b, sum(k) AS cab FROM dp GROUP BY 1, 2),
+ctx AS (SELECT a, sum(cab) AS ca FROM big GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS v
+      FROM (SELECT a AS w FROM dp UNION ALL SELECT b AS w FROM dp))
+SELECT dp.id AS doc_id, CAST(sum(dp.k) AS BIGINT) AS n_bigrams,
+       round(sum(dp.k * -ln((big.cab + 1.0) / (ctx.ca + v.v))) / sum(dp.k), 6)
+           AS avg_nll,
+       round(exp(sum(dp.k * -ln((big.cab + 1.0) / (ctx.ca + v.v))) / sum(dp.k)), 6)
+           AS ppl
+FROM dp JOIN big USING (a, b) JOIN ctx USING (a), v
+GROUP BY dp.id
+""",
+    tags=("curation", "selection", "quality", "extension"),
+)
+def bigram_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an add-1-smoothed bigram LM fit on
+    the corpus itself — the CCNet/KenLM-style fluency gate: typical-text
+    docs score low, off-distribution or shuffled docs high. The corpus
+    pair-explodes ONCE into a pinned (doc, a, b) frame feeding both the
+    model aggregates and the scoring join (the bigram_pmi duplicate-
+    explode lesson)."""
+    from dampr_spark.operators.selection import bigram_doc_perplexity as op
+
+    return op(_t(spark, sf_dir, "documents"))

@@ -72,6 +72,8 @@ _HARDENED = [
     "substring_dedup_report",
     "duplicate_ngram_coverage",
     "substring_trim_dedup",
+    "dsir_en_importance",
+    "bigram_doc_perplexity",
 ]
 _HARDENED_ROWS_ONLY = [
     "embedding_near_dups",
