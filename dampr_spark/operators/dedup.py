@@ -1152,6 +1152,31 @@ def positional_windows(col: str, n: int) -> Column:
     )
 
 
+def positional_anchor_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    anchor_tokens: int = 8,
+    hash_anchors: bool = False,
+) -> DataFrame:
+    """(id, pos, gram) — one row per token position carrying its
+    ``anchor_tokens``-window (or its 8-byte xxhash64 under
+    ``hash_anchors``, the scale path). The shared entry stage of the
+    suffix-run family; the streaming incremental sink persists exactly
+    these rows as its anchor store."""
+    anchor = (
+        F.xxhash64(F.col("w.gram")) if hash_anchors else F.col("w.gram")
+    )
+    return (
+        _ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(positional_windows(text_col, anchor_tokens)).alias("w"),
+        )
+        .select("id", F.col("w.pos").alias("pos"), anchor.alias("gram"))
+    )
+
+
 def repeated_substring_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -1196,18 +1221,8 @@ def repeated_substring_spans(
             f"min_len ({min_len}) must be >= anchor_tokens ({anchor_tokens}): "
             "runs are detected at anchor granularity"
         )
-    from pyspark.sql.window import Window
-
-    anchor = (
-        F.xxhash64(F.col("w.gram")) if hash_anchors else F.col("w.gram")
-    )
-    pos = (
-        _ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(positional_windows(text_col, anchor_tokens)).alias("w"),
-        )
-        .select("id", F.col("w.pos").alias("pos"), anchor.alias("gram"))
+    pos = positional_anchor_rows(
+        df, text_col, id_col, anchor_tokens, hash_anchors=hash_anchors
     )
     postings = (
         pos.groupBy("gram")
@@ -1230,8 +1245,21 @@ def repeated_substring_spans(
         if within_doc
         else pairs.filter(F.col("id_a") != F.col("id_b"))
     )
+    return spans_from_anchor_pairs(pairs, anchor_tokens, min_len)
+
+
+def spans_from_anchor_pairs(
+    pairs: DataFrame, anchor_tokens: int, min_len: int
+) -> DataFrame:
+    """Run extension: matched-anchor pairs ``(id_a, pos_a, id_b, offset)``
+    → maximal spans via gaps-and-islands on the pair diagonal. Shared by
+    the batch operator and the streaming incremental sink (whose pairs
+    come from a store join instead of in-bucket pairing); the island
+    groupBy reuses the window's diagonal hash partitioning."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("id_a", "id_b", "offset").orderBy("pos_a")
-    spans = (
+    return (
         pairs.withColumn("isl", F.col("pos_a") - F.row_number().over(w))
         .groupBy("id_a", "id_b", "offset", "isl")
         .agg(
@@ -1247,7 +1275,6 @@ def repeated_substring_spans(
             F.col("match_len").cast("long").alias("match_len"),
         )
     )
-    return spans
 
 
 def _interval_union_tokens(sides: DataFrame) -> DataFrame:

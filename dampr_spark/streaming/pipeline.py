@@ -752,3 +752,124 @@ def value_drift_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_substring_stream(
+    docs_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    anchor_tokens: int = 8,
+    min_len: int = 20,
+    max_posting: int = 16,
+):
+    """Streaming incremental SUBSTRING dedup via ``foreachBatch`` — the
+    suffix-run twin of :func:`incremental_neardup_stream`: every
+    micro-batch (a) explodes its documents into positional anchor rows
+    (8-byte xxhash64 keys — the batch operator's ``hash_anchors`` scale
+    path), (b) joins them against the PERSISTED anchor store AND
+    themselves to form matched-anchor pairs, (c) extends pairs into
+    maximal repeated spans ≥ ``min_len`` tokens (the batch operator's own
+    ``spans_from_anchor_pairs`` run-extension), then (d) appends its
+    anchors to the store.
+
+    A doc pair's ENTIRE diagonal structure is computable in the batch
+    where its later member arrives (both docs' full anchor rows exist by
+    then), so spans are final on emission — no read-time reassembly. With
+    no gram ever over ``max_posting``, the union of emitted spans EQUALS
+    the full-corpus batch operator's output (pinned by the equivalence
+    test). ``max_posting`` caps the CUMULATIVE (store + batch) posting of
+    each gram; once over, the gram stops pairing for this and every later
+    batch — early spans that used it while cold cannot be retracted from
+    an append-only sink, so under an active cap the stream's span
+    COVERAGE is a superset of the batch operator's (batch splits runs at
+    finally-hot grams; pinned by the cap test). State is one (id, pos,
+    gram) row per token position — inherent to substring-level dedup;
+    bucket the store by gram at scale so each batch's join shuffles only
+    the batch side.
+
+    Same at-least-once caveat as the other incremental sinks: a retried
+    batch re-appends anchors and spans; distinct-on-read restores
+    exactly-once."""
+    from pyspark.errors import AnalysisException
+
+    from dampr_spark.operators.dedup import (
+        positional_anchor_rows,
+        spans_from_anchor_pairs,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new_pos = positional_anchor_rows(
+            batch_df, text_col, id_col, anchor_tokens, hash_anchors=True
+        ).localCheckpoint(eager=True)
+        try:
+            store = spark.read.parquet(store_dir)
+        except AnalysisException:
+            store = spark.createDataFrame([], "id long, pos int, gram long")
+        hot = (
+            store.select("gram")
+            .unionByName(new_pos.select("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_psz"))
+            .filter(F.col("_psz") > max_posting)
+            .select("gram")
+        )
+        store_p = store.join(hot, "gram", "left_anti")
+        new_p = new_pos.join(hot, "gram", "left_anti").localCheckpoint(
+            eager=True
+        )
+        n = new_p.select(
+            F.col("id").alias("n_id"), F.col("pos").alias("n_pos"), "gram"
+        )
+        o = store_p.select(
+            F.col("id").alias("o_id"), F.col("pos").alias("o_pos"), "gram"
+        )
+        # pair diagonal is keyed lower-id-first, exactly like the batch
+        # operator's sorted-struct pairing
+        cross = (
+            n.join(o, "gram")
+            .select(
+                F.least("n_id", "o_id").alias("id_a"),
+                F.when(F.col("n_id") < F.col("o_id"), F.col("n_pos"))
+                .otherwise(F.col("o_pos"))
+                .alias("pos_a"),
+                F.greatest("n_id", "o_id").alias("id_b"),
+                (
+                    F.when(F.col("n_id") < F.col("o_id"), F.col("o_pos")).otherwise(
+                        F.col("n_pos")
+                    )
+                    - F.when(F.col("n_id") < F.col("o_id"), F.col("n_pos")).otherwise(
+                        F.col("o_pos")
+                    )
+                ).alias("offset"),
+            )
+        )
+        within = (
+            n.join(
+                new_p.select(
+                    F.col("id").alias("b_id"), F.col("pos").alias("b_pos"), "gram"
+                ),
+                "gram",
+            )
+            .filter(F.col("n_id") < F.col("b_id"))
+            .select(
+                F.col("n_id").alias("id_a"),
+                F.col("n_pos").alias("pos_a"),
+                F.col("b_id").alias("id_b"),
+                (F.col("b_pos") - F.col("n_pos")).alias("offset"),
+            )
+        )
+        spans = spans_from_anchor_pairs(
+            cross.unionByName(within), anchor_tokens, min_len
+        )
+        spans.write.mode("append").parquet(out_dir)
+        new_pos.write.mode("append").parquet(store_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", out_dir + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -669,3 +669,110 @@ def test_fit_value_histogram_empty_input_raises(spark):
     empty = spark.createDataFrame([(None,), (None,)], "value double")
     with pytest.raises(ValueError, match="no non-null values"):
         streaming.fit_value_histogram(empty)
+
+
+def test_incremental_substring_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Two-micro-batch replay of the documents table: the union of emitted
+    spans must EQUAL the full-corpus batch operator's spans (hash_anchors
+    path) — every doc pair's diagonal structure is final in the batch
+    where its later member arrives."""
+    import glob
+    import os
+    import shutil
+
+    from dampr_spark.operators.dedup import repeated_substring_spans
+    from dampr_spark.sources.readers import read_table
+
+    base = tmp_path_factory.mktemp("substr_stream")
+    in_dir, store, out = (str(base / d) for d in ("in", "store", "out"))
+    docs = read_table(spark, sf_dir, "documents")
+    os.makedirs(in_dir)
+    for i, part in enumerate(
+        [docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)]
+    ):
+        part.coalesce(1).write.parquet(str(base / f"p{i}"))
+        shutil.copy(
+            glob.glob(str(base / f"p{i}" / "*.parquet"))[0], f"{in_dir}/b{i}.parquet"
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.incremental_substring_stream(
+        stream, store, out, min_len=20, max_posting=10**9
+    )
+    q.awaitTermination()
+
+    got = {tuple(r) for r in spark.read.parquet(out).distinct().collect()}
+    want = {
+        tuple(r)
+        for r in repeated_substring_spans(
+            docs, min_len=20, max_posting=10**9, hash_anchors=True
+        ).collect()
+    }
+    assert got == want and want, f"missing={want - got} extra={got - want}"
+
+
+def test_incremental_substring_stream_cap_coverage_superset(
+    spark, tmp_path_factory
+):
+    """With an ACTIVE posting cap and a gram that goes hot only after the
+    first batch: stream spans computed while the gram was cold survive in
+    the append-only sink, so per-doc-pair stream coverage must contain the
+    batch operator's capped coverage (batch splits runs at finally-hot
+    anchors), and with the cap disabled the two agree exactly."""
+    import glob
+    import os
+    import shutil
+
+    from dampr_spark.operators.dedup import repeated_substring_spans
+
+    def w(p, n):
+        return " ".join(f"{p}{i}" for i in range(n))
+
+    shared = w("hot", 24)
+    b0 = [(1, w("a", 3) + " " + shared), (2, w("b", 3) + " " + shared)]
+    b1 = [(3 + i, w(f"c{i}_", 3) + " " + shared) for i in range(6)]
+    base = tmp_path_factory.mktemp("substr_cap")
+    in_dir, store, out = (str(base / d) for d in ("in", "store", "out"))
+    os.makedirs(in_dir)
+    schema = "doc_id long, text string"
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(base / f"p{i}")
+        )
+        shutil.copy(
+            glob.glob(str(base / f"p{i}" / "*.parquet"))[0], f"{in_dir}/b{i}.parquet"
+        )
+    docs = spark.createDataFrame(b0 + b1, schema)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.incremental_substring_stream(
+        stream, store, out, min_len=8, max_posting=4
+    )
+    q.awaitTermination()
+    got = [tuple(r) for r in spark.read.parquet(out).distinct().collect()]
+    batch_capped = [
+        tuple(r)
+        for r in repeated_substring_spans(
+            docs, min_len=8, max_posting=4, hash_anchors=True
+        ).collect()
+    ]
+
+    def coverage(spans):
+        cov = {}
+        for id_a, s_a, id_b, s_b, L in spans:
+            cov.setdefault((id_a, id_b), set()).update(range(s_a, s_a + L))
+        return cov
+
+    gc, bc = coverage(got), coverage(batch_capped)
+    for pair, tokens in bc.items():
+        assert tokens <= gc.get(pair, set()), f"stream lost coverage for {pair}"
+    # batch-1 pair (1,2) was computed while the gram was cold: full run
+    assert (1, 2) in gc and len(gc[(1, 2)]) == 24
