@@ -592,3 +592,165 @@ class ScalarQuantizer:
             .orderBy(F.col("cos_sim").desc(), F.col(id_col))
             .limit(k)
         )
+
+
+class ProductQuantizer:
+    """Product quantization (FAISS PQ design): split each vector into ``m``
+    subvectors, learn a ``k``-centroid L2 codebook per subspace on a
+    BOUNDED driver-side sample, and store each vector as ``m`` byte codes
+    — 64-dim float64 → 8 bytes at m=8 (vs 64 at SQ8, 512 raw). Search is
+    ADC (asymmetric distance computation): the query precomputes per-
+    subspace lookup tables, so scoring a corpus vector is 2·m table
+    lookups inside a single codegen expression — no floats are ever
+    stored, decoded, or shuffled.
+
+    Same scale contract as :class:`IVFIndex`: the fit sample stays bounded
+    (seeded Bernoulli, no partition-order bias), encode is one Arrow
+    batch pass per partition, and the codebooks/tables ride the plan as
+    literal arrays (m·k·d/m = dim·k doubles — KBs)."""
+
+    def __init__(self, m: int = 8, k: int = 16, seed: int = 42):
+        if not 2 <= k <= 256:
+            raise ValueError("k must be in [2, 256] (codes are bytes)")
+        self.m = m
+        self.k = k
+        self.seed = seed
+        self.codebooks: np.ndarray | None = None  # (m, k, dim/m)
+
+    def fit(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        sample_size: int = 2048,
+        iters: int = 10,
+    ) -> "ProductQuantizer":
+        """Per-subspace L2 k-means on a bounded uniform sample (same
+        sampling discipline as IVFIndex.fit — seeded Bernoulli + numpy
+        down-select, never limit())."""
+        df = df.filter(valid_vector(vec_col))
+        total = df.count()
+        sel = df.select(vec_col)
+        if total > sample_size:
+            frac = min(1.0, 1.2 * sample_size / total)
+            sel = sel.sample(fraction=frac, seed=self.seed)
+        rows = sel.collect()
+        x = np.asarray([r[0] for r in rows], dtype=np.float64)
+        rng = np.random.default_rng(self.seed)
+        if len(x) > sample_size:
+            x = x[rng.choice(len(x), size=sample_size, replace=False)]
+        dim = x.shape[1]
+        if dim % self.m:
+            raise ValueError(f"dim {dim} not divisible by m={self.m}")
+        dsub = dim // self.m
+        books = np.empty((self.m, self.k, dsub))
+        for j in range(self.m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            c = sub[rng.choice(len(sub), size=min(self.k, len(sub)), replace=False)]
+            for _ in range(iters):
+                d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d2, axis=1)
+                for ci in range(len(c)):
+                    members = sub[assign == ci]
+                    if len(members):
+                        c[ci] = members.mean(axis=0)
+            books[j, : len(c)] = c
+            if len(c) < self.k:  # degenerate tiny-sample case: pad by repeat
+                books[j, len(c) :] = c[-1]
+        self.codebooks = books
+        return self
+
+    def encode(
+        self, df: DataFrame, vec_col: str = "embedding", out_col: str = "pq_codes"
+    ) -> DataFrame:
+        """array<tinyint> of ``m`` codes per vector (shifted −128 like
+        ScalarQuantizer), via one Arrow argmin pass per subspace."""
+        assert self.codebooks is not None, "call fit() first"
+        import pandas as pd
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        books = self.codebooks
+        m, k, dsub = books.shape
+
+        @pandas_udf(T.ArrayType(T.ByteType()), PandasUDFType.SCALAR)
+        def codes(vecs):
+            if not len(vecs):
+                return pd.Series([], dtype="object")
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            out = np.empty((len(x), m), dtype=np.int16)
+            for j in range(m):
+                sub = x[:, j * dsub : (j + 1) * dsub]
+                # (n, k) squared L2 via ||a||² - 2ab + ||b||²; argmin drops ||a||²
+                d2 = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+                out[:, j] = np.argmin(d2, axis=1) - 128
+            return pd.Series([row.astype("int8").tolist() for row in out])
+
+        return df.filter(valid_vector(vec_col)).withColumn(
+            out_col, codes(F.col(vec_col))
+        )
+
+    def decoded(self, codes_col: str = "pq_codes") -> Column:
+        """Reconstruction expression (array<double>): per-subspace codebook
+        lookup, flattened — literal-array element_at, no UDF."""
+        assert self.codebooks is not None, "call fit() first"
+        m, k, dsub = self.codebooks.shape
+        out = []
+        for j in range(m):
+            cb_j = F.array(
+                *[
+                    F.array(*[F.lit(float(v)) for v in self.codebooks[j, c]])
+                    for c in range(k)
+                ]
+            )
+            out.append(
+                F.element_at(
+                    cb_j,
+                    (
+                        F.element_at(F.col(codes_col), j + 1).cast("int")
+                        + F.lit(129)
+                    ),
+                )
+            )
+        return F.flatten(F.array(*out))
+
+    def adc_topk(
+        self,
+        encoded: DataFrame,
+        query_vec: list[float],
+        topk: int = 10,
+        id_col: str = "vec_id",
+        codes_col: str = "pq_codes",
+    ) -> DataFrame:
+        """ADC search: cosine between the query and each vector's
+        RECONSTRUCTION, computed entirely from per-subspace lookup tables —
+        numerator ``Σ_j dot(q_j, cb_j[code_j])`` and reconstruction norm
+        ``√Σ_j |cb_j[code_j]|²`` are both m element_at's into literal
+        arrays. 2·m lookups per row, single codegen pass, no decode."""
+        assert self.codebooks is not None, "call fit() first"
+        m, k, dsub = self.codebooks.shape
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = float(np.linalg.norm(q))
+        dots = np.stack(
+            [self.codebooks[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)]
+        )  # (m, k)
+        n2 = (self.codebooks**2).sum(axis=2)  # (m, k)
+        num = None
+        rn2 = None
+        for j in range(m):
+            code = F.element_at(F.col(codes_col), j + 1).cast("int") + F.lit(129)
+            dt = F.element_at(
+                F.array(*[F.lit(float(v)) for v in dots[j]]), code
+            )
+            nn = F.element_at(F.array(*[F.lit(float(v)) for v in n2[j]]), code)
+            num = dt if num is None else num + dt
+            rn2 = nn if rn2 is None else rn2 + nn
+        cos = num / F.greatest(
+            F.lit(qn) * F.sqrt(rn2), F.lit(1e-12)
+        )
+        return (
+            encoded.select(
+                F.col(id_col), F.round(cos, 6).alias("cos_sim")
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+            .limit(topk)
+        )

@@ -655,3 +655,73 @@ def quantized_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         (F.coalesce(F.col("overlap"), F.lit(0)) >= 12).alias("sq8_health_ok"),
     )
+
+
+@register("pq_ann_topk", oracle=None, tags=("vector", "ann", "quantization", "extension"))
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-20 over 8-byte product-quantized codes
+    (similarity.ProductQuantizer, m=8 subspaces x 256 codes = 64x
+    compression of the float column): ADC lookup-table scoring inside one
+    codegen expression — floats are never stored or decoded. Sampled
+    k-means codebooks -> rows-only; the exact-anchored health floor lives
+    in `pq_recall_check` and the ADC==reconstruction identity in pytest."""
+    from dampr_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
+    q = e.orderBy("vec_id").limit(1).select("vec_id", "embedding").first()
+    rest = e.filter(F.col("vec_id") != q.vec_id)
+    pq = similarity.ProductQuantizer(m=8, k=256).fit(rest)
+    return pq.adc_topk(pq.encode(rest), list(q.embedding), topk=20)
+
+
+@register(
+    "pq_recall_check",
+    oracle=f"""
+    WITH v AS (SELECT * FROM embeddings WHERE {V.valid_vector_sql('embedding')}),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM v ORDER BY vec_id LIMIT 1),
+    top AS (
+      SELECT round({V.cosine_sql('embedding', 'qv')}, 6) AS cos_sim
+      FROM v CROSS JOIN q
+      WHERE vec_id <> qid
+      ORDER BY cos_sim DESC, vec_id
+      LIMIT 20)
+    SELECT round(min(cos_sim), 6)   AS kth_cos_sim,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           TRUE                     AS pq_health_ok
+    FROM top
+    """,
+    tags=("vector", "ann", "quantization", "invariant", "extension"),
+)
+def pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Externally-verified health invariant of the product-quantized ADC
+    search (`pq_ann_topk` — sampled-codebook float path → rows-only): the
+    PQ top-20 must overlap the exact top-20 by at least 6/20 (measured
+    12-17/20 across sf0.001/0.01/0.1 and 8 queries; chance overlap is
+    under one vector, so the floor catches an encode/lookup-table bug,
+    never quantization noise). ``kth_cos_sim`` / ``n_exact`` are the
+    hash-compared values, computed independently by both engines."""
+    from dampr_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
+    qrow = e.orderBy("vec_id").limit(1).select("vec_id", "embedding").first()
+    if qrow is None:
+        raise ValueError("embeddings table has no valid query vector")
+    qv = list(qrow.embedding)
+    rest = e.filter(F.col("vec_id") != qrow.vec_id).localCheckpoint(eager=True)
+
+    brute = similarity.brute_force_topk(rest, qv, k=20).localCheckpoint(eager=True)
+    pq = similarity.ProductQuantizer(m=8, k=256).fit(rest)
+    pq_top = pq.adc_topk(pq.encode(rest), qv, topk=20)
+
+    ex = brute.agg(
+        F.round(F.min("cos_sim"), 6).alias("kth_cos_sim"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    hit = brute.select("vec_id").join(
+        pq_top.select("vec_id"), "vec_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("overlap"))
+    return ex.crossJoin(F.broadcast(hit)).select(
+        "kth_cos_sim",
+        "n_exact",
+        (F.coalesce(F.col("overlap"), F.lit(0)) >= 6).alias("pq_health_ok"),
+    )

@@ -74,8 +74,10 @@ _HARDENED = [
     "substring_trim_dedup",
     "dsir_en_importance",
     "bigram_doc_perplexity",
+    "pq_recall_check",
 ]
 _HARDENED_ROWS_ONLY = [
+    "pq_ann_topk",
     "embedding_near_dups",
     "ivf_ann_topk",
     "kmeans_clusters",
