@@ -80,10 +80,21 @@ def dsir_importance_weights(
             ).alias("bucket"),
         )
     )
-    doc_buckets = raw_feats.groupBy("id", "bucket").agg(
-        F.count(F.lit(1)).alias("k")
+    # Pinned: feeds the raw distribution AND the scoring join — without the
+    # checkpoint the corpus pair-explode re-runs once per consumer (the
+    # multi-consumer convention; plan-locked in test_plans.py).
+    doc_buckets = (
+        raw_feats.groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=True)
     )
-    raw_counts = doc_buckets.groupBy("bucket").agg(F.sum("k").alias("rc"))
+    # n_buckets-row tables; pinned so the ratio join and the scalar totals
+    # read them instead of replaying their explode lineage.
+    raw_counts = (
+        doc_buckets.groupBy("bucket")
+        .agg(F.sum("k").alias("rc"))
+        .localCheckpoint(eager=True)
+    )
     tgt_counts = (
         target.filter(F.col(text_col).isNotNull())
         .select(F.explode(_adjacent_pairs(text_col)).alias("p"))
@@ -94,6 +105,7 @@ def dsir_importance_weights(
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("tc"))
+        .localCheckpoint(eager=True)
     )
     ratios = (
         raw_counts.join(tgt_counts, "bucket", "left")

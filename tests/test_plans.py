@@ -497,3 +497,37 @@ def test_driver_window_rotates_two_stalest_rows_only():
 
     rank0 = [n for n, q in qs if _window_key(q)[0] == 0]
     assert all(n in dict(qs[:50]) for n in rank0)
+
+
+def test_dsir_broadcasts_ratio_table(spark):
+    """DSIR's 256-row log-ratio table must reach the per-doc bucket counts
+    as a broadcast join (corpus never shuffles by bucket against a table),
+    and the corpus must pair-explode exactly once."""
+    plan = plan_of(spark, "dsir_en_importance")
+    assert "BroadcastHashJoin" in plan
+    # every explode lineage is pinned behind a checkpoint: the visible plan
+    # reads checkpointed frames, it never replays a pair-explode
+    assert plan.count("Generate explode") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_perplexity_single_pair_explode(spark):
+    """The perplexity query's corpus pair-explode runs ONCE (localCheckpoint
+    pins it for the model aggregates and the scoring join) — the bigram_pmi
+    duplicate-explode lesson, plan-locked."""
+    plan = plan_of(spark, "bigram_doc_perplexity")
+    assert plan.count("Generate explode") == 0  # pinned behind the checkpoint
+    assert "Scan ExistingRDD" in plan  # reads the checkpointed frame
+    assert "CartesianProduct" not in plan
+
+
+def test_substring_trim_no_corpus_explode_on_rebuild(spark):
+    """trim_repeated_spans rebuilds text with a JVM token-filter expression:
+    the only corpus explodes are span DETECTION's anchor passes — the
+    rebuild side joins merged cut intervals back to whole documents."""
+    plan = plan_of(spark, "substring_trim_dedup")
+    # detection explodes anchors once and pairs once; the rebuild side adds
+    # NO further Generate (token filtering is transform+filter expressions)
+    assert plan.count("Generate explode") == 2
+    assert "CartesianProduct" not in plan
