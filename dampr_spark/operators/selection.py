@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dampr_spark.operators.dedup import _ensure_parallelism
+
 
 def _adjacent_pairs(text_col: str) -> Column:
     """Non-distinct adjacent token pairs (whitespace tokenizer) as
@@ -68,7 +70,7 @@ def dsir_importance_weights(
     log-ratio table, and a broadcast join back onto the per-doc bucket
     counts. No corpus-keyed shuffle ever carries text."""
     raw_feats = (
-        df.filter(F.col(text_col).isNotNull())
+        _ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
         .select(
             F.col(id_col).alias("id"),
             F.explode(_adjacent_pairs(text_col)).alias("p"),
@@ -96,7 +98,7 @@ def dsir_importance_weights(
         .localCheckpoint(eager=True)
     )
     tgt_counts = (
-        target.filter(F.col(text_col).isNotNull())
+        _ensure_parallelism(target.filter(F.col(text_col).isNotNull()))
         .select(F.explode(_adjacent_pairs(text_col)).alias("p"))
         .select(
             hashed_feature_bucket(
@@ -163,7 +165,7 @@ def bigram_doc_perplexity(
     6dp so cross-engine libm/summation-order drift cannot flip the hash
     (same discipline as token_entropy)."""
     dp = (
-        df.filter(F.col(text_col).isNotNull())
+        _ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
         .select(
             F.col(id_col).alias("id"),
             F.explode(_adjacent_pairs(text_col)).alias("p"),
