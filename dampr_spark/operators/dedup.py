@@ -1476,6 +1476,7 @@ def trim_repeated_spans(
     min_len: int = 20,
     max_posting: int = 16,
     hash_anchors: bool = False,
+    within_doc: bool = False,
 ) -> DataFrame:
     """The dedup ACTION for :func:`repeated_substring_spans` — Lee et al.
     ExactSubstr semantics: every repeated substring of ≥ ``min_len`` tokens
@@ -1491,7 +1492,14 @@ def trim_repeated_spans(
     leaving A the sole holder. Cut intervals per doc are interval-merged,
     then tokens inside any merged interval are dropped by a JVM expression
     (no explode of the corpus on the rebuild side — the only per-token work
-    is the original anchor explode in span detection)."""
+    is the original anchor explode in span detection).
+
+    ``within_doc=True`` trims SELF-repetition instead: for every repeated
+    run inside one document, only the first occurrence survives (cuts land
+    on the later ``start_b`` side; spans always have offset > 0). Periodic
+    text collapses to a single period — "a b a b a b" with 2-token anchors
+    keeps exactly "a b" — the ACTION form of the Gopher duplication
+    score."""
     spans = repeated_substring_spans(
         df,
         text_col=text_col,
@@ -1499,6 +1507,7 @@ def trim_repeated_spans(
         anchor_tokens=anchor_tokens,
         min_len=min_len,
         max_posting=max_posting,
+        within_doc=within_doc,
         hash_anchors=hash_anchors,
     )
     cuts = _merged_intervals(

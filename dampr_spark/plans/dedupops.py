@@ -1344,3 +1344,75 @@ def substring_trim_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_len=20,
         max_posting=_SUBSTR_MAX_POSTING,
     )
+
+
+@register(
+    "self_repetition_trim",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL),
+pos AS (
+  SELECT id,
+    unnest(range(1, greatest(len(t)-2, 0)+1)) AS i,
+    unnest(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                          i -> array_to_string(t[i:i+2], ' '))) AS gram
+  FROM toks),
+keep AS (
+  SELECT gram FROM pos GROUP BY gram
+  HAVING count(*) BETWEEN 2 AND {_SUBSTR_MAX_POSTING}),
+pairs AS (
+  SELECT a.id AS id, a.i AS pa, b.i - a.i AS off
+  FROM pos a JOIN keep USING (gram) JOIN pos b USING (gram)
+  WHERE a.id = b.id AND a.i < b.i),
+runs AS (
+  SELECT id, off, pa,
+         pa - row_number() OVER (PARTITION BY id, off ORDER BY pa) AS isl
+  FROM pairs),
+spans AS (
+  SELECT id, min(pa) + off AS start_b, count(*) + 2 AS match_len
+  FROM runs GROUP BY id, off, isl),
+cuts0 AS (
+  SELECT id, start_b AS s, start_b + match_len - 1 AS e FROM spans),
+merged AS (
+  SELECT id, g, min(s) AS ms, max(e) AS me FROM (
+    SELECT id, s, e,
+      sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+        OVER (PARTITION BY id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+    FROM (SELECT id, s, e,
+            max(e) OVER (PARTITION BY id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+          FROM (SELECT DISTINCT id, s, e FROM cuts0)))
+  GROUP BY id, g),
+tokpos AS (
+  SELECT id, unnest(range(1, len(t)+1)) AS i, unnest(t) AS tok FROM toks),
+kept AS (
+  SELECT p.id, CAST(count(*) AS BIGINT) AS n_after,
+         string_agg(p.tok, ' ' ORDER BY p.i) AS new_text
+  FROM tokpos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merged m WHERE m.id = p.id AND p.i BETWEEN m.ms AND m.me)
+  GROUP BY p.id)
+SELECT toks.id AS doc_id,
+       CAST(len(toks.t) AS BIGINT) AS n_tokens_before,
+       COALESCE(kept.n_after, 0) AS n_tokens_after,
+       COALESCE(kept.new_text, '') AS text
+FROM toks LEFT JOIN kept ON toks.id = kept.id
+""",
+    tags=("dedup", "substring", "quality", "curation", "extension"),
+)
+def self_repetition_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition trimming — the ACTION form of the Gopher
+    duplication score: every repeated run of ≥ 3 tokens inside one doc
+    keeps only its first occurrence (periodic/looping text collapses to a
+    single period). Same suffix-run machinery on the within-doc diagonal
+    (3-token anchors so short loops are caught); the oracle hash-compares
+    the full rebuilt text of all 500 docs."""
+    return dedup.trim_repeated_spans(
+        _t(spark, sf_dir, "documents"),
+        anchor_tokens=3,
+        min_len=3,
+        max_posting=_SUBSTR_MAX_POSTING,
+        within_doc=True,
+    )

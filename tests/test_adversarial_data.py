@@ -75,6 +75,7 @@ _HARDENED = [
     "dsir_en_importance",
     "bigram_doc_perplexity",
     "pq_recall_check",
+    "self_repetition_trim",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",

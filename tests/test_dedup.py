@@ -1273,3 +1273,78 @@ def test_pq_recall_vs_brute_force(emb):
 def test_pq_validation():
     with pytest.raises(ValueError):
         similarity.ProductQuantizer(m=8, k=1000)
+
+
+def test_ivf_pq_composition_pruned_adc_search(spark, sf_dir, tmp_path_factory):
+    """The full PQ-at-scale story composed: IVF-assign the corpus, PQ-encode
+    it (8 bytes/vector), write hive-partitioned by list_id WITHOUT floats,
+    then search by pruning to the probed lists and ADC-ranking the byte
+    codes. Result must match the same ADC ranking over the unpruned
+    in-memory frame restricted to the probe lists — and only probed
+    directories may be touched."""
+    import re
+
+    import numpy as np
+
+    from dampr_spark.functions.vector import valid_vector
+    from dampr_spark.operators.similarity import IVFIndex, ProductQuantizer
+    from dampr_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings").filter(valid_vector("embedding"))
+    idx = IVFIndex(n_lists=8, nprobe=3).fit(e, sample_size=2000)
+    pq = ProductQuantizer(m=8, k=256).fit(e)
+    enc = pq.encode(idx.assign(e)).select("vec_id", "list_id", "pq_codes")
+    out = str(tmp_path_factory.mktemp("ivf_pq") / "corpus")
+    idx.write_partitioned(enc, out)
+
+    stored = spark.read.parquet(out)
+    assert "embedding" not in stored.columns
+
+    qvec = [float(x) for x in e.orderBy("vec_id").first().embedding]
+    q = np.asarray(qvec)
+    q /= np.linalg.norm(q)
+    probes = [int(p) for p in np.argsort(-(idx.centroids @ q))[: idx.nprobe]]
+
+    got = pq.adc_topk(
+        stored.filter(F.col("list_id").isin(probes)), qvec, topk=10
+    ).collect()
+    want = pq.adc_topk(
+        enc.filter(F.col("list_id").isin(probes)), qvec, topk=10
+    ).collect()
+    assert [(r.vec_id, r.cos_sim) for r in got] == [
+        (r.vec_id, r.cos_sim) for r in want
+    ]
+    files = (
+        stored.filter(F.col("list_id").isin(probes))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    dirs = {re.search(r"list_id=(\d+)", r.f).group(1) for r in files}
+    assert dirs == {str(p) for p in probes}
+
+
+def test_trim_within_doc_collapses_periodic_text(spark):
+    rows = [
+        (1, "a b a b a b"),                 # period 2 -> keeps "a b"
+        (2, _words("u", 12)),                # all-unique: untouched
+        (3, " ".join([_words("loop", 3)] * 4)),  # period 3 x4 -> one period
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {
+        r.doc_id: r
+        for r in dedup.trim_repeated_spans(
+            df, anchor_tokens=2, min_len=2, within_doc=True
+        ).collect()
+    }
+    assert res[1].text == "a b" and res[1].n_tokens_after == 2
+    assert res[2].text == _words("u", 12)
+    assert res[3].text == _words("loop", 3)
+    # cross-doc mode must leave these single docs alone
+    cross = {
+        r.doc_id: r
+        for r in dedup.trim_repeated_spans(
+            df, anchor_tokens=2, min_len=2, within_doc=False
+        ).collect()
+    }
+    assert cross[1].text == "a b a b a b"
