@@ -64,6 +64,11 @@ def dsir_importance_weights(
     toward the target domain. Returns ``(doc_id, n_feats, log_weight)``
     for every non-null raw doc (featureless docs score 0.0).
 
+    Sizing note: the target should carry at least ~``n_buckets`` bigram
+    tokens — on a much smaller target the add-1 smoothing mass dominates
+    p_target and every doc scores "unlike the target", flattening (or
+    inverting) the ranking. Shrink ``n_buckets`` for tiny targets.
+
     Scale shape: ONE explode of the raw corpus into (doc, bucket) counts
     (map-side combinable), a second over the target (usually far smaller),
     two ``n_buckets``-row distributions joined into one broadcastable

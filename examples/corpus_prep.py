@@ -117,6 +117,61 @@ def decontaminate(
     return clean.join(flagged, id_col, "left_anti")
 
 
+def trim_substrings(
+    clean: DataFrame, min_len: int = 20, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Round-7 stage: ExactSubstr keep-first span trimming on the
+    SURVIVORS — near-dup dedup drops whole documents, this removes the
+    verbatim-shared passages that remain inside otherwise-distinct docs
+    (operators/dedup.trim_repeated_spans, hash-anchor scale path). Text
+    and n_tokens are replaced with the trimmed versions."""
+    trimmed = D.trim_repeated_spans(
+        clean, text_col=text_col, id_col=id_col, min_len=min_len,
+        max_posting=64, hash_anchors=True,
+    ).select(
+        id_col,
+        F.col("text").alias("_trimmed"),
+        F.col("n_tokens_after").alias("_n_after"),
+    )
+    return (
+        clean.drop("n_tokens")
+        .join(trimmed, id_col)
+        .withColumn(text_col, F.col("_trimmed"))
+        .withColumn("n_tokens", F.col("_n_after"))
+        .drop("_trimmed", "_n_after")
+    )
+
+
+def fluency_gate(
+    clean: DataFrame, max_ppl: float, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Round-7 stage: drop docs whose perplexity under the corpus-fit
+    bigram LM exceeds ``max_ppl`` (operators/selection.bigram_doc_perplexity
+    — the CCNet-style fluency gate). Docs too short to carry a bigram pass
+    through (no evidence either way)."""
+    from dampr_spark.operators.selection import bigram_doc_perplexity
+
+    bad = (
+        bigram_doc_perplexity(clean, text_col=text_col, id_col=id_col)
+        .filter(F.col("ppl") > max_ppl)
+        .select(id_col)
+    )
+    return clean.join(bad, id_col, "left_anti")
+
+
+def dsir_reweight(
+    clean: DataFrame, target: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Round-7 stage: attach DSIR importance log-weights toward ``target``
+    (operators/selection.dsir_importance_weights) — sample the final
+    corpus proportional to exp(log_weight) to reshape it toward the
+    target domain."""
+    from dampr_spark.operators.selection import dsir_importance_weights
+
+    w = dsir_importance_weights(clean, target, text_col=text_col, id_col=id_col)
+    return clean.join(w.select(id_col, "log_weight"), id_col, "left")
+
+
 def shard_manifest(
     clean: DataFrame, n_shards: int = 16, id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:

@@ -224,3 +224,42 @@ def test_exactsubstr_dedup_example(spark):
         [(i, out[i].text) for i in sorted(out)], "doc_id long, text string"
     )
     assert repeated_substring_spans(cleaned, min_len=20).count() == 0
+
+
+def test_corpus_prep_round7_stages(spark):
+    """The round-7 pipeline stages compose on a planted corpus: substring
+    trim removes the shared passage from the later doc, the fluency gate
+    drops the token-salad doc, and DSIR weights rank the target-like doc
+    above the off-domain one."""
+    from corpus_prep import dsir_reweight, fluency_gate, trim_substrings
+
+    def w(p, n):
+        return " ".join(f"{p}{i}" for i in range(n))
+
+    common = "the cat sat on the mat and then " * 5
+    shared = w("run", 25)
+    rows = [
+        (1, (common + shared).strip()),
+        (2, (common + "x y " + shared).strip()),     # shares the 25-token run
+        (3, common.strip()),
+        (4, " ".join(f"zq{i} xv{i}" for i in range(20))),  # token salad
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+
+    trimmed = {r.doc_id: r for r in trim_substrings(docs, min_len=20).collect()}
+    assert shared in trimmed[1].text          # doc 1 keeps the run
+    assert shared not in trimmed[2].text      # doc 2 loses it
+    assert trimmed[2].n_tokens < trimmed[1].n_tokens
+    assert sorted(trimmed) == [1, 2, 3, 4]
+
+    fluent = fluency_gate(docs, max_ppl=20.0)
+    kept = {r.doc_id for r in fluent.select("doc_id").collect()}
+    assert 4 not in kept and {1, 2, 3} <= kept
+
+    # target = the common-phrase domain (docs 1-3; a 39-token single-doc
+    # target would be smoothing-dominated at 256 buckets)
+    target = docs.filter(F.col("doc_id") <= 3)
+    weighted = {r.doc_id: r.log_weight for r in dsir_reweight(docs, target).collect()}
+    assert min(weighted[1], weighted[2], weighted[3]) > weighted[4]
