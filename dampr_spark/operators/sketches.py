@@ -142,3 +142,86 @@ def heavy_hitters(
         .orderBy(F.col("cnt").desc(), F.col("item").asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (round 7)
+# ---------------------------------------------------------------------------
+
+
+def cms_bucket(item, row: int, width: int):
+    """CMS hash for one sketch row: first 4 md5 bytes of ``item`` salted
+    with the row index, mod ``width``. md5 is the cross-engine hash
+    (functions/hashing.py), so sketch contents — and therefore estimates —
+    are bit-identical in Spark and DuckDB, making CMS queries fully
+    oracle-checkable (unlike engine-seeded hash()/xxhash64)."""
+    from pyspark.sql import functions as F
+
+    salted = F.concat(item.cast("string"), F.lit(f"#cms{row}"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long") % width
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a Count-Min sketch as a DataFrame of ``(row, bucket, cnt)`` —
+    depth×width cells, each the sum of every item hashing there. One
+    explode-free pass: each input row contributes ``depth`` cell
+    increments via an inline array, aggregated with map-side partials.
+    Sketches over different shards MERGE by summing cells (groupBy row,
+    bucket) — the property that makes CMS the streaming/distributed
+    frequency sketch."""
+    from pyspark.sql import functions as F
+
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                cms_bucket(F.col(item_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"), w.alias("w"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.sum("w").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, items: DataFrame, item_col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Point-frequency estimates for ``items`` from a built sketch:
+    ``est = min over rows of cell count`` — the classic CMS upper bound
+    (est >= true count always; overestimate bounded by collisions). The
+    probe joins ``depth`` cells per item against the depth×width sketch —
+    broadcastable by construction."""
+    from pyspark.sql import functions as F
+
+    probes = items.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cms_bucket(F.col(item_col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(item_col, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )

@@ -1005,3 +1005,87 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (round 7)
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 512
+
+
+def _cms_bucket_sql(item_sql: str, row_sql: str) -> str:
+    from dampr_spark.functions.hashing import md5_uint_sql
+
+    inner = f"{item_sql} || '#cms' || CAST({row_sql} AS VARCHAR)"
+    return f"({md5_uint_sql(inner, 4, little_endian=False)} % {_CMS_WIDTH})"
+
+
+@register(
+    "cms_ngram_frequency",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL),
+grams AS (
+  SELECT unnest(list_transform(
+      range(1, greatest(len(t) - 2, 0) + 1),
+      i -> array_to_string(t[i:i+2], ' '))) AS g
+  FROM toks),
+exact AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS exact
+  FROM grams GROUP BY g ORDER BY exact DESC, g LIMIT 20),
+rows_ AS (SELECT unnest(range(0, {_CMS_DEPTH})) AS r),
+cells AS (
+  SELECT r, {_cms_bucket_sql('g', 'r')} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM grams, rows_ GROUP BY 1, 2),
+probe AS (
+  SELECT e.g, e.exact, min(c.cnt) AS est
+  FROM exact e, rows_ rr
+  JOIN cells c
+    ON c.r = rr.r AND c.bucket = {_cms_bucket_sql('e.g', 'rr.r')}
+  GROUP BY e.g, e.exact)
+SELECT g AS gram, exact, CAST(est AS BIGINT) AS est,
+       CAST(est - exact AS BIGINT) AS overestimate
+FROM probe
+""",
+    tags=("text", "sketch", "invariant", "extension"),
+)
+def cms_ngram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch demo with its own certificate: build a 4x512 CMS
+    over every word-3-gram occurrence (md5 row-hashes — the cross-engine
+    hash, so the sketch CELLS and therefore the estimates are
+    bit-identical in DuckDB and the whole query hash-compares), then probe
+    the exact top-20 grams. ``est >= exact`` always (CMS upper bound);
+    ``overestimate`` shows the collision mass at ~23k distinct grams into
+    512 buckets. Sketches merge by summing cells (the groupBy IS the
+    merge), which is what makes CMS the shard-parallel frequency sketch at
+    100 TB — the corpus reduces to depth x width cells per shard."""
+    from dampr_spark.operators.dedup import _ensure_parallelism, positional_windows
+    from dampr_spark.operators.sketches import cms_build, cms_estimate
+
+    grams = (
+        _ensure_parallelism(
+            _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        )
+        .select(F.explode(positional_windows("text", 3)).alias("w"))
+        .select(F.col("w.gram").alias("g"))
+        .localCheckpoint(eager=True)  # feeds the exact ranking AND the sketch
+    )
+    exact = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.col("exact").desc(), "g")
+        .limit(20)
+        .localCheckpoint(eager=True)  # feeds the probe AND the final join
+    )
+    sketch = cms_build(grams, "g", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    est = cms_estimate(
+        sketch, exact.select("g"), "g", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    return exact.join(est, "g").select(
+        F.col("g").alias("gram"),
+        "exact",
+        "est",
+        (F.col("est") - F.col("exact")).alias("overestimate"),
+    )

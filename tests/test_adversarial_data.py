@@ -76,6 +76,7 @@ _HARDENED = [
     "bigram_doc_perplexity",
     "pq_recall_check",
     "self_repetition_trim",
+    "cms_ngram_frequency",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",

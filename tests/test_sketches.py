@@ -101,3 +101,43 @@ def test_distributed_ntile_matches_window_ntile(spark):
             ).collect()
         }
         assert got == want, f"n={n} k={k}"
+
+
+def test_cms_upper_bound_and_merge(spark):
+    """CMS invariants: est >= exact for EVERY item (not just the probed
+    top-k); building one sketch over the union equals merging per-shard
+    sketches by summing cells; a zero-count item estimates near 0."""
+    from pyspark.sql import functions as F
+
+    from dampr_spark.operators.sketches import cms_build, cms_estimate
+
+    rows = [(f"item{i % 50}",) for i in range(2000)] + [("rare",)]
+    df = spark.createDataFrame(rows, "g string")
+    sketch = cms_build(df, "g", depth=4, width=64)
+    items = df.distinct()
+    est = {r.g: r.est for r in cms_estimate(sketch, items, "g", 4, 64).collect()}
+    exact = {r.g: r.cnt for r in df.groupBy("g").agg(F.count("*").alias("cnt")).collect()}
+    assert all(est[g] >= exact[g] for g in exact)
+    # 40 heavy items in 64 buckets x 4 rows: min-over-rows keeps the heavy
+    # estimates within one collision of truth
+    assert est["item0"] < exact["item0"] + 2000
+
+    # mergeability: shard sketches summed cell-wise == whole-corpus sketch
+    a = df.filter(F.crc32("g") % 2 == 0)
+    b = df.filter(F.crc32("g") % 2 == 1)
+    merged = (
+        cms_build(a, "g", 4, 64)
+        .unionByName(cms_build(b, "g", 4, 64))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    whole = {(r.row, r.bucket): r.cnt for r in cms_build(df, "g", 4, 64).collect()}
+    got = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    assert got == whole
+
+    # absent item: every cell it hashes to may still collide, but with
+    # width 64 and 2001 rows the bound is loose — just assert it is small
+    # relative to the heavy mass and >= 0
+    ghost = spark.createDataFrame([("never-seen-xyz",)], "g string")
+    g_est = cms_estimate(sketch, ghost, "g", 4, 64).first().est
+    assert 0 <= g_est <= 200
