@@ -873,3 +873,47 @@ def incremental_substring_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cms_stream(
+    docs_stream: DataFrame,
+    out_dir: str,
+    item_expr,
+    depth: int = 4,
+    width: int = 512,
+):
+    """Streaming Count-Min sketch via ``foreachBatch``: each micro-batch
+    reduces to its own depth x width cell frame
+    (operators/sketches.cms_build) and APPENDS it; the live sketch is the
+    cell-sum over everything appended (:func:`cms_view`). Because CMS
+    merge IS cell addition, the streamed sketch equals the batch-built
+    whole-corpus sketch exactly — no caps, no retraction caveats (pinned
+    by the equivalence test). Per-batch state written: depth x width rows,
+    independent of batch size.
+
+    ``item_expr`` maps a batch DataFrame to a one-column frame of items
+    (e.g. ``lambda df: df.select(F.explode(...).alias("g"))``)."""
+    from dampr_spark.operators.sketches import cms_build
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        items = item_expr(batch_df)
+        col = items.columns[0]
+        cms_build(items, col, depth=depth, width=width).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", out_dir + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_view(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The live sketch: cell-sum over every appended per-batch sketch."""
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

@@ -776,3 +776,67 @@ def test_incremental_substring_stream_cap_coverage_superset(
         assert tokens <= gc.get(pair, set()), f"stream lost coverage for {pair}"
     # batch-1 pair (1,2) was computed while the gram was cold: full run
     assert (1, 2) in gc and len(gc[(1, 2)]) == 24
+
+
+def test_cms_stream_equals_batch_sketch(spark, sf_dir, tmp_path_factory):
+    """Two-micro-batch CMS: the cell-summed streamed sketch must equal the
+    whole-corpus batch sketch EXACTLY (merge is addition — no caps, no
+    retraction), and so must every estimate derived from it."""
+    import glob
+    import os
+    import shutil
+
+    from dampr_spark.operators.dedup import positional_windows
+    from dampr_spark.operators.sketches import cms_build, cms_estimate
+    from dampr_spark.sources.readers import read_table
+
+    base = tmp_path_factory.mktemp("cms_stream")
+    in_dir, out = str(base / "in"), str(base / "out")
+    docs = read_table(spark, sf_dir, "documents")
+    os.makedirs(in_dir)
+    for i, part in enumerate(
+        [docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)]
+    ):
+        part.coalesce(1).write.parquet(str(base / f"p{i}"))
+        shutil.copy(
+            glob.glob(str(base / f"p{i}" / "*.parquet"))[0], f"{in_dir}/b{i}.parquet"
+        )
+
+    def items(df):
+        return (
+            df.filter(F.col("text").isNotNull())
+            .select(F.explode(positional_windows("text", 3)).alias("w"))
+            .select(F.col("w.gram").alias("g"))
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.cms_stream(stream, out, items, depth=4, width=128)
+    q.awaitTermination()
+
+    got = {
+        (r.row, r.bucket): r.cnt for r in streaming.cms_view(spark, out).collect()
+    }
+    want = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_build(items(docs), "g", depth=4, width=128).collect()
+    }
+    assert got == want and want
+
+    probe = items(docs).distinct().limit(50)
+    est_stream = {
+        r.g: r.est
+        for r in cms_estimate(
+            streaming.cms_view(spark, out), probe, "g", 4, 128
+        ).collect()
+    }
+    est_batch = {
+        r.g: r.est
+        for r in cms_estimate(
+            cms_build(items(docs), "g", 4, 128), probe, "g", 4, 128
+        ).collect()
+    }
+    assert est_stream == est_batch
