@@ -589,3 +589,93 @@ def test_token_cooccurrence_caps_match_python_model(spark_session_holder, docs, 
         for x, y in combinations([t for t in s if t in keep], 2):
             want[(x, y)] += 1
     assert got == dict(want)
+
+
+# ---------------------------------------------------------------------------
+# round-7: suffix-run substring dedup vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+
+def _brute_spans(docs: dict[int, list[str]], w: int, min_len: int):
+    """All maximal cross-doc repeated runs >= min_len tokens, by direct
+    alignment scan: for each doc pair and offset, extend equal-token runs."""
+    out = set()
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ta, tb = docs[a], docs[b]
+            for off in range(-(len(tb) - 1), len(ta)):
+                run = 0
+                for pa in range(max(0, off), len(ta)):
+                    pb = pa - off
+                    if pb >= len(tb):
+                        break
+                    if ta[pa] == tb[pb]:
+                        run += 1
+                    else:
+                        if run >= min_len:
+                            out.add((a, pa - run + 1, b, pa - run - off + 1, run))
+                        run = 0
+                if run >= min_len:
+                    pa = min(len(ta), len(tb) + off)
+                    out.add((a, pa - run + 1, b, pa - run - off + 1, run))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+    min_len=st.integers(min_value=2, max_value=4),
+)
+@settings(**SETTINGS)
+def test_repeated_substring_spans_match_alignment_model(spark, docs, min_len):
+    """The suffix-run plan (anchor postings -> diagonal islands) must find
+    EXACTLY the maximal alignment runs a direct O(n^2 L) scan finds, for
+    any corpus, with anchor_tokens == min_len and no cap. Tiny alphabet
+    forces dense repeats, overlaps, and periodic structure."""
+    from dampr_spark.operators.dedup import repeated_substring_spans
+
+    model = {i + 1: toks for i, toks in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in model.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.start_a, r.id_b, r.start_b, r.match_len)
+        for r in repeated_substring_spans(
+            df, anchor_tokens=min_len, min_len=min_len, max_posting=10**6
+        ).collect()
+    }
+    # empty-token edge: a doc of [] serializes to "" which tokenizes to
+    # [""] — mirror that in the model so both sides see the same corpus
+    model2 = {i: (t if t else [""]) for i, t in model.items()}
+    want = _brute_spans(model2, min_len, min_len)
+    assert got == want
+
+
+@given(
+    ivals=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=30),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_interval_union_matches_set_model(spark, ivals):
+    """_interval_union_tokens == |set union| for arbitrary overlapping,
+    duplicated, nested intervals (the gaps-and-islands + distinct
+    machinery under every coverage/trim operator)."""
+    from dampr_spark.operators.dedup import _interval_union_tokens
+
+    rows = [(1, s, s + l) for s, l in ivals]
+    df = spark.createDataFrame(rows, "id long, s long, e long")
+    got = _interval_union_tokens(df).first().dup_tokens
+    want = len({p for s, l in ivals for p in range(s, s + l + 1)})
+    assert got == want
