@@ -460,6 +460,39 @@ def drop_near_dups(
     return df.join(losers, id_col, "left_anti")
 
 
+def drop_near_dups_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+    iters: int = 3,
+) -> DataFrame:
+    """Quality-aware near-dup collapse: keep the HIGHEST-``score`` member
+    of every near-dup cluster (ties -> lowest id), plus every unclustered
+    row — the near-dup twin of exact ``keep-best`` dedup (a crawl usually
+    holds one clean copy and several mangled ones; min-id keep is
+    arbitrary, keep-best keeps the clean one). Representative selection is
+    a component-keyed max_by aggregate (no window sort); the loser table
+    is ~|dup ids| rows and broadcasts into the anti-join."""
+    clusters = near_dup_clusters(pairs, iters)
+    scored = clusters.join(
+        df.select(F.col(id_col).alias("id"), score.alias("_q")), "id"
+    )
+    winners = scored.groupBy("canonical").agg(
+        F.max_by(
+            F.col("id"), F.struct(F.col("_q"), (-F.col("id")).alias("_neg"))
+        ).alias("keep_id")
+    )
+    losers = (
+        clusters.join(
+            winners, clusters.canonical == winners.canonical
+        )
+        .filter(F.col("id") != F.col("keep_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

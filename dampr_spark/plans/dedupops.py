@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dampr_spark.functions import text as T
 from dampr_spark.functions.vector import cosine_sql, valid_vector_sql
 from dampr_spark.operators import dedup, multimodal, similarity
 from dampr_spark.plans.catalog import register
@@ -1415,4 +1416,71 @@ def self_repetition_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_len=3,
         max_posting=_SUBSTR_MAX_POSTING,
         within_doc=True,
+    )
+
+
+@register(
+    "near_dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE grams AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS gram
+  FROM documents WHERE text IS NOT NULL),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY id),
+keep AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING count(*) BETWEEN 2 AND {_NGRAM_MAX_POSTING}),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM grams a JOIN keep USING (gram) JOIN grams b USING (gram)
+  WHERE a.id < b.id GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM shared
+  JOIN sizes sa ON sa.id = shared.id_a
+  JOIN sizes sb ON sb.id = shared.id_b
+  WHERE inter / (sa.n_grams + sb.n_grams - inter) >= 0.1),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+comp AS (SELECT s AS id, least(s, min(d)) AS canonical FROM reach GROUP BY s),
+q AS (
+  SELECT doc_id AS id, {T.quality_score_sql('text')} AS q
+  FROM documents WHERE text IS NOT NULL),
+winners AS (
+  SELECT canonical, id AS keep_id FROM (
+    SELECT comp.canonical, comp.id,
+           row_number() OVER (PARTITION BY comp.canonical
+                              ORDER BY q.q DESC, comp.id) AS rn
+    FROM comp JOIN q USING (id)) WHERE rn = 1),
+losers AS (
+  SELECT comp.id FROM comp JOIN winners USING (canonical)
+  WHERE comp.id <> winners.keep_id)
+SELECT d.doc_id, d.source, round({T.quality_score_sql('d.text')}, 6) AS quality
+FROM documents d
+WHERE d.text IS NOT NULL
+  AND d.doc_id NOT IN (SELECT id FROM losers)
+""",
+    tags=("dedup", "curation", "graph", "extension"),
+)
+def near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware NEAR-dup collapse, fully oracle-checked end-to-end:
+    exact 3-gram-Jaccard pairs (the oracle-green `ngram_jaccard_dups`
+    graph) → iterative min-label components (vs DuckDB's recursive-CTE
+    closure) → per-cluster keep-best by the codegen quality score (max_by,
+    no window) → anti-join. The near-dup twin of `exact_dedup_keep_best`:
+    of several mangled crawl copies, the cleanest survives — min-id keep
+    is arbitrary."""
+    from dampr_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pairs = dedup.ngram_jaccard_pairs(
+        d, n=3, threshold=0.1, max_posting=_NGRAM_MAX_POSTING
+    ).select("id_a", "id_b")
+    out = dedup.drop_near_dups_keep_best(d, pairs, quality_score("text"))
+    return out.select(
+        "doc_id", "source", F.round(quality_score("text"), 6).alias("quality")
     )

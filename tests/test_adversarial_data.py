@@ -77,6 +77,7 @@ _HARDENED = [
     "pq_recall_check",
     "self_repetition_trim",
     "cms_ngram_frequency",
+    "near_dedup_keep_best",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",

@@ -1348,3 +1348,35 @@ def test_trim_within_doc_collapses_periodic_text(spark):
         ).collect()
     }
     assert cross[1].text == "a b a b a b"
+
+
+def test_drop_near_dups_keep_best_planted(spark):
+    """Keep-best must keep the highest-quality cluster member (not min-id),
+    singletons untouched; min-id keep (drop_near_dups) keeps a different
+    member on the same corpus."""
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "today while reading a long article about distributed systems"
+    )
+    rows = [
+        (1, base + " aaaaaa!!!! ????"),   # mangled copy (worse quality)
+        (2, base),                          # clean copy
+        (3, base + " zz@@##"),             # another mangled copy
+        (4, "completely different content about spark engines and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from dampr_spark.functions.text import quality_score
+
+    pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.3).select("id_a", "id_b")
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} >= {(1, 2), (1, 3), (2, 3)}
+    best = sorted(
+        r.doc_id
+        for r in dedup.drop_near_dups_keep_best(
+            df, pairs, quality_score("text")
+        ).collect()
+    )
+    q = {r.doc_id: r.q for r in df.select("doc_id", quality_score("text").alias("q")).collect()}
+    assert q[2] > q[1] and q[2] > q[3]
+    assert best == [2, 4]
+    minid = sorted(r.doc_id for r in dedup.drop_near_dups(df, pairs).collect())
+    assert minid == [1, 4]
