@@ -725,3 +725,89 @@ def pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         (F.coalesce(F.col("overlap"), F.lit(0)) >= 6).alias("pq_health_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# contrastive training-pair mining (round 7)
+# ---------------------------------------------------------------------------
+
+_TRIPLET_ANCHORS = 20
+_NEG_LO, _NEG_HI = 0.1, 0.5
+
+
+@register(
+    "hard_negative_triplets",
+    oracle=f"""
+    WITH v AS (SELECT * FROM embeddings WHERE {V.valid_vector_sql('embedding')}),
+    anchors AS (
+      SELECT vec_id AS aid, embedding AS av FROM v
+      ORDER BY vec_id LIMIT {_TRIPLET_ANCHORS}),
+    scored AS (
+      SELECT a.aid, b.vec_id AS bid,
+             round({V.cosine_sql('b.embedding', 'a.av')}, 6) AS cos
+      FROM anchors a JOIN v b ON b.vec_id <> a.aid),
+    pos AS (
+      SELECT aid, bid AS positive_id, cos AS pos_cos FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY aid ORDER BY cos DESC, bid) AS rn
+        FROM scored) WHERE rn = 1),
+    neg AS (
+      SELECT aid, bid AS negative_id, cos AS neg_cos FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY aid ORDER BY cos DESC, bid) AS rn
+        FROM scored WHERE cos >= {_NEG_LO} AND cos < {_NEG_HI})
+      WHERE rn = 1)
+    SELECT pos.aid AS anchor_id, positive_id, pos_cos, negative_id, neg_cos
+    FROM pos LEFT JOIN neg ON pos.aid = neg.aid
+    """,
+    tags=("vector", "contrastive", "extension"),
+)
+def hard_negative_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive (anchor, positive, hard-negative) mining for
+    embedding-model training data: per anchor, the nearest neighbor as the
+    positive and the HIGHEST-cosine vector inside the [0.1, 0.5) band as
+    the hard negative (near-misses train the margin; random negatives are
+    too easy). Registered form scores 20 anchors against
+    the corpus with per-anchor heap windows — deterministic and fully
+    oracle-checked. At corpus scale the scored frame comes from the
+    LSH/IVF candidate generators instead of the broadcast scan; band and
+    argmax logic are unchanged."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
+    anchors = (
+        e.orderBy("vec_id")
+        .limit(_TRIPLET_ANCHORS)
+        .select(F.col("vec_id").alias("aid"), F.col("embedding").alias("av"))
+    )
+    scored = (
+        e.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("aid"))
+        .select(
+            "aid",
+            F.col("vec_id").alias("bid"),
+            F.round(V.cosine("embedding", "av"), 6).alias("cos"),
+        )
+        .localCheckpoint(eager=True)  # feeds both the pos and neg windows
+    )
+    w = Window.partitionBy("aid").orderBy(F.col("cos").desc(), "bid")
+    pos = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("aid").alias("anchor_id"),
+            F.col("bid").alias("positive_id"),
+            F.col("cos").alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.filter((F.col("cos") >= _NEG_LO) & (F.col("cos") < _NEG_HI))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("aid").alias("anchor_id"),
+            F.col("bid").alias("negative_id"),
+            F.col("cos").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor_id", "left")

@@ -78,6 +78,7 @@ _HARDENED = [
     "self_repetition_trim",
     "cms_ngram_frequency",
     "near_dedup_keep_best",
+    "hard_negative_triplets",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",
