@@ -1059,8 +1059,30 @@ def _persist_shared_python_frontier(pmers: list[PBase]) -> list[RDD]:
                 continue
             stack.extend(x._parents)
 
+    # Ancestors-first: one frontier node can sit in another's lineage (Y
+    # maximal for a pipeline that reaches it NOT through X, while X's own
+    # chain runs through Y). Forcing X first would build X's PipelinedRDD
+    # fused straight through the still-uncached Y — persisting Y afterwards
+    # cannot un-fuse it, and Y's lambdas would run twice anyway. Persist
+    # any frontier node before every frontier DESCENDANT of it is forced.
+    anc_sets = {
+        pid: set(ancestors(node)) - {pid} for pid, node in frontier.items()
+    }
+    ordered: list[PBase] = []
+    remaining = dict(frontier)
+    while remaining:
+        ready = [
+            pid
+            for pid in remaining
+            if not (anc_sets[pid] & remaining.keys())
+        ]
+        if not ready:  # impossible in a DAG; defensive against cycles
+            ready = list(remaining)
+        for pid in ready:
+            ordered.append(remaining.pop(pid))
+
     persisted: list[RDD] = []
-    for node in frontier.values():
+    for node in ordered:
         rdd = node._rdd  # forces only the shared node's own chain
         if not rdd.is_cached:
             rdd.persist(StorageLevel.MEMORY_AND_DISK)

@@ -34,3 +34,18 @@ def md5_uint_sql(inner: str, n_bytes: int = 4, little_endian: bool = True) -> st
         byte(j) if w == 1 else f"{byte(j)} * {w}" for j, w in enumerate(weights)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def md5_bucket(expr, n_buckets: int):
+    """Spark Column twin of ``md5_uint_sql(..., 4, little_endian=False) %
+    n_buckets``: first 4 md5 bytes (big-endian) of the expression's string
+    value, mod ``n_buckets``. THE cross-engine bucket hash — every
+    hashed-feature operator (DSIR buckets, CMS cells) must route through
+    this single definition (and its SQL twin above) or the "bit-identical
+    in Spark and DuckDB" oracle guarantee silently diverges."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.conv(F.substring(F.md5(expr), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )

@@ -1311,45 +1311,19 @@ def spans_from_anchor_pairs(
 
 
 def _interval_union_tokens(sides: DataFrame) -> DataFrame:
-    """Per-id token count covered by the UNION of [s, e] intervals (classic
-    merge-overlaps: running max of prior ends marks island starts). Input
-    columns (id, s, e); output (id, dup_tokens). The running-max window and
-    both downstream aggregates share one hash partitioning on id.
-
-    Intervals are DISTINCT-ed first — not just because duplicates are
-    redundant, but for determinism: with duplicate (s, e) rows the
-    ORDER BY (s, e) is not a total order, and an engine that evaluates the
-    running-max and running-sum windows as separate passes (DuckDB does for
-    the nested form) may tie-break them differently, splitting one island
-    in two. Distinct rows make (s, e) a total order, so every engine
-    agrees."""
-    from pyspark.sql.window import Window
-
-    sides = sides.select("id", "s", "e").distinct()
-
-    wp = (
-        Window.partitionBy("id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wr = (
-        Window.partitionBy("id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    m = sides.withColumn("prev_e", F.max("e").over(wp)).withColumn(
-        "isl",
-        F.sum(
-            F.when(
-                F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e")), 1
-            ).otherwise(0)
-        ).over(wr),
-    )
+    """Per-id token count covered by the UNION of [s, e] intervals:
+    (id, s, e) -> (id, dup_tokens). Thin aggregate over
+    :func:`_merged_intervals` (which owns the gaps-and-islands machinery
+    and its determinism rationale) — merged intervals are disjoint, so
+    coverage is just their summed lengths."""
     return (
-        m.groupBy("id", "isl")
-        .agg((F.max("e") - F.min("s") + 1).alias("covered"))
+        _merged_intervals(sides)
         .groupBy("id")
-        .agg(F.sum("covered").cast("long").alias("dup_tokens"))
+        .agg(
+            F.sum(F.col("me") - F.col("ms") + 1)
+            .cast("long")
+            .alias("dup_tokens")
+        )
     )
 
 
@@ -1431,8 +1405,9 @@ def duplicate_ngram_coverage(
     (clean docs score 0.0). Looping/degenerate generations and boilerplate
     scaffolds light up on this metric while cross-doc dedup misses them.
 
-    Plan: positional n-grams → (id, gram) count ≥ 2 keeps only repeated
-    grams (map-side combinable agg, no posting lists) → each kept position
+    Plan: positional n-grams → per-(id, gram) POSITION LISTS (collect_list
+    bounded by within-doc repeats of one gram — not corpus-wide posting
+    lists) keep only grams occurring ≥ 2× in the doc → each kept position
     spans [pos, pos+n-1] → per-doc interval union. Everything after the
     explode is keyed by id (one hash partitioning reused across the window
     and both aggregates)."""
@@ -1472,9 +1447,18 @@ def duplicate_ngram_coverage(
 
 
 def _merged_intervals(sides: DataFrame) -> DataFrame:
-    """Merge overlapping [s, e] intervals per id (same gaps-and-islands as
-    :func:`_interval_union_tokens`, but returning the merged intervals
-    themselves): (id, s, e) -> (id, ms, me) disjoint and sorted."""
+    """Merge overlapping [s, e] intervals per id (classic merge-overlaps:
+    running max of prior ends marks island starts): (id, s, e) ->
+    (id, ms, me) disjoint per id. The running-max window and the island
+    aggregate share one hash partitioning on id.
+
+    Intervals are DISTINCT-ed first — not just because duplicates are
+    redundant, but for determinism: with duplicate (s, e) rows the
+    ORDER BY (s, e) is not a total order, and an engine that evaluates the
+    running-max and running-sum windows as separate passes (DuckDB does
+    for the nested form) may tie-break them differently, splitting one
+    island in two. Distinct rows make (s, e) a total order, so every
+    engine agrees."""
     from pyspark.sql.window import Window
 
     sides = sides.select("id", "s", "e").distinct()

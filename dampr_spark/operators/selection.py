@@ -40,13 +40,12 @@ def _adjacent_pairs(text_col: str) -> Column:
 
 
 def hashed_feature_bucket(gram: Column, n_buckets: int) -> Column:
-    """Stable cross-engine feature hash: first 4 md5 bytes (big-endian) mod
-    ``n_buckets``. md5 is the one hash Spark and DuckDB agree on
-    (functions/hashing.py); xxhash64/hash() are engine-seeded."""
-    return (
-        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
-        % n_buckets
-    )
+    """Stable cross-engine feature hash — the single shared definition
+    lives in functions/hashing.md5_bucket (md5 is the one hash Spark and
+    DuckDB agree on; xxhash64/hash() are engine-seeded)."""
+    from dampr_spark.functions.hashing import md5_bucket
+
+    return md5_bucket(gram, n_buckets)
 
 
 def dsir_importance_weights(

@@ -634,6 +634,8 @@ class ProductQuantizer:
             frac = min(1.0, 1.2 * sample_size / total)
             sel = sel.sample(fraction=frac, seed=self.seed)
         rows = sel.collect()
+        if not rows:
+            raise ValueError("no valid vectors to fit the PQ codebooks on")
         x = np.asarray([r[0] for r in rows], dtype=np.float64)
         rng = np.random.default_rng(self.seed)
         if len(x) > sample_size:

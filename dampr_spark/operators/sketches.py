@@ -150,17 +150,15 @@ def heavy_hitters(
 
 
 def cms_bucket(item, row: int, width: int):
-    """CMS hash for one sketch row: first 4 md5 bytes of ``item`` salted
-    with the row index, mod ``width``. md5 is the cross-engine hash
-    (functions/hashing.py), so sketch contents — and therefore estimates —
-    are bit-identical in Spark and DuckDB, making CMS queries fully
-    oracle-checkable (unlike engine-seeded hash()/xxhash64)."""
+    """CMS hash for one sketch row: the shared cross-engine md5 bucket
+    (functions/hashing.md5_bucket) of ``item`` salted with the row index —
+    sketch contents, and therefore estimates, are bit-identical in Spark
+    and DuckDB, making CMS queries fully oracle-checkable."""
     from pyspark.sql import functions as F
 
-    salted = F.concat(item.cast("string"), F.lit(f"#cms{row}"))
-    return (
-        F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long") % width
-    )
+    from dampr_spark.functions.hashing import md5_bucket
+
+    return md5_bucket(F.concat(item.cast("string"), F.lit(f"#cms{row}")), width)
 
 
 def cms_build(
@@ -171,9 +169,10 @@ def cms_build(
     weight_col: str | None = None,
 ) -> DataFrame:
     """Build a Count-Min sketch as a DataFrame of ``(row, bucket, cnt)`` —
-    depth×width cells, each the sum of every item hashing there. One
-    explode-free pass: each input row contributes ``depth`` cell
-    increments via an inline array, aggregated with map-side partials.
+    depth×width cells, each the sum of every item hashing there. One scan:
+    each input row explodes into ``depth`` cell-increment rows (×depth row
+    amplification before the aggregate — the honest cost model), which
+    map-side partials collapse to ≤ depth×width rows per partition.
     Sketches over different shards MERGE by summing cells (groupBy row,
     bucket) — the property that makes CMS the streaming/distributed
     frequency sketch."""

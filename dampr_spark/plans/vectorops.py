@@ -669,6 +669,8 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
     q = e.orderBy("vec_id").limit(1).select("vec_id", "embedding").first()
+    if q is None:
+        raise ValueError("embeddings table has no valid query vector")
     rest = e.filter(F.col("vec_id") != q.vec_id)
     pq = similarity.ProductQuantizer(m=8, k=256).fit(rest)
     return pq.adc_topk(pq.encode(rest), list(q.embedding), topk=20)

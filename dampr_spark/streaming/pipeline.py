@@ -511,6 +511,10 @@ def incremental_neardup_stream(
                 store_pruned.select(F.col("id").alias("id_b"), "band", "band_hash"),
                 ["band", "band_hash"],
             )
+            # a RETRIED batch re-delivers docs already in the store: the
+            # self-match would fabricate an (X, X) pair no legitimate row
+            # duplicates, so distinct-on-read could never remove it
+            .filter(F.col("id_a") != F.col("id_b"))
             .select(
                 F.least("id_a", "id_b").alias("id_a"),
                 F.greatest("id_a", "id_b").alias("id_b"),
@@ -556,8 +560,17 @@ def neardup_pairs_view(
     an active cap this view EQUALS ``minhash_lsh_candidates(...,
     max_bucket=...)`` over the ingested corpus, not just a superset
     (pinned by the cap-equivalence test). One small aggregate over the
-    16-rows-per-doc store + an anti-join — no document text is read."""
-    pairs = spark.read.parquet(out_dir)
+    16-rows-per-doc store + an anti-join — no document text is read.
+
+    Pairs missing their provenance columns (a sink written by a pre-
+    provenance version of the stream, mixed into this out_dir) are DROPPED
+    rather than kept: a null (band, band_hash) never matches the hot
+    anti-join, so keeping such rows would silently exempt them from
+    retraction — under-reporting is the conservative failure for a capped
+    candidate view."""
+    pairs = spark.read.parquet(out_dir).filter(
+        F.col("band").isNotNull() & F.col("band_hash").isNotNull()
+    )
     hot = (
         spark.read.parquet(store_dir)
         .groupBy("band", "band_hash")
@@ -792,6 +805,12 @@ def incremental_substring_stream(
     Same at-least-once caveat as the other incremental sinks: a retried
     batch re-appends anchors and spans; distinct-on-read restores
     exactly-once."""
+    if min_len < anchor_tokens:
+        raise ValueError(
+            f"min_len ({min_len}) must be >= anchor_tokens ({anchor_tokens}): "
+            "runs are detected at anchor granularity (same contract as the "
+            "batch operator)"
+        )
     from pyspark.errors import AnalysisException
 
     from dampr_spark.operators.dedup import (
@@ -827,9 +846,14 @@ def incremental_substring_stream(
             F.col("id").alias("o_id"), F.col("pos").alias("o_pos"), "gram"
         )
         # pair diagonal is keyed lower-id-first, exactly like the batch
-        # operator's sorted-struct pairing
+        # operator's sorted-struct pairing. The n_id != o_id guard covers
+        # the at-least-once case: a RETRIED batch re-delivers docs whose
+        # anchors are already in the store, and a self-match would
+        # fabricate a whole-doc (X, X) span that distinct-on-read cannot
+        # remove (the batch operator filters id_a != id_b the same way).
         cross = (
             n.join(o, "gram")
+            .filter(F.col("n_id") != F.col("o_id"))
             .select(
                 F.least("n_id", "o_id").alias("id_a"),
                 F.when(F.col("n_id") < F.col("o_id"), F.col("n_pos"))

@@ -751,3 +751,32 @@ def test_run_share_python_default_off_still_correct(spark):
     ra, rb = Dampr.run(p1, p2)
     assert sorted(ra.read() + rb.read()) == [v * 2 for v in range(40)]
     assert acc.value == 80  # 2 pipelines x 40 rows: fused re-execution
+
+
+def test_run_share_python_nested_frontier_ancestor_runs_once(spark):
+    """Frontier ordering: Y is shared by P3 directly AND sits inside X's
+    lineage (X shared by P1/P2). If X were forced before Y is persisted,
+    X's PythonRDD would fuse through the uncached Y and Y's lambda would
+    run twice — ancestors-first persisting keeps it at exactly one pass
+    over the 60 rows."""
+    acc_y = spark.sparkContext.accumulator(0)
+    acc_x = spark.sparkContext.accumulator(0)
+
+    def tag_y(v):
+        acc_y.add(1)
+        return v + 1
+
+    def tag_x(v):
+        acc_x.add(1)
+        return v * 10
+
+    y = Dampr.memory(list(range(60))).map(tag_y)
+    x = y.map(tag_x)
+    p1 = x.filter(lambda v: v % 2 == 0)
+    p2 = x.map(lambda v: -v)
+    p3 = y.map(lambda v: v + 100)  # reaches Y NOT through X
+    r1, r2, r3 = Dampr.run(p1, p2, p3, share_python=True)
+    assert sorted(r3.read()) == [v + 101 for v in range(60)]
+    assert sorted(r2.read()) == sorted(-(v + 1) * 10 for v in range(60))
+    assert acc_y.value == 60, f"ancestor lambda ran {acc_y.value / 60}x"
+    assert acc_x.value == 60, f"descendant lambda ran {acc_x.value / 60}x"

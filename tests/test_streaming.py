@@ -840,3 +840,53 @@ def test_cms_stream_equals_batch_sketch(spark, sf_dir, tmp_path_factory):
         ).collect()
     }
     assert est_stream == est_batch
+
+
+def test_incremental_substring_stream_redelivery_no_self_spans(
+    spark, tmp_path_factory
+):
+    """At-least-once: re-processing the same input against an already-
+    populated anchor store (fresh checkpoint = every batch re-delivered)
+    must not fabricate (X, X) self-spans — and distinct-on-read still
+    equals the batch operator."""
+    import glob
+    import os
+    import shutil
+
+    from dampr_spark.operators.dedup import repeated_substring_spans
+
+    def w(p, n):
+        return " ".join(f"{p}{i}" for i in range(n))
+
+    shared = w("s", 25)
+    rows = [(1, w("a", 4) + " " + shared), (2, w("b", 4) + " " + shared)]
+    base = tmp_path_factory.mktemp("substr_retry")
+    in_dir, store, out = (str(base / d) for d in ("in", "store", "out"))
+    os.makedirs(in_dir)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.coalesce(1).write.parquet(str(base / "p0"))
+    shutil.copy(glob.glob(str(base / "p0" / "*.parquet"))[0], f"{in_dir}/b0.parquet")
+
+    # two full stream runs; wiping the checkpoint between them re-delivers
+    # batch 0 against the already-populated anchor store (the retry case)
+    for _ in range(2):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = streaming.incremental_substring_stream(
+            stream, store, out, min_len=20, max_posting=10**9
+        )
+        q.awaitTermination()
+        shutil.rmtree(out + "_checkpoint", ignore_errors=True)
+
+    got = spark.read.parquet(out).distinct()
+    assert got.filter(F.col("id_a") == F.col("id_b")).count() == 0
+    want = {
+        tuple(r)
+        for r in repeated_substring_spans(
+            docs, min_len=20, max_posting=10**9, hash_anchors=True
+        ).collect()
+    }
+    assert {tuple(r) for r in got.collect()} == want
