@@ -48,58 +48,27 @@ def hashed_feature_bucket(gram: Column, n_buckets: int) -> Column:
     return md5_bucket(gram, n_buckets)
 
 
-def dsir_importance_weights(
+def dsir_log_ratios(
     df: DataFrame,
     target: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     n_buckets: int = 256,
 ) -> DataFrame:
-    """DSIR importance weights: per raw document, the hashed-bigram
-    log-likelihood ratio toward the ``target`` corpus —
-    ``log w(doc) = Σ_f k_f(doc) · [ln p_target(bucket_f) − ln p_raw(bucket_f)]``
-    with add-1 smoothing over ``n_buckets`` hashed word-bigram features
-    (Xie et al. 2023). Sampling ∝ exp(log_weight) reshapes the raw corpus
-    toward the target domain. Returns ``(doc_id, n_feats, log_weight)``
-    for every non-null raw doc (featureless docs score 0.0).
-
-    Sizing note: the target should carry at least ~``n_buckets`` bigram
-    tokens — on a much smaller target the add-1 smoothing mass dominates
-    p_target and every doc scores "unlike the target", flattening (or
-    inverting) the ranking. Shrink ``n_buckets`` for tiny targets.
-
-    Scale shape: ONE explode of the raw corpus into (doc, bucket) counts
-    (map-side combinable), a second over the target (usually far smaller),
-    two ``n_buckets``-row distributions joined into one broadcastable
-    log-ratio table, and a broadcast join back onto the per-doc bucket
-    counts. No corpus-keyed shuffle ever carries text."""
-    raw_feats = (
+    """The DSIR MODEL: ``(bucket, lr)`` log-likelihood-ratio table between
+    the ``target`` and raw (``df``) hashed-bigram distributions, add-1
+    smoothed. ``n_buckets`` rows — broadcastable, reusable across scoring
+    runs (and the unit of state for the streaming scorer)."""
+    raw_counts = (
         _ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
+        .select(F.explode(_adjacent_pairs(text_col)).alias("p"))
         .select(
-            F.col(id_col).alias("id"),
-            F.explode(_adjacent_pairs(text_col)).alias("p"),
-        )
-        .select(
-            "id",
             hashed_feature_bucket(
                 F.concat_ws(" ", F.col("p.a"), F.col("p.b")), n_buckets
-            ).alias("bucket"),
+            ).alias("bucket")
         )
-    )
-    # Pinned: feeds the raw distribution AND the scoring join — without the
-    # checkpoint the corpus pair-explode re-runs once per consumer (the
-    # multi-consumer convention; plan-locked in test_plans.py).
-    doc_buckets = (
-        raw_feats.groupBy("id", "bucket")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .localCheckpoint(eager=True)
-    )
-    # n_buckets-row tables; pinned so the ratio join and the scalar totals
-    # read them instead of replaying their explode lineage.
-    raw_counts = (
-        doc_buckets.groupBy("bucket")
-        .agg(F.sum("k").alias("rc"))
-        .localCheckpoint(eager=True)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("rc"))
+        .localCheckpoint(eager=True)  # feeds the join AND the scalar total
     )
     tgt_counts = (
         _ensure_parallelism(target.filter(F.col(text_col).isNotNull()))
@@ -113,7 +82,7 @@ def dsir_importance_weights(
         .agg(F.count(F.lit(1)).alias("tc"))
         .localCheckpoint(eager=True)
     )
-    ratios = (
+    return (
         raw_counts.join(tgt_counts, "bucket", "left")
         .withColumn("tc", F.coalesce(F.col("tc"), F.lit(0)))
         .crossJoin(
@@ -131,6 +100,35 @@ def dsir_importance_weights(
             ).alias("lr"),
         )
     )
+
+
+def dsir_score(
+    df: DataFrame,
+    ratios: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Score documents against a FIXED ``(bucket, lr)`` ratio table
+    (:func:`dsir_log_ratios`): one pair-explode into per-doc bucket
+    counts, broadcast-join the table, per-doc weighted sum. Buckets
+    absent from the table contribute 0 (they carry no evidence under the
+    fitted model)."""
+    doc_buckets = (
+        _ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(_adjacent_pairs(text_col)).alias("p"),
+        )
+        .select(
+            "id",
+            hashed_feature_bucket(
+                F.concat_ws(" ", F.col("p.a"), F.col("p.b")), n_buckets
+            ).alias("bucket"),
+        )
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
     scored = (
         doc_buckets.join(F.broadcast(ratios), "bucket")
         .groupBy("id")
@@ -146,6 +144,40 @@ def dsir_importance_weights(
         F.col("id").alias(id_col),
         F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
         F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weights: per raw document, the hashed-bigram
+    log-likelihood ratio toward the ``target`` corpus —
+    ``log w(doc) = Σ_f k_f(doc) · [ln p_target(bucket_f) − ln p_raw(bucket_f)]``
+    with add-1 smoothing over ``n_buckets`` hashed word-bigram features
+    (Xie et al. 2023). Sampling ∝ exp(log_weight) reshapes the raw corpus
+    toward the target domain. Returns ``(doc_id, n_feats, log_weight)``
+    for every non-null raw doc (featureless docs score 0.0). Composition
+    of :func:`dsir_log_ratios` (the model) and :func:`dsir_score`.
+
+    Sizing note: the target should carry at least ~``n_buckets`` bigram
+    tokens — on a much smaller target the add-1 smoothing mass dominates
+    p_target and every doc scores "unlike the target", flattening (or
+    inverting) the ranking. Shrink ``n_buckets`` for tiny targets.
+
+    Scale shape: one pair-explode over the raw corpus for the model's
+    bucket distribution and one for scoring (each pinned/bounded), one
+    over the (usually far smaller) target; the ``n_buckets``-row ratio
+    table broadcasts into the scoring join. No corpus-keyed shuffle ever
+    carries text."""
+    ratios = dsir_log_ratios(
+        df, target, text_col=text_col, n_buckets=n_buckets
+    ).localCheckpoint(eager=True)
+    return dsir_score(
+        df, ratios, text_col=text_col, id_col=id_col, n_buckets=n_buckets
     )
 
 

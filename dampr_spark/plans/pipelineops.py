@@ -1975,3 +1975,95 @@ def bigram_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dampr_spark.operators.selection import bigram_doc_perplexity as op
 
     return op(_t(spark, sf_dir, "documents"))
+
+
+_TOKEN_DRIFT_BUCKETS = 128
+_TOKEN_DRIFT_BUCKET_SQL = (
+    f"({_md5_uint_sql('gram', 4, little_endian=False)} % {_TOKEN_DRIFT_BUCKETS})"
+)
+
+
+@register(
+    "corpus_token_drift",
+    oracle=f"""
+WITH pairs AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+    )) AS gram
+  FROM documents WHERE text IS NOT NULL),
+b AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS grp,
+         {_TOKEN_DRIFT_BUCKET_SQL} AS bucket
+  FROM pairs),
+c AS (
+  SELECT bucket,
+         sum(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS nr,
+         sum(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS nc
+  FROM b GROUP BY bucket),
+t AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM c)
+SELECT CAST(t.tr AS BIGINT) AS n_ref, CAST(t.tc AS BIGINT) AS n_cur,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       round(sum(
+           ((c.nr + 1.0) / (t.tr + {_TOKEN_DRIFT_BUCKETS})
+            - (c.nc + 1.0) / (t.tc + {_TOKEN_DRIFT_BUCKETS}))
+           * ln(((c.nr + 1.0) / (t.tr + {_TOKEN_DRIFT_BUCKETS}))
+                / ((c.nc + 1.0) / (t.tc + {_TOKEN_DRIFT_BUCKETS})))), 6) AS psi
+FROM c, t
+GROUP BY t.tr, t.tc
+""",
+    tags=("text", "drift", "curation", "extension"),
+)
+def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-distribution drift between two corpus slices — the text twin
+    of `value_drift_psi` a data pipeline runs between corpus versions
+    (re-crawl vs last crawl, new shard vs history): PSI over 128
+    md5-hashed word-bigram buckets (the same cross-engine feature space
+    as DSIR, so fully oracle-checked). The fixture splits on doc_id
+    parity; a real pipeline feeds two corpus versions — plan unchanged.
+    PSI < 0.1 stable, > 0.25 the new crawl's language has shifted.
+
+    Plan shape for 100 TB: one pair-explode per slice into a 128-row
+    bucket histogram (map-side partials), then driver-sized PSI
+    arithmetic — corpora reduce to 2x128 cells."""
+    from dampr_spark.functions.hashing import md5_bucket
+    from dampr_spark.operators.dedup import _ensure_parallelism
+    from dampr_spark.operators.selection import _adjacent_pairs
+
+    B = _TOKEN_DRIFT_BUCKETS
+    b = (
+        _ensure_parallelism(
+            _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        )
+        .select(
+            F.when(F.col("doc_id") % 2 == 0, "ref").otherwise("cur").alias("grp"),
+            F.explode(_adjacent_pairs("text")).alias("p"),
+        )
+        .select(
+            "grp",
+            md5_bucket(
+                F.concat_ws(" ", F.col("p.a"), F.col("p.b")), B
+            ).alias("bucket"),
+        )
+    )
+    c = (
+        b.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("grp") == "ref", 1).otherwise(0)).alias("nr"),
+            F.sum(F.when(F.col("grp") == "cur", 1).otherwise(0)).alias("nc"),
+        )
+        .localCheckpoint(eager=True)  # 128 rows; feeds the totals AND the fold
+    )
+    t = c.agg(F.sum("nr").alias("tr"), F.sum("nc").alias("tc"))
+    pr = (F.col("nr") + 1.0) / (F.col("tr") + B)
+    pc = (F.col("nc") + 1.0) / (F.col("tc") + B)
+    return (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            F.first("tr").cast("long").alias("n_ref"),
+            F.first("tc").cast("long").alias("n_cur"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.sum((pr - pc) * F.log(pr / pc)), 6).alias("psi"),
+        )
+    )

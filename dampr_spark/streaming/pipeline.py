@@ -941,3 +941,39 @@ def cms_view(spark: SparkSession, out_dir: str) -> DataFrame:
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+def dsir_score_stream(
+    docs_stream: DataFrame,
+    ratios: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+):
+    """Streaming DSIR scoring via ``foreachBatch``: every micro-batch of
+    documents is scored against a FIXED ``(bucket, lr)`` ratio table
+    (operators/selection.dsir_log_ratios, fit batch-side on a
+    raw-snapshot + target — the model is an artifact, it does not grow
+    with the stream) and appended. Scoring is stateless per batch
+    (broadcast table join), so the streamed scores are EXACTLY the batch
+    operator's scores for the same docs — pinned by the equivalence
+    test. The shape a curation pipeline wants at ingest: new crawl shards
+    arrive, each doc gets its importance weight immediately, resampling
+    happens downstream."""
+    from dampr_spark.operators.selection import dsir_score
+
+    ratios = ratios.localCheckpoint(eager=True)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        dsir_score(
+            batch_df, ratios, text_col=text_col, id_col=id_col,
+            n_buckets=n_buckets,
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", out_dir + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

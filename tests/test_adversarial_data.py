@@ -79,6 +79,7 @@ _HARDENED = [
     "cms_ngram_frequency",
     "near_dedup_keep_best",
     "hard_negative_triplets",
+    "corpus_token_drift",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",

@@ -505,9 +505,10 @@ def test_dsir_broadcasts_ratio_table(spark):
     and the corpus must pair-explode exactly once."""
     plan = plan_of(spark, "dsir_en_importance")
     assert "BroadcastHashJoin" in plan
-    # every explode lineage is pinned behind a checkpoint: the visible plan
-    # reads checkpointed frames, it never replays a pair-explode
-    assert plan.count("Generate explode") == 0
+    # exactly ONE single-consumer scoring explode; the model's explode
+    # lineages are pinned behind checkpoints (the ratio table reads a
+    # checkpointed frame, never replays its pair-explodes)
+    assert plan.count("Generate explode") == 1
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
 

@@ -890,3 +890,47 @@ def test_incremental_substring_stream_redelivery_no_self_spans(
         ).collect()
     }
     assert {tuple(r) for r in got.collect()} == want
+
+
+def test_dsir_score_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Streamed DSIR scores against a fixed ratio table must equal the
+    batch operator's scores doc-for-doc (stateless broadcast scoring)."""
+    import glob
+    import os
+    import shutil
+
+    from dampr_spark.operators.selection import dsir_log_ratios, dsir_score
+    from dampr_spark.sources.readers import read_table
+
+    base = tmp_path_factory.mktemp("dsir_stream")
+    in_dir, out = str(base / "in"), str(base / "out")
+    docs = read_table(spark, sf_dir, "documents")
+    ratios = dsir_log_ratios(
+        docs, docs.filter(F.col("lang") == "en")
+    ).localCheckpoint(eager=True)
+
+    os.makedirs(in_dir)
+    for i, part in enumerate(
+        [docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)]
+    ):
+        part.coalesce(1).write.parquet(str(base / f"p{i}"))
+        shutil.copy(
+            glob.glob(str(base / f"p{i}" / "*.parquet"))[0], f"{in_dir}/b{i}.parquet"
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.dsir_score_stream(stream, ratios, out)
+    q.awaitTermination()
+
+    got = {
+        r.doc_id: (r.n_feats, r.log_weight)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.n_feats, r.log_weight)
+        for r in dsir_score(docs, ratios).collect()
+    }
+    assert got == want and want
