@@ -2067,3 +2067,81 @@ def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum((pr - pc) * F.log(pr / pc)), 6).alias("psi"),
         )
     )
+
+
+_RESAMPLE_K = 50
+_GUMBEL_U_SQL = (
+    f"(({_md5_uint_sql(chr(39) + 'g:' + chr(39) + ' || CAST(doc_id AS VARCHAR)', 4, little_endian=False)}"
+    " + 1) / 4294967296.0)"
+)
+
+
+@register(
+    "dsir_gumbel_resample",
+    oracle=f"""
+WITH pairs AS (
+  SELECT doc_id AS id, lang,
+    unnest(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+    )) AS gram
+  FROM documents WHERE text IS NOT NULL),
+feats AS (SELECT id, lang, {_DSIR_BUCKET_SQL} AS bucket FROM pairs),
+db AS (SELECT id, bucket, count(*) AS k FROM feats GROUP BY 1, 2),
+rc AS (SELECT bucket, sum(k) AS rc FROM db GROUP BY 1),
+tg AS (SELECT bucket, count(*) AS tc FROM feats WHERE lang = 'en' GROUP BY 1),
+tot AS (SELECT (SELECT sum(rc) FROM rc) AS rn, (SELECT sum(tc) FROM tg) AS tn),
+lr AS (
+  SELECT rc.bucket,
+         ln((COALESCE(tg.tc, 0) + 1) * 1.0 / (tot.tn + {_DSIR_BUCKETS}))
+       - ln((rc.rc + 1) * 1.0 / (tot.rn + {_DSIR_BUCKETS})) AS lr
+  FROM rc LEFT JOIN tg USING (bucket), tot),
+sc AS (
+  SELECT id, round(sum(k * lr), 6) AS log_weight
+  FROM db JOIN lr USING (bucket) GROUP BY id),
+keyed AS (
+  SELECT d.doc_id,
+         COALESCE(sc.log_weight, 0.0) AS log_weight,
+         round(COALESCE(sc.log_weight, 0.0)
+               + (-ln(-ln({_GUMBEL_U_SQL}))), 6) AS gumbel_key
+  FROM documents d LEFT JOIN sc ON sc.id = d.doc_id
+  WHERE d.text IS NOT NULL)
+SELECT doc_id, log_weight, gumbel_key
+FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT {_RESAMPLE_K}
+""",
+    tags=("curation", "selection", "sampling", "extension"),
+)
+def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESAMPLING half of DSIR (importance resampling via the
+    Gumbel-top-k trick): each doc draws a deterministic md5 Gumbel
+    ``g = -ln(-ln u)`` and competes with key ``log_weight + g`` — the
+    global top-k IS a sample ∝ exp(log_weight), i.e. ∝ the importance
+    weight toward the en target, without replacement and without an RNG
+    (both engines draw identical noise, so the selected SET
+    hash-compares). Ordering is on the 6dp-ROUNDED key (then doc_id) so
+    cross-engine libm drift cannot flip the cut. Scale shape: the scored
+    frame plus one TakeOrdered — no extra shuffle over DSIR scoring."""
+    from dampr_spark.operators.selection import dsir_importance_weights
+
+    d = _t(spark, sf_dir, "documents")
+    w = dsir_importance_weights(
+        d, d.filter(F.col("lang") == "en"), n_buckets=_DSIR_BUCKETS
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("g:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1
+    ) / F.lit(4294967296.0)
+    key = F.round(F.col("log_weight") + (-F.log(-F.log(u))), 6)
+    return (
+        w.select("doc_id", "log_weight", key.alias("gumbel_key"))
+        .orderBy(F.col("gumbel_key").desc(), "doc_id")
+        .limit(_RESAMPLE_K)
+    )

@@ -80,6 +80,7 @@ _HARDENED = [
     "near_dedup_keep_best",
     "hard_negative_triplets",
     "corpus_token_drift",
+    "dsir_gumbel_resample",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",

@@ -75,3 +75,39 @@ def test_bigram_perplexity_ranks_fluency(spark):
     df2 = spark.createDataFrame([(1, "a b a b"), (2, "x")], "doc_id long, text string")
     out = bigram_doc_perplexity(df2).collect()
     assert [r.doc_id for r in out] == [1]
+
+
+def test_gumbel_resample_tracks_weights(spark):
+    """Gumbel-top-k sampling must be biased toward high-log-weight docs:
+    with two planted domains and target = domain A, the top half of the
+    resample should be overwhelmingly domain-A docs — and a repeat run is
+    identical (deterministic md5 noise)."""
+    from pyspark.sql import functions as F
+
+    from dampr_spark.operators.selection import dsir_importance_weights
+
+    legal = ["whereas", "party", "herein", "clause", "liability", "shall"]
+    chat = ["lol", "omg", "haha", "yeah", "nope", "hmm"]
+    rows = [(i, _doc(legal, 30)) for i in range(40)]
+    rows += [(100 + i, _doc(chat, 30)) for i in range(40)]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    w = dsir_importance_weights(raw, raw.filter(F.col("doc_id") < 40))
+
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("g:"), F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("double") + 1
+    ) / F.lit(4294967296.0)
+    key = F.round(F.col("log_weight") + (-F.log(-F.log(u))), 6)
+    pick = lambda: [
+        r.doc_id
+        for r in w.select("doc_id", key.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(20)
+        .collect()
+    ]
+    first = pick()
+    assert pick() == first  # deterministic
+    n_legal = sum(1 for d in first if d < 40)
+    assert n_legal >= 18, f"resample not weight-biased: {n_legal}/20 legal"
