@@ -70,6 +70,118 @@ def connected_components(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 4,
+    damping: float = 0.85,
+    prec: int = 10,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank over a directed edge list —
+    (id, rank) after ``iters`` power-iteration rounds.
+
+    Deterministic and cross-engine replayable by construction: ranks are
+    ROUNDED to ``prec`` decimals after every iteration (the kmeans-centroid
+    discipline — float sums are merge-order dependent at ~1 ulp, and the
+    per-round rounding absorbs that before it can compound), the iteration
+    count is fixed (no convergence-test RNG), and the update is the
+    textbook r' = (1-d)/N + d·Σ_in w/outw·r — which a SQL oracle can unroll
+    as ``iters`` chained CTEs.
+
+    Plan shape for 100 TB: the normalized edge list (w/outw folded in via
+    one src-keyed join) is pinned once; each round is one join of the
+    rank table against edge destinations + one dst-keyed sum — O(iters×|E|)
+    shuffle traffic, the standard Pregel-without-Pregel shape. Rank state is
+    one (id, rank) row per vertex, checkpointed per round so round N never
+    replays rounds 1..N-1. Dangling vertices (no out-edges) leak their mass
+    (no redistribution) — documented; symmetrized graphs (the TextRank
+    case) have none.
+
+    N (vertex count) is a bounded driver-side scalar — same contract as
+    the CC convergence counter above."""
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    # Normalized edges: transition probability src -> dst. Pinned once,
+    # reused every round.
+    en = (
+        e.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("outw")).alias("wn"))
+        .localCheckpoint(eager=True)
+    )
+    base = (1.0 - damping) / n
+    ranks = nodes.select("id", F.round(F.lit(1.0 / n), prec).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            en.join(ranks, en.src == ranks.id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("wn") * F.col("rank")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.id == contrib.dst, "left")
+            .select(
+                "id",
+                F.round(
+                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    prec,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(id, triangles) — the number of triangles each vertex participates
+    in, over the undirected simple graph induced by ``edges``. Exact and
+    integer, so cross-engine comparison is trivial.
+
+    The classic distributed shape (Cohen's MapReduce triangle algorithm /
+    GraphX's): canonicalize each edge to (lo, hi) with lo < hi, then count
+    wedges by joining the canonical list with itself on the low vertex and
+    probing the third side — every triangle {a<b<c} is found exactly once
+    as e(a,b) ⋈ e(a,c) probe e(b,c). Per-vertex counts credit all three
+    corners via one union + sum. Self-loops and duplicate/bidirectional
+    edges are collapsed first. Three |E|-keyed shuffles total; the wedge
+    join is the skew point — at 100 TB cap or salt hub vertices first (the
+    ``degrees`` probe above is the detector)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    # Wedges at the minimum corner: b < c keeps each unordered wedge once.
+    wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
+    tris = wedges.join(
+        e.select(F.col("lo").alias("b"), F.col("hi").alias("c")), ["b", "c"]
+    ).localCheckpoint(eager=True)
+    corners = (
+        tris.select(F.col("a").alias("id"))
+        .union(tris.select(F.col("b").alias("id")))
+        .union(tris.select(F.col("c").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+
+
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """(id, degree) over the undirected view of the edge list — the
     hot-vertex (skew) probe run before any per-vertex iteration."""

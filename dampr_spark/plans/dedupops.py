@@ -1484,3 +1484,58 @@ def near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", F.round(quality_score("text"), 6).alias("quality")
     )
+
+
+@register(
+    "dup_graph_triangles",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id AS id,
+               array_to_string(string_split(text, ' ')[1:2], ' ') AS blk,
+               left(text, 80) AS pre
+        FROM documents WHERE text IS NOT NULL),
+    ok AS (SELECT blk FROM d GROUP BY blk HAVING count(*) BETWEEN 2 AND 64),
+    e AS (
+        SELECT DISTINCT a.id AS lo, b.id AS hi
+        FROM d a JOIN ok USING (blk) JOIN d b USING (blk)
+        WHERE a.id < b.id AND levenshtein(a.pre, b.pre) <= 25),
+    w AS (
+        SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        FROM e e1 JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+    t AS (SELECT a, b, c FROM w JOIN e ON e.lo = w.b AND e.hi = w.c),
+    corners AS (
+        SELECT a AS id FROM t
+        UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t)
+    SELECT id, CAST(count(*) AS BIGINT) AS triangles
+    FROM corners GROUP BY id
+    """,
+    tags=("dedup", "graph", "extension"),
+)
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation over the fuzzy-duplicate pair
+    graph — the clustering-coefficient numerator. Triangle density is the
+    standard near-clique audit for LSH/fuzzy dup graphs: true duplicate
+    groups triangulate heavily, chains of borderline matches don't, so a
+    curator reading this knows whether transitive collapse
+    (fuzzy_dup_components) is safe or will over-merge.
+
+    Externally verifies `operators/graph.triangle_counts` — the wedge-join
+    MapReduce shape (canonicalize lo<hi, wedge at the min corner, probe the
+    closing edge; every triangle found exactly once) — against DuckDB's
+    direct three-way self-join. Exact integer counts, no float tolerance.
+
+    Plan shape for 100 TB: the pair graph is the expensive input (bounded
+    by the fuzzy blocker's per-block cap); the triangle pass is three
+    |E|-keyed hash joins, skew-capped by the same blocker. Per-vertex
+    credit is a union + one aggregate."""
+    from dampr_spark.operators.graph import triangle_counts
+
+    pairs = dedup.fuzzy_prefix_pairs(
+        _t(spark, sf_dir, "documents"),
+        block_tokens=2,
+        prefix_chars=80,
+        max_distance=25,
+        max_block=64,
+    )
+    return triangle_counts(pairs, src="id_a", dst="id_b")

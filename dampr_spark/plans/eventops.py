@@ -1255,3 +1255,65 @@ def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("fano").desc(), "user_id")
         .limit(50)
     )
+
+
+@register(
+    "user_state_history",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    r AS (
+        SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) AS grp
+        FROM e),
+    runs AS (
+        SELECT user_id, event_type AS state, min(ts) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_events, min(rn) AS first_rn
+        FROM r GROUP BY user_id, event_type, grp)
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY first_rn) AS valid_to,
+           n_events
+    FROM runs
+    """,
+    tags=("events", "scd", "extension"),
+)
+def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 state history: collapse each user's event stream into
+    validity intervals — one row per RUN of consecutive equal states
+    (event_type), with [valid_from, valid_to) bounds (valid_to NULL = the
+    current open interval) and the run's event count. The
+    gaps-and-islands → interval-table build every warehouse's dimension
+    loader runs; sessionization's cousin where the break condition is a
+    VALUE CHANGE, not a time gap.
+
+    Plan shape for 100 TB: three per-user window passes (global rank,
+    per-(user,state) rank for the island id, lead for the closing bound) —
+    all partitioned by user_id, so each executor sorts only its users'
+    bounded histories; no global sort, one hash shuffle reused by all
+    three windows. Skew = the hottest user's history, same envelope as
+    sessionization."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_state = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        e.withColumn("rn", F.row_number().over(w_user))
+        .withColumn("grp", F.col("rn") - F.row_number().over(w_state))
+        .groupBy("user_id", F.col("event_type").alias("state"), "grp")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("rn").alias("first_rn"),
+        )
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("first_rn")
+    return runs.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w_seq).alias("valid_to"),
+        "n_events",
+    )

@@ -1089,3 +1089,128 @@ def cms_ngram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est",
         (F.col("est") - F.col("exact")).alias("overestimate"),
     )
+
+
+_TEXTRANK_VOCAB = 150
+_TEXTRANK_ITERS = 4
+_TEXTRANK_TOP = 20
+
+
+def _textrank_oracle_sql(vocab: int, iters: int, top: int) -> str:
+    """Unroll the fixed-iteration PageRank as chained CTEs — one r{t} per
+    round, each reproducing operators/graph.pagerank's update EXACTLY
+    (same 10-dp per-round rounding, same (1-d)/N base, same w/outw
+    normalization), so DuckDB replays the iterative algorithm end-to-end."""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f"""
+    r{t} AS (SELECT nodes.id,
+               round(0.15 / (SELECT n FROM nn)
+                     + 0.85 * coalesce(sum(en.wn * p.r), 0), 10) AS r
+        FROM nodes
+        LEFT JOIN en ON en.dst = nodes.id
+        LEFT JOIN r{t - 1} p ON p.id = en.src
+        GROUP BY nodes.id)""")
+    return f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS ts
+                  FROM documents WHERE text IS NOT NULL),
+    uc AS (SELECT w, count(*) AS c
+           FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+    vocab AS (SELECT w FROM uc ORDER BY c DESC, w LIMIT {vocab}),
+    bg AS (SELECT unnest(list_transform(range(1, greatest(len(ts) - 1, 0) + 1),
+                i -> struct_pack(a := ts[i], b := ts[i + 1]))) AS p
+           FROM toks),
+    pe AS (SELECT least(p.a, p.b) AS lo, greatest(p.a, p.b) AS hi,
+                  count(*) AS w
+           FROM bg
+           WHERE p.a <> p.b
+             AND p.a IN (SELECT w FROM vocab)
+             AND p.b IN (SELECT w FROM vocab)
+           GROUP BY 1, 2),
+    ed AS (SELECT lo AS src, hi AS dst, w FROM pe
+           UNION ALL
+           SELECT hi, lo, w FROM pe),
+    nodes AS (SELECT DISTINCT src AS id FROM ed),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    ow AS (SELECT src, sum(w) AS outw FROM ed GROUP BY src),
+    en AS (SELECT ed.src, ed.dst, ed.w * 1.0 / ow.outw AS wn
+           FROM ed JOIN ow USING (src)),
+    r0 AS (SELECT id, round(1.0 / (SELECT n FROM nn), 10) AS r FROM nodes),{",".join(rounds)}
+    SELECT id AS token, round(r, 6) AS score
+    FROM r{iters}
+    ORDER BY score DESC, token
+    LIMIT {top}
+    """
+
+
+@register(
+    "textrank_keywords",
+    oracle=_textrank_oracle_sql(_TEXTRANK_VOCAB, _TEXTRANK_ITERS, _TEXTRANK_TOP),
+    tags=("text", "graph", "extension"),
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the token co-occurrence graph — vocabulary = top-150 tokens by corpus
+    frequency, edges = adjacent-token co-occurrence counts (symmetrized),
+    4 power-iteration rounds, top-20 tokens by stationary score. This is
+    the corpus-level keyword signal a curation pipeline uses to label
+    shards and audit topic mix — and it externally verifies the ITERATIVE
+    `operators/graph.pagerank` against a DuckDB oracle that unrolls the
+    same 4 rounds as chained CTEs (two completely different evaluation
+    strategies, identical ranks — the fuzzy_dup_components discipline
+    applied to PageRank).
+
+    Plan shape for 100 TB: two corpus-scan aggregates (unigram counts and
+    vocab-filtered adjacent-pair counts, both map-side partial); the vocab
+    cut is a heap top-150 (TakeOrdered, no global sort) broadcast into the
+    pair filter; everything after the second aggregate operates on a
+    ≤150-node graph — the iteration cost is independent of corpus size.
+    Per-round 10-dp rounding makes the float sums merge-order-proof (the
+    kmeans-centroid discipline)."""
+    from dampr_spark.operators.dedup import _ensure_parallelism
+    from dampr_spark.operators.graph import pagerank
+
+    d = _ensure_parallelism(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    toks = F.split(F.col("text"), " ")
+    vocab = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(_TEXTRANK_VOCAB)
+        .select("w")
+        .localCheckpoint(eager=True)  # probed twice (both pair endpoints)
+    )
+    # Guarded pair transform (the bigram_pmi lesson: F.sequence(1, 0)
+    # DESCENDS, so single-token docs need the explicit empty-array arm).
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pe = (
+        d.select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.a") != F.col("p.b"))
+        .join(F.broadcast(vocab.withColumnRenamed("w", "a")), F.col("p.a") == F.col("a"))
+        .join(F.broadcast(vocab.withColumnRenamed("w", "b")), F.col("p.b") == F.col("b"))
+        .select(
+            F.least("p.a", "p.b").alias("lo"), F.greatest("p.a", "p.b").alias("hi")
+        )
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)  # read twice by the symmetrize union
+    )
+    ed = pe.union(pe.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"), "w"))
+    pr = pagerank(ed, src="lo", dst="hi", weight="w", iters=_TEXTRANK_ITERS)
+    return (
+        pr.orderBy(F.round("rank", 6).desc(), "id")
+        .limit(_TEXTRANK_TOP)
+        .select(F.col("id").alias("token"), F.round("rank", 6).alias("score"))
+    )

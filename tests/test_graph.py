@@ -70,3 +70,78 @@ def test_non_convergence_raises(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iters=3)
+
+
+def _numpy_pagerank(edges, iters=4, damping=0.85, prec=10):
+    """Direct dense-matrix model of the fixed-iteration update."""
+    nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outw = {}
+    for a, _, w in edges:
+        outw[a] = outw.get(a, 0.0) + w
+    r = {v: round(1.0 / n, prec) for v in nodes}
+    for _ in range(iters):
+        nxt = {v: 0.0 for v in nodes}
+        for a, b, w in edges:
+            nxt[b] += w / outw[a] * r[a]
+        r = {v: round((1.0 - damping) / n + damping * nxt[v], prec) for v in nodes}
+    return r
+
+
+def test_pagerank_matches_direct_model(spark):
+    from dampr_spark.operators.graph import pagerank
+
+    edges = [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 2.0), (3, 1, 1.0), (3, 2, 1.0),
+             (4, 1, 3.0), (1, 4, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {r.id: r.rank for r in pagerank(df, weight="w").collect()}
+    want = _numpy_pagerank(edges)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def test_pagerank_uniform_on_symmetric_clique(spark):
+    """On a clique with equal weights the stationary ranks are uniform —
+    every iteration preserves 1/n exactly."""
+    from dampr_spark.operators.graph import pagerank
+
+    nodes = list(range(4))
+    edges = [(a, b) for a in nodes for b in nodes if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r.id: r.rank for r in pagerank(df).collect()}
+    assert all(abs(v - 0.25) < 1e-9 for v in ranks.values()), ranks
+
+
+def test_pagerank_dangling_mass_leaks_documented(spark):
+    """1 -> 2 with no out-edge from 2: node 2's mass is dropped (not
+    redistributed), so total rank < 1 — the documented contract."""
+    from dampr_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    ranks = {r.id: r.rank for r in pagerank(df, iters=2).collect()}
+    assert set(ranks) == {1, 2}
+    assert sum(ranks.values()) < 1.0
+    assert ranks[2] > ranks[1]  # 2 receives 1's mass plus base
+
+
+def test_triangle_counts_exact(spark):
+    from dampr_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4}: every vertex is in C(3,2)=3 triangles; plus a
+    # pendant edge (4,5) and a separate triangle-free path 6-7-8.
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges += [(4, 5), (6, 7), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_collapses_dup_and_reversed_edges(spark):
+    from dampr_spark.operators.graph import triangle_counts
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
