@@ -234,3 +234,49 @@ def bigram_doc_perplexity(
         )
         .select(F.col("id").alias(id_col), "n_bigrams", "avg_nll", "ppl")
     )
+
+
+def fit_logreg(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iters: int = 3,
+    lr: float = 1.0,
+    prec: int = 8,
+) -> list[float]:
+    """Full-batch gradient-descent logistic regression with a FIXED
+    iteration count — returns ``[bias, w_1, .., w_d]`` after ``iters``
+    rounds. The quality-classifier fit of the CCNet/fastText curation
+    recipe, reduced to its verifiable core: each round is ONE distributed
+    aggregate (d+1 averaged gradient moments, map-side partial), the
+    weight vector lives driver-side as d+1 bounded scalars (the kmeans
+    centroid contract), and weights are ROUNDED to ``prec`` decimals per
+    round so float-sum merge order can't leak into the result — which
+    lets a SQL oracle unroll the identical iterations as chained CTEs
+    (the pagerank discipline applied to gradient descent).
+
+    Update: w ← round(w − lr · avg((σ(w·x) − y) · x), prec) with x
+    bias-augmented. At 100 TB: iters scans of a persisted narrow feature
+    frame (callers persist; the catalog query does), zero shuffles — a
+    gradient is a pure map-side-combinable average."""
+    xs = [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(label_col).cast("double")
+    w = [0.0] * (len(xs) + 1)
+    for _ in range(iters):
+        z = F.lit(w[0])
+        for wj, xj in zip(w[1:], xs):
+            z = z + F.lit(wj) * xj
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        grads = [F.avg(p - y)] + [F.avg((p - y) * xj) for xj in xs]
+        row = df.agg(*[g.alias(f"g{i}") for i, g in enumerate(grads)]).first()
+        w = [round(wj - lr * row[f"g{i}"], prec) for i, wj in enumerate(w)]
+    return w
+
+
+def logreg_decision(weights: list[float], feature_cols: list[str]) -> Column:
+    """w·x > 0 decision expression (σ(z) > 0.5 ⇔ z > 0 — no exp needed,
+    so the comparison is exact given the rounded weights)."""
+    z = F.lit(weights[0])
+    for wj, c in zip(weights[1:], feature_cols):
+        z = z + F.lit(wj) * F.col(c).cast("double")
+    return z > 0

@@ -2145,3 +2145,100 @@ def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("gumbel_key").desc(), "doc_id")
         .limit(_RESAMPLE_K)
     )
+
+
+_LOGREG_ITERS = 3
+_LOGREG_LR = 1.0
+_LOGREG_PREC = 8
+
+
+def _logreg_oracle_sql(iters: int, lr: float, prec: int) -> str:
+    """Unroll the fixed-iteration GD as chained CTEs — w{t} reproduces
+    operators/selection.fit_logreg's update EXACTLY (same per-round
+    rounding, same left-associated dot product, same averaged gradient
+    moments), so DuckDB replays the gradient descent end-to-end."""
+    feats = f"""
+    f AS (SELECT {T.token_count_sql('text')} / 100.0 AS x1,
+                 n_chars / ({T.token_count_sql('text')} * 10.0) AS x2,
+                 {T.stopword_ratio_sql('text')} AS x3,
+                 CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f""",
+    w{t} AS (
+        SELECT round(min(b) - {lr} * avg(p - y), {prec}) AS b,
+               round(min(w1) - {lr} * avg((p - y) * x1), {prec}) AS w1,
+               round(min(w2) - {lr} * avg((p - y) * x2), {prec}) AS w2,
+               round(min(w3) - {lr} * avg((p - y) * x3), {prec}) AS w3
+        FROM (SELECT f.x1, f.x2, f.x3, f.y, w.b, w.w1, w.w2, w.w3,
+                     1.0 / (1.0 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2
+                                        + w.w3 * f.x3))) AS p
+              FROM f CROSS JOIN w{t - 1} w))""")
+    return f"""
+    WITH {feats}{"".join(rounds)}
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM f) AS n,
+           w.b AS bias, w.w1 AS w_len, w.w2 AS w_toklen, w.w3 AS w_stop,
+           a.acc AS train_acc
+    FROM w{iters} w CROSS JOIN
+         (SELECT round(avg(CASE WHEN ((w.b + w.w1 * f.x1 + w.w2 * f.x2
+                                       + w.w3 * f.x3) > 0) = (f.y > 0.5)
+                           THEN 1.0 ELSE 0.0 END), 6) AS acc
+          FROM f CROSS JOIN w{iters} w) a
+    """
+
+
+@register(
+    "quality_logreg_fit",
+    oracle=_logreg_oracle_sql(_LOGREG_ITERS, _LOGREG_LR, _LOGREG_PREC),
+    tags=("selection", "ml", "extension"),
+)
+def quality_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression quality classifier (the
+    CCNet/fastText curation recipe's model fit): predict lang='en' from
+    three single-scan quality features (scaled token count, mean token
+    length, stopword ratio), 3 rounds of full-batch gradient descent, plus
+    the resulting in-sample decision accuracy. Externally verifies the
+    ITERATIVE `operators/selection.fit_logreg` against a DuckDB oracle
+    that unrolls the same 3 GD rounds as chained CTEs — the pagerank/
+    fuzzy_dup_components two-evaluation-strategies discipline, applied to
+    model training.
+
+    Plan shape for 100 TB: a persisted narrow feature frame (4 doubles per
+    doc) scanned iters+1 times; each GD round is ONE map-side-combinable
+    aggregate producing 4 driver-side scalars (the kmeans centroid
+    contract) — zero shuffles beyond the aggregate's 4-value merge. The
+    per-row features are 6-dp rounded (the established cross-engine
+    contract), the weights 8-dp rounded per round, so two engines' float
+    sums can't diverge the fit."""
+    from pyspark import StorageLevel
+
+    from dampr_spark.operators.selection import fit_logreg, logreg_decision
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    feats = d.select(
+        (T.token_count("text") / F.lit(100.0)).alias("x1"),
+        (F.col("n_chars") / (T.token_count("text") * F.lit(10.0))).alias("x2"),
+        T.stopword_ratio("text").alias("x3"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    w = fit_logreg(
+        feats, ["x1", "x2", "x3"], "y",
+        iters=_LOGREG_ITERS, lr=_LOGREG_LR, prec=_LOGREG_PREC,
+    )
+    dec = logreg_decision(w, ["x1", "x2", "x3"])
+    stats = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.avg(F.when(dec == (F.col("y") > 0.5), 1.0).otherwise(0.0)), 6
+        ).alias("acc"),
+    ).first()
+    feats.unpersist()
+    return spark.createDataFrame(
+        [(stats["n"], w[0], w[1], w[2], w[3], stats["acc"])],
+        "n bigint, bias double, w_len double, w_toklen double, "
+        "w_stop double, train_acc double",
+    )

@@ -111,3 +111,36 @@ def test_gumbel_resample_tracks_weights(spark):
     assert pick() == first  # deterministic
     n_legal = sum(1 for d in first if d < 40)
     assert n_legal >= 18, f"resample not weight-biased: {n_legal}/20 legal"
+
+
+def test_fit_logreg_matches_direct_model(spark):
+    """The distributed GD fit must equal a local numpy replay of the same
+    fixed-iteration, fixed-rounding update — and the decision expression
+    must agree with the sign of the numpy dot product."""
+    import numpy as np
+
+    from dampr_spark.operators.selection import fit_logreg, logreg_decision
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(200, 2)).round(3)
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(float)
+    rows = [(float(a), float(b), float(t)) for (a, b), t in zip(X, y)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    got = fit_logreg(df, ["x1", "x2"], "y", iters=4, lr=1.0, prec=8)
+
+    w = np.zeros(3)
+    Xb = np.hstack([np.ones((len(X), 1)), X])
+    for _ in range(4):
+        p = 1.0 / (1.0 + np.exp(-(Xb @ w)))
+        g = Xb.T @ (p - y) / len(X)
+        w = np.round(w - g, 8)
+    assert got == [round(float(v), 8) for v in w], (got, w)
+
+    # Decision expression: sign agreement with the numpy margins.
+    pred = [r["p"] for r in df.select(
+        logreg_decision(got, ["x1", "x2"]).alias("p")).collect()]
+    want = (Xb @ np.array(got)) > 0
+    assert pred == [bool(v) for v in want]
+    # And the fit actually learned the separating direction.
+    acc = float(np.mean((Xb @ np.array(got) > 0) == (y > 0.5)))
+    assert acc > 0.9, acc
