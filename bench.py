@@ -130,6 +130,12 @@ BENCH_QUERIES = [
     # corpus-fit bigram-LM perplexity gate (one pinned pair-explode).
     "dsir_en_importance",
     "bigram_doc_perplexity",
+    # round-7b flagships (iterative, oracle-unrolled): TextRank keyword
+    # PageRank (two corpus aggregates + 4 broadcast-join rounds on a
+    # 150-node graph) and the GD logistic-regression quality-classifier
+    # fit (3 single-aggregate gradient rounds over a persisted frame).
+    "textrank_keywords",
+    "quality_logreg_fit",
 ]
 
 

@@ -1143,6 +1143,38 @@ def _textrank_oracle_sql(vocab: int, iters: int, top: int) -> str:
     """
 
 
+def _textrank_pair_counts(d: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Vocab-filtered adjacent-pair co-occurrence counts as canonical
+    (lo, hi, w) edges. Split out (pre-checkpoint) so the plan lock can see
+    the join strategy: both vocab probes broadcast the ≤150-row
+    vocabulary; the exploded pair stream only ever shuffles for the final
+    (lo, hi) count aggregate."""
+    toks = F.split(F.col("text"), " ")
+    # Guarded pair transform (the bigram_pmi lesson: F.sequence(1, 0)
+    # DESCENDS, so single-token docs need the explicit empty-array arm).
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        d.select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.a") != F.col("p.b"))
+        .join(F.broadcast(vocab.withColumnRenamed("w", "a")), F.col("p.a") == F.col("a"))
+        .join(F.broadcast(vocab.withColumnRenamed("w", "b")), F.col("p.b") == F.col("b"))
+        .select(
+            F.least("p.a", "p.b").alias("lo"), F.greatest("p.a", "p.b").alias("hi")
+        )
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
 @register(
     "textrank_keywords",
     oracle=_textrank_oracle_sql(_TEXTRANK_VOCAB, _TEXTRANK_ITERS, _TEXTRANK_TOP),
@@ -1173,9 +1205,8 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _ensure_parallelism(
         _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     )
-    toks = F.split(F.col("text"), " ")
     vocab = (
-        d.select(F.explode(toks).alias("w"))
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.col("c").desc(), "w")
@@ -1183,30 +1214,9 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w")
         .localCheckpoint(eager=True)  # probed twice (both pair endpoints)
     )
-    # Guarded pair transform (the bigram_pmi lesson: F.sequence(1, 0)
-    # DESCENDS, so single-token docs need the explicit empty-array arm).
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("a"),
-                F.element_at(toks, i + 1).alias("b"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    pe = (
-        d.select(F.explode(pairs).alias("p"))
-        .filter(F.col("p.a") != F.col("p.b"))
-        .join(F.broadcast(vocab.withColumnRenamed("w", "a")), F.col("p.a") == F.col("a"))
-        .join(F.broadcast(vocab.withColumnRenamed("w", "b")), F.col("p.b") == F.col("b"))
-        .select(
-            F.least("p.a", "p.b").alias("lo"), F.greatest("p.a", "p.b").alias("hi")
-        )
-        .groupBy("lo", "hi")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=True)  # read twice by the symmetrize union
-    )
+    pe = _textrank_pair_counts(d, vocab).localCheckpoint(
+        eager=True
+    )  # read twice by the symmetrize union
     ed = pe.union(pe.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"), "w"))
     pr = pagerank(ed, src="lo", dst="hi", weight="w", iters=_TEXTRANK_ITERS)
     return (

@@ -532,3 +532,37 @@ def test_substring_trim_no_corpus_explode_on_rebuild(spark):
     # NO further Generate (token filtering is transform+filter expressions)
     assert plan.count("Generate explode") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_textrank_vocab_probes_broadcast(spark):
+    """Both vocab-membership probes on the pair stream must broadcast the
+    150-row vocabulary — the exploded pair stream never shuffles for the
+    filter; the only wide exchange is the (lo, hi) count aggregate. (The
+    full query eagerly checkpoints each stage, so the lock targets the
+    pre-checkpoint pair-count fragment — the only corpus-sized joins in
+    the query; the PageRank rounds operate on a ≤150-node graph.)"""
+    from pyspark.sql import functions as F
+
+    from dampr_spark.plans.textops import _textrank_pair_counts
+    from dampr_spark.sources.readers import read_table
+
+    d = read_table(spark, SF, "documents").filter(F.col("text").isNotNull())
+    vocab = d.select(F.explode(F.split("text", " ")).alias("w")).limit(10)
+    plan = (
+        _textrank_pair_counts(d, vocab)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_user_state_history_single_user_shuffle(spark):
+    """All three window passes partition by user_id (one reuses the
+    (user_id, event_type) refinement) — no global Sort without
+    partitioning, no join at all."""
+    plan = plan_of(spark, "user_state_history")
+    assert "Join" not in plan
+    assert "Exchange rangepartitioning" not in plan
