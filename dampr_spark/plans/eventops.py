@@ -1297,23 +1297,42 @@ def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     three windows. Skew = the hottest user's history, same envelope as
     sessionization."""
     e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
-    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_state = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    runs = (
-        e.withColumn("rn", F.row_number().over(w_user))
-        .withColumn("grp", F.col("rn") - F.row_number().over(w_state))
-        .groupBy("user_id", F.col("event_type").alias("state"), "grp")
-        .agg(
-            F.min("ts").alias("valid_from"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.min("rn").alias("first_rn"),
-        )
-    )
-    w_seq = Window.partitionBy("user_id").orderBy("first_rn")
+    runs = state_runs(e)
+    w_seq = Window.partitionBy("user_id").orderBy("valid_from", "first_eid")
     return runs.select(
         "user_id",
         "state",
         "valid_from",
         F.lead("valid_from").over(w_seq).alias("valid_to"),
         "n_events",
+    )
+
+
+def state_runs(e: DataFrame) -> DataFrame:
+    """Collapse an event frame (user_id, event_type, ts, event_id) into
+    per-user RUNS of consecutive equal states: (user_id, state,
+    valid_from, first_eid, n_events). The gaps-and-islands core shared by
+    the batch `user_state_history` query and the streaming SCD2 twin
+    (``streaming.scd2_state_stream``) — ``first_eid`` is the run's first
+    event id in (ts, event_id) order, carried as the deterministic
+    ordering tiebreak for the close/extend merge. Runs start strictly
+    after one another per user, so ordering by (valid_from, first_eid)
+    equals ordering by event rank."""
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_state = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w_user))
+        .withColumn("grp", F.col("rn") - F.row_number().over(w_state))
+        .groupBy("user_id", F.col("event_type").alias("state"), "grp")
+        .agg(
+            F.min(F.struct("ts", "event_id")).alias("o"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "state",
+            F.col("o.ts").alias("valid_from"),
+            F.col("o.event_id").alias("first_eid"),
+            "n_events",
+        )
     )

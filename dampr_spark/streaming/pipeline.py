@@ -977,3 +977,98 @@ def dsir_score_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def scd2_state_stream(
+    events_stream: DataFrame,
+    open_dir: str,
+    out_dir: str,
+):
+    """Streaming SCD-type-2 maintenance — the incremental form of the
+    batch ``user_state_history`` catalog query, which is how a dimension
+    loader actually runs: closed validity intervals land append-only in
+    ``out_dir``; the per-user OPEN interval (current state, no valid_to
+    yet) lives in ``open_dir`` and is rewritten each micro-batch.
+
+    Per batch: (a) collapse the batch's events into state runs with the
+    SAME gaps-and-islands core as the batch query
+    (``plans.eventops.state_runs``), (b) union the open-interval store and
+    re-collapse consecutive equal-state runs per user — a boundary-
+    spanning run (open interval extended by the batch's first events)
+    merges here, (c) every merged run that has a successor is CLOSED
+    (valid_to = successor's valid_from) and appended; each user's last run
+    becomes the new open store.
+
+    Equivalence: when batches partition the event log in (ts, event_id)
+    order (the natural shape for an append-only ingest), closed ∪ open
+    equals the batch query row-for-row (pinned by the equivalence test).
+    Out-of-order batches close intervals in arrival order — the honest
+    streaming semantics, same caveat family as the dedup/novelty sinks.
+
+    Scale notes: the open store is ONE row per user; at 100 TB write it
+    user-bucketed (operators/bucketing) and rewrite only the buckets whose
+    users appear in the batch, so the per-batch merge shuffles batch-sized
+    state. foreachBatch is at-least-once — a retried batch re-appends its
+    closed rows; dedup on (user_id, valid_from) at read time restores
+    exactly-once (the documented foreachBatch idempotency discipline)."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql.window import Window
+
+    from dampr_spark.plans.eventops import state_runs
+
+    _OPEN_SCHEMA = (
+        "user_id bigint, state string, valid_from timestamp, "
+        "first_eid bigint, n_events bigint"
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        runs = state_runs(
+            batch_df.select("user_id", "event_type", "ts", "event_id")
+        )
+        try:
+            open_ = spark.read.parquet(open_dir)
+        except AnalysisException:
+            open_ = spark.createDataFrame([], _OPEN_SCHEMA)
+        combined = open_.unionByName(runs)
+        w_u = Window.partitionBy("user_id").orderBy("valid_from", "first_eid")
+        w_s = Window.partitionBy("user_id", "state").orderBy(
+            "valid_from", "first_eid"
+        )
+        merged = (
+            combined.withColumn("rn", F.row_number().over(w_u))
+            .withColumn("grp", F.col("rn") - F.row_number().over(w_s))
+            .groupBy("user_id", "state", "grp")
+            .agg(
+                F.min(F.struct("valid_from", "first_eid")).alias("o"),
+                F.sum("n_events").alias("n_events"),
+            )
+            .select(
+                "user_id",
+                "state",
+                F.col("o.valid_from").alias("valid_from"),
+                F.col("o.first_eid").alias("first_eid"),
+                "n_events",
+                F.lead("o.valid_from")
+                .over(Window.partitionBy("user_id").orderBy("o"))
+                .alias("valid_to"),
+            )
+            # Pinned: the closed append and the open-store OVERWRITE both
+            # consume this plan, and the overwrite reads open_dir while
+            # replacing it — without the pin the second run would scan the
+            # half-replaced store.
+            .localCheckpoint(eager=True)
+        )
+        merged.filter(F.col("valid_to").isNotNull()).select(
+            "user_id", "state", "valid_from", "valid_to", "n_events"
+        ).write.mode("append").parquet(out_dir)
+        merged.filter(F.col("valid_to").isNull()).select(
+            "user_id", "state", "valid_from", "first_eid", "n_events"
+        ).write.mode("overwrite").parquet(open_dir)
+
+    return (
+        events_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", out_dir + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

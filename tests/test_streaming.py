@@ -934,3 +934,62 @@ def test_dsir_score_stream_equals_batch(spark, sf_dir, tmp_path_factory):
         for r in dsir_score(docs, ratios).collect()
     }
     assert got == want and want
+
+
+def test_scd2_state_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Replay the events table in three ts-ORDERED micro-batches: the
+    union of closed intervals and the final open store must equal the
+    batch `user_state_history` catalog query row-for-row — open intervals
+    really extend across batch boundaries, and closes fire exactly once
+    with the successor's valid_from."""
+    import glob
+    import os
+    import shutil
+
+    from dampr_spark.sources.readers import read_table
+
+    base = tmp_path_factory.mktemp("scd2_stream")
+    in_dir, open_dir, out = (str(base / d) for d in ("in", "open", "out"))
+    ev = read_table(spark, sf_dir, "events")
+    q1, q2 = ev.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    os.makedirs(in_dir)
+    # event_id order IS ts order in the fixture (ids assigned by time);
+    # assert that precondition rather than assuming it.
+    mono = ev.orderBy("event_id").select(
+        (F.lag("ts").over(__import__("pyspark").sql.window.Window.orderBy("event_id"))
+         <= F.col("ts")).alias("ok")
+    )
+    assert mono.filter(~F.col("ok")).count() == 0
+    parts = [
+        ev.filter(F.col("event_id") <= q1),
+        ev.filter((F.col("event_id") > q1) & (F.col("event_id") <= q2)),
+        ev.filter(F.col("event_id") > q2),
+    ]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(str(base / f"p{i}"))
+        shutil.copy(
+            glob.glob(str(base / f"p{i}" / "*.parquet"))[0], f"{in_dir}/b{i}.parquet"
+        )
+
+    stream = streaming.read_events_stream(spark, in_dir, max_files_per_trigger=1)
+    q = streaming.scd2_state_stream(stream, open_dir, out)
+    q.awaitTermination()
+
+    closed = spark.read.parquet(out)
+    open_ = spark.read.parquet(open_dir).select(
+        "user_id", "state", "valid_from", F.lit(None).cast("timestamp").alias("valid_to"), "n_events"
+    )
+    got = {
+        (r.user_id, r.state, r.valid_from, r.valid_to, r.n_events)
+        for r in closed.unionByName(open_).collect()
+    }
+    want = {
+        (r.user_id, r.state, r.valid_from, r.valid_to, r.n_events)
+        for r in all_queries()["user_state_history"].builder(spark, sf_dir).collect()
+    }
+    assert got == want and want, (
+        f"missing={sorted(want - got)[:3]} extra={sorted(got - want)[:3]}"
+    )
+    # Every user has exactly one open interval.
+    n_users = ev.select("user_id").distinct().count()
+    assert open_.count() == n_users
