@@ -49,3 +49,13 @@ def md5_bucket(expr, n_buckets: int):
         F.conv(F.substring(F.md5(expr), 1, 8), 16, 10).cast("long")
         % n_buckets
     )
+
+
+def md5_uint(expr):
+    """Spark Column twin of ``md5_uint_sql(..., 4, little_endian=False)``:
+    the unsigned 32-bit integer of the first 4 md5 bytes (big-endian) as a
+    long — the raw uniform bits behind ``md5_bucket``, exposed for
+    operators that need more than a modulus (HLL register layout)."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(expr), 1, 8), 16, 10).cast("long")

@@ -224,3 +224,71 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
     )
+
+
+def hll_register(item, p: int = 9):
+    """(reg, rho) pair for one item — the explicit-register HyperLogLog
+    cell, built ENTIRELY from exact integer arithmetic on the shared
+    cross-engine md5 hash so Spark and DuckDB produce bit-identical
+    register tables (the CMS discipline applied to distinct counting;
+    Spark's builtin hll_sketch_agg is engine-opaque, this one is
+    oracle-replayable).
+
+    Layout of the 32 uniform md5 bits: low ``p`` bits → register index;
+    the remaining ``32 - p`` bits v → rho = trailing zeros of v + 1
+    (v = 0 → the max rho, 32 - p + 1). Trailing zeros are computed
+    branch-free as bit_count((v & -v) - 1) — exact in both engines, no
+    float log anywhere."""
+    from dampr_spark.functions.hashing import md5_uint
+
+    m = 1 << p
+    u = md5_uint(item.cast("string"))
+    v = F.floor(u / F.lit(m)).cast("long")
+    rho = F.when(v == 0, F.lit(32 - p + 1)).otherwise(
+        F.bit_count((v.bitwiseAND(-v)) - F.lit(1)) + F.lit(1)
+    )
+    return (u % m).cast("int").alias("reg"), rho.cast("int").alias("rho")
+
+
+def hll_build(df: DataFrame, item_col: str, p: int = 9) -> DataFrame:
+    """Register table (reg, rho) for the distinct items of ``item_col`` —
+    ≤ 2^p rows, rho = max over items landing in the register. One scan +
+    one register-keyed aggregate (map-side partial collapses each
+    partition to ≤ 2^p rows). Tables over different shards MERGE by
+    groupBy(reg).max(rho) — register max is associative/idempotent, which
+    is what makes HLL the distributed/streaming distinct sketch."""
+    reg, rho = hll_register(F.col(item_col), p)
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(reg, rho)
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
+    """One-row cardinality estimate from a register table: the classic
+    HLL formula E = alpha_m m² / Σ 2^-rho (absent registers contribute
+    2^0), with the small-range linear-counting correction
+    (E ≤ 2.5m and empty registers exist → m ln(m/V)).
+
+    Determinism note: every 2^-rho is an exact double and every partial
+    sum fits in a 53-bit mantissa (values ≥ 2^-(33-p), total < 2^p), so
+    the register sum is EXACT regardless of merge order — the estimate is
+    bit-identical across engines and runs, no rounding discipline needed
+    until the final display rounding. 32 md5 bits saturate around ~100M
+    distinct; beyond that use Spark's builtin hll_sketch_agg rollups
+    (the engine-opaque path, invariant-checked instead)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    s = F.col("s_present") + (F.lit(m) - F.col("n_present"))  # absent: 2^0 each
+    v = F.lit(m) - F.col("n_present")
+    e_raw = F.lit(alpha * m * m) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(e_raw)
+    return agg.select(F.round(est, 2).alias("est_distinct"))

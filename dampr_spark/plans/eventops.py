@@ -1336,3 +1336,83 @@ def state_runs(e: DataFrame) -> DataFrame:
             "n_events",
         )
     )
+
+
+_HLL_P = 9  # m = 512 registers
+
+
+def _hll_oracle_sql(p: int) -> str:
+    from dampr_spark.functions.hashing import md5_uint_sql
+
+    m = 1 << p
+    u = md5_uint_sql("CAST(user_id AS VARCHAR)", 4, little_endian=False)
+    alpha_mm = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    return f"""
+    WITH r AS (
+        SELECT u % {m} AS reg,
+               CASE WHEN u // {m} = 0 THEN {32 - p + 1}
+                    ELSE bit_count(((u // {m}) & -(u // {m})) - 1) + 1
+               END AS rho
+        FROM (SELECT {u} AS u FROM events WHERE user_id IS NOT NULL)),
+    regs AS (SELECT reg, max(rho) AS rho FROM r GROUP BY reg),
+    a AS (SELECT sum(power(2.0, -rho)) AS sp, count(*) AS np FROM regs),
+    e AS (SELECT round(CASE WHEN {alpha_mm!r} / (sp + ({m} - np)) <= {2.5 * m}
+                             AND ({m} - np) > 0
+                        THEN {float(m)!r} * ln({float(m)!r} / ({m} - np))
+                        ELSE {alpha_mm!r} / (sp + ({m} - np)) END, 2) AS est
+          FROM a),
+    x AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+          FROM events WHERE user_id IS NOT NULL)
+    SELECT x.exact_users, e.est AS est_users,
+           round(abs(e.est - x.exact_users) / x.exact_users * 100, 4) AS err_pct
+    FROM e CROSS JOIN x
+    """
+
+
+@register(
+    "hll_explicit_distinct_users",
+    oracle=_hll_oracle_sql(_HLL_P),
+    tags=("events", "sketch", "extension"),
+)
+def hll_explicit_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user cardinality via the EXPLICIT-register HyperLogLog
+    (operators/sketches.hll_build/hll_estimate): per-event_type register
+    tables merged by register max (the associative/idempotent merge that
+    makes HLL the distributed distinct sketch), estimated with the classic
+    alpha_m m²/Σ2^-rho formula + linear-counting small-range correction,
+    reported next to the exact distinct count.
+
+    Unlike `hll_sketch_rollup_check` (Spark's builtin, engine-opaque
+    binary sketch — invariant-checked only), every register here is exact
+    integer arithmetic on the shared cross-engine md5 hash, and the
+    register sum is EXACT in any merge order (all addends are powers of
+    two that fit one 53-bit mantissa) — so DuckDB replays the whole
+    sketch bit-for-bit: build, merge, estimate.
+
+    Plan shape for 100 TB: one scan → per-(type, reg) max (map-side
+    partial collapses each partition to ≤ types × 2^p rows) → 2^p-row
+    merge → one-row estimate; the exact count is the expensive
+    count-distinct shuffle the sketch exists to replace — kept here as
+    the verification anchor."""
+    from dampr_spark.operators.sketches import hll_estimate, hll_register
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    reg, rho = hll_register(F.col("user_id"), _HLL_P)
+    per_type = (
+        e.select("event_type", reg, rho)
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    merged = per_type.groupBy("reg").agg(F.max("rho").alias("rho"))
+    est = hll_estimate(merged, _HLL_P)
+    exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "exact_users",
+        F.col("est_distinct").alias("est_users"),
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_users"))
+            / F.col("exact_users")
+            * 100,
+            4,
+        ).alias("err_pct"),
+    )

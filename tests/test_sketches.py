@@ -141,3 +141,65 @@ def test_cms_upper_bound_and_merge(spark):
     ghost = spark.createDataFrame([("never-seen-xyz",)], "g string")
     g_est = cms_estimate(sketch, ghost, "g", 4, 64).first().est
     assert 0 <= g_est <= 200
+
+
+def test_hll_registers_match_python_model(spark):
+    import hashlib
+
+    from dampr_spark.operators.sketches import hll_build, hll_estimate
+
+    def model(s, p=9):
+        u = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+        reg, v = u % (1 << p), u >> p
+        rho = (32 - p + 1) if v == 0 else (v & -v).bit_length()
+        return reg, rho
+
+    items = [f"u{i}" for i in range(500)]
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    got = {r.reg: r.rho for r in hll_build(df, "item").collect()}
+    want = {}
+    for s in items:
+        r, rho = model(s)
+        want[r] = max(want.get(r, 0), rho)
+    assert got == want
+    est = hll_estimate(hll_build(df, "item")).first()["est_distinct"]
+    assert abs(est - 500) / 500 < 0.15, est  # m=512 => RSE ~4.6%
+
+
+def test_hll_merge_equals_direct_and_is_idempotent(spark):
+    """Register-max merge of two shard sketches equals the whole-corpus
+    sketch; merging a sketch with itself changes nothing (idempotent) —
+    the properties that make sharded/streaming rollups exact."""
+    from pyspark.sql import functions as F
+
+    from dampr_spark.operators.sketches import hll_build
+
+    items = [(f"k{i}", i % 2) for i in range(400)]
+    df = spark.createDataFrame(items, "item string, shard int")
+    direct = {r.reg: r.rho for r in hll_build(df, "item").collect()}
+    shards = [
+        hll_build(df.filter(F.col("shard") == s), "item") for s in (0, 1)
+    ]
+    merged = {
+        r.reg: r.rho
+        for r in shards[0]
+        .unionByName(shards[1])
+        .unionByName(shards[0])  # duplicate shard: idempotence
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_hll_estimate_exact_sum_determinism(spark):
+    """The register sum is exact (all addends are powers of two sharing one
+    53-bit mantissa window), so repartitioning cannot change the estimate
+    even in the last bit."""
+    from dampr_spark.operators.sketches import hll_build, hll_estimate
+
+    df = spark.createDataFrame([(f"x{i}",) for i in range(300)], "item string")
+    regs = hll_build(df, "item")
+    a = hll_estimate(regs.repartition(1)).first()["est_distinct"]
+    b = hll_estimate(regs.repartition(13)).first()["est_distinct"]
+    assert a == b
