@@ -1072,3 +1072,46 @@ def scd2_state_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hll_stream(
+    events_stream: DataFrame,
+    out_dir: str,
+    item_expr,
+    p: int = 9,
+):
+    """Streaming explicit-register HyperLogLog via ``foreachBatch``: each
+    micro-batch reduces to its own ≤2^p-row register table
+    (operators/sketches.hll_build) and APPENDS it; the live sketch is the
+    register-max over everything appended (:func:`hll_view`). Register max
+    is associative AND idempotent, so the streamed sketch equals the
+    batch-built whole-corpus sketch exactly — and foreachBatch's
+    at-least-once redelivery is HARMLESS here (a re-appended batch changes
+    no max), the strongest exactly-once story of any sink in this module.
+    Per-batch state written: ≤2^p rows, independent of batch size.
+
+    ``item_expr`` maps a batch DataFrame to a one-column frame of items
+    (e.g. ``lambda df: df.select("user_id")``)."""
+    from dampr_spark.operators.sketches import hll_build
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        items = item_expr(batch_df)
+        hll_build(items, items.columns[0], p=p).write.mode("append").parquet(
+            out_dir
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", out_dir + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hll_view(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The live register table: register-max over every appended batch."""
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )

@@ -993,3 +993,44 @@ def test_scd2_state_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     # Every user has exactly one open interval.
     n_users = ev.select("user_id").distinct().count()
     assert open_.count() == n_users
+
+
+def test_hll_stream_equals_batch_sketch(spark, sf_dir, tmp_path_factory):
+    """Two availableNow micro-batches + a DUPLICATED first batch (simulated
+    foreachBatch redelivery): the register-max view must still equal the
+    batch-built whole-corpus sketch — HLL merge is idempotent, so
+    at-least-once delivery cannot perturb it."""
+    import glob
+    import os
+    import shutil
+
+    from dampr_spark.operators.sketches import hll_build, hll_estimate
+    from dampr_spark.sources.readers import read_table
+
+    base = tmp_path_factory.mktemp("hll_stream")
+    in_dir, out = str(base / "in"), str(base / "out")
+    ev = read_table(spark, sf_dir, "events")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    os.makedirs(in_dir)
+    parts = [
+        ev.filter(F.col("event_id") <= mid),
+        ev.filter(F.col("event_id") > mid),
+        ev.filter(F.col("event_id") <= mid),  # redelivered batch
+    ]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(str(base / f"p{i}"))
+        shutil.copy(
+            glob.glob(str(base / f"p{i}" / "*.parquet"))[0], f"{in_dir}/b{i}.parquet"
+        )
+
+    stream = streaming.read_events_stream(spark, in_dir, max_files_per_trigger=1)
+    q = streaming.hll_stream(stream, out, lambda df: df.select("user_id"))
+    q.awaitTermination()
+
+    got = {(r.reg, r.rho) for r in streaming.hll_view(spark, out).collect()}
+    want = {(r.reg, r.rho) for r in hll_build(ev, "user_id").collect()}
+    assert got == want and want
+    # And the estimates agree bit-for-bit (exact register sum).
+    e_stream = hll_estimate(streaming.hll_view(spark, out)).first()["est_distinct"]
+    e_batch = hll_estimate(hll_build(ev, "user_id")).first()["est_distinct"]
+    assert e_stream == e_batch
