@@ -192,3 +192,57 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     return sym.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (community
+    detection) — (id, label) after ``iters`` rounds. Every round each
+    vertex adopts the label most frequent among its neighbors, ties
+    broken by the SMALLEST label — so the update is pure integer
+    arithmetic with a total tie order: fully deterministic, no floats
+    anywhere, and a SQL oracle can unroll the rounds verbatim (the
+    pagerank discipline, without even a rounding step).
+
+    Classic near-clique community semantics: LPA collapses dense
+    clusters in 1-2 rounds but can oscillate on bipartite-ish structures
+    under synchronous update — run CC (above) when you need guaranteed
+    convergence; fixed ``iters`` keeps it deterministic either way.
+    Per-round cost: one |E|-keyed join + a (vertex, label) count + a
+    per-vertex argmax — the same O(iters × |E|) envelope as pagerank;
+    label state is one row per vertex, checkpointed per round."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        counts = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        best = counts.groupBy("src").agg(
+            F.max(F.struct(F.col("n"), (-F.col("label")).alias("nl"))).alias("m")
+        )
+        labels = (
+            labels.select("id", F.col("label").alias("old"))
+            .join(best, F.col("id") == F.col("src"), "left")
+            .select(
+                "id",
+                F.coalesce(-F.col("m.nl"), F.col("old")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -1539,3 +1539,76 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_block=64,
     )
     return triangle_counts(pairs, src="id_a", dst="id_b")
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle_sql(iters: int) -> str:
+    """Unroll synchronous label propagation as chained CTEs — each l{t}
+    reproduces operators/graph.label_propagation's update EXACTLY (most
+    frequent neighbor label, ties to the smallest). Pure integer
+    arithmetic: no rounding discipline needed at all."""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f""",
+    l{t} AS (
+        SELECT l.id, coalesce(b.lab, l.lab) AS lab
+        FROM l{t - 1} l LEFT JOIN (
+            SELECT src, lab FROM (
+                SELECT e.src, p.lab, count(*) AS n,
+                       row_number() OVER (PARTITION BY e.src
+                                          ORDER BY count(*) DESC, p.lab) AS rn
+                FROM ed e JOIN l{t - 1} p ON p.id = e.dst
+                GROUP BY e.src, p.lab)
+            WHERE rn = 1) b ON b.src = l.id)""")
+    return f"""
+    WITH d AS (
+        SELECT doc_id AS id,
+               array_to_string(string_split(text, ' ')[1:2], ' ') AS blk,
+               left(text, 80) AS pre
+        FROM documents WHERE text IS NOT NULL),
+    ok AS (SELECT blk FROM d GROUP BY blk HAVING count(*) BETWEEN 2 AND 64),
+    pe AS (
+        SELECT DISTINCT a.id AS lo, b.id AS hi
+        FROM d a JOIN ok USING (blk) JOIN d b USING (blk)
+        WHERE a.id < b.id AND levenshtein(a.pre, b.pre) <= 25),
+    ed AS (SELECT lo AS src, hi AS dst FROM pe
+           UNION ALL SELECT hi, lo FROM pe),
+    l0 AS (SELECT DISTINCT src AS id, src AS lab FROM ed){"".join(rounds)}
+    SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM l{iters} GROUP BY lab
+    """
+
+
+@register(
+    "dup_graph_communities",
+    oracle=_lpa_oracle_sql(_LPA_ITERS),
+    tags=("dedup", "graph", "extension"),
+)
+def dup_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the fuzzy-duplicate pair graph:
+    per community, its label and member count after 3 synchronous LPA
+    rounds. The third iterative graph algorithm externally verified
+    against an unrolled-CTE DuckDB oracle (after `fuzzy_dup_components`'s
+    fixpoint CC and `textrank_keywords`' PageRank) — and the easiest of
+    the three to trust: the update is PURE integer arithmetic (neighbor
+    label counts, ties to the smallest label), so there is no rounding
+    discipline at all, just two evaluation strategies that must agree
+    exactly. On near-clique dup graphs LPA and CC agree; where they
+    differ, LPA is the finer cut (it won't chain borderline matches
+    through a weak bridge — compare against `dup_graph_triangles`' density
+    audit)."""
+    from dampr_spark.operators.graph import label_propagation
+
+    pairs = dedup.fuzzy_prefix_pairs(
+        _t(spark, sf_dir, "documents"),
+        block_tokens=2,
+        prefix_chars=80,
+        max_distance=25,
+        max_block=64,
+    )
+    labels = label_propagation(pairs, src="id_a", dst="id_b", iters=_LPA_ITERS)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

@@ -145,3 +145,48 @@ def test_triangle_counts_collapses_dup_and_reversed_edges(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.id: r.triangles for r in triangle_counts(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: LPA must keep them as two
+    communities labeled by each clique's min id (the bridge's single vote
+    loses to 3 in-clique votes), where CC would merge them."""
+    from dampr_spark.operators.graph import connected_components, label_propagation
+
+    c1 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    c2 = [(a, b) for a in range(11, 15) for b in range(11, 15) if a < b]
+    edges = c1 + c2 + [(4, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.label for r in label_propagation(df, iters=3).collect()}
+    assert {got[i] for i in range(1, 5)} == {1}
+    assert {got[i] for i in range(11, 15)} == {11}
+    comp = {r.component for r in connected_components(df).collect()}
+    assert comp == {1}  # CC merges through the bridge; LPA does not
+
+
+def test_label_propagation_matches_direct_model(spark):
+    """Synchronous-update python replay on a random graph: identical labels
+    after the same number of rounds (count-desc, min-label tie-break)."""
+    import random
+
+    from dampr_spark.operators.graph import label_propagation
+
+    rng = random.Random(3)
+    edges = list({tuple(sorted(rng.sample(range(30), 2))) for _ in range(60)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.label for r in label_propagation(df, iters=3).collect()}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {v: v for v in adj}
+    for _ in range(3):
+        nxt = {}
+        for v, ns in adj.items():
+            cnt = {}
+            for u in ns:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            nxt[v] = min(cnt, key=lambda l: (-cnt[l], l))
+        lab = nxt
+    assert got == lab
