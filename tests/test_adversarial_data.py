@@ -81,6 +81,16 @@ _HARDENED = [
     "hard_negative_triplets",
     "corpus_token_drift",
     "dsir_gumbel_resample",
+    # round-7b additions: textrank/logreg/graph queries drop NULL texts
+    # (and logreg NULL langs) at entry; user_state_history propagates the
+    # NULL event_type as its own state identically in both engines; HLL
+    # filters NULL user_ids before hashing
+    "textrank_keywords",
+    "user_state_history",
+    "dup_graph_triangles",
+    "dup_graph_communities",
+    "quality_logreg_fit",
+    "hll_explicit_distinct_users",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",
