@@ -208,10 +208,13 @@ def label_propagation(
     anywhere, and a SQL oracle can unroll the rounds verbatim (the
     pagerank discipline, without even a rounding step).
 
-    Classic near-clique community semantics: LPA collapses dense
-    clusters in 1-2 rounds but can oscillate on bipartite-ish structures
-    under synchronous update — run CC (above) when you need guaranteed
-    convergence; fixed ``iters`` keeps it deterministic either way.
+    Each vertex's OWN label joins the vote (the self-preference LPA
+    variant): without it, synchronous update oscillates on 2-cycles (a
+    lone pair swaps labels forever); with it, pairs and cliques converge
+    to their min id in one round while a single bridge vote still loses
+    to an in-clique majority. Fixed ``iters`` keeps even adversarial
+    bipartite structures deterministic; run CC (above) when you need a
+    guaranteed fixpoint.
     Per-round cost: one |E|-keyed join + a (vertex, label) count + a
     per-vertex argmax — the same O(iters × |E|) envelope as pagerank;
     label state is one row per vertex, checkpointed per round."""
@@ -228,8 +231,10 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
+        votes = sym.join(labels, sym.dst == labels.id).select("src", "label")
+        self_votes = labels.select(F.col("id").alias("src"), "label")
         counts = (
-            sym.join(labels, sym.dst == labels.id)
+            votes.union(self_votes)
             .groupBy("src", "label")
             .agg(F.count(F.lit(1)).alias("n"))
         )

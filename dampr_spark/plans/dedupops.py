@@ -1547,7 +1547,8 @@ _LPA_ITERS = 3
 def _lpa_oracle_sql(iters: int) -> str:
     """Unroll synchronous label propagation as chained CTEs — each l{t}
     reproduces operators/graph.label_propagation's update EXACTLY (most
-    frequent neighbor label, ties to the smallest). Pure integer
+    frequent label among neighbors PLUS the vertex's own — the
+    self-preference variant — ties to the smallest). Pure integer
     arithmetic: no rounding discipline needed at all."""
     rounds = []
     for t in range(1, iters + 1):
@@ -1556,11 +1557,14 @@ def _lpa_oracle_sql(iters: int) -> str:
         SELECT l.id, coalesce(b.lab, l.lab) AS lab
         FROM l{t - 1} l LEFT JOIN (
             SELECT src, lab FROM (
-                SELECT e.src, p.lab, count(*) AS n,
-                       row_number() OVER (PARTITION BY e.src
-                                          ORDER BY count(*) DESC, p.lab) AS rn
-                FROM ed e JOIN l{t - 1} p ON p.id = e.dst
-                GROUP BY e.src, p.lab)
+                SELECT v.src, v.lab, count(*) AS n,
+                       row_number() OVER (PARTITION BY v.src
+                                          ORDER BY count(*) DESC, v.lab) AS rn
+                FROM (SELECT e.src, p.lab
+                      FROM ed e JOIN l{t - 1} p ON p.id = e.dst
+                      UNION ALL
+                      SELECT id AS src, lab FROM l{t - 1}) v(src, lab)
+                GROUP BY v.src, v.lab)
             WHERE rn = 1) b ON b.src = l.id)""")
     return f"""
     WITH d AS (

@@ -263,3 +263,30 @@ def test_corpus_prep_round7_stages(spark):
     target = docs.filter(F.col("doc_id") <= 3)
     weighted = {r.doc_id: r.log_weight for r in dsir_reweight(docs, target).collect()}
     assert min(weighted[1], weighted[2], weighted[3]) > weighted[4]
+
+
+def test_dup_graph_analysis_example(spark, sf_dir):
+    """Triage invariants on the real fixture: every component has >= 2
+    members (it came from a pair graph), community count never exceeds
+    member count, and 2-member components always collapse (no split
+    verdict is possible below 3 nodes)."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    from dup_graph_analysis import dup_graph_triage
+
+    from dampr_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    rows = dup_graph_triage(docs).collect()
+    assert rows
+    for r in rows:
+        assert r.n_members >= 2
+        assert 1 <= r.n_communities <= r.n_members
+        if r.n_members == 2:
+            assert r.verdict == "collapse"
+        if r.n_communities > 1:
+            assert r.verdict == "split"
+    # The planted near-dup clusters in the fixture produce at least one
+    # dense collapse-verdict component.
+    assert any(r.verdict == "collapse" for r in rows)

@@ -184,7 +184,7 @@ def test_label_propagation_matches_direct_model(spark):
     for _ in range(3):
         nxt = {}
         for v, ns in adj.items():
-            cnt = {}
+            cnt = {lab[v]: 1}  # self-preference vote
             for u in ns:
                 cnt[lab[u]] = cnt.get(lab[u], 0) + 1
             nxt[v] = min(cnt, key=lambda l: (-cnt[l], l))
