@@ -1224,3 +1224,80 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TEXTRANK_TOP)
         .select(F.col("id").alias("token"), F.round("rank", 6).alias("score"))
     )
+
+
+_VOCAB_CURVE_POINTS = (5, 15, 50)
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH uc AS (
+        SELECT w, count(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL)
+        GROUP BY w),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM uc),
+    tot AS (SELECT sum(c) AS t, CAST(count(*) AS BIGINT) AS n_vocab FROM ranked)
+    SELECT p.vocab_size,
+           CAST(least(p.vocab_size, tot.n_vocab) AS BIGINT) AS n_types,
+           round(sum(CASE WHEN rk <= p.vocab_size THEN c ELSE 0 END)
+                 * 1.0 / tot.t, 6) AS coverage
+    FROM ranked CROSS JOIN tot
+    CROSS JOIN (VALUES {", ".join(f"({p})" for p in _VOCAB_CURVE_POINTS)})
+         AS p(vocab_size)
+    GROUP BY p.vocab_size, tot.t, tot.n_vocab
+    """,
+    tags=("text", "tokenizer", "extension"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer budget curve: for each candidate vocabulary size N, the
+    fraction of all token OCCURRENCES covered by the top-N types (by
+    corpus frequency, ties broken lexically). The first question a
+    tokenizer/vocab decision asks of a corpus — where the Zipf mass
+    saturates — answered in one scan.
+
+    Plan shape for 100 TB: one vocabulary aggregate (map-side partial),
+    one rank window over the VOCAB table (types, not occurrences — the
+    corpus never sorts), then a 3-point conditional re-aggregate of that
+    same vocab table; the curve points are literals, so the whole tail is
+    vocabulary-sized."""
+    from pyspark.sql.window import Window
+
+    from dampr_spark.operators.dedup import _ensure_parallelism
+
+    d = _ensure_parallelism(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    uc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = uc.select(
+        "c", F.row_number().over(Window.orderBy(F.col("c").desc(), "w")).alias("rk")
+    ).localCheckpoint(eager=True)  # feeds totals AND the per-point aggregate
+    tot = ranked.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    points = spark.createDataFrame(
+        [(p,) for p in _VOCAB_CURVE_POINTS], "vocab_size int"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(points))
+        .groupBy("vocab_size", "t", "n_vocab")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("rk") <= F.col("vocab_size"), F.col("c")).otherwise(0))
+                / F.first("t"),
+                6,
+            ).alias("coverage")
+        )
+        .select(
+            "vocab_size",
+            F.least(F.col("vocab_size").cast("bigint"), F.col("n_vocab")).alias("n_types"),
+            "coverage",
+        )
+    )
