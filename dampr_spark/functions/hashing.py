@@ -43,12 +43,7 @@ def md5_bucket(expr, n_buckets: int):
     hashed-feature operator (DSIR buckets, CMS cells) must route through
     this single definition (and its SQL twin above) or the "bit-identical
     in Spark and DuckDB" oracle guarantee silently diverges."""
-    from pyspark.sql import functions as F
-
-    return (
-        F.conv(F.substring(F.md5(expr), 1, 8), 16, 10).cast("long")
-        % n_buckets
-    )
+    return md5_uint(expr) % n_buckets
 
 
 def md5_uint(expr):

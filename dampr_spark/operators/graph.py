@@ -218,9 +218,16 @@ def label_propagation(
     Per-round cost: one |E|-keyed join + a (vertex, label) count + a
     per-vertex argmax — the same O(iters × |E|) envelope as pagerank;
     label state is one row per vertex, checkpointed per round."""
+    # Collapse duplicate/bidirectional edges and self-loops first (the
+    # triangle_counts discipline): a neighbor relation listed twice must
+    # not cast two votes.
     e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+        )
+        .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

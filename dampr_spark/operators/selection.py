@@ -269,8 +269,29 @@ def fit_logreg(
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
         grads = [F.avg(p - y)] + [F.avg((p - y) * xj) for xj in xs]
         row = df.agg(*[g.alias(f"g{i}") for i, g in enumerate(grads)]).first()
-        w = [round(wj - lr * row[f"g{i}"], prec) for i, wj in enumerate(w)]
+        if row["g0"] is None:
+            raise ValueError(
+                "fit_logreg: empty input frame — cannot average a gradient "
+                "over zero rows (the fit_value_histogram empty-input contract)"
+            )
+        w = [
+            _round_half_up(wj - lr * row[f"g{i}"], prec)
+            for i, wj in enumerate(w)
+        ]
     return w
+
+
+def _round_half_up(x: float, prec: int) -> float:
+    """Half-AWAY-from-zero rounding of a double, matching Spark F.round
+    and DuckDB round() — NOT Python's builtin round (banker's half-even),
+    whose tie behavior would diverge from the SQL oracle exactly at the
+    per-round rounding boundaries the discipline exists to pin."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-prec)
+    return float(
+        decimal.Decimal(x).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
 
 
 def logreg_decision(weights: list[float], feature_cols: list[str]) -> Column:

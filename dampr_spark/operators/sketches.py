@@ -285,7 +285,10 @@ def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s_present"),
         F.count(F.lit(1)).alias("n_present"),
     )
-    s = F.col("s_present") + (F.lit(m) - F.col("n_present"))  # absent: 2^0 each
+    # Empty register table (no non-null items yet): coalesce the NULL sum
+    # to 0 so s = m, V = m, and the linear-counting branch returns exactly
+    # 0.0 instead of propagating NULL.
+    s = F.coalesce(F.col("s_present"), F.lit(0.0)) + (F.lit(m) - F.col("n_present"))
     v = F.lit(m) - F.col("n_present")
     e_raw = F.lit(alpha * m * m) / s
     est = F.when(

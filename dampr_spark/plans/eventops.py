@@ -1355,7 +1355,7 @@ def _hll_oracle_sql(p: int) -> str:
                END AS rho
         FROM (SELECT {u} AS u FROM events WHERE user_id IS NOT NULL)),
     regs AS (SELECT reg, max(rho) AS rho FROM r GROUP BY reg),
-    a AS (SELECT sum(power(2.0, -rho)) AS sp, count(*) AS np FROM regs),
+    a AS (SELECT coalesce(sum(power(2.0, -rho)), 0) AS sp, count(*) AS np FROM regs),
     e AS (SELECT round(CASE WHEN {alpha_mm!r} / (sp + ({m} - np)) <= {2.5 * m}
                              AND ({m} - np) > 0
                         THEN {float(m)!r} * ln({float(m)!r} / ({m} - np))

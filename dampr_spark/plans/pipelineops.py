@@ -2208,10 +2208,12 @@ def quality_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape for 100 TB: a persisted narrow feature frame (4 doubles per
     doc) scanned iters+1 times; each GD round is ONE map-side-combinable
     aggregate producing 4 driver-side scalars (the kmeans centroid
-    contract) — zero shuffles beyond the aggregate's 4-value merge. The
-    per-row features are 6-dp rounded (the established cross-engine
-    contract), the weights 8-dp rounded per round, so two engines' float
-    sums can't diverge the fit."""
+    contract) — zero shuffles beyond the aggregate's 4-value merge.
+    Cross-engine contract: every per-row feature is the IDENTICAL
+    expression on both sides (x3 is 6-dp rounded in its helper; x1/x2
+    are exact integer ratios, bit-equal unrounded), and the weights are
+    8-dp rounded per round, so two engines' float sums can't diverge the
+    fit."""
     from pyspark import StorageLevel
 
     from dampr_spark.operators.selection import fit_logreg, logreg_decision

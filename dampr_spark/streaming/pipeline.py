@@ -1005,66 +1005,25 @@ def scd2_state_stream(
     Out-of-order batches close intervals in arrival order — the honest
     streaming semantics, same caveat family as the dedup/novelty sinks.
 
+    Retry safety: foreachBatch is at-least-once, and a plain overwrite of
+    the open store would NOT be — a retried batch that re-read its own
+    output would merge the same events twice (inflated n_events), and a
+    crash mid-overwrite would lose every open interval. So the open store
+    is VERSIONED BY BATCH: batch N reads ``open_dir/v=N-1`` (never its own
+    output) and overwrites ``open_dir/v=N`` — a replay reproduces v=N
+    byte-identically from the same inputs, making the closed-row
+    re-appends exact duplicates that read-time dedup on (user_id,
+    valid_from) removes. Versions ≤ N-2 are pruned after the v=N write
+    (v=N-1 must survive in case batch N itself retries); on stores where
+    the driver can't delete (object stores), point a lifecycle rule at
+    the prefix instead.
+
     Scale notes: the open store is ONE row per user; at 100 TB write it
     user-bucketed (operators/bucketing) and rewrite only the buckets whose
     users appear in the batch, so the per-batch merge shuffles batch-sized
-    state. foreachBatch is at-least-once — a retried batch re-appends its
-    closed rows; dedup on (user_id, valid_from) at read time restores
-    exactly-once (the documented foreachBatch idempotency discipline)."""
-    from pyspark.errors import AnalysisException
-    from pyspark.sql.window import Window
-
-    from dampr_spark.plans.eventops import state_runs
-
-    _OPEN_SCHEMA = (
-        "user_id bigint, state string, valid_from timestamp, "
-        "first_eid bigint, n_events bigint"
-    )
-
+    state. Read the live store with :func:`scd2_open_view`."""
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        runs = state_runs(
-            batch_df.select("user_id", "event_type", "ts", "event_id")
-        )
-        try:
-            open_ = spark.read.parquet(open_dir)
-        except AnalysisException:
-            open_ = spark.createDataFrame([], _OPEN_SCHEMA)
-        combined = open_.unionByName(runs)
-        w_u = Window.partitionBy("user_id").orderBy("valid_from", "first_eid")
-        w_s = Window.partitionBy("user_id", "state").orderBy(
-            "valid_from", "first_eid"
-        )
-        merged = (
-            combined.withColumn("rn", F.row_number().over(w_u))
-            .withColumn("grp", F.col("rn") - F.row_number().over(w_s))
-            .groupBy("user_id", "state", "grp")
-            .agg(
-                F.min(F.struct("valid_from", "first_eid")).alias("o"),
-                F.sum("n_events").alias("n_events"),
-            )
-            .select(
-                "user_id",
-                "state",
-                F.col("o.valid_from").alias("valid_from"),
-                F.col("o.first_eid").alias("first_eid"),
-                "n_events",
-                F.lead("o.valid_from")
-                .over(Window.partitionBy("user_id").orderBy("o"))
-                .alias("valid_to"),
-            )
-            # Pinned: the closed append and the open-store OVERWRITE both
-            # consume this plan, and the overwrite reads open_dir while
-            # replacing it — without the pin the second run would scan the
-            # half-replaced store.
-            .localCheckpoint(eager=True)
-        )
-        merged.filter(F.col("valid_to").isNotNull()).select(
-            "user_id", "state", "valid_from", "valid_to", "n_events"
-        ).write.mode("append").parquet(out_dir)
-        merged.filter(F.col("valid_to").isNull()).select(
-            "user_id", "state", "valid_from", "first_eid", "n_events"
-        ).write.mode("overwrite").parquet(open_dir)
+        _scd2_apply_batch(batch_df, batch_id, open_dir, out_dir)
 
     return (
         events_stream.writeStream.foreachBatch(handle)
@@ -1072,6 +1031,90 @@ def scd2_state_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _scd2_apply_batch(
+    batch_df: DataFrame, batch_id: int, open_dir: str, out_dir: str
+) -> None:
+    """One SCD2 micro-batch merge — module-level so the retry-idempotence
+    test can replay a batch with its ORIGINAL batch_id, exactly what a
+    foreachBatch retry does."""
+    import os
+    import shutil
+
+    from pyspark.errors import AnalysisException
+    from pyspark.sql.window import Window
+
+    from dampr_spark.plans.eventops import state_runs
+
+    spark = batch_df.sparkSession
+    runs = state_runs(batch_df.select("user_id", "event_type", "ts", "event_id"))
+    try:
+        open_ = spark.read.parquet(f"{open_dir}/v={batch_id - 1}")
+    except AnalysisException:
+        open_ = spark.createDataFrame([], _SCD2_OPEN_SCHEMA)
+    combined = open_.unionByName(runs)
+    w_u = Window.partitionBy("user_id").orderBy("valid_from", "first_eid")
+    w_s = Window.partitionBy("user_id", "state").orderBy("valid_from", "first_eid")
+    merged = (
+        combined.withColumn("rn", F.row_number().over(w_u))
+        .withColumn("grp", F.col("rn") - F.row_number().over(w_s))
+        .groupBy("user_id", "state", "grp")
+        .agg(
+            F.min(F.struct("valid_from", "first_eid")).alias("o"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "state",
+            F.col("o.valid_from").alias("valid_from"),
+            F.col("o.first_eid").alias("first_eid"),
+            "n_events",
+            F.lead("o.valid_from")
+            .over(Window.partitionBy("user_id").orderBy("o"))
+            .alias("valid_to"),
+        )
+        # Pinned: the closed append and the open-store write both consume
+        # this plan — without the pin the merge would execute twice.
+        .localCheckpoint(eager=True)
+    )
+    merged.filter(F.col("valid_to").isNotNull()).select(
+        "user_id", "state", "valid_from", "valid_to", "n_events"
+    ).write.mode("append").parquet(out_dir)
+    merged.filter(F.col("valid_to").isNull()).select(
+        "user_id", "state", "valid_from", "first_eid", "n_events"
+    ).write.mode("overwrite").parquet(f"{open_dir}/v={batch_id}")
+    # Prune stale versions, keeping v=N-1 (batch N's own retry input).
+    try:
+        for entry in os.listdir(open_dir):
+            if entry.startswith("v=") and int(entry[2:]) <= batch_id - 2:
+                shutil.rmtree(os.path.join(open_dir, entry), ignore_errors=True)
+    except (OSError, ValueError):
+        pass  # non-local store: prune via a lifecycle rule instead
+
+
+_SCD2_OPEN_SCHEMA = (
+    "user_id bigint, state string, valid_from timestamp, "
+    "first_eid bigint, n_events bigint"
+)
+
+
+def scd2_open_view(spark: SparkSession, open_dir: str) -> DataFrame:
+    """The live open-interval store: the highest ``v=<batch>`` version
+    under ``open_dir`` (empty frame if no batch has committed yet)."""
+    import os
+
+    try:
+        versions = [
+            int(e[2:])
+            for e in os.listdir(open_dir)
+            if e.startswith("v=") and e[2:].lstrip("-").isdigit()
+        ]
+    except OSError:
+        versions = []
+    if not versions:
+        return spark.createDataFrame([], _SCD2_OPEN_SCHEMA)
+    return spark.read.parquet(f"{open_dir}/v={max(versions)}")
 
 
 def hll_stream(

@@ -270,9 +270,6 @@ def test_dup_graph_analysis_example(spark, sf_dir):
     members (it came from a pair graph), community count never exceeds
     member count, and 2-member components always collapse (no split
     verdict is possible below 3 nodes)."""
-    import sys
-
-    sys.path.insert(0, "examples")
     from dup_graph_analysis import dup_graph_triage
 
     from dampr_spark.sources.readers import read_table

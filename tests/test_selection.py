@@ -128,13 +128,15 @@ def test_fit_logreg_matches_direct_model(spark):
     df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
     got = fit_logreg(df, ["x1", "x2"], "y", iters=4, lr=1.0, prec=8)
 
+    from dampr_spark.operators.selection import _round_half_up
+
     w = np.zeros(3)
     Xb = np.hstack([np.ones((len(X), 1)), X])
     for _ in range(4):
         p = 1.0 / (1.0 + np.exp(-(Xb @ w)))
         g = Xb.T @ (p - y) / len(X)
-        w = np.round(w - g, 8)
-    assert got == [round(float(v), 8) for v in w], (got, w)
+        w = np.array([_round_half_up(float(v), 8) for v in (w - g)])
+    assert got == [float(v) for v in w], (got, w)
 
     # Decision expression: sign agreement with the numpy margins.
     pred = [r["p"] for r in df.select(
