@@ -2244,3 +2244,91 @@ def quality_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n bigint, bias double, w_len double, w_toklen double, "
         "w_stop double, train_acc double",
     )
+
+
+def _logreg_gate_oracle_sql(iters: int, lr: float, prec: int) -> str:
+    """The fit's unrolled CTEs (same w{t} chain as _logreg_oracle_sql)
+    followed by a corpus-wide APPLY: per source, docs kept by the w·x>0
+    decision. One oracle proves train AND apply end-to-end."""
+    base = _logreg_oracle_sql(iters, lr, prec)
+    # Reuse everything up to the fit's top-level SELECT (anchored on its
+    # distinctive correlated-count prefix); swap in the gate aggregate.
+    ctes = base[: base.index("SELECT (SELECT CAST(count(*)")]
+    return f"""{ctes},
+    zs AS (SELECT d.source,
+                  w.b + w.w1 * d.x1 + w.w2 * d.x2 + w.w3 * d.x3 AS z
+           FROM (SELECT source, {T.token_count_sql('text')} / 100.0 AS x1,
+                        n_chars / ({T.token_count_sql('text')} * 10.0) AS x2,
+                        {T.stopword_ratio_sql('text')} AS x3
+                 FROM documents
+                 WHERE text IS NOT NULL AND lang IS NOT NULL) d
+           CROSS JOIN w{iters} w),
+    mz AS (SELECT round(avg(z), 6) AS m FROM zs)
+    SELECT zs.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN zs.z > mz.m THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(avg(CASE WHEN zs.z > mz.m THEN 1.0 ELSE 0.0 END), 6)
+             AS keep_rate
+    FROM zs CROSS JOIN mz
+    GROUP BY zs.source, mz.m
+    """
+
+
+@register(
+    "quality_classifier_gate",
+    oracle=_logreg_gate_oracle_sql(_LOGREG_ITERS, _LOGREG_LR, _LOGREG_PREC),
+    tags=("selection", "ml", "extension"),
+)
+def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the classifier curation recipe: fit the
+    logistic-regression quality model (same 3 GD rounds as
+    `quality_logreg_fit`), then gate the WHOLE corpus with the exp-free
+    w·x>0 decision and report per-source keep rates — the mix-shift
+    report a curator reads before committing a filter. The oracle chains
+    the fit's unrolled CTEs into the gate aggregate, so DuckDB replays
+    train AND apply end-to-end.
+
+    Plan shape for 100 TB: the fit is iters bounded-scalar aggregates
+    over the persisted feature frame; the gate is ONE more scan with the
+    weights folded in as literals (pure codegen comparison, no join) and
+    a source-keyed aggregate."""
+    from pyspark import StorageLevel
+
+    from dampr_spark.operators.selection import fit_logreg, logreg_decision
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    feats = d.select(
+        "source",
+        (T.token_count("text") / F.lit(100.0)).alias("x1"),
+        (F.col("n_chars") / (T.token_count("text") * F.lit(10.0))).alias("x2"),
+        T.stopword_ratio("text").alias("x3"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    w = fit_logreg(
+        feats, ["x1", "x2", "x3"], "y",
+        iters=_LOGREG_ITERS, lr=_LOGREG_LR, prec=_LOGREG_PREC,
+    )
+    z = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    zs = feats.select("source", z.alias("z"))
+    m = zs.agg(F.round(F.avg("z"), 6).alias("m"))
+    dec = F.col("z") > F.col("m")
+    out = (
+        zs.crossJoin(F.broadcast(m))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(dec, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.round(F.avg(F.when(dec, 1.0).otherwise(0.0)), 6).alias("keep_rate"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    feats.unpersist()
+    return out
