@@ -566,3 +566,13 @@ def test_user_state_history_single_user_shuffle(spark):
     plan = plan_of(spark, "user_state_history")
     assert "Join" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_hll_explicit_no_sort_merge(spark):
+    """Sketch build is aggregate-only (map-side partial collapses each
+    partition to <= types x 2^p register rows); the 1-row estimate meets
+    the 1-row exact count via broadcast, never a shuffle join."""
+    plan = plan_of(spark, "hll_explicit_distinct_users")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final, sketch+exact
