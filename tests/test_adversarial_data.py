@@ -91,6 +91,9 @@ _HARDENED = [
     "dup_graph_communities",
     "quality_logreg_fit",
     "hll_explicit_distinct_users",
+    "quality_classifier_gate",
+    "vocab_coverage_curve",
+    "dup_graph_communities",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",
