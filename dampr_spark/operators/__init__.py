@@ -1,3 +1,21 @@
-from dampr_spark.operators import dedup, multimodal, similarity
+from dampr_spark.operators import (
+    dedup,
+    graph,
+    multimodal,
+    selection,
+    similarity,
+    sketches,
+    stats,
+    temporal,
+)
 
-__all__ = ["dedup", "multimodal", "similarity"]
+__all__ = [
+    "dedup",
+    "graph",
+    "multimodal",
+    "selection",
+    "similarity",
+    "sketches",
+    "stats",
+    "temporal",
+]
