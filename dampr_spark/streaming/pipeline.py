@@ -1158,3 +1158,41 @@ def hll_view(spark: SparkSession, out_dir: str) -> DataFrame:
         .groupBy("reg")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def logreg_score_stream(
+    docs_stream: DataFrame,
+    weights: list[float],
+    feature_exprs,
+    out_dir: str,
+    id_col: str = "doc_id",
+):
+    """Streaming quality-classifier scoring via ``foreachBatch``: every
+    micro-batch of documents gets its margin z = w·x and keep decision
+    (z > 0) from a FIXED weight vector (fit batch-side with
+    ``operators/selection.fit_logreg`` — the model is an artifact, it
+    does not grow with the stream) and is appended. Stateless per batch,
+    so streamed scores equal the batch expressions doc-for-doc — the
+    ingest-time shape of the classifier curation recipe: new crawl
+    shards arrive, each doc gets its quality margin immediately, the
+    gate threshold is decided downstream.
+
+    ``feature_exprs`` is an ordered list of Column expressions matching
+    the weight vector's feature order (bias first in ``weights``)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        z = F.lit(weights[0])
+        for wj, xj in zip(weights[1:], feature_exprs):
+            z = z + F.lit(wj) * xj
+        batch_df.select(
+            F.col(id_col),
+            z.alias("z"),
+            (z > 0).alias("keep"),
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", out_dir + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

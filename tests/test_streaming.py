@@ -1060,3 +1060,62 @@ def test_hll_stream_equals_batch_sketch(spark, sf_dir, tmp_path_factory):
     e_stream = hll_estimate(streaming.hll_view(spark, out)).first()["est_distinct"]
     e_batch = hll_estimate(hll_build(ev, "user_id")).first()["est_distinct"]
     assert e_stream == e_batch
+
+
+def test_logreg_score_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Fit weights batch-side, score the documents table in two
+    micro-batches: streamed (z, keep) must equal the batch expressions
+    doc-for-doc (stateless scoring; the dsir_score_stream discipline)."""
+    import glob
+    import os
+    import shutil
+
+    from dampr_spark.functions import text as T
+    from dampr_spark.operators.selection import fit_logreg
+    from dampr_spark.sources.readers import read_table
+
+    base = tmp_path_factory.mktemp("logreg_stream")
+    in_dir, out = str(base / "in"), str(base / "out")
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    feats = docs.select(
+        "doc_id",
+        (T.token_count("text") / F.lit(100.0)).alias("x1"),
+        T.stopword_ratio("text").alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    ).localCheckpoint(eager=True)
+    w = fit_logreg(feats, ["x1", "x2"], "y", iters=2)
+
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    os.makedirs(in_dir)
+    for i, part in enumerate(
+        [docs.filter(F.col("doc_id") <= mid), docs.filter(F.col("doc_id") > mid)]
+    ):
+        part.coalesce(1).write.parquet(str(base / f"p{i}"))
+        shutil.copy(
+            glob.glob(str(base / f"p{i}" / "*.parquet"))[0], f"{in_dir}/b{i}.parquet"
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    exprs = [
+        T.token_count("text") / F.lit(100.0),
+        T.stopword_ratio("text"),
+    ]
+    q = streaming.logreg_score_stream(
+        stream.filter(F.col("text").isNotNull() & F.col("lang").isNotNull()),
+        w, exprs, out,
+    )
+    q.awaitTermination()
+
+    got = {(r.doc_id, r.z, r.keep) for r in spark.read.parquet(out).collect()}
+    zb = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    want = {
+        (r.doc_id, r.z, r.keep)
+        for r in feats.select("doc_id", zb.alias("z"), (zb > 0).alias("keep")).collect()
+    }
+    assert got == want and want
