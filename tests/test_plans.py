@@ -576,3 +576,22 @@ def test_hll_explicit_no_sort_merge(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final, sketch+exact
+
+
+def test_vocab_coverage_curve_monotone_and_clamped(spark):
+    """Coverage is non-decreasing in vocab_size, within (0, 1], and
+    n_types clamps at the true vocabulary size."""
+    from dampr_spark.plans import all_queries
+
+    rows = sorted(
+        all_queries()["vocab_coverage_curve"].builder(spark, SF).collect(),
+        key=lambda r: r.vocab_size,
+    )
+    assert rows
+    prev = 0.0
+    for r in rows:
+        assert 0.0 < r.coverage <= 1.0
+        assert r.coverage >= prev
+        prev = r.coverage
+        assert r.n_types <= r.vocab_size
+    assert rows[-1].n_types <= rows[-1].vocab_size

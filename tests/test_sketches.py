@@ -203,3 +203,15 @@ def test_hll_estimate_exact_sum_determinism(spark):
     a = hll_estimate(regs.repartition(1)).first()["est_distinct"]
     b = hll_estimate(regs.repartition(13)).first()["est_distinct"]
     assert a == b
+
+
+def test_hll_estimate_empty_registers_is_zero(spark):
+    """No non-null items -> empty register table -> estimate must be
+    exactly 0.0 (linear counting with V = m), never NULL."""
+    from dampr_spark.operators.sketches import hll_build, hll_estimate
+
+    df = spark.createDataFrame([(None,), (None,)], "item string")
+    regs = hll_build(df, "item")
+    assert regs.count() == 0
+    est = hll_estimate(regs).first()["est_distinct"]
+    assert est == 0.0
