@@ -258,3 +258,65 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(id, dist) — unweighted shortest-path hop distance from the nearest
+    source vertex, over the undirected view of ``edges``. Runs min-plus
+    relaxation to FIXPOINT (the connected_components discipline: per-round
+    checkpointed state, one bounded driver-side changed-counter, raises
+    past ``max_iters`` instead of returning silently-unconverged
+    distances). Vertices unreachable from every source don't appear —
+    exactly the CC isolated-vertex contract.
+
+    Pure integer arithmetic (hop counts + min), so a SQL oracle replays it
+    with a recursive CTE and the results compare exactly. Per-round cost:
+    one |E|-keyed join + a vertex-keyed min — O(diameter × |E|) total,
+    the standard Pregel SSSP shape; ``sources`` may be any number of roots
+    (multi-source BFS is the same loop seeded wider)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    dists = (
+        sources.select(F.col(sources.columns[0]).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        relaxed = (
+            sym.join(dists, sym.src == dists.id)
+            .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+            .union(dists)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        n_new = relaxed.count()
+        changed = n_new != dists.count()
+        if not changed:
+            # Same vertex set: distances can only shrink via a shorter
+            # path; detect that too before declaring fixpoint.
+            shrunk = (
+                relaxed.alias("a")
+                .join(dists.alias("b"), F.col("a.id") == F.col("b.id"))
+                .filter(F.col("a.dist") < F.col("b.dist"))
+                .count()
+            )
+            changed = shrunk > 0
+        dists = relaxed
+        if not changed:
+            return dists
+    raise RuntimeError(
+        f"bfs_distances did not converge in {max_iters} rounds "
+        "(graph diameter exceeds max_iters); raise max_iters"
+    )

@@ -1616,3 +1616,66 @@ def dup_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+@register(
+    "dup_canonical_distance_histogram",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT doc_id AS id,
+               array_to_string(string_split(text, ' ')[1:2], ' ') AS blk,
+               left(text, 80) AS pre
+        FROM documents WHERE text IS NOT NULL),
+    ok AS (SELECT blk FROM d GROUP BY blk HAVING count(*) BETWEEN 2 AND 64),
+    pe AS (
+        SELECT DISTINCT a.id AS lo, b.id AS hi
+        FROM d a JOIN ok USING (blk) JOIN d b USING (blk)
+        WHERE a.id < b.id AND levenshtein(a.pre, b.pre) <= 25),
+    ed AS (SELECT lo AS src, hi AS dst FROM pe
+           UNION ALL SELECT hi, lo FROM pe),
+    reach(s, t) AS (
+        SELECT src, dst FROM ed
+        UNION
+        SELECT r.s, e.dst FROM reach r JOIN ed e ON r.t = e.src),
+    comp AS (SELECT s AS id, least(s, min(t)) AS canonical
+             FROM reach GROUP BY s),
+    roots AS (SELECT DISTINCT canonical AS id FROM comp),
+    walk(id, dist) AS (
+        SELECT id, 0 FROM roots
+        UNION
+        SELECT e.dst, w.dist + 1
+        FROM walk w JOIN ed e ON e.src = w.id
+        WHERE w.dist < 100),
+    best AS (SELECT id, min(dist) AS dist FROM walk GROUP BY id)
+    SELECT dist, CAST(count(*) AS BIGINT) AS n_docs
+    FROM best GROUP BY dist
+    """,
+    tags=("dedup", "graph", "extension"),
+)
+def dup_canonical_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How far duplicate-graph members sit from their canonical doc:
+    multi-source BFS (operators/graph.bfs_distances) seeded at every
+    component's min-id canonical, reported as a hop-distance histogram.
+    dist=1 members matched the canonical directly; dist≥2 members are
+    TRANSITIVE merges that never directly matched it — the count a
+    curator checks before trusting component-collapse dedup (large
+    dist mass = chain-merging, compare `dup_graph_communities`).
+
+    The FIFTH iterative graph algorithm externally verified here (CC
+    fixpoint, PageRank, LPA, triangles, now SSSP): the join-relaxation
+    loop vs DuckDB's recursive-CTE walk — pure integer hops, exact
+    comparison. Seeds come from the CC pass, so the query exercises two
+    chained fixpoint algorithms end-to-end."""
+    from dampr_spark.operators.graph import bfs_distances, connected_components
+
+    pairs = dedup.fuzzy_prefix_pairs(
+        _t(spark, sf_dir, "documents"),
+        block_tokens=2,
+        prefix_chars=80,
+        max_distance=25,
+        max_block=64,
+    ).localCheckpoint(eager=True)  # feeds CC and the BFS relaxation
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    roots = comp.select(F.col("component")).distinct()
+    dists = bfs_distances(pairs, roots, src="id_a", dst="id_b")
+    return dists.groupBy("dist").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -94,6 +94,7 @@ _HARDENED = [
     "quality_classifier_gate",
     "vocab_coverage_curve",
     "dup_graph_communities",
+    "dup_canonical_distance_histogram",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",

@@ -190,3 +190,30 @@ def test_label_propagation_matches_direct_model(spark):
             nxt[v] = min(cnt, key=lambda l: (-cnt[l], l))
         lab = nxt
     assert got == lab
+
+
+def test_bfs_distances_path_and_multisource(spark):
+    from dampr_spark.operators.graph import bfs_distances
+
+    # Path 0-1-2-3-4 plus a disjoint edge (10, 11).
+    edges = [(i, i + 1) for i in range(4)] + [(10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    one = spark.createDataFrame([(0,)], "id long")
+    got = {r.id: r.dist for r in bfs_distances(df, one).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # 10, 11 unreachable -> absent
+
+    multi = spark.createDataFrame([(0,), (4,), (10,)], "id long")
+    got = {r.id: r.dist for r in bfs_distances(df, multi).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0, 10: 0, 11: 1}
+
+
+def test_bfs_distances_non_convergence_raises(spark):
+    import pytest
+
+    from dampr_spark.operators.graph import bfs_distances
+
+    edges = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    src_df = spark.createDataFrame([(0,)], "id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        bfs_distances(df, src_df, max_iters=2)
