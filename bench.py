@@ -136,6 +136,11 @@ BENCH_QUERIES = [
     # fit (3 single-aggregate gradient rounds over a persisted frame).
     "textrank_keywords",
     "quality_logreg_fit",
+    # round-7c flagships (explicit sketches): Bloom runtime join pruning
+    # (bit-table build + pure codegen probe filter) and the mergeable
+    # histogram quantile sketch vs the exact rank-recovery path.
+    "bloom_join_prune",
+    "histogram_quantile_sketch",
 ]
 
 
@@ -281,6 +286,8 @@ def main() -> int:
         "vector": [q for q in BENCH_QUERIES if q in (
             "ann_cosine_topk", "kmeans_clusters", "pca_embeddings",
             "zorder_curve_topk", "embedding_centroid_outliers")],
+        "sketch": [q for q in BENCH_QUERIES if q in (
+            "bloom_join_prune", "histogram_quantile_sketch")],
     }
     family_totals = {
         fam: round(sum(cold_timings.get(q, 0.0) for q in qs), 4)

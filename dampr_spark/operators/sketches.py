@@ -226,6 +226,100 @@ def cms_estimate(
     )
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter (round 7)
+# ---------------------------------------------------------------------------
+
+
+def bloom_bit(item, j: int, n_bits: int):
+    """Bit index for Bloom hash ``j``: the shared cross-engine md5 bucket
+    (functions/hashing.md5_bucket) of ``item`` salted with the hash index —
+    the CMS salting discipline, so the bit SET (and therefore every
+    membership verdict) is bit-identical in Spark and DuckDB and Bloom
+    queries hash-compare against a full oracle."""
+    from dampr_spark.functions.hashing import md5_bucket
+
+    return md5_bucket(F.concat(item.cast("string"), F.lit(f"#bloom{j}")), n_bits)
+
+
+def bloom_build(
+    df: DataFrame, item_col: str, n_hashes: int = 5, n_bits: int = 4096
+) -> DataFrame:
+    """Build a Bloom filter as a DataFrame of its SET bit positions
+    ``(bit int)`` — ≤ ``n_bits`` rows regardless of input size. One scan:
+    each item explodes into ``n_hashes`` bit rows (map-side partials
+    collapse each partition to ≤ n_bits rows before the exchange), then a
+    global distinct. Filters over different shards MERGE by
+    ``union().distinct()`` — bit-set union is associative and idempotent
+    (the HLL register-max property in OR form), which is what makes the
+    Bloom filter the shard-parallel membership sketch.
+
+    Sizing: false-positive rate ≈ (1 - e^(-k·n/m))^k for k hashes, n keys,
+    m bits; k=5, m/n≈8 gives ~2%. The defaults suit a ~500-key dim — size
+    ``n_bits`` to the build side, never the probe side."""
+    bits = F.array(*[bloom_bit(F.col(item_col), j, n_bits) for j in range(n_hashes)])
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(F.explode(bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_might_contain(bits: list[int], item, n_hashes: int = 5, n_bits: int = 4096):
+    """Pure-EXPRESSION membership test from a materialized bit list — the
+    explicit runtime-filter shape: pack the set bits into ``n_bits/64``
+    long literals, then the probe evaluates ``n_hashes`` md5-bucket
+    expressions and bit tests entirely inside whole-stage codegen. Zero
+    shuffle, zero join, no UDF — at 100 TB this prunes the probe-side SCAN
+    OUTPUT before any exchange, exactly what Spark's AQE-injected runtime
+    bloom filter (``spark.sql.optimizer.runtime.bloomFilter.enabled``)
+    does, but reusable across jobs (persist ``bloom_build``'s bit table
+    once, prune forever) and oracle-replayable.
+
+    No false negatives ever (every true member's bits are set by
+    construction); false positives at the documented rate pass the filter
+    and are eliminated by the real join that follows — the filter only
+    PRUNES, it never decides."""
+    n_words = (n_bits + 63) // 64
+    words = [0] * n_words
+    for b in bits:
+        words[b // 64] |= 1 << (b % 64)
+    # Python ints are unbounded; lits must be signed 64-bit.
+    packed = F.array(
+        *[
+            F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long")
+            for w in words
+        ]
+    )
+    cond = F.lit(True)
+    for j in range(n_hashes):
+        pos = bloom_bit(item, j, n_bits)
+        word = F.element_at(packed, (F.floor(pos / 64) + 1).cast("int"))
+        # getbit reads the two's-complement bit, so the test is exact even
+        # when bit 63 makes the packed word negative.
+        cond = cond & (F.getbit(word, (pos % F.lit(64)).cast("long")) == F.lit(1))
+    return cond
+
+
+def bloom_prune(
+    probe: DataFrame,
+    bloom_bits: DataFrame,
+    item_col: str,
+    n_hashes: int = 5,
+    n_bits: int = 4096,
+) -> DataFrame:
+    """Filter ``probe`` to rows whose ``item_col`` MIGHT be in the set the
+    Bloom filter was built over. Collects the bit table driver-side — a
+    bounded action (≤ n_bits ints; 4096 bits = one 32 KB bitmap, the same
+    driver budget class as the catalog's query-vector ``.first()``
+    lookups) — then applies :func:`bloom_might_contain` as a scan-level
+    predicate."""
+    bits = [r["bit"] for r in bloom_bits.collect()]
+    return probe.filter(
+        bloom_might_contain(bits, F.col(item_col), n_hashes, n_bits)
+    )
+
+
 def hll_register(item, p: int = 9):
     """(reg, rho) pair for one item — the explicit-register HyperLogLog
     cell, built ENTIRELY from exact integer arithmetic on the shared

@@ -300,3 +300,148 @@ def distributed_ntile(
         .withColumn(out_col, bucket.cast("int"))
         .drop("_pid", "_rn", "_off", "_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch (round 7)
+# ---------------------------------------------------------------------------
+
+
+def value_histogram(
+    df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int = 256
+) -> DataFrame:
+    """Fixed-bin value histogram under EXPLICIT bounds: ``(bucket int,
+    cnt long)``, ≤ ``n_bins`` rows. Buckets clamp on BOTH sides (the PSI
+    monitor's lesson: values outside the fitted range land in the edge
+    bins, they are never dropped). Histograms over different shards that
+    share bounds MERGE by ``groupBy(bucket).sum(cnt)`` — addition, the CMS
+    property — which is what makes this the shard-parallel /streaming
+    quantile state."""
+    x = F.col(value_col).cast("double")
+    if hi > lo:
+        b = F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((x - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * F.lit(n_bins)).cast(
+                    "int"
+                ),
+            ),
+        )
+    else:
+        b = F.lit(0)
+    return (
+        df.filter(x.isNotNull())
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame, value_col: str, probs: list[float], n_bins: int = 256
+) -> DataFrame:
+    """Single-pass-reducible approximate quantiles: ``(p double, est
+    double)``, one row per requested probability. The explicit,
+    cross-engine-replayable member of the sketch quartet (CMS=frequency,
+    HLL=distinct, Bloom=membership, histogram=quantiles): where
+    ``percentile_approx`` is an engine-opaque t-digest-style sketch
+    (invariant-checked via ``approx_quantile_check``), this one's entire
+    state is a ≤ ``n_bins``-row bucket-count table a DuckDB oracle
+    replays bit-for-bit.
+
+    Plan: one min/max/count aggregate (1 row, broadcast) fixes the bin
+    grid; one bucket aggregate reduces the corpus to ≤ n_bins counted
+    rows; the estimate walks the cumulative histogram (a window over
+    ≤ n_bins rows) to the bucket where the running count crosses
+    ``target = clamp(p·n, 1, n)`` and linearly interpolates WITHIN that
+    bucket in count space::
+
+        est = lo + width · (bucket + (target - cum_below) / cnt_bucket)
+
+    rounded 6dp (every operand is an exact integer count or an
+    exactly-rounded IEEE op, so both engines agree to the last bit before
+    the display rounding). Error bound: the true rank-⌈target⌉ value lies
+    inside the crossing bucket, so |est − that value| ≤ one bin width —
+    asserted in tests. Versus the exact path (:func:`exact_quantiles`,
+    a full range sort + rank recovery), this reads the corpus twice and
+    shuffles only n_bins integers — at 100 TB the histogram aggregate is
+    map-side-combined to ≤ n_bins rows per partition and the sort never
+    happens; shards/streams merge histograms by adding counts
+    (:func:`value_histogram`).
+
+    Degenerate inputs: all values equal (hi == lo) → est = lo for every
+    p; empty/all-NULL input → empty result.
+    """
+    if not probs:
+        raise ValueError("probs must be a non-empty list of probabilities")
+    x = F.col(value_col).cast("double")
+    vals = df.select(x.alias("x")).filter(F.col("x").isNotNull())
+    bounds = vals.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    pf = bounds.select(
+        F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("p"),
+        "lo",
+        "hi",
+        "n",
+    )
+    # Degenerate branch: every value identical -> every quantile is lo.
+    flat = pf.filter(F.col("hi") == F.col("lo")).select(
+        "p", F.round(F.col("lo"), 6).alias("est")
+    )
+    # Normal branch: bucket aggregate under the fitted grid, cumulative
+    # walk, crossing-bucket interpolation. The bucket expression must stay
+    # textually identical to the oracle's: (x-lo)/(hi-lo)*n_bins, floor,
+    # clamp both sides.
+    bb = F.broadcast(bounds.filter(F.col("hi") > F.col("lo")))
+    hist = (
+        vals.crossJoin(bb)
+        .select(
+            F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("x") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo"))
+                        * F.lit(n_bins)
+                    ).cast("int"),
+                ),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bucket", "cnt", F.sum("cnt").over(w).alias("cum"))
+    targets = pf.filter(F.col("hi") > F.col("lo")).select(
+        "p",
+        "lo",
+        "hi",
+        F.least(
+            F.col("n").cast("double"),
+            F.greatest(F.lit(1.0), F.col("p") * F.col("n")),
+        ).alias("tr"),
+    )
+    # min_by picks the FIRST bucket whose running count reaches the target
+    # (buckets are unique, so arg-min is unambiguous).
+    sel = (
+        targets.join(F.broadcast(cum), F.col("cum") >= F.col("tr"))
+        .groupBy("p", "lo", "hi", "tr")
+        .agg(F.min_by(F.struct("bucket", "cnt", "cum"), F.col("bucket")).alias("s"))
+    )
+    normal = sel.select(
+        "p",
+        F.round(
+            F.col("lo")
+            + (F.col("hi") - F.col("lo"))
+            / F.lit(n_bins)
+            * (
+                F.col("s.bucket")
+                + (F.col("tr") - (F.col("s.cum") - F.col("s.cnt"))) / F.col("s.cnt")
+            ),
+            6,
+        ).alias("est"),
+    )
+    return flat.unionByName(normal)

@@ -2075,3 +2075,174 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.avg("monetary"), 6).alias("avg_monetary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime join pruning (round 7)
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 5
+_BLOOM_M = 4096
+
+
+def _bloom_bit_sql(item_sql: str, j_sql: str) -> str:
+    """DuckDB twin of operators/sketches.bloom_bit — the shared md5 bucket
+    of the item salted with '#bloom<j>'."""
+    from dampr_spark.functions.hashing import md5_uint_sql
+
+    inner = f"{item_sql} || '#bloom' || CAST({j_sql} AS VARCHAR)"
+    return f"({md5_uint_sql(inner, 4, little_endian=False)} % {_BLOOM_M})"
+
+
+@register(
+    "bloom_join_prune",
+    oracle=f"""
+    WITH dim AS (
+        SELECT DISTINCT c_custkey AS k FROM customer
+        WHERE c_mktsegment = 'BUILDING'),
+    hs AS (SELECT unnest(range(0, {_BLOOM_K})) AS j),
+    bits AS (
+        SELECT DISTINCT {_bloom_bit_sql('CAST(k AS VARCHAR)', 'j')} AS bit
+        FROM dim, hs),
+    pk AS (SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY 1),
+    ph AS (
+        SELECT pk.k, pk.cnt, {_bloom_bit_sql('CAST(pk.k AS VARCHAR)', 'hs.j')} AS bit
+        FROM pk CROSS JOIN hs),
+    hits AS (
+        SELECT k, cnt FROM ph JOIN bits USING (bit)
+        GROUP BY k, cnt HAVING count(*) = {_BLOOM_K})
+    SELECT CAST((SELECT count(*) FROM dim) AS BIGINT) AS n_keys,
+           CAST((SELECT count(*) FROM bits) AS BIGINT) AS bits_set,
+           CAST((SELECT coalesce(sum(cnt), 0) FROM pk) AS BIGINT) AS probe_rows,
+           CAST((SELECT coalesce(sum(cnt), 0) FROM hits) AS BIGINT) AS passed_rows,
+           CAST((SELECT coalesce(sum(cnt), 0) FROM pk
+                 WHERE k IN (SELECT k FROM dim)) AS BIGINT) AS true_rows,
+           CAST((SELECT coalesce(sum(cnt), 0) FROM hits) -
+                (SELECT coalesce(sum(cnt), 0) FROM pk
+                 WHERE k IN (SELECT k FROM dim)) AS BIGINT) AS false_positive_rows
+    """,
+    tags=("join", "sketch", "invariant", "extension"),
+)
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter runtime join pruning with its own certificate:
+    build a 5-hash / 4096-bit Bloom filter over the
+    BUILDING-segment customer keys (md5 bit-hashes — the cross-engine
+    hash, so the bit SET and every membership verdict replay bit-identical
+    in DuckDB), pack it into a literal bitmap, and prune the orders probe
+    side with a pure codegen predicate: zero shuffle, zero join, no UDF
+    touches the probe scan.
+
+    The one-row report is the certificate: ``passed_rows >= true_rows``
+    always (no false negatives — the filter only prunes), and
+    ``false_positive_rows`` exposes the collision mass the sizing formula
+    predicts (~2% at m/n≈8, k=5). At 100 TB this is the explicit form of
+    Spark's AQE runtime bloom filter — build once over the bounded dim
+    side, persist the ≤m-row bit table, prune every future probe scan
+    before its exchange instead of shuffling rows that cannot join."""
+    from dampr_spark.operators.sketches import bloom_build, bloom_prune
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    bloom = bloom_build(cust, "k", n_hashes=_BLOOM_K, n_bits=_BLOOM_M)
+    orders = _t(spark, sf_dir, "orders")
+    passed = bloom_prune(orders, bloom, "o_custkey", _BLOOM_K, _BLOOM_M)
+    true_rows = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.k, "left_semi"
+    )
+    counts = (
+        cust.agg(F.count(F.lit(1)).alias("n_keys"))
+        .crossJoin(F.broadcast(bloom.agg(F.count(F.lit(1)).alias("bits_set"))))
+        .crossJoin(F.broadcast(orders.agg(F.count(F.lit(1)).alias("probe_rows"))))
+        .crossJoin(F.broadcast(passed.agg(F.count(F.lit(1)).alias("passed_rows"))))
+        .crossJoin(F.broadcast(true_rows.agg(F.count(F.lit(1)).alias("true_rows"))))
+    )
+    return counts.select(
+        "n_keys",
+        "bits_set",
+        "probe_rows",
+        "passed_rows",
+        "true_rows",
+        (F.col("passed_rows") - F.col("true_rows")).alias("false_positive_rows"),
+    )
+
+
+_HQ_PROBS = [0.25, 0.5, 0.75, 0.9, 0.99]
+_HQ_BINS = 256
+
+
+@register(
+    "histogram_quantile_sketch",
+    oracle=f"""
+    WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+               WHERE o_totalprice IS NOT NULL),
+    b AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM v),
+    h AS (SELECT least({_HQ_BINS - 1}, greatest(0,
+              CAST(floor((x - lo) / (hi - lo) * {_HQ_BINS}) AS INT))) AS bucket,
+          count(*) AS cnt
+          FROM v, b GROUP BY 1),
+    c AS (SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h),
+    p AS (SELECT unnest([{", ".join(f"CAST({p} AS DOUBLE)" for p in _HQ_PROBS)}]) AS p),
+    t AS (SELECT p.p,
+                 least(CAST(n AS DOUBLE),
+                       greatest(CAST(1.0 AS DOUBLE), p.p * n)) AS tr
+          FROM p, b),
+    sel AS (SELECT t.p, t.tr, min(c.bucket) AS bkt
+            FROM t JOIN c ON c.cum >= t.tr GROUP BY 1, 2),
+    est AS (SELECT sel.p,
+                   round(lo + (hi - lo) / {_HQ_BINS}
+                         * (sel.bkt + (sel.tr - (c.cum - c.cnt)) / c.cnt), 6) AS est
+            FROM sel JOIN c ON c.bucket = sel.bkt, b),
+    ex AS (SELECT unnest([{", ".join(f"CAST({p} AS DOUBLE)" for p in _HQ_PROBS)}]) AS p,
+                  unnest(quantile_cont(x, [{", ".join(str(p) for p in _HQ_PROBS)}])) AS exact
+           FROM v)
+    SELECT est.p AS p, est.est AS est, round(ex.exact, 6) AS exact,
+           round(abs(est.est - round(ex.exact, 6)), 6) AS abs_err
+    FROM est JOIN ex ON ex.p = est.p
+    """,
+    tags=("stats", "quantile", "sketch", "invariant", "extension"),
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit mergeable quantile sketch with its own certificate:
+    256-bin histogram quantiles over order values
+    (operators/stats.histogram_quantiles — bucket counts are the ENTIRE
+    sketch state, ≤256 integer rows, merged across shards/streams by
+    addition) side-by-side with the exact quantile_cont values from the
+    distributed rank-recovery path. ``abs_err`` exposes the bin-width
+    error bound (the true rank value lies inside the crossing bucket).
+
+    Completes the cross-engine-replayable sketch quartet — CMS=frequency,
+    HLL=distinct, Bloom=membership, histogram=quantiles: every arithmetic
+    step (exact min/max/count grid fit, integer bucket counts, IEEE
+    interpolation, 6dp display rounding) replays bit-identically in
+    DuckDB, so unlike percentile_approx's engine-opaque t-digest this
+    sketch hash-compares end-to-end. At 100 TB the corpus reduces to
+    ≤256 counted rows per partition map-side; no range sort, no
+    single-task percentile merge buffer."""
+    from dampr_spark.operators.stats import exact_quantiles, histogram_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    est = histogram_quantiles(o, "o_totalprice", _HQ_PROBS, _HQ_BINS)
+    eq = exact_quantiles(o, "o_totalprice", _HQ_PROBS)
+    exact_rows = eq.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(p)).alias("p"),
+                        F.round(F.col(f"q_{i}"), 6).alias("exact"),
+                    )
+                    for i, p in enumerate(_HQ_PROBS)
+                ]
+            )
+        ).alias("s")
+    ).select("s.p", "s.exact")
+    return est.join(exact_rows, "p").select(
+        "p",
+        "est",
+        "exact",
+        F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
+    )

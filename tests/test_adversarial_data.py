@@ -95,6 +95,13 @@ _HARDENED = [
     "vocab_coverage_curve",
     "dup_graph_communities",
     "dup_canonical_distance_histogram",
+    # round-7c: bloom drops NULL keys at build (isNotNull) and NULL probe
+    # keys hash to NULL -> filter drops them; the oracle's md5(NULL) join
+    # misses identically
+    "bloom_join_prune",
+    # histogram sketch drops NULL values at entry on both engines; the
+    # perturbed orders keep hi > lo so the normal branch runs
+    "histogram_quantile_sketch",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",

@@ -215,3 +215,157 @@ def test_hll_estimate_empty_registers_is_zero(spark):
     assert regs.count() == 0
     est = hll_estimate(regs).first()["est_distinct"]
     assert est == 0.0
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Every true member passes (the Bloom guarantee); the 500 non-members
+    are overwhelmingly pruned (fp rate (bits_set/m)^k, a few percent at
+    this sizing)."""
+    from dampr_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    keys = [f"k{i}" for i in range(300)]
+    df = spark.createDataFrame([(k,) for k in keys], "item string").repartition(6)
+    bits_df = bloom_build(df, "item", n_hashes=5, n_bits=2048)
+    bits = [r.bit for r in bits_df.collect()]
+    assert 0 < len(bits) <= 5 * 300
+    assert all(0 <= b < 2048 for b in bits)
+    probe = spark.createDataFrame(
+        [(k,) for k in keys] + [(f"x{i}",) for i in range(500)], "item string"
+    )
+    passed = {
+        r.item
+        for r in probe.filter(
+            bloom_might_contain(bits, F.col("item"), 5, 2048)
+        ).collect()
+    }
+    assert set(keys) <= passed, "false negative: a built key failed membership"
+    false_pos = len(passed) - len(keys)
+    # p_fp = (bits_set/2048)^5 ~= 0.5^5 ~= 3%; 500 probes -> expect ~16.
+    assert false_pos < 100
+
+
+def test_bloom_merge_equals_direct(spark):
+    """Shard blooms merge by union+distinct into exactly the bit set the
+    whole-corpus build produces — the shard-parallel membership property."""
+    from dampr_spark.operators.sketches import bloom_build
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(80)], "item string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(80)], "item string")
+    merged = sorted(
+        r.bit
+        for r in bloom_build(a, "item").union(bloom_build(b, "item")).distinct().collect()
+    )
+    direct = sorted(r.bit for r in bloom_build(a.union(b), "item").collect())
+    assert merged == direct
+
+
+def test_bloom_empty_filter_rejects_everything(spark):
+    """An empty bit table (nothing built yet) passes no probe row — the
+    streaming-start / empty-dim edge."""
+    from dampr_spark.operators.sketches import bloom_might_contain
+
+    probe = spark.createDataFrame([(f"p{i}",) for i in range(50)], "item string")
+    out = probe.filter(bloom_might_contain([], F.col("item"))).collect()
+    assert out == []
+
+
+def test_bloom_prune_plan_is_pure_scan_filter(spark, sf_dir):
+    """bloom_prune's probe side is a scan-level codegen predicate: the
+    pruned frame's plan holds NO Exchange and NO Join — the bitmap lives
+    in the filter expression, exactly the runtime-filter shape that makes
+    this free at 100 TB."""
+    from dampr_spark.operators.sketches import bloom_build, bloom_prune
+    from dampr_spark.sources.readers import read_table
+
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    bloom = bloom_build(cust, "k")
+    pruned = bloom_prune(read_table(spark, sf_dir, "orders"), bloom, "o_custkey")
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    # The whole tree is Filter -> ColumnarToRow -> Scan ("formatted" prints
+    # the node once in the tree and once in the details section).
+    assert "* Filter" in plan
+    assert plan.count("Scan parquet  (1)") == 1
+
+
+def test_histogram_quantiles_within_bin_width(spark):
+    """|est - true rank-ceil(target) value| <= one bin width on skewed
+    data — the crossing-bucket guarantee the catalog certificate reports."""
+    import math
+    import random
+
+    from dampr_spark.operators.stats import histogram_quantiles
+
+    rng = random.Random(11)
+    # lognormal-ish skew + heavy ties + outliers
+    xs = [round(math.exp(rng.gauss(4, 1)), 3) for _ in range(4000)]
+    xs += [7.0] * 300 + [99999.0, 0.001]
+    df = spark.createDataFrame([(v,) for v in xs], "x double").repartition(8)
+    probs = [0.01, 0.25, 0.5, 0.9, 0.999]
+    n_bins = 128
+    got = {r.p: r.est for r in histogram_quantiles(df, "x", probs, n_bins).collect()}
+    assert set(got) == set(probs)
+    s = sorted(xs)
+    n = len(s)
+    width = (s[-1] - s[0]) / n_bins
+    for p in probs:
+        target = min(float(n), max(1.0, p * n))
+        true_rank_val = s[math.ceil(target) - 1]
+        assert abs(got[p] - true_rank_val) <= width + 1e-6, (p, got[p], true_rank_val)
+
+
+def test_histogram_merge_equals_whole(spark):
+    """Shard histograms under SHARED bounds merge by adding counts into
+    exactly the whole-corpus histogram — the property that makes the
+    bucket table streaming/shard-parallel quantile state."""
+    from dampr_spark.operators.stats import value_histogram
+
+    xs = [float(i % 37) * 1.5 for i in range(900)]
+    a = spark.createDataFrame([(v,) for v in xs[:400]], "x double")
+    b = spark.createDataFrame([(v,) for v in xs[400:]], "x double")
+    whole = spark.createDataFrame([(v,) for v in xs], "x double")
+    lo, hi = min(xs), max(xs)
+    merged = (
+        value_histogram(a, "x", lo, hi, 64)
+        .union(value_histogram(b, "x", lo, hi, 64))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    got = sorted((r.bucket, r.cnt) for r in merged.collect())
+    want = sorted(
+        (r.bucket, r.cnt) for r in value_histogram(whole, "x", lo, hi, 64).collect()
+    )
+    assert got == want
+
+
+def test_histogram_clamps_both_sides(spark):
+    """Values outside the explicit bounds land in the EDGE bins, never
+    dropped (the PSI low-side-clamp lesson applied here from day one)."""
+    from dampr_spark.operators.stats import value_histogram
+
+    df = spark.createDataFrame(
+        [(-50.0,), (0.0,), (5.0,), (10.0,), (999.0,)], "x double"
+    )
+    rows = {r.bucket: r.cnt for r in value_histogram(df, "x", 0.0, 10.0, 10).collect()}
+    assert rows[0] == 2  # -50 clamped low + 0.0
+    assert rows[9] == 2  # 10.0 (== hi) and 999 clamped high
+    assert sum(rows.values()) == 5
+
+
+def test_histogram_quantiles_degenerate_and_empty(spark):
+    """All-equal input -> every quantile is that value; empty/all-NULL
+    input -> empty result (documented contract)."""
+    from dampr_spark.operators.stats import histogram_quantiles
+
+    same = spark.createDataFrame([(3.25,)] * 40, "x double")
+    got = {r.p: r.est for r in histogram_quantiles(same, "x", [0.1, 0.9]).collect()}
+    assert got == {0.1: 3.25, 0.9: 3.25}
+    empty = spark.createDataFrame([(None,)], "x double")
+    assert histogram_quantiles(empty, "x", [0.5]).collect() == []
