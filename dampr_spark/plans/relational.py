@@ -2246,3 +2246,146 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact",
         F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: audience overlap via inclusion-exclusion (round 7)
+# ---------------------------------------------------------------------------
+
+_HLLO_P = 9  # m = 512 registers, ~4.6% standard error
+
+
+def _hll_overlap_oracle(p: int) -> str:
+    """DuckDB twin of the explicit-HLL inclusion-exclusion overlap: the
+    register layout, merge, and estimate replay eventops._hll_oracle_sql
+    exactly; the union sketch is the register-max merge of the two
+    audience sketches, and the intersection is est_a + est_b - est_union
+    over the already-display-rounded estimates (both engines repeat the
+    identical IEEE ops, so the derived numbers match bit-for-bit)."""
+    from dampr_spark.functions.hashing import md5_uint_sql
+
+    m = 1 << p
+    u = md5_uint_sql("CAST(k AS VARCHAR)", 4, little_endian=False)
+    amm = (0.7213 / (1.0 + 1.079 / m)) * m * m
+
+    def est(cte: str) -> str:
+        return f"""(SELECT round(CASE WHEN {amm!r} / (sp + ({m} - np)) <= {2.5 * m}
+                             AND ({m} - np) > 0
+                        THEN {float(m)!r} * ln({float(m)!r} / ({m} - np))
+                        ELSE {amm!r} / (sp + ({m} - np)) END, 2)
+          FROM (SELECT coalesce(sum(power(2.0, -rho)), 0) AS sp,
+                       count(*) AS np FROM {cte}))"""
+
+    return f"""
+    WITH src AS (
+        SELECT l_orderkey AS k, l_returnflag AS mode FROM lineitem
+        WHERE l_returnflag IN ('R', 'A') AND l_orderkey IS NOT NULL),
+    r AS (
+        SELECT mode, u % {m} AS reg,
+               CASE WHEN u // {m} = 0 THEN {32 - p + 1}
+                    ELSE bit_count(((u // {m}) & -(u // {m})) - 1) + 1
+               END AS rho
+        FROM (SELECT mode, {u} AS u FROM src)),
+    ra AS (SELECT reg, max(rho) AS rho FROM r WHERE mode = 'R' GROUP BY reg),
+    rb AS (SELECT reg, max(rho) AS rho FROM r WHERE mode = 'A' GROUP BY reg),
+    ru AS (SELECT reg, max(rho) AS rho FROM r GROUP BY reg),
+    f AS (SELECT k,
+                 max(CASE WHEN mode = 'R' THEN 1 ELSE 0 END) AS a,
+                 max(CASE WHEN mode = 'A' THEN 1 ELSE 0 END) AS b
+          FROM src GROUP BY k),
+    x AS (SELECT CAST(sum(a) AS BIGINT) AS exact_returned,
+                 CAST(sum(b) AS BIGINT) AS exact_acked,
+                 CAST(count(*) AS BIGINT) AS exact_union,
+                 CAST(sum(a * b) AS BIGINT) AS exact_inter
+          FROM f),
+    e AS (SELECT {est('ra')} AS est_returned,
+                 {est('rb')} AS est_acked,
+                 {est('ru')} AS est_union)
+    SELECT x.exact_returned, e.est_returned, x.exact_acked, e.est_acked,
+           x.exact_union, e.est_union, x.exact_inter,
+           round(e.est_returned + e.est_acked - e.est_union, 2) AS est_inter,
+           round(round(e.est_returned + e.est_acked - e.est_union, 2)
+                 / e.est_union, 6) AS est_jaccard
+    FROM x CROSS JOIN e
+    """
+
+
+@register(
+    "hll_audience_overlap",
+    oracle=_hll_overlap_oracle(_HLLO_P),
+    tags=("join", "sketch", "distinct", "invariant", "extension"),
+)
+def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA — the audience-overlap pattern: estimate
+    |A∪B| and |A∩B| for two distinct-key audiences (orders containing a
+    returned (l_returnflag = 'R') line vs an acknowledged ('A') line) WITHOUT ever co-shuffling
+    the raw keys. Each audience reduces to a 2^p-row explicit register
+    table (operators/sketches.hll_register — exact integer arithmetic on
+    the shared md5 hash, bit-identical in DuckDB); the union sketch is
+    the register-max MERGE of the two audience sketches (the
+    associative/idempotent op — never rescans the data), and the
+    intersection falls out of inclusion-exclusion over the three
+    estimates. Exact counts ride along as the certificate (one flags
+    aggregate: a = in-A, b = in-B, a*b = in-both).
+
+    At 100 TB this is the cross-shard / cross-day audience-overlap
+    pattern: persist one 512-row sketch per segment, answer any
+    pairwise (or k-way, by iterated merge) overlap question from
+    sketches alone — the exact path is a distinct-key co-shuffle per
+    PAIR, the sketch path is a one-off scan per segment. Inclusion-
+    exclusion inherits ~1% of |A∪B| absolute error at p=9, so it is an
+    audience-sizing tool, not a membership test (Bloom covers that).
+    est_inter derives from the display-rounded estimates in BOTH engines
+    so every reported digit replays bit-for-bit."""
+    from dampr_spark.operators.sketches import hll_estimate, hll_register
+
+    src = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_returnflag").isin("R", "A")
+            & F.col("l_orderkey").isNotNull()
+        )
+        .select(F.col("l_orderkey").alias("k"), F.col("l_returnflag").alias("mode"))
+    )
+    reg, rho = hll_register(F.col("k"), _HLLO_P)
+    per_mode = (
+        src.select("mode", reg, rho)
+        .groupBy("mode", "reg")
+        .agg(F.max("rho").alias("rho"))
+        .localCheckpoint(eager=True)  # feeds three estimates + the merge
+    )
+    ra = per_mode.filter(F.col("mode") == "R").select("reg", "rho")
+    rb = per_mode.filter(F.col("mode") == "A").select("reg", "rho")
+    ru = per_mode.groupBy("reg").agg(F.max("rho").alias("rho"))
+    est_a = hll_estimate(ra, _HLLO_P).select(F.col("est_distinct").alias("est_returned"))
+    est_b = hll_estimate(rb, _HLLO_P).select(F.col("est_distinct").alias("est_acked"))
+    est_u = hll_estimate(ru, _HLLO_P).select(F.col("est_distinct").alias("est_union"))
+    flags = src.groupBy("k").agg(
+        F.max((F.col("mode") == "R").cast("int")).alias("a"),
+        F.max((F.col("mode") == "A").cast("int")).alias("b"),
+    )
+    exact = flags.agg(
+        F.sum("a").alias("exact_returned"),
+        F.sum("b").alias("exact_acked"),
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("a") * F.col("b")).alias("exact_inter"),
+    )
+    est_inter = F.round(
+        F.col("est_returned") + F.col("est_acked") - F.col("est_union"), 2
+    )
+    return (
+        exact.crossJoin(F.broadcast(est_a))
+        .crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .select(
+            "exact_returned",
+            "est_returned",
+            "exact_acked",
+            "est_acked",
+            "exact_union",
+            "est_union",
+            "exact_inter",
+            est_inter.alias("est_inter"),
+            F.round(est_inter / F.col("est_union"), 6).alias("est_jaccard"),
+        )
+    )

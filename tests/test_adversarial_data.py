@@ -102,6 +102,9 @@ _HARDENED = [
     # histogram sketch drops NULL values at entry on both engines; the
     # perturbed orders keep hi > lo so the normal branch runs
     "histogram_quantile_sketch",
+    # hll overlap: NULL keys and non-R/A flags filtered at entry on both
+    # engines; duplicated rows are invisible to a distinct sketch
+    "hll_audience_overlap",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",

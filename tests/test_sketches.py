@@ -369,3 +369,49 @@ def test_histogram_quantiles_degenerate_and_empty(spark):
     assert got == {0.1: 3.25, 0.9: 3.25}
     empty = spark.createDataFrame([(None,)], "x double")
     assert histogram_quantiles(empty, "x", [0.5]).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra (inclusion-exclusion overlap)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_union_merge_equals_direct_union_sketch(spark):
+    """Register-max merge of two audience sketches is EXACTLY the sketch
+    of the union — not an approximation: both sides reduce the same
+    (reg, rho) cells with max, so the merged table must be row-identical
+    to hll_build over the concatenated keys."""
+    from dampr_spark.operators.sketches import hll_build
+
+    a = spark.range(0, 4000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    b = spark.range(2500, 6000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    ra, rb = hll_build(a, "k"), hll_build(b, "k")
+    merged = {
+        (r["reg"], r["rho"])
+        for r in ra.union(rb).groupBy("reg").agg(F.max("rho").alias("rho")).collect()
+    }
+    direct = {(r["reg"], r["rho"]) for r in hll_build(a.union(b), "k").collect()}
+    assert merged == direct
+
+
+def test_hll_inclusion_exclusion_overlap_estimate(spark):
+    """est_inter = est_a + est_b - est_union lands within a few standard
+    errors (1.04/sqrt(512) ~ 4.6% per estimate; inclusion-exclusion sums
+    three of them) of the true 1500-key overlap."""
+    from dampr_spark.operators.sketches import hll_build, hll_estimate
+
+    a = spark.range(0, 4000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    b = spark.range(2500, 6000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    ra, rb = hll_build(a, "k"), hll_build(b, "k")
+    ru = ra.union(rb).groupBy("reg").agg(F.max("rho").alias("rho"))
+    ea = hll_estimate(ra).first()["est_distinct"]
+    eb = hll_estimate(rb).first()["est_distinct"]
+    eu = hll_estimate(ru).first()["est_distinct"]
+    est_inter = ea + eb - eu
+    # true: |A|=4000, |B|=3500, |A∪B|=6000, |A∩B|=1500. Absolute error of
+    # the I-E estimate scales with the UNION size; allow 3 combined sigma
+    # (~8% of 6000 ≈ 480).
+    assert abs(ea - 4000) < 0.15 * 4000
+    assert abs(eb - 3500) < 0.15 * 3500
+    assert abs(eu - 6000) < 0.15 * 6000
+    assert abs(est_inter - 1500) < 480
