@@ -1301,3 +1301,69 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (round 7)
+# ---------------------------------------------------------------------------
+
+_PHRASE = ["slow", "hash", "batch"]
+
+
+@register(
+    "phrase_search",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+                  WHERE text IS NOT NULL),
+    occ AS (
+        SELECT doc_id,
+               unnest(list_filter(range(1, greatest(len(ts) - {len(_PHRASE) - 1}, 0) + 1),
+                      i -> {" AND ".join(f"ts[i + {j}] = {w!r}" for j, w in enumerate(_PHRASE))}))
+                 AS i
+        FROM toks)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(i) - 1 AS BIGINT) AS first_pos
+    FROM occ GROUP BY doc_id
+    """,
+    tags=("text", "indexer", "search", "phrase", "extension"),
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-PHRASE search over positional postings — the capability the
+    reference's SQLite indexer lacks entirely (dampr/utils/indexer.py
+    stores key→line with no positions; union/intersect are bag-of-words).
+    Slot-union plan (operators/indexer.Indexer.phrase is the persisted
+    form): every occurrence of phrase word i nominates candidate
+    ``start = pos - i``; a (doc, start) nominated by all three slots is an
+    occurrence (positions are unique within a doc, so plain count ==
+    distinct-slot count — repeated phrase words included). Overlapping
+    occurrences count separately.
+
+    One shuffle on (doc, start) over the three words' POSTING LISTS only —
+    at 100 TB cost scales with term frequency, never corpus size, and
+    against the persisted positional index the ``token IN (words)``
+    filter prunes files + row groups before any exchange. The oracle is
+    deliberately a DIFFERENT algorithm (direct windowed array scan), so
+    the hash match cross-checks the postings join against a
+    straight-line reference model."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    post = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    ).filter(F.col("token").isin(_PHRASE))
+    slots = None
+    for i, w in enumerate(_PHRASE):
+        s = post.filter(F.col("token") == w).select(
+            "doc_id", (F.col("pos") - F.lit(i)).alias("start")
+        )
+        slots = s if slots is None else slots.unionAll(s)
+    hits = (
+        slots.filter(F.col("start") >= 0)
+        .groupBy("doc_id", "start")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_k") == len(_PHRASE))
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("start").alias("first_pos"),
+    )

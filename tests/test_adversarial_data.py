@@ -105,6 +105,9 @@ _HARDENED = [
     # hll overlap: NULL keys and non-R/A flags filtered at entry on both
     # engines; duplicated rows are invisible to a distinct sketch
     "hll_audience_overlap",
+    # phrase search: NULL text filtered at entry on both engines; dup rows
+    # double occurrence counts identically in the postings and the scan
+    "phrase_search",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",

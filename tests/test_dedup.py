@@ -1380,3 +1380,37 @@ def test_drop_near_dups_keep_best_planted(spark):
     assert best == [2, 4]
     minid = sorted(r.doc_id for r in dedup.drop_near_dups(df, pairs).collect())
     assert minid == [1, 4]
+
+
+def test_indexer_phrase_positional(tmp_path, spark):
+    """Persisted positional index: exact-phrase hits with overlapping
+    occurrences, repeated-word phrases, and no false hits when the words
+    appear out of order or with gaps."""
+    from dampr_spark.operators.indexer import Indexer
+
+    rows = [
+        (0, "the quick brown fox"),          # one hit at 1
+        (1, "quick brown quick brown fox"),  # "quick brown" at 0 and 2
+        (2, "brown quick fox"),              # reversed: no hit
+        (3, "quick red brown fox"),          # gap: no hit
+        (4, "go go go stop"),                # "go go" overlapping at 0,1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ix = Indexer(str(tmp_path / "pidx")).build_positional(docs, "text", "doc_id")
+
+    hits = {
+        (r.doc_id, r.start)
+        for r in ix.phrase(spark, ["quick", "brown"]).collect()
+    }
+    assert hits == {(0, 1), (1, 0), (1, 2)}
+
+    # repeated-word phrase: each slot must nominate independently
+    gg = {(r.doc_id, r.start) for r in ix.phrase(spark, ["go", "go"]).collect()}
+    assert gg == {(4, 0), (4, 1)}
+
+    # single-word phrase degenerates to positional occurrences
+    fox = {(r.doc_id, r.start) for r in ix.phrase(spark, ["fox"]).collect()}
+    assert fox == {(0, 3), (1, 4), (2, 2), (3, 3)}
+
+    # absent phrase -> empty
+    assert ix.phrase(spark, ["fox", "quick"]).count() == 0
