@@ -445,3 +445,65 @@ def histogram_quantiles(
         ).alias("est"),
     )
     return flat.unionByName(normal)
+
+
+# ---------------------------------------------------------------------------
+# Closed-form grouped OLS (round 7)
+# ---------------------------------------------------------------------------
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    y_decimal: str = "decimal(18,2)",
+) -> DataFrame:
+    """Per-group simple linear regression y = slope·x + intercept by the
+    closed-form normal equations — ONE map-side-combinable aggregate, no
+    iteration, no gradient rounds (the GD logistic fit's antithesis:
+    when the loss is squared error, the optimum is five sufficient
+    statistics).
+
+    Determinism discipline: double summation is order-dependent, so every
+    sufficient statistic is accumulated EXACTLY — x as integer sums, y
+    cast to ``y_decimal`` so Σy, Σxy, Σy² are exact decimal sums
+    (associative in any partition order) — and only then cast to double
+    for the closed-form arithmetic, which is a fixed IEEE expression both
+    engines evaluate identically. Output per group: ``n`` (points),
+    ``slope``, ``intercept``, ``r2``, each rounded 6dp; groups with zero
+    x-variance get NULL slope/intercept/r2 (division guarded).
+
+    At 100 TB: a single partial-aggregate shuffle of 5 numbers per group
+    — the same cost as a sum, regardless of how many points each group
+    holds. ``x_col`` must be integral (epoch month/day index); ``y_col``
+    must fit ``y_decimal``."""
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast(y_decimal)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(y * y).alias("_syy"),
+    )
+    dn = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    syy = F.col("_syy").cast("double")
+    num = dn * sxy - sx * sy
+    denx = dn * sxx - sx * sx
+    deny = dn * syy - sy * sy
+    slope = F.when(denx > 0, num / denx)
+    intercept = F.when(denx > 0, (sy - (num / denx) * sx) / dn)
+    r2 = F.when((denx > 0) & (deny > 0), (num * num) / (denx * deny))
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -2389,3 +2389,85 @@ def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(est_inter / F.col("est_union"), 6).alias("est_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form OLS revenue trend (round 7)
+# ---------------------------------------------------------------------------
+
+_OLS_SLOPE_D = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+_OLS_DENX_D = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+_OLS_DENY_D = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+
+
+@register(
+    "segment_revenue_trend_ols",
+    oracle=f"""
+    WITH m AS (
+        SELECT c_mktsegment,
+               year(o_orderdate) * 12 + month(o_orderdate) AS x,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ym
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+    s AS (
+        SELECT c_mktsegment, count(*) AS n,
+               sum(x) AS sx, sum(x * x) AS sxx,
+               sum(ym) AS sy, sum(x * ym) AS sxy, sum(ym * ym) AS syy
+        FROM m GROUP BY 1)
+    SELECT c_mktsegment, CAST(n AS BIGINT) AS n_months,
+           round(CASE WHEN {_OLS_DENX_D} > 0
+                 THEN {_OLS_SLOPE_D} / {_OLS_DENX_D} END, 6) AS slope,
+           round(CASE WHEN {_OLS_DENX_D} > 0
+                 THEN (CAST(sy AS DOUBLE)
+                       - ({_OLS_SLOPE_D} / {_OLS_DENX_D}) * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) END, 6) AS intercept,
+           round(CASE WHEN {_OLS_DENX_D} > 0 AND {_OLS_DENY_D} > 0
+                 THEN ({_OLS_SLOPE_D} * {_OLS_SLOPE_D}) / ({_OLS_DENX_D} * {_OLS_DENY_D})
+                 END, 6) AS r2
+    FROM s
+    """,
+    tags=("stats", "ml", "regression", "extension"),
+)
+def segment_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment monthly-revenue TREND by closed-form OLS
+    (operators/stats.grouped_ols) — the no-iteration counterpart of the
+    GD logistic fit: squared-error regression reduces to five exact
+    sufficient statistics per group, one map-side-combinable aggregate,
+    zero gradient rounds.
+
+    Determinism is the point: double summation is order-dependent, so
+    the pipeline sums EXACTLY (monthly revenue as decimal(18,2); Σx, Σx²
+    as integers; Σy, Σxy, Σy² as decimals — associative in any partition
+    order) and only then evaluates the fixed IEEE closed-form expression
+    both engines share, so slope/intercept/r² replay bit-for-bit with no
+    tolerance band. x = absolute month number (year·12 + month);
+    broadcast customer join supplies the segment.
+
+    At 100 TB: stage 1 is an ordinary revenue rollup; stage 2 ships 5
+    numbers per group — trend fitting costs the same as a sum. Compare
+    `quality_logreg_fit` (iterative, one job per round): closed forms
+    beat loops whenever the statistic admits one."""
+    from dampr_spark.operators.stats import grouped_ols
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("x"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("ym")
+        )
+    )
+    fit = grouped_ols(monthly, ["c_mktsegment"], "x", "ym")
+    return fit.select(
+        "c_mktsegment",
+        F.col("n").alias("n_months"),
+        "slope",
+        "intercept",
+        "r2",
+    )

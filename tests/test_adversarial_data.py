@@ -108,6 +108,10 @@ _HARDENED = [
     # phrase search: NULL text filtered at entry on both engines; dup rows
     # double occurrence counts identically in the postings and the scan
     "phrase_search",
+    # OLS: NULL dates/prices are skipped by sum and counted by count(*)
+    # identically in both engines; all sums exact (int/decimal) so the
+    # closed form stays bit-deterministic on perturbed data
+    "segment_revenue_trend_ols",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",

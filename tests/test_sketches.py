@@ -415,3 +415,41 @@ def test_hll_inclusion_exclusion_overlap_estimate(spark):
     assert abs(eb - 3500) < 0.15 * 3500
     assert abs(eu - 6000) < 0.15 * 6000
     assert abs(est_inter - 1500) < 480
+
+
+# ---------------------------------------------------------------------------
+# Closed-form grouped OLS
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_ols_matches_numpy(spark):
+    """slope/intercept/r2 agree with numpy's lstsq fit per group, and a
+    zero-x-variance group yields NULLs instead of a division error."""
+    import numpy as np
+
+    rng = random.Random(11)
+    rows = []
+    for g, (a, b) in (("up", (3.5, 10.0)), ("down", (-2.25, 500.0))):
+        for x in range(1, 41):
+            noise = rng.uniform(-5, 5)
+            rows.append((g, x, round(a * x + b + noise, 2)))
+    rows += [("flat", 7, 1.0), ("flat", 7, 2.0), ("flat", 7, 3.0)]
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+
+    from dampr_spark.operators.stats import grouped_ols
+
+    got = {r["g"]: r for r in grouped_ols(df, ["g"], "x", "y").collect()}
+    for g in ("up", "down"):
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        pred = slope * xs + intercept
+        r2 = 1 - ((ys - pred) ** 2).sum() / ((ys - ys.mean()) ** 2).sum()
+        assert got[g]["n"] == 40
+        assert abs(got[g]["slope"] - slope) < 1e-5, g
+        assert abs(got[g]["intercept"] - intercept) < 1e-4, g
+        assert abs(got[g]["r2"] - r2) < 1e-5, g
+    flat = got["flat"]
+    assert flat["n"] == 3
+    assert flat["slope"] is None and flat["intercept"] is None and flat["r2"] is None
