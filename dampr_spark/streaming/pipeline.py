@@ -1160,6 +1160,49 @@ def hll_view(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def bloom_stream(
+    events_stream: DataFrame,
+    out_dir: str,
+    item_expr,
+    n_hashes: int = 5,
+    n_bits: int = 4096,
+):
+    """Streaming Bloom filter via ``foreachBatch``: each micro-batch
+    reduces to its own ≤n_bits-row SET-bit table
+    (operators/sketches.bloom_build) and APPENDS it; the live filter is
+    the distinct-bit union over everything appended
+    (:func:`bloom_view`). Bit-set OR is associative AND idempotent —
+    like the HLL register max, a redelivered batch changes nothing, so
+    at-least-once delivery is harmless and the streamed filter equals
+    the batch-built whole-corpus filter EXACTLY (same bits → same
+    membership verdict for every probe, no false negatives ever).
+
+    The ingest-time shape of runtime join pruning: as dim shards arrive,
+    the persisted bit table grows monotonically; any later probe-side
+    job prunes with bloom_prune against the current view. Per-batch
+    state written: ≤n_bits rows, independent of batch size."""
+    from dampr_spark.operators.sketches import bloom_build
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        items = item_expr(batch_df)
+        bloom_build(
+            items, items.columns[0], n_hashes=n_hashes, n_bits=n_bits
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        events_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", out_dir + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def bloom_view(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The live bit table: distinct set bits over every appended batch —
+    feed straight into operators/sketches.bloom_prune."""
+    return spark.read.parquet(out_dir).select("bit").distinct()
+
+
 def logreg_score_stream(
     docs_stream: DataFrame,
     weights: list[float],

@@ -1119,3 +1119,52 @@ def test_logreg_score_stream_equals_batch(spark, sf_dir, tmp_path_factory):
         for r in feats.select("doc_id", zb.alias("z"), (zb > 0).alias("keep")).collect()
     }
     assert got == want and want
+
+
+def test_bloom_stream_equals_batch_filter(spark, sf_dir, tmp_path_factory):
+    """Two availableNow micro-batches + a DUPLICATED first batch
+    (redelivery): the distinct-bit view must equal the batch-built
+    whole-corpus Bloom filter exactly — bit-set OR is idempotent — and
+    pruning a probe with the streamed filter passes exactly the rows the
+    batch filter passes."""
+    import glob
+    import os
+    import shutil
+
+    from dampr_spark.operators.sketches import bloom_build, bloom_prune
+    from dampr_spark.sources.readers import read_table
+
+    base = tmp_path_factory.mktemp("bloom_stream")
+    in_dir, out = str(base / "in"), str(base / "out")
+    ev = read_table(spark, sf_dir, "events")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    os.makedirs(in_dir)
+    parts = [
+        ev.filter(F.col("event_id") <= mid),
+        ev.filter(F.col("event_id") > mid),
+        ev.filter(F.col("event_id") <= mid),  # redelivered batch
+    ]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(str(base / f"p{i}"))
+        shutil.copy(
+            glob.glob(str(base / f"p{i}" / "*.parquet"))[0], f"{in_dir}/b{i}.parquet"
+        )
+
+    stream = streaming.read_events_stream(spark, in_dir, max_files_per_trigger=1)
+    q = streaming.bloom_stream(stream, out, lambda df: df.select("user_id"))
+    q.awaitTermination()
+
+    got = {r.bit for r in streaming.bloom_view(spark, out).collect()}
+    want = {r.bit for r in bloom_build(ev, "user_id").collect()}
+    assert got == want and want
+
+    probe = ev.select("event_id", "user_id")
+    passed_stream = {
+        r.event_id
+        for r in bloom_prune(probe, streaming.bloom_view(spark, out), "user_id").collect()
+    }
+    passed_batch = {
+        r.event_id
+        for r in bloom_prune(probe, bloom_build(ev, "user_id"), "user_id").collect()
+    }
+    assert passed_stream == passed_batch
