@@ -1367,3 +1367,101 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         F.min("start").alias("first_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level source similarity (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_similarity_cosine",
+    oracle="""
+    WITH tf AS (
+        SELECT source, w AS token, count(*) AS c
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL AND source IS NOT NULL)
+        WHERE w <> '' GROUP BY 1, 2),
+    nrm AS (SELECT source, sum(c * c) AS s2 FROM tf GROUP BY 1),
+    dots AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared_tokens,
+               sum(a.c * b.c) AS dot
+        FROM tf a JOIN tf b ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2)
+    SELECT source_a, source_b, n_shared_tokens,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.s2 AS DOUBLE)) * sqrt(CAST(nb.s2 AS DOUBLE))),
+                 6) AS cosine
+    FROM dots
+    JOIN nrm na ON na.source = dots.source_a
+    JOIN nrm nb ON nb.source = dots.source_b
+    """,
+    tags=("text", "pipeline", "stats", "extension"),
+)
+def source_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level SOURCE similarity — every pair of sources scored by
+    the cosine of their term-frequency vectors, WITHOUT ever
+    materializing a dense vocab-width vector: the dot products come from
+    a token-keyed self-join of the (source, token, count) table (partial
+    products combine map-side), norms from an exact Σc² per source. All
+    arithmetic is exact integers until the final sqrt/divide — a fixed
+    IEEE expression both engines share — so the scores hash-compare with
+    no tolerance.
+
+    The curation question this answers: which crawl sources are
+    near-redundant (cosine → 1 ⇒ overlapping distributions ⇒ candidates
+    for mix-weight collapse or source-level dedup) and which add novel
+    mass. At 100 TB: tf is vocab-bounded per source (the corpus reduces
+    before any join); the self-join shuffles (token, source, count)
+    rows only, and each token contributes ≤ |sources|² partial products
+    — with thousands of sources you'd band tokens by document frequency
+    (the posting-list cap discipline) before pairing; with the catalog's
+    20 sources the join is exact and uncapped."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    tf = (
+        d.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # feeds the self-join twice + norms
+    )
+    nrm = tf.groupBy("source").agg(F.sum(F.col("c") * F.col("c")).alias("s2"))
+    a = tf.select(
+        F.col("source").alias("source_a"), "token", F.col("c").alias("ca")
+    )
+    b = tf.select(
+        F.col("source").alias("source_b"), "token", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_tokens"),
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+        )
+    )
+    na = nrm.select(F.col("source").alias("source_a"), F.col("s2").alias("s2a"))
+    nb = nrm.select(F.col("source").alias("source_b"), F.col("s2").alias("s2b"))
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_tokens",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("s2a").cast("double"))
+                    * F.sqrt(F.col("s2b").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )

@@ -112,6 +112,9 @@ _HARDENED = [
     # identically in both engines; all sums exact (int/decimal) so the
     # closed form stays bit-deterministic on perturbed data
     "segment_revenue_trend_ols",
+    # source cosine: NULL text/source filtered at entry on both engines;
+    # dup rows scale counts identically through the exact-integer math
+    "source_similarity_cosine",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",
