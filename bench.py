@@ -141,6 +141,13 @@ BENCH_QUERIES = [
     # histogram quantile sketch vs the exact rank-recovery path.
     "bloom_join_prune",
     "histogram_quantile_sketch",
+    # round-7d flagships: HLL set-algebra audience overlap (sketch-only
+    # union/intersection), positional phrase search (posting-list slot
+    # union), token-keyed source cosine, closed-form OLS trend.
+    "hll_audience_overlap",
+    "phrase_search",
+    "source_similarity_cosine",
+    "segment_revenue_trend_ols",
 ]
 
 
@@ -287,7 +294,8 @@ def main() -> int:
             "ann_cosine_topk", "kmeans_clusters", "pca_embeddings",
             "zorder_curve_topk", "embedding_centroid_outliers")],
         "sketch": [q for q in BENCH_QUERIES if q in (
-            "bloom_join_prune", "histogram_quantile_sketch")],
+            "bloom_join_prune", "histogram_quantile_sketch",
+            "hll_audience_overlap")],
     }
     family_totals = {
         fam: round(sum(cold_timings.get(q, 0.0) for q in qs), 4)
