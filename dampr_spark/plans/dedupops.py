@@ -1679,3 +1679,49 @@ def dup_canonical_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFr
     roots = comp.select(F.col("component")).distinct()
     dists = bfs_distances(pairs, roots, src="id_a", dst="id_b")
     return dists.groupBy("dist").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "prefix_jaccard_dups",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS gram
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.id < b.id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(inter / (sa.n_grams + sb.n_grams - inter), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.id = shared.id_a
+    JOIN sizes sb ON sb.id = shared.id_b
+    WHERE round(inter / (sa.n_grams + sb.n_grams - inter), 6) >= 0.5
+    """,
+    tags=("dedup", "extension"),
+)
+def prefix_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard ≥ 0.5 pairs via PPJoin-style prefix
+    filtering (operators/dedup.prefix_filtered_jaccard_pairs) — the
+    LOSSLESS alternative to `ngram_jaccard_dups`'s hot-gram cap: docs
+    only pair when they collide on a gram inside their rarest-first
+    prefix (|X| − ⌈t|X|⌉ + 1 grams), which a Jaccard ≥ t pair provably
+    must, so the oracle is the full UNCAPPED exact pair set — no recall
+    trade anywhere. The stopword grams that force caps in the plain
+    posting join fall outside every doc's prefix and never generate a
+    candidate. Verification is one array_intersect per surviving
+    candidate."""
+    return dedup.prefix_filtered_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )

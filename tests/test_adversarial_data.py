@@ -115,6 +115,10 @@ _HARDENED = [
     # source cosine: NULL text/source filtered at entry on both engines;
     # dup rows scale counts identically through the exact-integer math
     "source_similarity_cosine",
+    # prefix jaccard: NULL texts dropped at entry on both engines; planted
+    # whole-doc duplicates become jaccard-1.0 pairs through the lossless
+    # prefix filter exactly as through the oracle's full join
+    "prefix_jaccard_dups",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",

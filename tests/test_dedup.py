@@ -1414,3 +1414,78 @@ def test_indexer_phrase_positional(tmp_path, spark):
 
     # absent phrase -> empty
     assert ix.phrase(spark, ["fox", "quick"]).count() == 0
+
+
+def test_prefix_filtered_jaccard_equals_exact_and_prunes(spark):
+    """Prefix filtering is LOSSLESS: the pair set equals the plain
+    uncapped posting-join result at the same threshold — on a corpus
+    where a universal stopword gram would otherwise pair EVERY doc —
+    and the prefix posting lists provably exclude that stopword gram."""
+    from dampr_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+        word_ngrams,
+    )
+
+    # every doc shares the "the end of" gram; only 0/1 are near-dups
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta theta iota kappa lam mu nu xi omicron pi rho sigma the end of"),
+        (1, "alpha beta gamma delta epsilon zeta theta iota kappa lam mu nu xi omicron pi rho tau the end of"),
+        (2, "one two three four five six the end of"),
+        (3, "seven eight nine ten eleven twelve the end of"),
+        (4, "red green blue cyan magenta yellow the end of"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t = 0.5
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_filtered_jaccard_pairs(docs, threshold=t).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+    }
+    assert got == want and got  # lossless, non-empty (0,1 pair survives)
+    assert all(a == 0 and b == 1 for a, b, _ in got)
+
+    # pruning evidence: the rarest-first prefix of each doc excludes the
+    # universal gram, so prefix postings never contain "the end of"
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams("text", 3)).alias("gram")
+    )
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("dfc"))
+    from pyspark.sql.window import Window
+
+    sz = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        grams.join(dfreq, "gram")
+        .join(sz, "doc_id")
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("dfc", "gram")),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("_rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    )
+    assert prefix.filter(F.col("gram") == "the end of").count() == 0
+    # candidate volume: prefix collisions pair only (0,1); any-gram
+    # collisions pair all C(5,2)=10 docs
+    any_pairs = (
+        grams.alias("a")
+        .join(grams.alias("b"), "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    pref_pairs = (
+        prefix.alias("a")
+        .join(prefix.select("doc_id", "gram").alias("b"), "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert any_pairs == 10 and pref_pairs < any_pairs
