@@ -507,3 +507,108 @@ def grouped_ols(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def grouped_histogram_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: list[float],
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-GROUP histogram quantiles — :func:`histogram_quantiles` with a
+    group key threaded through every stage: per-group min/max/count fits
+    each group its own bin grid, one (group, bucket) aggregate reduces
+    the corpus to ≤ n_bins counted rows per group, and the cumulative
+    crossing-bucket walk runs under a group-partitioned window (never a
+    global sort). Output: ``group_cols + (p, est)``.
+
+    The few-huge-groups shape this exists for (languages over a corpus,
+    event types over a year) is exactly where the built-in ``percentile``
+    concentrates each group's whole value set in one merge buffer;
+    here a group's state is ≤ n_bins integers no matter how many rows it
+    holds, and per-group histograms from different shards merge by count
+    addition. Every arithmetic step replays bit-identically in DuckDB
+    (the :func:`histogram_quantiles` discipline). NULL group keys are
+    dropped at entry (the grid join is key-equality; filter or coalesce
+    upstream if a NULL group matters); NULL values likewise. All-equal
+    groups (hi == lo) estimate every p at lo."""
+    if not probs:
+        raise ValueError("probs must be a non-empty list of probabilities")
+    vals = df.select(
+        *[F.col(c) for c in group_cols], F.col(value_col).cast("double").alias("x")
+    ).filter(F.col("x").isNotNull())
+    for c in group_cols:
+        vals = vals.filter(F.col(c).isNotNull())
+    bounds = vals.groupBy(*group_cols).agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    pf = bounds.select(
+        *group_cols,
+        F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("p"),
+        "lo",
+        "hi",
+        "n",
+    )
+    flat = pf.filter(F.col("hi") == F.col("lo")).select(
+        *group_cols, "p", F.round(F.col("lo"), 6).alias("est")
+    )
+    bb = bounds.filter(F.col("hi") > F.col("lo"))
+    hist = (
+        vals.join(F.broadcast(bb), group_cols)
+        .select(
+            *group_cols,
+            F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("x") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo"))
+                        * F.lit(n_bins)
+                    ).cast("int"),
+                ),
+            ).alias("bucket"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        *group_cols, "bucket", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    targets = pf.filter(F.col("hi") > F.col("lo")).select(
+        *group_cols,
+        "p",
+        "lo",
+        "hi",
+        F.least(
+            F.col("n").cast("double"),
+            F.greatest(F.lit(1.0), F.col("p") * F.col("n")),
+        ).alias("tr"),
+    )
+    sel = (
+        targets.join(cum, group_cols)
+        .filter(F.col("cum") >= F.col("tr"))
+        .groupBy(*group_cols, "p", "lo", "hi", "tr")
+        .agg(F.min_by(F.struct("bucket", "cnt", "cum"), F.col("bucket")).alias("s"))
+    )
+    normal = sel.select(
+        *group_cols,
+        "p",
+        F.round(
+            F.col("lo")
+            + (F.col("hi") - F.col("lo"))
+            / F.lit(n_bins)
+            * (
+                F.col("s.bucket")
+                + (F.col("tr") - (F.col("s.cum") - F.col("s.cnt"))) / F.col("s.cnt")
+            ),
+            6,
+        ).alias("est"),
+    )
+    return flat.unionByName(normal)

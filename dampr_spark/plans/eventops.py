@@ -1416,3 +1416,94 @@ def hll_explicit_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("err_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped histogram quantile sketch (round 7)
+# ---------------------------------------------------------------------------
+
+_GHQ_PROBS = [0.5, 0.9]
+_GHQ_BINS = 256
+
+
+@register(
+    "event_value_quantiles_by_type",
+    oracle=f"""
+    WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS x FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    b AS (SELECT event_type, min(x) AS lo, max(x) AS hi, count(*) AS n
+          FROM v GROUP BY 1),
+    h AS (SELECT v.event_type,
+                 least({_GHQ_BINS - 1}, greatest(0,
+                     CAST(floor((x - lo) / (hi - lo) * {_GHQ_BINS}) AS INT))) AS bucket,
+                 count(*) AS cnt
+          FROM v JOIN b USING (event_type) WHERE hi > lo GROUP BY 1, 2),
+    c AS (SELECT event_type, bucket, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+          FROM h),
+    p AS (SELECT unnest([{", ".join(f"CAST({p} AS DOUBLE)" for p in _GHQ_PROBS)}]) AS p),
+    t AS (SELECT b.event_type, p.p, b.lo, b.hi,
+                 least(CAST(n AS DOUBLE),
+                       greatest(CAST(1.0 AS DOUBLE), p.p * n)) AS tr
+          FROM b CROSS JOIN p WHERE hi > lo),
+    sel AS (SELECT t.event_type, t.p, t.lo, t.hi, t.tr, min(c.bucket) AS bkt
+            FROM t JOIN c ON c.event_type = t.event_type AND c.cum >= t.tr
+            GROUP BY 1, 2, 3, 4, 5),
+    est AS (SELECT sel.event_type, sel.p,
+                   round(lo + (hi - lo) / {_GHQ_BINS}
+                         * (sel.bkt + (sel.tr - (c.cum - c.cnt)) / c.cnt), 6) AS est
+            FROM sel JOIN c ON c.event_type = sel.event_type AND c.bucket = sel.bkt),
+    ex AS (SELECT event_type, p.p,
+                  round(CASE WHEN p.p = 0.5 THEN quantile_cont(x, 0.5)
+                        ELSE quantile_cont(x, 0.9) END, 6) AS exact
+           FROM v CROSS JOIN p GROUP BY 1, 2)
+    SELECT est.event_type, est.p, est.est, ex.exact,
+           round(abs(est.est - ex.exact), 6) AS abs_err
+    FROM est JOIN ex ON ex.event_type = est.event_type AND ex.p = est.p
+    """,
+    tags=("events", "stats", "quantile", "sketch", "invariant", "extension"),
+)
+def event_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TYPE value quantiles from the grouped histogram sketch
+    (operators/stats.grouped_histogram_quantiles) next to the exact
+    rank-recovery answer (exact_group_quantiles) — the few-huge-groups
+    shape where the built-in ``percentile`` concentrates each group's
+    whole value set in one merge buffer. The sketch holds ≤256 integers
+    per group no matter the group's row count, merges across shards by
+    count addition, and every arithmetic step replays bit-for-bit in the
+    oracle; ``abs_err`` certifies the ≤-one-bin-width bound per group."""
+    from dampr_spark.operators.stats import (
+        exact_group_quantiles,
+        grouped_histogram_quantiles,
+    )
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("event_type", "value")
+    )
+    est = grouped_histogram_quantiles(
+        e, ["event_type"], "value", _GHQ_PROBS, _GHQ_BINS
+    )
+    eq = exact_group_quantiles(e, ["event_type"], "value", _GHQ_PROBS)
+    exact_rows = eq.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(p)).alias("p"),
+                        F.round(F.col(f"q_{i}"), 6).alias("exact"),
+                    )
+                    for i, p in enumerate(_GHQ_PROBS)
+                ]
+            )
+        ).alias("s"),
+    ).select("event_type", "s.p", "s.exact")
+    return est.join(exact_rows, ["event_type", "p"]).select(
+        "event_type",
+        "p",
+        "est",
+        "exact",
+        F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
+    )

@@ -119,6 +119,9 @@ _HARDENED = [
     # whole-doc duplicates become jaccard-1.0 pairs through the lossless
     # prefix filter exactly as through the oracle's full join
     "prefix_jaccard_dups",
+    # grouped histogram sketch: NULL event_type/value dropped at entry on
+    # both engines; perturbed values keep hi > lo per surviving type
+    "event_value_quantiles_by_type",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",

@@ -453,3 +453,39 @@ def test_grouped_ols_matches_numpy(spark):
     flat = got["flat"]
     assert flat["n"] == 3
     assert flat["slope"] is None and flat["intercept"] is None and flat["r2"] is None
+
+
+def test_grouped_histogram_quantiles_error_bound(spark):
+    """Per-group estimates land within one bin width of the true
+    quantile; an all-equal group estimates every p at its value; NULL
+    group keys are dropped at entry (documented contract)."""
+    rows = []
+    for i in range(2000):
+        rows.append(("uniform", float(i % 1000)))
+    for i in range(1500):
+        rows.append(("squared", float((i % 100) ** 2)))
+    rows += [("flat", 42.0)] * 50 + [(None, 7.0)] * 10
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    from dampr_spark.operators.stats import grouped_histogram_quantiles
+
+    probs = [0.25, 0.5, 0.9]
+    got = {
+        (r["g"], r["p"]): r["est"]
+        for r in grouped_histogram_quantiles(df, ["g"], "v", probs).collect()
+    }
+    assert set(g for g, _ in got) == {"uniform", "squared", "flat"}
+
+    import numpy as np
+
+    import math
+
+    for g, n_bins_width in (("uniform", 999 / 256), ("squared", 99**2 / 256)):
+        vals = np.sort(np.array([v for gg, v in rows if gg == g]))
+        for p in probs:
+            # the documented bound is vs the rank-ceil(p*n) order statistic
+            # (the crossing-bucket definition), not numpy's (n-1)p blend
+            exact = float(vals[math.ceil(p * len(vals)) - 1])
+            assert abs(got[(g, p)] - exact) <= n_bins_width + 1e-6, (g, p)
+    for p in probs:
+        assert got[("flat", p)] == 42.0
