@@ -1203,6 +1203,53 @@ def bloom_view(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select("bit").distinct()
 
 
+def histogram_stream(
+    events_stream: DataFrame,
+    out_dir: str,
+    value_expr,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+):
+    """Streaming value histogram via ``foreachBatch`` under FIXED bounds
+    (fit them on a reference window first — the PSI monitor discipline):
+    each micro-batch reduces to its own ≤n_bins-row (bucket, cnt) table
+    (operators/stats.value_histogram) and APPENDS it; the live histogram
+    sums counts per bucket (:func:`histogram_view`). Count addition is
+    associative, so the streamed histogram equals the batch histogram
+    over the same rows EXACTLY — quantile estimates, PSI inputs, and any
+    downstream read of the sketch are identical. (Unlike the max/OR
+    sketches, addition is NOT idempotent: exactly-once appending is
+    supplied by the checkpointed availableNow trigger, not by the merge
+    algebra — redelivery tolerance is what HLL/Bloom buy, cheap incremental
+    quantiles under fixed bounds is what this buys.)"""
+    from dampr_spark.operators.stats import value_histogram
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        vals = batch_df.select(value_expr.alias("v"))
+        value_histogram(vals, "v", lo, hi, n_bins).write.mode("append").parquet(
+            out_dir
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", out_dir + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def histogram_view(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The live histogram: per-bucket count sums over every appended
+    batch — feeds the same cumulative-walk quantile estimate as the
+    batch sketch."""
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def logreg_score_stream(
     docs_stream: DataFrame,
     weights: list[float],

@@ -1168,3 +1168,40 @@ def test_bloom_stream_equals_batch_filter(spark, sf_dir, tmp_path_factory):
         for r in bloom_prune(probe, bloom_build(ev, "user_id"), "user_id").collect()
     }
     assert passed_stream == passed_batch
+
+
+def test_histogram_stream_equals_batch_sketch(spark, sf_dir, tmp_path_factory):
+    """Two availableNow micro-batches under fixed bounds: the per-bucket
+    count-sum view must equal the batch histogram over the full table
+    exactly (count addition), so downstream quantile estimates are
+    identical."""
+    import glob
+    import os
+    import shutil
+
+    from dampr_spark.operators.stats import value_histogram
+    from dampr_spark.sources.readers import read_table
+
+    base = tmp_path_factory.mktemp("hist_stream")
+    in_dir, out = str(base / "in"), str(base / "out")
+    ev = read_table(spark, sf_dir, "events")
+    lo, hi = 0.0, 120.0  # fixed reference bounds; edge values clamp
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    os.makedirs(in_dir)
+    parts = [ev.filter(F.col("event_id") <= mid), ev.filter(F.col("event_id") > mid)]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(str(base / f"p{i}"))
+        shutil.copy(
+            glob.glob(str(base / f"p{i}" / "*.parquet"))[0], f"{in_dir}/b{i}.parquet"
+        )
+
+    stream = streaming.read_events_stream(spark, in_dir, max_files_per_trigger=1)
+    q = streaming.histogram_stream(stream, out, F.col("value"), lo, hi)
+    q.awaitTermination()
+
+    got = {(r.bucket, r.cnt) for r in streaming.histogram_view(spark, out).collect()}
+    want = {
+        (r.bucket, r.cnt)
+        for r in value_histogram(ev.select("value"), "value", lo, hi).collect()
+    }
+    assert got == want and want
