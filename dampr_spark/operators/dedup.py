@@ -1641,3 +1641,79 @@ def prefix_filtered_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_chars: int = 40,
+    window: int = 3,
+    prefix_chars: int = 80,
+    max_distance: int = 25,
+) -> DataFrame:
+    """Sorted-neighborhood matching (Hernández & Stolfo merge/purge): sort
+    the corpus by a blocking KEY (first ``key_chars`` chars) and compare
+    each record only to its next ``window`` neighbors in that order —
+    the classic complement to hash blocking
+    (:func:`fuzzy_prefix_pairs`): no block can explode (every record
+    scores exactly ≤ window successors, skew-immune by construction),
+    and near-boundary matches that a hash block would split land
+    adjacent in the sort instead.
+
+    Distributed form — the single-task global window is the anti-pattern
+    this avoids: a parallel range sort assigns partition-local row
+    numbers, broadcast cumulative partition counts recover the EXACT
+    global rank (the :func:`~dampr_spark.operators.stats.distributed_ntile`
+    recipe), and the sliding window becomes an equi-join: each record
+    explodes its ``window`` successor ranks and joins records on rank —
+    bit-identical to ``row_number() OVER (ORDER BY key, id)`` + a rank
+    band join, with no single task ever holding the corpus. Candidates
+    verify with JVM ``levenshtein`` over the first ``prefix_chars``
+    chars; output ``(id_a, id_b, lev)`` with ids canonically ordered."""
+    from pyspark.sql.window import Window
+
+    d = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.substring(F.col(text_col), 1, key_chars).alias("key"),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("pfx"),
+    )
+    ranked = (
+        _ensure_parallelism(d)
+        .orderBy("key", "id")
+        .withColumn("_pid", F.spark_partition_id())
+        # two consumers of a nondeterministic range exchange: materialize
+        .localCheckpoint(eager=True)
+    )
+    w_pid = Window.partitionBy("_pid").orderBy("key", "id")
+    ranked = ranked.withColumn("_rn", F.row_number().over(w_pid))
+    counts = ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
+    base = ranked.join(F.broadcast(offsets), "_pid").select(
+        "id", "pfx", (F.col("_off") + F.col("_rn")).alias("_grn")
+    )
+    left = base.select(
+        F.col("id").alias("_ida"),
+        F.col("pfx").alias("_pfxa"),
+        F.explode(
+            F.sequence(F.col("_grn") + 1, F.col("_grn") + F.lit(window))
+        ).alias("_pr"),
+    )
+    right = base.select(
+        F.col("_grn").alias("_pr"),
+        F.col("id").alias("_idb"),
+        F.col("pfx").alias("_pfxb"),
+    )
+    lev = F.levenshtein(F.col("_pfxa"), F.col("_pfxb"))
+    return (
+        left.join(right, "_pr")
+        .select(
+            F.least(F.col("_ida"), F.col("_idb")).alias("id_a"),
+            F.greatest(F.col("_ida"), F.col("_idb")).alias("id_b"),
+            lev.alias("lev"),
+        )
+        .filter(F.col("lev") <= max_distance)
+    )

@@ -1725,3 +1725,39 @@ def prefix_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_filtered_jaccard_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.5
     )
+
+
+@register(
+    "sorted_neighborhood_dups",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS id, substr(text, 1, 40) AS key,
+             substr(text, 1, 80) AS pfx
+      FROM documents WHERE text IS NOT NULL),
+    r AS (SELECT id, pfx, row_number() OVER (ORDER BY key, id) AS rn FROM d),
+    c AS (
+      SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+             levenshtein(a.pfx, b.pfx) AS lev
+      FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3)
+    SELECT id_a, id_b, CAST(lev AS INT) AS lev
+    FROM c WHERE lev <= 25
+    """,
+    tags=("dedup", "fuzzy", "extension"),
+)
+def sorted_neighborhood_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood fuzzy dedup
+    (operators/dedup.sorted_neighborhood_pairs): sort by the first-40-char
+    key, Levenshtein-verify each doc against its next 3 neighbors — the
+    skew-immune complement of `fuzzy_match_pairs`' hash blocking (every
+    record scores exactly ≤ window successors; no block can explode, no
+    hot-block cap, no recall trade from one). Distributed with the exact
+    global-rank recovery recipe (range sort + broadcast partition
+    offsets + successor-rank equi-join), so the plan is bit-identical to
+    the oracle's single window without any single-task sort."""
+    return dedup.sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "documents"),
+        key_chars=40,
+        window=3,
+        prefix_chars=80,
+        max_distance=25,
+    )

@@ -122,6 +122,9 @@ _HARDENED = [
     # grouped histogram sketch: NULL event_type/value dropped at entry on
     # both engines; perturbed values keep hi > lo per surviving type
     "event_value_quantiles_by_type",
+    # sorted neighborhood: NULL texts dropped at entry; planted dup docs
+    # sort adjacent and pair at lev 0 identically in both engines
+    "sorted_neighborhood_dups",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",

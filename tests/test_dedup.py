@@ -1489,3 +1489,52 @@ def test_prefix_filtered_jaccard_equals_exact_and_prunes(spark):
         .count()
     )
     assert any_pairs == 10 and pref_pairs < any_pairs
+
+
+def test_sorted_neighborhood_matches_single_window_model(spark):
+    """The distributed rank-recovery plan must equal the naive
+    single-window model (sort all, compare each row to its next w
+    neighbors) INCLUDING pairs that straddle range-partition boundaries —
+    forced here by many partitions over few rows."""
+    import itertools
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(60):
+        base = f"prefix{i:03d} " + " ".join(f"w{rng.randrange(50)}" for _ in range(12))
+        rows.append((i, base))
+        if i % 7 == 0:  # planted near-dup adjacent in sort order
+            rows.append((1000 + i, base[:-1] + "x"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+
+    from dampr_spark.operators.dedup import sorted_neighborhood_pairs
+
+    got = {
+        (r.id_a, r.id_b, r.lev)
+        for r in sorted_neighborhood_pairs(
+            docs, window=3, max_distance=25
+        ).collect()
+    }
+
+    # driver-side model
+    w, kc, pc, md = 3, 40, 80, 25
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        dp = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, lb + 1):
+                cur = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev, dp[j] = dp[j], cur
+        return dp[lb]
+
+    srt = sorted(((t[:kc], i, t[:pc]) for i, t in rows), key=lambda x: (x[0], x[1]))
+    want = set()
+    for a, b in itertools.combinations(range(len(srt)), 2):
+        if b - a <= w:
+            d = lev(srt[a][2], srt[b][2])
+            if d <= md:
+                ia, ib = srt[a][1], srt[b][1]
+                want.add((min(ia, ib), max(ia, ib), d))
+    assert got == want and want
