@@ -287,3 +287,27 @@ def test_dup_graph_analysis_example(spark, sf_dir):
     # The planted near-dup clusters in the fixture produce at least one
     # dense collapse-verdict component.
     assert any(r.verdict == "collapse" for r in rows)
+
+
+def test_sketch_olap_example(spark):
+    """All four sketch answers come out coherent on a known tiny frame:
+    HLL near the true distinct count, CMS >= true frequency (upper
+    bound), Bloom passes all true members (no false negatives), and the
+    histogram p50 lands within a bin of the true median."""
+    from sketch_olap import sketch_report
+
+    rows = [
+        (i, f"u{i % 40}", "purchase" if i % 3 == 0 else "view", float(i % 100))
+        for i in range(600)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, value double"
+    )
+    rep = sketch_report(events)
+    assert abs(rep["est_distinct_users"] - 40) < 10  # ~4.6% HLL sigma
+    true_view = sum(1 for r in rows if r[2] == "view")
+    assert rep["est_top_type_freq"] >= true_view  # CMS upper bound
+    # every one of the 40 users purchased at least once (i%3==0 hits all
+    # residues of i%40 over 600 rows), so Bloom must pass all 40
+    assert rep["bloom_passed_user_ids"] == 40
+    assert abs(rep["p50_value"] - 50.0) < 2.0
