@@ -2471,3 +2471,85 @@ def segment_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "intercept",
         "r2",
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS join-size estimation (round 7)
+# ---------------------------------------------------------------------------
+
+_CMSJ_DEPTH, _CMSJ_WIDTH = 4, 512
+
+
+def _cmsj_bucket_sql(item_sql: str, row_sql: str) -> str:
+    """DuckDB twin of operators/sketches.cms_bucket (same '#cms<r>' salt)."""
+    from dampr_spark.functions.hashing import md5_uint_sql
+
+    inner = f"{item_sql} || '#cms' || CAST({row_sql} AS VARCHAR)"
+    return f"({md5_uint_sql(inner, 4, little_endian=False)} % {_CMSJ_WIDTH})"
+
+
+@register(
+    "cms_join_size_estimate",
+    oracle=f"""
+    WITH oa AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+                WHERE o_custkey IS NOT NULL),
+    cb AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer
+           WHERE c_mktsegment = 'BUILDING' AND c_custkey IS NOT NULL),
+    rr AS (SELECT unnest(range(0, {_CMSJ_DEPTH})) AS r),
+    sa AS (SELECT r, {_cmsj_bucket_sql('k', 'r')} AS bucket, count(*) AS cnt
+           FROM oa CROSS JOIN rr GROUP BY 1, 2),
+    sb AS (SELECT r, {_cmsj_bucket_sql('k', 'r')} AS bucket, count(*) AS cnt
+           FROM cb CROSS JOIN rr GROUP BY 1, 2),
+    dots AS (SELECT sa.r, sum(sa.cnt * sb.cnt) AS dot
+             FROM sa JOIN sb ON sa.r = sb.r AND sa.bucket = sb.bucket
+             GROUP BY 1),
+    e AS (SELECT CAST(coalesce(min(dot), 0) AS BIGINT) AS est FROM dots),
+    x AS (SELECT CAST(count(*) AS BIGINT) AS exact FROM oa JOIN cb USING (k))
+    SELECT x.exact AS exact_join_size, e.est AS est_join_size,
+           e.est - x.exact AS overestimate
+    FROM x CROSS JOIN e
+    """,
+    tags=("join", "sketch", "invariant", "extension"),
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from sketches (the CMS inner product,
+    operators/sketches.cms_inner_product): estimate |orders ⋈
+    BUILDING-customers| from two depth×width integer cell tables without
+    running the join. Per hash row Σ cnt_a·cnt_b; min across rows. Every
+    true key pairing lands in a shared cell and collisions only add, so
+    ``est ≥ exact`` ALWAYS (the certificate column `overestimate` is
+    provably ≥ 0) with expected slack Σf_A·Σf_B/width per row.
+
+    The planner's pre-flight at 100 TB: each shard already maintains CMS
+    cells (they merge by addition), so "how big is this join going to
+    be" costs a depth×width cell join — choose broadcast vs shuffle, or
+    veto a runaway join in CI, before touching the fact table. The exact
+    join count rides along here as the verification anchor (it is the
+    expensive thing the estimate replaces)."""
+    from dampr_spark.operators.sketches import cms_build, cms_inner_product
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .select(F.col("o_custkey").alias("k"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING") & F.col("c_custkey").isNotNull()
+        )
+        .select(F.col("c_custkey").alias("k"))
+    )
+    est = cms_inner_product(
+        cms_build(o, "k", _CMSJ_DEPTH, _CMSJ_WIDTH),
+        cms_build(c, "k", _CMSJ_DEPTH, _CMSJ_WIDTH),
+        _CMSJ_DEPTH,
+    )
+    exact = o.join(F.broadcast(c), "k").agg(
+        F.count(F.lit(1)).alias("exact_join_size")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_join_size",
+        "est_join_size",
+        (F.col("est_join_size") - F.col("exact_join_size")).alias("overestimate"),
+    )

@@ -125,6 +125,9 @@ _HARDENED = [
     # sorted neighborhood: NULL texts dropped at entry; planted dup docs
     # sort adjacent and pair at lev 0 identically in both engines
     "sorted_neighborhood_dups",
+    # cms join estimate: NULL keys filtered at entry on both engines;
+    # integer cells keep est >= exact on any perturbed frequency profile
+    "cms_join_size_estimate",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",

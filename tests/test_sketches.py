@@ -489,3 +489,37 @@ def test_grouped_histogram_quantiles_error_bound(spark):
             assert abs(got[(g, p)] - exact) <= n_bins_width + 1e-6, (g, p)
     for p in probs:
         assert got[("flat", p)] == 42.0
+
+
+def test_cms_inner_product_upper_bounds_join_size(spark):
+    """est >= exact join size always (collisions only add), exact on a
+    collision-free key space, and 0 for disjoint/empty inputs."""
+    from dampr_spark.operators.sketches import cms_build, cms_inner_product
+
+    a = spark.createDataFrame(
+        [(f"k{i % 20}",) for i in range(400)], "k string"
+    )  # f_A(k) = 20 each
+    b = spark.createDataFrame(
+        [(f"k{i}",) for i in range(10)] * 3, "k string"
+    )  # f_B(k) = 3 for k0..k9
+    exact = 20 * 3 * 10  # sum over shared keys
+    est = cms_inner_product(cms_build(a, "k"), cms_build(b, "k")).first()[
+        "est_join_size"
+    ]
+    assert est >= exact
+    # 30 distinct keys over 512 buckets: collisions improbable per row and
+    # the min across 4 rows removes them — expect exactness here
+    assert est == exact
+
+    disjoint = spark.createDataFrame([("z1",), ("z2",)], "k string")
+    est0 = cms_inner_product(cms_build(a, "k"), cms_build(disjoint, "k")).first()[
+        "est_join_size"
+    ]
+    assert est0 >= 0  # may collide, never negative
+    empty = spark.createDataFrame([], "k string")
+    assert (
+        cms_inner_product(cms_build(a, "k"), cms_build(empty, "k")).first()[
+            "est_join_size"
+        ]
+        == 0
+    )
