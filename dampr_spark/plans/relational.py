@@ -2412,7 +2412,10 @@ _OLS_DENY_D = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * C
     s AS (
         SELECT c_mktsegment, count(*) AS n,
                sum(x) AS sx, sum(x * x) AS sxx,
-               sum(ym) AS sy, sum(x * ym) AS sxy, sum(ym * ym) AS syy
+               sum(ym) AS sy, sum(x * ym) AS sxy,
+               -- DECIMAL(19,2) factors: 19+19=38 fits DuckDB's cap; the
+               -- DECIMAL(18,2)x(18,2) product overflows at sf>=0.1 sums
+               sum(CAST(ym AS DECIMAL(19,2)) * CAST(ym AS DECIMAL(19,2))) AS syy
         FROM m GROUP BY 1)
     SELECT c_mktsegment, CAST(n AS BIGINT) AS n_months,
            round(CASE WHEN {_OLS_DENX_D} > 0
