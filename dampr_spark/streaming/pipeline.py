@@ -1250,6 +1250,91 @@ def histogram_view(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def ols_stream(
+    events_stream: DataFrame,
+    out_dir: str,
+    group_expr,
+    x_expr,
+    y_expr,
+    y_decimal: str = "decimal(18,2)",
+):
+    """Streaming closed-form OLS via ``foreachBatch``: each micro-batch
+    reduces to its per-group SUFFICIENT-STATISTIC row (n, Σx, Σx², Σy,
+    Σxy, Σy² — integers and decimals, EXACT) and APPENDS it; the live
+    fit (:func:`ols_view`) sums the statistics per group and evaluates
+    the same fixed IEEE closed form as the batch operator
+    (operators/stats.grouped_ols). Exact sums are associative, so the
+    streamed slope/intercept/r² equal the batch fit over the same rows
+    BIT-FOR-BIT — regression over a stream at the cost of a sum, no
+    model state, no gradient rounds, no refit scans.
+
+    ``group_expr``/``x_expr``/``y_expr`` map a batch DataFrame's columns
+    (e.g. ``F.col("seg")``, month index, revenue)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        x = x_expr.cast("long")
+        y = y_expr.cast(y_decimal)
+        (
+            batch_df.select(group_expr.alias("g"), x.alias("x"), y.alias("y"))
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", out_dir + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ols_view(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The live fit: sum the per-batch sufficient statistics per group,
+    then the grouped_ols closed form — identical expression, identical
+    exact inputs, bit-identical output to the batch fit."""
+    agg = (
+        spark.read.parquet(out_dir)
+        .groupBy("g")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sx").alias("_sx"),
+            F.sum("sxx").alias("_sxx"),
+            F.sum("sy").alias("_sy"),
+            F.sum("sxy").alias("_sxy"),
+            F.sum("syy").alias("_syy"),
+        )
+    )
+    dn = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    syy = F.col("_syy").cast("double")
+    num = dn * sxy - sx * sy
+    denx = dn * sxx - sx * sx
+    deny = dn * syy - sy * sy
+    return agg.select(
+        "g",
+        "n",
+        F.round(F.when(denx > 0, num / denx), 6).alias("slope"),
+        F.round(
+            F.when(denx > 0, (sy - (num / denx) * sx) / dn), 6
+        ).alias("intercept"),
+        F.round(
+            F.when((denx > 0) & (deny > 0), (num * num) / (denx * deny)), 6
+        ).alias("r2"),
+    )
+
+
 def logreg_score_stream(
     docs_stream: DataFrame,
     weights: list[float],

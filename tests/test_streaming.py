@@ -1205,3 +1205,47 @@ def test_histogram_stream_equals_batch_sketch(spark, sf_dir, tmp_path_factory):
         for r in value_histogram(ev.select("value"), "value", lo, hi).collect()
     }
     assert got == want and want
+
+
+def test_ols_stream_equals_batch_fit(spark, sf_dir, tmp_path_factory):
+    """Two availableNow micro-batches of per-group sufficient statistics:
+    the summed-stats view must reproduce the batch grouped_ols fit
+    BIT-FOR-BIT (exact integer/decimal sums are associative; the closed
+    form is the same IEEE expression)."""
+    import glob
+    import os
+    import shutil
+
+    from dampr_spark.operators.stats import grouped_ols
+    from dampr_spark.sources.readers import read_table
+
+    base = tmp_path_factory.mktemp("ols_stream")
+    in_dir, out = str(base / "in"), str(base / "out")
+    ev = read_table(spark, sf_dir, "events")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    os.makedirs(in_dir)
+    parts = [ev.filter(F.col("event_id") <= mid), ev.filter(F.col("event_id") > mid)]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(str(base / f"p{i}"))
+        shutil.copy(
+            glob.glob(str(base / f"p{i}" / "*.parquet"))[0], f"{in_dir}/b{i}.parquet"
+        )
+
+    stream = streaming.read_events_stream(spark, in_dir, max_files_per_trigger=1)
+    q = streaming.ols_stream(
+        stream,
+        out,
+        group_expr=F.col("event_type"),
+        x_expr=F.dayofyear("ts"),
+        y_expr=F.col("value"),
+    )
+    q.awaitTermination()
+
+    got = {tuple(r) for r in streaming.ols_view(spark, out).collect()}
+    batch_in = ev.select(
+        F.col("event_type").alias("g"),
+        F.dayofyear("ts").alias("x"),
+        F.col("value").alias("y"),
+    )
+    want = {tuple(r) for r in grouped_ols(batch_in, ["g"], "x", "y").collect()}
+    assert got == want and want
