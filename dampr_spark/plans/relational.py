@@ -2556,3 +2556,75 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_join_size",
         (F.col("est_join_size") - F.col("exact_join_size")).alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnosis (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_key_skew_report",
+    oracle="""
+    WITH f AS (SELECT o_custkey AS k, count(*) AS c FROM orders
+               WHERE o_custkey IS NOT NULL GROUP BY 1),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(c) AS BIGINT) AS n_rows,
+                 CAST(max(c) AS BIGINT) AS max_freq,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_singletons,
+                 CAST(sum(c * c) AS BIGINT) AS sum_sq
+          FROM f)
+    SELECT n_keys, n_rows, max_freq, n_singletons,
+           round(max_freq / (CAST(n_rows AS DOUBLE) / n_keys), 6)
+             AS skew_ratio,
+           round(CAST(sum_sq AS DOUBLE)
+                 / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6)
+             AS collision_prob
+    FROM s
+    """,
+    tags=("join", "skew", "stats", "invariant", "extension"),
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join SKEW diagnosis for a shuffle key (orders.o_custkey) — the
+    one-row report that decides salting/AQE-skew-join BEFORE the join
+    runs: ``max_freq`` (the biggest single-key task), ``skew_ratio``
+    (max over mean frequency — 1.0 is perfectly flat; the salting
+    trigger), ``n_singletons`` (keys a broadcast semi-join would serve),
+    and ``collision_prob`` (Σc²/n² — the probability two random rows
+    share a key; also the self-join size Σc² in normalized form, the
+    same second moment the CMS inner product estimates).
+
+    All exact integer aggregates off one key rollup — at 100 TB this is
+    a map-side-combinable count, the cheapest possible look before an
+    expensive shuffle; pairs with `cms_join_size_estimate` (how big) and
+    `salted_join_agg` (the mitigation this report triggers)."""
+    f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = f.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_freq"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n_singletons"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    return s.select(
+        "n_keys",
+        "n_rows",
+        "max_freq",
+        "n_singletons",
+        F.round(
+            F.col("max_freq")
+            / (F.col("n_rows").cast("double") / F.col("n_keys")),
+            6,
+        ).alias("skew_ratio"),
+        F.round(
+            F.col("sum_sq").cast("double")
+            / (F.col("n_rows").cast("double") * F.col("n_rows").cast("double")),
+            6,
+        ).alias("collision_prob"),
+    )

@@ -128,6 +128,9 @@ _HARDENED = [
     # cms join estimate: NULL keys filtered at entry on both engines;
     # integer cells keep est >= exact on any perturbed frequency profile
     "cms_join_size_estimate",
+    # skew report: NULL keys filtered at entry; exact integer aggregates
+    # respond identically to perturbed frequency profiles
+    "join_key_skew_report",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",
