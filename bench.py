@@ -148,6 +148,11 @@ BENCH_QUERIES = [
     "phrase_search",
     "source_similarity_cosine",
     "segment_revenue_trend_ols",
+    # round-7e flagships: the pre-join planner pair (sketch-estimated join
+    # size + key-skew diagnosis) and sorted-neighborhood fuzzy dedup.
+    "cms_join_size_estimate",
+    "join_key_skew_report",
+    "sorted_neighborhood_dups",
 ]
 
 
@@ -295,7 +300,7 @@ def main() -> int:
             "zorder_curve_topk", "embedding_centroid_outliers")],
         "sketch": [q for q in BENCH_QUERIES if q in (
             "bloom_join_prune", "histogram_quantile_sketch",
-            "hll_audience_overlap")],
+            "hll_audience_overlap", "cms_join_size_estimate")],
     }
     family_totals = {
         fam: round(sum(cold_timings.get(q, 0.0) for q in qs), 4)
