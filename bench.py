@@ -153,6 +153,10 @@ BENCH_QUERIES = [
     "cms_join_size_estimate",
     "join_key_skew_report",
     "sorted_neighborhood_dups",
+    # round-7f flagship: deterministic grid semantic dedup end-to-end
+    # (broadcast grid fit -> codegen cell assign -> capped in-cell cosine
+    # -> fixpoint components), the oracle-replayable SemDeDup anchor.
+    "semantic_grid_dedup",
 ]
 
 

@@ -756,3 +756,110 @@ class ProductQuantizer:
             .orderBy(F.col("cos_sim").desc(), F.col(id_col))
             .limit(topk)
         )
+
+
+def grid_cells(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int = 4,
+    buckets: int = 4,
+) -> DataFrame:
+    """Deterministic grid-cell blocking over the first ``dims`` embedding
+    dimensions — the candidate-generation stage of grid semantic dedup
+    (SemDeDup, Abbas et al. 2023, uses k-means cells; the uniform grid is
+    the fully deterministic variant, so the WHOLE pipeline is
+    oracle-replayable, unlike the RNG-seeded LSH/k-means blockers).
+
+    Returns one row per valid vector: ``(id, e array<double>, cell)``
+    where ``cell`` is the base-``buckets`` integer of the per-dim bucket
+    ids. Per-dim bounds are global min/max (exact aggregates — no float
+    accumulation drift), the affine bucket transform is the same double
+    arithmetic both engines evaluate bit-identically, and a degenerate
+    dimension (lo == hi) maps to bucket 0 on both.
+
+    Plan shape for 100 TB: one posexplode min/max over ``dims`` values per
+    row (map-side partials to a ``dims``-row table), assembled into a
+    1-row broadcast; cell assignment is a pure codegen expression pass —
+    the corpus never shuffles to get its cell id.
+    """
+    v = (
+        df.filter(valid_vector(vec_col))
+        .select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e"))
+    )
+    mm = (
+        v.select(F.posexplode(F.slice("e", 1, dims)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "lo"))), lambda s: s["lo"]
+            ).alias("los"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "hi"))), lambda s: s["hi"]
+            ).alias("his"),
+        )
+    )
+    cell = F.lit(0).cast("long")
+    for i in range(1, dims + 1):
+        x = F.element_at("e", i)
+        lo = F.element_at("los", i)
+        hi = F.element_at("his", i)
+        b = (
+            F.when(
+                hi > lo,
+                F.least(
+                    F.lit(float(buckets - 1)),
+                    F.greatest(F.lit(0.0), F.floor((x - lo) / (hi - lo) * F.lit(float(buckets)))),
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("long")
+        )
+        cell = cell * buckets + b
+    return v.crossJoin(F.broadcast(mm)).select("id", "e", cell.alias("cell"))
+
+
+def semantic_grid_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int = 4,
+    buckets: int = 4,
+    tau: float = 0.30,
+    max_cell: int = 64,
+) -> DataFrame:
+    """Semantic near-dup candidate pairs: grid-cell blocking (see
+    :func:`grid_cells`) then EXACT cosine >= ``tau`` within each cell —
+    ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``. Cells above
+    ``max_cell`` members are dropped (the hot-bucket cap every blocked
+    dedup operator in this repo applies: a degenerate cell would
+    otherwise go quadratic; the cap is replayed by the oracle, so parity
+    is unaffected).
+
+    Blocking recall is a function of grid resolution exactly as SemDeDup's
+    is of k: pairs split across cells are skipped BY CONSTRUCTION on both
+    engines — this is the candidate generator, not a full similarity join
+    (`RandomHyperplaneLSH.bucketed_pairs` is the multi-probe scale path
+    when recall must be tunable).
+
+    Plan shape for 100 TB: only (id, cell, vector) shuffles on the cell
+    key; in-cell pair expansion is capped at max_cell^2/2 per cell; the
+    cosine is a JVM expression on the joined rows — no UDF, no cartesian.
+    """
+    cells = grid_cells(df, vec_col, id_col, dims, buckets).localCheckpoint(eager=True)
+    ok = (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_cell))
+        .select("cell")
+    )
+    blocked = cells.join(F.broadcast(ok), "cell")
+    a = blocked.select(F.col("cell"), F.col("id").alias("id_a"), F.col("e").alias("ea"))
+    b = blocked.select(F.col("cell"), F.col("id").alias("id_b"), F.col("e").alias("eb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine("ea", "eb"), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= tau)
+    )

@@ -813,3 +813,136 @@ def hard_negative_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pos.join(neg, "anchor_id", "left")
+
+
+# Grid semantic dedup (SemDeDup's deterministic cousin): cell blocking on
+# the first _GRID_DIMS dims at _GRID_BUCKETS buckets/dim, exact cosine
+# verification within cells, components over the kept pairs. The grid math
+# is shared verbatim by both registered queries and their oracles.
+_GRID_DIMS = 4
+_GRID_BUCKETS = 4
+_GRID_TAU = 0.30
+_GRID_MAX_CELL = 64
+
+
+def _grid_cells_sql() -> str:
+    """DuckDB twin of operators/similarity.grid_cells: same min/max fit,
+    same affine bucket transform (floor((x-lo)/(hi-lo)*B) clamped to
+    [0, B-1], degenerate dim -> 0), same base-B Horner cell id."""
+    b = float(_GRID_BUCKETS)
+    terms = []
+    for i in range(1, _GRID_DIMS + 1):
+        w = _GRID_BUCKETS ** (_GRID_DIMS - i)
+        terms.append(
+            f"CAST(CASE WHEN his[{i}] > los[{i}] THEN "
+            f"least({b - 1.0}, greatest(0.0, "
+            f"floor((e[{i}] - los[{i}]) / (his[{i}] - los[{i}]) * {b})))"
+            f" ELSE 0.0 END AS BIGINT) * {w}"
+        )
+    cell = " + ".join(terms)
+    return f"""
+      v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE {V.valid_vector_sql('embedding')}),
+      mm AS (SELECT i, min(e[i]) AS lo, max(e[i]) AS hi
+             FROM v, range(1, {_GRID_DIMS + 1}) t(i) GROUP BY i),
+      mml AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
+              FROM mm),
+      cells AS (SELECT id, e, {cell} AS cell FROM v, mml)
+    """
+
+
+@register(
+    "semantic_grid_blocking",
+    oracle=f"""
+    WITH {_grid_cells_sql()}
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+           min(id) AS rep_id,
+           CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
+    FROM cells GROUP BY cell HAVING count(*) >= 2
+    ORDER BY n_members DESC, cell LIMIT 20
+    """,
+    tags=("vector", "dedup", "semantic", "blocking", "extension"),
+)
+def semantic_grid_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-stage audit of grid semantic dedup: the 20 densest grid
+    cells with member counts, min-id representative, and the in-cell pair
+    budget the verify stage will pay. This is the report a pipeline owner
+    reads BEFORE running the quadratic-within-cell verify at 100 TB — the
+    sum of n_pairs IS the candidate-join cost, and a runaway cell shows up
+    here first (then gets capped by max_cell in the pair stage).
+
+    Plan shape: dims-row min/max aggregate broadcast to a pure-codegen
+    cell-assignment pass; the only corpus-keyed shuffle carries
+    (cell, id) — vectors stay columnar in the scan."""
+    from dampr_spark.operators import similarity
+
+    cells = similarity.grid_cells(
+        _t(spark, sf_dir, "embeddings"),
+        dims=_GRID_DIMS,
+        buckets=_GRID_BUCKETS,
+    )
+    return (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min("id").alias("rep_id"))
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "cell",
+            "n_members",
+            "rep_id",
+            (F.col("n_members") * (F.col("n_members") - 1) / 2)
+            .cast("long")
+            .alias("n_pairs"),
+        )
+        .orderBy(F.col("n_members").desc(), "cell")
+        .limit(20)
+    )
+
+
+@register(
+    "semantic_grid_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_grid_cells_sql()},
+    ok AS (SELECT cell FROM cells GROUP BY cell
+           HAVING count(*) BETWEEN 2 AND {_GRID_MAX_CELL}),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM cells a JOIN ok USING (cell) JOIN cells b USING (cell)
+      WHERE a.id < b.id
+        AND round({V.cosine_sql('a.e', 'b.e')}, 6) >= {_GRID_TAU}),
+    edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+    comp AS (SELECT s AS id, least(s, min(d)) AS component FROM reach GROUP BY s)
+    SELECT component, CAST(count(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY component
+    """,
+    tags=("vector", "dedup", "semantic", "graph", "extension"),
+)
+def semantic_grid_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DETERMINISTIC semantic dedup (grid blocking -> exact
+    in-cell cosine >= {tau} -> connected components -> per-cluster min-id
+    label and member count) — the SemDeDup pipeline shape with every stage
+    oracle-replayable: grid cells instead of RNG-seeded k-means, exact
+    cosine instead of approximate scores, and the iterative
+    join-propagation components checked against DuckDB's recursive-CTE
+    transitive closure. The RNG-blocked scale variants
+    (`RandomHyperplaneLSH.bucketed_pairs`, `kmeans_fit_assign`) trade this
+    replayability for tunable recall; this query is the family's
+    correctness anchor. tau is set to the synthetic corpus's pair-cosine
+    tail (the regenerated embeddings carry no planted near-dups; max
+    global pair cosine ~0.51) — the PIPELINE, not the threshold, is what
+    is under test, and both engines apply the identical threshold."""
+    from dampr_spark.operators import similarity
+    from dampr_spark.operators.graph import connected_components
+
+    pairs = similarity.semantic_grid_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        dims=_GRID_DIMS,
+        buckets=_GRID_BUCKETS,
+        tau=_GRID_TAU,
+        max_cell=_GRID_MAX_CELL,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))

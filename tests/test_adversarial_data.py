@@ -131,6 +131,11 @@ _HARDENED = [
     # skew report: NULL keys filtered at entry; exact integer aggregates
     # respond identically to perturbed frequency profiles
     "join_key_skew_report",
+    # grid semantic dedup: NULL and zero-vector embeddings fail
+    # valid_vector at entry on both engines; grid bounds and cells are
+    # recomputed on the surviving set identically
+    "semantic_grid_blocking",
+    "semantic_grid_dedup",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",

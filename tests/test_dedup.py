@@ -1538,3 +1538,68 @@ def test_sorted_neighborhood_matches_single_window_model(spark):
                 ia, ib = srt[a][1], srt[b][1]
                 want.add((min(ia, ib), max(ia, ib), d))
     assert got == want and want
+
+
+# --- grid semantic dedup (deterministic SemDeDup variant) ---
+
+
+@pytest.fixture(scope="module")
+def grid_planted(spark):
+    """Vectors with two planted near-identical groups plus singletons.
+    Group A: ids 1,2,3 identical direction (cos 1.0); group B: ids 10,11
+    identical; ids 20,21 nearly opposite corners (never pair)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    a = rng.normal(size=64)
+    b = rng.normal(size=64)
+    for i in (1, 2, 3):
+        rows.append((i, (a * (1.0 + 0.001 * i)).tolist()))  # same direction
+    for i in (10, 11):
+        rows.append((i, (b * (1.0 + 0.001 * i)).tolist()))
+    rows.append((20, rng.normal(size=64).tolist()))
+    rows.append((21, (-a).tolist()))
+    rows.append((30, None))  # invalid: dropped
+    rows.append((31, [0.0] * 64))  # zero vector: dropped
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_grid_cells_one_cell_per_valid_vector(grid_planted):
+    cells = similarity.grid_cells(grid_planted, dims=4, buckets=4).collect()
+    ids = {r.id for r in cells}
+    assert ids == {1, 2, 3, 10, 11, 20, 21}  # null + zero vector dropped
+    assert all(0 <= r.cell < 4**4 for r in cells)
+    # scaled copies of the same direction share sign structure but grid
+    # cells depend on magnitude too; identical-direction-and-near-identical
+    # magnitude copies must land together
+    by_id = {r.id: r.cell for r in cells}
+    assert by_id[1] == by_id[2] == by_id[3]
+    assert by_id[10] == by_id[11]
+
+
+def test_semantic_grid_pairs_planted(grid_planted):
+    pairs = similarity.semantic_grid_pairs(
+        grid_planted, dims=4, buckets=4, tau=0.9
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(1, 2), (1, 3), (2, 3), (10, 11)}
+    assert all(r.cos_sim >= 0.999 for r in pairs)
+
+
+def test_semantic_grid_pairs_subset_of_brute_force(emb):
+    blocked = similarity.semantic_grid_pairs(emb, tau=0.30).collect()
+    exact = dedup.embedding_cosine_dups(emb, threshold=0.30).collect()
+    b = {(r.id_a, r.id_b) for r in blocked}
+    e = {(r.id_a, r.id_b) for r in exact}
+    assert b <= e, f"blocking invented pairs: {b - e}"
+    assert b, "expected at least one in-cell pair on the test corpus"
+
+
+def test_semantic_grid_hot_cell_cap(grid_planted):
+    # cap below group A's cell size (3) drops that cell entirely; group B
+    # (2 members) survives — cap semantics identical to the posting-list ops
+    pairs = similarity.semantic_grid_pairs(
+        grid_planted, dims=4, buckets=4, tau=0.9, max_cell=2
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(10, 11)}
