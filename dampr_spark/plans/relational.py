@@ -2628,3 +2628,56 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("collision_prob"),
     )
+
+
+@register(
+    "winsorized_price_stats",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+      FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY l_returnflag)
+    SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(b.lo, 6) AS p05, round(b.hi, 6) AS p95,
+           round(avg(least(greatest(CAST(l_extendedprice AS DOUBLE), b.lo), b.hi)), 6)
+               AS winsorized_mean,
+           round(avg(CAST(l_extendedprice AS DOUBLE)), 6) AS raw_mean
+    FROM lineitem l JOIN b USING (l_returnflag)
+    WHERE l_extendedprice IS NOT NULL
+    GROUP BY l.l_returnflag, b.lo, b.hi
+    """,
+    tags=("stats", "quantile", "robust", "extension"),
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clamped-tail) per-group price means — the robust-stats
+    step a metrics pipeline applies before trending a mean that a few
+    fat-finger rows would otherwise own. Per-group p05/p95 come from
+    operators/stats.exact_group_quantiles (distributed rank recovery —
+    identical quantile_cont semantics with no per-group single-task merge),
+    broadcast back onto the fact table; the clamp + mean is one map-side-
+    combinable aggregate. Two scans of the fact table total — inherent to
+    winsorization (the bounds must exist before the clamp) — and the only
+    corpus-keyed shuffle is the range sort inside the quantile pass.
+    raw_mean rides along so the report shows what the clamp changed."""
+    from dampr_spark.operators.stats import exact_group_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice").isNotNull())
+    li = li.select("l_returnflag", F.col("l_extendedprice").cast("double").alias("px"))
+    b = exact_group_quantiles(li, ["l_returnflag"], "px", [0.05, 0.95]).select(
+        F.col("l_returnflag").alias("_rf"),
+        F.col("q_0").alias("lo"),
+        F.col("q_1").alias("hi"),
+    )
+    return (
+        li.join(F.broadcast(b), li.l_returnflag == F.col("_rf"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("lo"), 6).alias("p05"),
+            F.round(F.first("hi"), 6).alias("p95"),
+            F.round(F.avg(F.least(F.greatest(F.col("px"), F.col("lo")), F.col("hi"))), 6)
+            .alias("winsorized_mean"),
+            F.round(F.avg("px"), 6).alias("raw_mean"),
+        )
+    )

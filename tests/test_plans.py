@@ -595,3 +595,45 @@ def test_vocab_coverage_curve_monotone_and_clamped(spark):
         prev = r.coverage
         assert r.n_types <= r.vocab_size
     assert rows[-1].n_types <= rows[-1].vocab_size
+
+
+def test_winsorized_mean_resists_planted_outliers(spark):
+    """A planted 1000x outlier drags the raw mean but not the winsorized
+    one — the clamp bounds come from exact_group_quantiles, so the
+    operator composition (rank-recovery quantiles -> broadcast clamp) is
+    exercised end to end on a controlled frame."""
+    from pyspark.sql import functions as F
+
+    from dampr_spark.operators.stats import exact_group_quantiles
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("a", 100000.0)]
+    rows += [("b", 50.0)] * 21
+    df = spark.createDataFrame(rows, "g string, px double")
+    b = exact_group_quantiles(df, ["g"], "px", [0.05, 0.95]).select(
+        F.col("g").alias("_g"), F.col("q_0").alias("lo"), F.col("q_1").alias("hi")
+    )
+    got = {
+        r.g: r
+        for r in df.join(F.broadcast(b), df.g == F.col("_g"))
+        .groupBy("g")
+        .agg(
+            F.avg(F.least(F.greatest(F.col("px"), F.col("lo")), F.col("hi"))).alias(
+                "wmean"
+            ),
+            F.avg("px").alias("rmean"),
+        )
+        .collect()
+    }
+    assert got["a"].rmean > 1000  # outlier owns the raw mean
+    assert got["a"].wmean < 60  # clamp restores the bulk signal
+    assert abs(got["b"].wmean - 50.0) < 1e-9  # constant group untouched
+
+
+def test_winsorized_price_stats_means_ordered(spark):
+    """On the real table: p05 <= winsorized_mean <= p95 per group, and the
+    clamp can only pull the mean INTO the [p05, p95] band."""
+    from dampr_spark.plans import all_queries
+
+    for r in all_queries()["winsorized_price_stats"].builder(spark, SF).collect():
+        assert r.p05 <= r.winsorized_mean <= r.p95
+        assert r.n > 0
