@@ -758,12 +758,39 @@ class ProductQuantizer:
         )
 
 
+def fit_grid_bounds(
+    df: DataFrame, vec_col: str = "embedding", dims: int = 4
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (lo, hi) over the first ``dims`` dims of the valid
+    vectors — a ``dims``-row aggregate collected to the driver (bounded),
+    for callers that need FIXED grid bounds across runs: the streaming
+    sink fits on a reference corpus once and every micro-batch reuses the
+    same cells (the same fit-on-reference discipline as
+    ``fit_value_histogram``)."""
+    rows = (
+        df.filter(valid_vector(vec_col))
+        .select(
+            F.posexplode(
+                F.slice(F.col(vec_col).cast("array<double>"), 1, dims)
+            ).alias("pos", "x")
+        )
+        .groupBy("pos")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("pos")
+        .collect()
+    )
+    if len(rows) != dims:
+        raise ValueError(f"expected {dims} dims, got {len(rows)} (empty input?)")
+    return [r["lo"] for r in rows], [r["hi"] for r in rows]
+
+
 def grid_cells(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dims: int = 4,
     buckets: int = 4,
+    bounds: tuple[list[float], list[float]] | None = None,
 ) -> DataFrame:
     """Deterministic grid-cell blocking over the first ``dims`` embedding
     dimensions — the candidate-generation stage of grid semantic dedup
@@ -781,25 +808,39 @@ def grid_cells(
     Plan shape for 100 TB: one posexplode min/max over ``dims`` values per
     row (map-side partials to a ``dims``-row table), assembled into a
     1-row broadcast; cell assignment is a pure codegen expression pass —
-    the corpus never shuffles to get its cell id.
+    the corpus never shuffles to get its cell id. Pass ``bounds`` (from
+    :func:`fit_grid_bounds`) to pin the grid across corpora/batches —
+    values outside clamp to the edge buckets, exactly like the in-range
+    extremes.
     """
     v = (
         df.filter(valid_vector(vec_col))
         .select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e"))
     )
-    mm = (
-        v.select(F.posexplode(F.slice("e", 1, dims)).alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "lo"))), lambda s: s["lo"]
-            ).alias("los"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "hi"))), lambda s: s["hi"]
-            ).alias("his"),
+    if bounds is not None:
+        los_lit, his_lit = bounds
+        if len(los_lit) != dims or len(his_lit) != dims:
+            raise ValueError("bounds must carry exactly `dims` lows and highs")
+        mm = v.sparkSession.range(1).select(
+            F.array(*[F.lit(float(x)) for x in los_lit]).alias("los"),
+            F.array(*[F.lit(float(x)) for x in his_lit]).alias("his"),
         )
-    )
+    else:
+        mm = (
+            v.select(F.posexplode(F.slice("e", 1, dims)).alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "lo"))),
+                    lambda s: s["lo"],
+                ).alias("los"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "hi"))),
+                    lambda s: s["hi"],
+                ).alias("his"),
+            )
+        )
     cell = F.lit(0).cast("long")
     for i in range(1, dims + 1):
         x = F.element_at("e", i)
@@ -828,6 +869,7 @@ def semantic_grid_pairs(
     buckets: int = 4,
     tau: float = 0.30,
     max_cell: int = 64,
+    bounds: tuple[list[float], list[float]] | None = None,
 ) -> DataFrame:
     """Semantic near-dup candidate pairs: grid-cell blocking (see
     :func:`grid_cells`) then EXACT cosine >= ``tau`` within each cell —
@@ -847,7 +889,9 @@ def semantic_grid_pairs(
     key; in-cell pair expansion is capped at max_cell^2/2 per cell; the
     cosine is a JVM expression on the joined rows — no UDF, no cartesian.
     """
-    cells = grid_cells(df, vec_col, id_col, dims, buckets).localCheckpoint(eager=True)
+    cells = grid_cells(df, vec_col, id_col, dims, buckets, bounds).localCheckpoint(
+        eager=True
+    )
     ok = (
         cells.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -1371,3 +1371,143 @@ def logreg_score_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def semantic_neardup_stream(
+    vec_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    bounds: tuple[list[float], list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int = 4,
+    buckets: int = 4,
+    tau: float = 0.30,
+    max_cell: int = 64,
+):
+    """Streaming incremental SEMANTIC near-dup detection via
+    ``foreachBatch`` — the grid twin of :func:`incremental_neardup_stream`,
+    with one crucial upgrade: the blocking is DETERMINISTIC (fixed grid
+    ``bounds``, fit once on a reference corpus via
+    ``operators/similarity.fit_grid_bounds`` — the same fit-on-reference
+    discipline as ``fit_value_histogram``), and the score is the EXACT
+    cosine, so the streamed pair set is byte-identical to the batch
+    operator's, not a candidate superset needing downstream verification.
+
+    Every micro-batch: (a) assigns grid cells under the fixed bounds,
+    (b) emits cosine>=tau pairs within the batch AND against the persisted
+    vector store (asymmetric cell join — history never self-joins),
+    (c) appends its own (id, cell, e) rows to the store. ``max_cell`` caps
+    the CUMULATIVE (store + batch) cell size exactly like the LSH sink's
+    bucket cap; pairs carry their emitting cell, so
+    :func:`semantic_pairs_view` recovers exact batch-cap equivalence at
+    read time by dropping pairs whose cell has since gone hot.
+
+    State is (id, cell, e array<double>) — d doubles per vector,
+    bucketable by cell at scale so each batch's join shuffles only the
+    batch side; store SQ8 codes instead of e (ScalarQuantizer) when the
+    store's footprint matters more than exact-cosine streaming scores.
+
+    Same at-least-once caveat as the other incremental sinks: a retried
+    batch re-appends; the (id_a < id_b, same deterministic cos_sim) rows
+    dedup on read."""
+    from pyspark.errors import AnalysisException
+
+    from dampr_spark.operators.similarity import grid_cells
+    from dampr_spark.functions.vector import cosine
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new_cells = grid_cells(
+            batch_df, vec_col, id_col, dims, buckets, bounds
+        ).localCheckpoint(eager=True)
+        try:
+            store = spark.read.parquet(store_dir)
+        except AnalysisException:
+            store = spark.createDataFrame(
+                [], "id long, cell long, e array<double>"
+            )
+        hot = (
+            store.select("cell")
+            .unionByName(new_cells.select("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_csz"))
+            .filter(F.col("_csz") > max_cell)
+            .select("cell")
+        )
+        store_ok = store.join(hot, "cell", "left_anti")
+        new_ok = new_cells.join(hot, "cell", "left_anti").localCheckpoint(eager=True)
+        cross = (
+            new_ok.select(F.col("id").alias("id_a"), F.col("e").alias("ea"), "cell")
+            .join(
+                store_ok.select(
+                    F.col("id").alias("id_b"), F.col("e").alias("eb"), "cell"
+                ),
+                "cell",
+            )
+            # a RETRIED batch re-delivers vectors already in the store
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                # ea/eb may swap with the id ordering; cosine is symmetric
+                F.round(cosine("ea", "eb"), 6).alias("cos_sim"),
+                "cell",
+            )
+        )
+        within = (
+            new_ok.select(F.col("id").alias("id_a"), F.col("e").alias("ea"), "cell")
+            .join(
+                new_ok.select(
+                    F.col("id").alias("id_b"), F.col("e").alias("eb"), "cell"
+                ),
+                "cell",
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b", F.round(cosine("ea", "eb"), 6).alias("cos_sim"), "cell"
+            )
+        )
+        pairs = (
+            cross.unionByName(within)
+            .filter(F.col("cos_sim") >= tau)
+            .distinct()
+        )
+        pairs.write.mode("append").parquet(out_dir)
+        new_cells.select("id", "cell", "e").write.mode("append").parquet(store_dir)
+
+    return (
+        vec_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", out_dir + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def semantic_pairs_view(
+    spark: SparkSession,
+    out_dir: str,
+    store_dir: str,
+    max_cell: int = 64,
+) -> DataFrame:
+    """Batch-equivalent read view over :func:`semantic_neardup_stream`'s
+    append-only pair sink: keeps a pair iff its emitting cell is still
+    under ``max_cell`` in the full vector store — read-time retraction for
+    cells that went hot after emitting, the same rule as
+    :func:`neardup_pairs_view`. Under an active cap this EQUALS
+    ``semantic_grid_pairs(corpus, bounds=..., max_cell=...)`` over the
+    ingested corpus (pinned by the equivalence test); scores need no
+    re-verification because they are exact cosines already."""
+    pairs = spark.read.parquet(out_dir).filter(F.col("cell").isNotNull())
+    hot = (
+        spark.read.parquet(store_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("_csz"))
+        .filter(F.col("_csz") > max_cell)
+        .select("cell")
+    )
+    return (
+        pairs.join(hot, "cell", "left_anti")
+        .select("id_a", "id_b", "cos_sim")
+        .distinct()
+    )

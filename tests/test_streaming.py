@@ -1249,3 +1249,118 @@ def test_ols_stream_equals_batch_fit(spark, sf_dir, tmp_path_factory):
     )
     want = {tuple(r) for r in grouped_ols(batch_in, ["g"], "x", "y").collect()}
     assert got == want and want
+
+
+def test_semantic_neardup_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Two-micro-batch replay of the embeddings table under FIXED grid
+    bounds: the streamed pair set must equal the batch
+    `semantic_grid_pairs` set EXACTLY — ids AND cos_sim values (the grid
+    twin's upgrade over the LSH sink: deterministic blocking + exact
+    scores mean equivalence, not a candidate superset)."""
+    import glob
+    import os
+    import shutil
+
+    from dampr_spark.operators.similarity import fit_grid_bounds, semantic_grid_pairs
+    from dampr_spark.sources.readers import read_table
+
+    base = tmp_path_factory.mktemp("sem_stream")
+    in_dir, store, out = (str(base / d) for d in ("in", "store", "out"))
+    emb = read_table(spark, sf_dir, "embeddings")
+    bounds = fit_grid_bounds(emb, dims=4)
+    os.makedirs(in_dir)
+    for i, part in enumerate(
+        [emb.filter(F.col("vec_id") % 2 == 0), emb.filter(F.col("vec_id") % 2 == 1)]
+    ):
+        part.coalesce(1).write.parquet(str(base / f"p{i}"))
+        shutil.copy(
+            glob.glob(str(base / f"p{i}" / "*.parquet"))[0], f"{in_dir}/b{i}.parquet"
+        )
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.semantic_neardup_stream(
+        stream, store, out, bounds, tau=0.30, max_cell=10**9
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in spark.read.parquet(out).select("id_a", "id_b", "cos_sim")
+        .distinct()
+        .collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in semantic_grid_pairs(
+            emb, bounds=bounds, tau=0.30, max_cell=10**9
+        ).collect()
+    }
+    assert got == want and want, f"missing={want - got} extra={got - want}"
+
+
+def test_semantic_neardup_stream_cap_view_equals_batch(
+    spark, sf_dir, tmp_path_factory
+):
+    """With an ACTIVE max_cell cap: the raw sink is a superset of the
+    batch capped set and a subset of the uncapped set, and
+    `semantic_pairs_view` equals the batch capped set exactly."""
+    import glob
+    import os
+    import shutil
+
+    from dampr_spark.operators.similarity import fit_grid_bounds, semantic_grid_pairs
+    from dampr_spark.sources.readers import read_table
+
+    base = tmp_path_factory.mktemp("sem_stream_cap")
+    in_dir, store, out = (str(base / d) for d in ("in", "store", "out"))
+    emb = read_table(spark, sf_dir, "embeddings")
+    bounds = fit_grid_bounds(emb, dims=4)
+    os.makedirs(in_dir)
+    for i, part in enumerate(
+        [emb.filter(F.col("vec_id") % 2 == 0), emb.filter(F.col("vec_id") % 2 == 1)]
+    ):
+        part.coalesce(1).write.parquet(str(base / f"p{i}"))
+        shutil.copy(
+            glob.glob(str(base / f"p{i}" / "*.parquet"))[0], f"{in_dir}/b{i}.parquet"
+        )
+
+    cap = 8  # small enough that real cells exceed it on the fixture
+    tau = 0.0  # keep every in-cell pair so the cap is the only filter
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.semantic_neardup_stream(
+        stream, store, out, bounds, tau=tau, max_cell=cap
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(out).select("id_a", "id_b").distinct().collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in semantic_grid_pairs(emb, bounds=bounds, tau=tau, max_cell=cap)
+        .collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in semantic_grid_pairs(emb, bounds=bounds, tau=tau, max_cell=10**9)
+        .collect()
+    }
+    assert uncapped - capped, "cap must actually bind on this fixture"
+    assert capped <= got, f"under-emitted: {capped - got}"
+    assert got <= uncapped, f"invented pairs: {got - uncapped}"
+
+    view = {
+        (r.id_a, r.id_b)
+        for r in streaming.semantic_pairs_view(spark, out, store, max_cell=cap)
+        .collect()
+    }
+    assert view == capped, f"extra={view - capped} missing={capped - view}"
