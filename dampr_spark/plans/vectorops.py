@@ -946,3 +946,71 @@ def semantic_grid_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(pairs, src="id_a", dst="id_b")
     return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+@register(
+    "semantic_grid_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_grid_cells_sql()},
+    ok AS (SELECT cell FROM cells GROUP BY cell
+           HAVING count(*) BETWEEN 2 AND {_GRID_MAX_CELL}),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM cells a JOIN ok USING (cell) JOIN cells b USING (cell)
+      WHERE a.id < b.id
+        AND round({V.cosine_sql('a.e', 'b.e')}, 6) >= {_GRID_TAU}),
+    edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+    comp AS (SELECT s AS id, least(s, min(d)) AS component FROM reach GROUP BY s),
+    sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+              FROM comp GROUP BY component)
+    SELECT v.id AS vec_id,
+           CAST(coalesce(sizes.n_members, 1) AS BIGINT) AS n_members
+    FROM v
+    LEFT JOIN comp ON comp.id = v.id
+    LEFT JOIN sizes ON sizes.component = comp.component
+    WHERE comp.id IS NULL OR comp.component = v.id
+    """,
+    tags=("vector", "dedup", "semantic", "extension"),
+)
+def semantic_grid_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COLLAPSE step of grid semantic dedup — the deduplicated corpus a
+    training run actually consumes: every valid vector survives unless it
+    sits in a tau-cluster with a smaller id (min-id keep policy, the same
+    deterministic rule as `exact_dedup`'s); each survivor carries the
+    member count it absorbed (1 = was never clustered). detect
+    (`semantic_grid_dedup`) and collapse share one pair plan; the collapse
+    adds an anti-join of the corpus against the clustered-id table — at
+    100 TB that table is dup-sized, not corpus-sized, so the anti-join
+    broadcasts in the common (low-dup-rate) case."""
+    from dampr_spark.functions.vector import valid_vector
+    from dampr_spark.operators import similarity
+    from dampr_spark.operators.graph import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings").filter(valid_vector("embedding"))
+    pairs = similarity.semantic_grid_pairs(
+        emb,
+        dims=_GRID_DIMS,
+        buckets=_GRID_BUCKETS,
+        tau=_GRID_TAU,
+        max_cell=_GRID_MAX_CELL,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b").localCheckpoint(
+        eager=True
+    )  # feeds sizes, reps, and the drop anti-join
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    reps = (
+        comp.filter(F.col("id") == F.col("component"))
+        .join(sizes, "component")
+        .select(F.col("id").alias("vec_id"), "n_members")
+    )
+    clustered = comp.select("id")
+    singles = (
+        emb.select("vec_id")
+        .join(clustered, emb.vec_id == clustered.id, "left_anti")
+        .select("vec_id", F.lit(1).cast("long").alias("n_members"))
+    )
+    return singles.unionByName(reps)

@@ -136,6 +136,7 @@ _HARDENED = [
     # recomputed on the surviving set identically
     "semantic_grid_blocking",
     "semantic_grid_dedup",
+    "semantic_grid_survivors",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",

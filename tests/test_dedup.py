@@ -1603,3 +1603,18 @@ def test_semantic_grid_hot_cell_cap(grid_planted):
         grid_planted, dims=4, buckets=4, tau=0.9, max_cell=2
     ).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(10, 11)}
+
+
+def test_semantic_grid_survivors_partition_the_corpus(spark, emb, sf_dir):
+    """Survivors + dropped members partition the valid corpus: every
+    cluster contributes exactly its min id, absorbed counts sum back to
+    the corpus size."""
+    from dampr_spark.plans import all_queries
+    from dampr_spark.functions.vector import valid_vector
+
+    total = emb.filter(valid_vector("embedding")).count()
+    rows = all_queries()["semantic_grid_survivors"].builder(spark, sf_dir).collect()
+    ids = [r.vec_id for r in rows]
+    assert len(ids) == len(set(ids))  # each survivor exactly once
+    assert sum(r.n_members for r in rows) == total  # absorbed counts cover all
+    assert all(r.n_members >= 1 for r in rows)
