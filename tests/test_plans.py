@@ -637,3 +637,26 @@ def test_winsorized_price_stats_means_ordered(spark):
     for r in all_queries()["winsorized_price_stats"].builder(spark, SF).collect():
         assert r.p05 <= r.winsorized_mean <= r.p95
         assert r.n > 0
+
+
+def test_semantic_grid_blocking_broadcast_fit_no_sortmerge(spark):
+    """The grid fit (1-row bounds frame) must BROADCAST onto the corpus —
+    cell assignment is a codegen pass, never a corpus co-shuffle; the only
+    hash exchange is the cell-keyed count."""
+    plan = plan_of(spark, "semantic_grid_blocking")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_grid_pairs_cell_keyed_no_cartesian(spark):
+    """The pair stage joins ONLY on the cell key (the in-cell self-join may
+    sort-merge or hash — both are the blocked, capped shape) with the
+    ok-cell filter broadcast; what must never appear is an unkeyed product
+    over the corpus."""
+    from dampr_spark.operators.similarity import semantic_grid_pairs
+    from dampr_spark.sources.readers import read_table
+
+    df = semantic_grid_pairs(read_table(spark, SF, "embeddings"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the ok-cell semi filter broadcasts
