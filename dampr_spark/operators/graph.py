@@ -4,10 +4,13 @@ The dedup pipeline's cluster step (``dedup.near_dup_clusters``) is a
 special case of connected components with a fixed round count tuned for
 near-clique LSH clusters. This module is the GENERAL primitive: min-label
 propagation run to FIXPOINT — each round every vertex takes the minimum of
-its own and its neighbors' labels, and the loop stops when a round changes
-nothing (converges after `graph diameter` rounds; the per-round "did
-anything change" check is one small aggregate — a bounded driver-side
-scalar, the same contract as the catalog's query-vector lookups).
+its own and its neighbors' labels AND pointer-jumps through the previous
+round's label of that choice (shortcutting), so label chains compress
+geometrically and a diameter-d component converges in O(log d) rounds,
+not d (measured 10 → 5 on the chain-heavy grid-dedup graph). The loop
+stops when a round changes nothing (the per-round "did anything change"
+check is one small aggregate — a bounded driver-side scalar, the same
+contract as the catalog's query-vector lookups).
 
 Everything is joins + groupBys: no driver-side union-find, no vertex set
 ever collected, per-round state is one (id, label) table checkpointed so

@@ -922,7 +922,7 @@ def semantic_grid_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semantic_grid_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end DETERMINISTIC semantic dedup (grid blocking -> exact
-    in-cell cosine >= {tau} -> connected components -> per-cluster min-id
+    in-cell cosine >= 0.30 -> connected components -> per-cluster min-id
     label and member count) — the SemDeDup pipeline shape with every stage
     oracle-replayable: grid cells instead of RNG-seeded k-means, exact
     cosine instead of approximate scores, and the iterative

@@ -487,11 +487,15 @@ def incremental_neardup_stream(
         # operator's total-size semantics as closely as an incremental
         # (no-retraction) operator can; see docstring for the exact
         # superset guarantee.
+        # countDistinct, not count: an at-least-once RETRY re-appends its
+        # signature rows, and raw row counts would inflate bucket sizes past
+        # the cap for buckets the batch operator keeps. Distinct ids are
+        # retry-invariant (same fix as the semantic sink's cell counts).
         hot = (
-            store.select("band", "band_hash")
-            .unionByName(new_bands.select("band", "band_hash"))
+            store.select("id", "band", "band_hash")
+            .unionByName(new_bands.select("id", "band", "band_hash"))
             .groupBy("band", "band_hash")
-            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .agg(F.countDistinct("id").alias("_bsz"))
             .filter(F.col("_bsz") > max_bucket)
             .select("band", "band_hash")
         )
@@ -571,10 +575,12 @@ def neardup_pairs_view(
     pairs = spark.read.parquet(out_dir).filter(
         F.col("band").isNotNull() & F.col("band_hash").isNotNull()
     )
+    # countDistinct for retry-invariance: see incremental_neardup_stream's
+    # hot check.
     hot = (
         spark.read.parquet(store_dir)
         .groupBy("band", "band_hash")
-        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .agg(F.countDistinct("id").alias("_bsz"))
         .filter(F.col("_bsz") > max_bucket)
         .select("band", "band_hash")
     )
@@ -1427,11 +1433,16 @@ def semantic_neardup_stream(
             store = spark.createDataFrame(
                 [], "id long, cell long, e array<double>"
             )
+        # countDistinct, not count: an at-least-once RETRY re-appends its
+        # (id, cell, e) rows to the store, and raw row counts would inflate
+        # the cell size past the cap for cells the batch operator keeps —
+        # breaking the view's exact batch equivalence. Distinct ids are
+        # retry-invariant.
         hot = (
-            store.select("cell")
-            .unionByName(new_cells.select("cell"))
+            store.select("id", "cell")
+            .unionByName(new_cells.select("id", "cell"))
             .groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("_csz"))
+            .agg(F.countDistinct("id").alias("_csz"))
             .filter(F.col("_csz") > max_cell)
             .select("cell")
         )
@@ -1499,10 +1510,13 @@ def semantic_pairs_view(
     ingested corpus (pinned by the equivalence test); scores need no
     re-verification because they are exact cosines already."""
     pairs = spark.read.parquet(out_dir).filter(F.col("cell").isNotNull())
+    # countDistinct for the same retry-invariance reason as the sink's
+    # in-handle hot check: re-appended rows must not push a cell the batch
+    # operator keeps over the cap.
     hot = (
         spark.read.parquet(store_dir)
         .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("_csz"))
+        .agg(F.countDistinct("id").alias("_csz"))
         .filter(F.col("_csz") > max_cell)
         .select("cell")
     )

@@ -561,6 +561,21 @@ def test_incremental_neardup_stream_cap_superset_of_batch(
         f"view!=batch: extra={view - batch_capped} missing={batch_capped - view}"
     )
 
+    # At-least-once retry simulation: duplicate every signature row in the
+    # store. Bucket sizes are countDistinct(id), so the view must not
+    # retract pairs from buckets the batch operator keeps.
+    spark.read.parquet(store).write.mode("append").parquet(store)
+    view2 = {
+        (r.id_a, r.id_b)
+        for r in streaming.neardup_pairs_view(
+            spark, out, store, max_bucket=cap
+        ).collect()
+    }
+    assert view2 == batch_capped, (
+        f"retry broke the cap: extra={view2 - batch_capped} "
+        f"missing={batch_capped - view2}"
+    )
+
 
 def test_incremental_novelty_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     """Replay the documents table in two doc_id-ORDERED micro-batches: the
@@ -1364,3 +1379,15 @@ def test_semantic_neardup_stream_cap_view_equals_batch(
         .collect()
     }
     assert view == capped, f"extra={view - capped} missing={capped - view}"
+
+    # At-least-once retry simulation: re-append the whole store (duplicate
+    # every (id, cell, e) row). Cell sizes must stay retry-invariant
+    # (countDistinct) so the view still equals the batch capped set — raw
+    # row counts would push kept cells over the cap and retract their pairs.
+    spark.read.parquet(store).write.mode("append").parquet(store)
+    view2 = {
+        (r.id_a, r.id_b)
+        for r in streaming.semantic_pairs_view(spark, out, store, max_cell=cap)
+        .collect()
+    }
+    assert view2 == capped, f"retry broke the cap: extra={view2 - capped} missing={capped - view2}"
