@@ -907,3 +907,120 @@ def semantic_grid_pairs(
         .select("id_a", "id_b", F.round(cosine("ea", "eb"), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= tau)
     )
+
+
+def semantic_grid_probe_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int = 4,
+    buckets: int = 6,
+    tau: float = 0.30,
+    max_cell: int = 64,
+    bounds: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """Neighbor-probing grid pairs — :func:`semantic_grid_pairs` with the
+    boundary blindness removed: each point also probes the 3^dims - 1
+    adjacent cells, so EVERY pair within per-dim bucket distance <= 1 (in
+    the projected dims, both cells under the cap) is guaranteed a
+    candidate — same-cell blocking misses a near-identical pair that
+    straddles a cell wall BY CONSTRUCTION; this variant cannot. Exact
+    guarantee, still fully deterministic and oracle-replayable.
+
+    The price is candidate fan-out: up to 3^dims probe cells per point
+    (ids only — vectors are NOT replicated; the A side explodes to
+    (id, probe_cell) scalars and fetches its vector back by one id-keyed
+    join after the cell match). Tune ``buckets`` up to compensate: at
+    dims=4 each +2 buckets/dim cuts the covered volume ~(b/(b+2))^4. The
+    pair is emitted exactly once (the probe offset from a's cell to b's
+    cell is unique, and only the a < b orientation explodes), so no
+    distinct pass is needed.
+
+    Plan shape for 100 TB: the probe explode is 3^dims scalar rows per
+    point; both joins are equi-keyed (probe_cell, then id) — no band
+    join, no cartesian. The oracle evaluates the SAME pair set through a
+    per-dim |d_a - d_b| <= 1 band join: two different strategies, one
+    answer, which is the verification point.
+    """
+    from itertools import product
+
+    from dampr_spark.functions.vector import dot, l2_norm
+
+    # Per-VECTOR norms are computed once here and materialized — the pair
+    # stage then pays one dot-product fold per candidate instead of three
+    # (dot + both norms), which is 3x less interpreted higher-order-lambda
+    # work on the hot path. Bit-identical scores: sqrt per vector and the
+    # same left-to-right dot, exactly what cosine() would evaluate.
+    # The repartition spreads the single-partition small-corpus scan BEFORE
+    # the 3^dims probe explode and the per-vector norm fold run (a one-file
+    # corpus otherwise serializes both onto one core — the
+    # dedup._ensure_parallelism lesson); at real scale the scan already
+    # carries many partitions and this is shuffle-noise on scalar rows.
+    weights = [buckets ** (dims - i) for i in range(1, dims + 1)]
+    cells = (
+        grid_cells(df, vec_col, id_col, dims, buckets, bounds)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .withColumn("nrm", l2_norm("e"))
+        # materialized per-dim digits: the 3^dims probe expressions below
+        # each reference every digit — as plain columns the expression tree
+        # stays 3^dims * dims COLUMN refs instead of div/mod subtrees
+        # (planning cost, measured)
+        .withColumns(
+            {
+                f"_d{i}": ((F.col("cell") - F.col("cell") % w) / w % buckets).cast(
+                    "long"
+                )
+                for i, w in enumerate(weights, start=1)
+            }
+        )
+        .localCheckpoint(eager=True)
+    )
+    ok = (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_cell)
+        .select("cell")
+    )
+    okc = cells.join(F.broadcast(ok), "cell").localCheckpoint(eager=True)
+
+    digits = [F.col(f"_d{i}") for i in range(1, dims + 1)]
+    probe_targets = []
+    for offs in product((-1, 0, 1), repeat=dims):
+        delta = sum(o * w for o, w in zip(offs, weights))
+        cond = F.lit(True)
+        for d, o in zip(digits, offs):
+            cond = cond & (d + o >= 0) & (d + o <= buckets - 1)
+        probe_targets.append(F.when(cond, F.col("cell") + F.lit(delta)))
+    a = okc.select(
+        F.col("id").alias("id_a"),
+        F.explode(F.array_compact(F.array(*probe_targets))).alias("pcell"),
+    )
+    b = okc.select(F.col("cell").alias("pcell"), F.col("id").alias("id_b"))
+    # The pcell join carries IDS ONLY (the candidate frame is ~16 bytes a
+    # row); vectors join in afterwards. The explicit repartition matters:
+    # AQE coalesces these few-MB shuffles to one or two partitions — bytes
+    # are what it optimizes — and then the 64-element interpreted cosine
+    # fold (the actual cost, CPU not bytes) runs single-task (measured
+    # 17 s warm at sf0.1; 2.4 s with the spread). Same lesson as
+    # dedup._ensure_parallelism: parallelize BEFORE the expensive pass.
+    cand = (
+        a.join(b, "pcell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+    av = okc.select(
+        F.col("id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    bv = okc.select(
+        F.col("id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    return (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= tau)
+    )

@@ -1014,3 +1014,71 @@ def semantic_grid_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.lit(1).cast("long").alias("n_members"))
     )
     return singles.unionByName(reps)
+
+
+_PROBE_BUCKETS = 6
+
+
+def _probe_cells_sql() -> str:
+    """Grid digits at _PROBE_BUCKETS buckets/dim for the band-join oracle
+    of the neighbor-probing pairs (same fit/clamp discipline as
+    _grid_cells_sql, digits kept separate instead of Horner-combined)."""
+    b = float(_PROBE_BUCKETS)
+    digs = ", ".join(
+        f"CAST(CASE WHEN his[{i}] > los[{i}] THEN "
+        f"least({b - 1.0}, greatest(0.0, "
+        f"floor((e[{i}] - los[{i}]) / (his[{i}] - los[{i}]) * {b})))"
+        f" ELSE 0.0 END AS BIGINT) AS d{i}"
+        for i in range(1, _GRID_DIMS + 1)
+    )
+    w = [(_PROBE_BUCKETS ** (_GRID_DIMS - i)) for i in range(1, _GRID_DIMS + 1)]
+    cell = " + ".join(f"d{i} * {w[i - 1]}" for i in range(1, _GRID_DIMS + 1))
+    return f"""
+      v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE {V.valid_vector_sql('embedding')}),
+      mm AS (SELECT i, min(e[i]) AS lo, max(e[i]) AS hi
+             FROM v, range(1, {_GRID_DIMS + 1}) t(i) GROUP BY i),
+      mml AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
+              FROM mm),
+      dcells AS (SELECT id, e, {digs} FROM v, mml),
+      wc AS (SELECT {cell} AS cell, count(*) AS n FROM dcells
+             GROUP BY 1 HAVING count(*) <= {_GRID_MAX_CELL}),
+      okc AS (SELECT * FROM dcells WHERE ({cell}) IN (SELECT cell FROM wc))
+    """
+
+
+@register(
+    "semantic_grid_probe_pairs",
+    oracle=f"""
+    WITH {_probe_cells_sql()}
+    SELECT a.id AS id_a, b.id AS id_b,
+           round({V.cosine_sql('a.e', 'b.e')}, 6) AS cos_sim
+    FROM okc a JOIN okc b
+      ON a.id < b.id
+     AND abs(a.d1 - b.d1) <= 1 AND abs(a.d2 - b.d2) <= 1
+     AND abs(a.d3 - b.d3) <= 1 AND abs(a.d4 - b.d4) <= 1
+    WHERE round({V.cosine_sql('a.e', 'b.e')}, 6) >= {_GRID_TAU}
+    """,
+    tags=("vector", "dedup", "semantic", "blocking", "extension"),
+)
+def semantic_grid_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-probing grid pairs — the boundary-blindness fix for
+    same-cell blocking, with an exact guarantee: every cosine >= 0.30 pair
+    within per-dim bucket distance <= 1 (both cells under the cap) IS a
+    candidate; a near-identical pair straddling a cell wall cannot be
+    missed. The Spark plan probes the <= 3^dims adjacent cells via an
+    id-only explode + two equi-joins (vectors are never replicated); the
+    oracle evaluates the SAME set through a per-dim |d_a - d_b| <= 1 band
+    join — two different join strategies must produce identical pairs AND
+    scores. See operators/similarity.semantic_grid_probe_pairs for the
+    100 TB shape; resolution (buckets=6 here vs 4 for the same-cell
+    anchor) tunes the fan-out/recall trade."""
+    from dampr_spark.operators import similarity
+
+    return similarity.semantic_grid_probe_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        dims=_GRID_DIMS,
+        buckets=_PROBE_BUCKETS,
+        tau=_GRID_TAU,
+        max_cell=_GRID_MAX_CELL,
+    )

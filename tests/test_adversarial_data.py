@@ -137,6 +137,7 @@ _HARDENED = [
     "semantic_grid_blocking",
     "semantic_grid_dedup",
     "semantic_grid_survivors",
+    "semantic_grid_probe_pairs",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",

@@ -1618,3 +1618,91 @@ def test_semantic_grid_survivors_partition_the_corpus(spark, emb, sf_dir):
     assert len(ids) == len(set(ids))  # each survivor exactly once
     assert sum(r.n_members for r in rows) == total  # absorbed counts cover all
     assert all(r.n_members >= 1 for r in rows)
+
+
+def test_probe_pairs_superset_of_plain_and_subset_of_brute(emb):
+    plain = {
+        (r.id_a, r.id_b)
+        for r in similarity.semantic_grid_pairs(emb, buckets=6, tau=0.30).collect()
+    }
+    probe = {
+        (r.id_a, r.id_b)
+        for r in similarity.semantic_grid_probe_pairs(
+            emb, buckets=6, tau=0.30
+        ).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_dups(emb, threshold=0.30).collect()
+    }
+    assert plain <= probe, f"probe lost same-cell pairs: {plain - probe}"
+    assert probe <= brute, f"probe invented pairs: {probe - brute}"
+    assert len(probe) > len(plain), "probing must add boundary pairs here"
+
+
+def test_probe_pairs_guarantee_exact(emb, spark):
+    """The guarantee, asserted as EQUALITY: the probe set is exactly the
+    brute-force tau-pairs whose per-dim bucket distance <= 1 (cap lifted
+    so participation cannot differ) — not just a superset."""
+    from dampr_spark.functions.vector import valid_vector
+
+    buckets, tau = 6, 0.30
+    probe = {
+        (r.id_a, r.id_b)
+        for r in similarity.semantic_grid_probe_pairs(
+            emb, buckets=buckets, tau=tau, max_cell=10**9
+        ).collect()
+    }
+    cells = {
+        r.id: r.cell
+        for r in similarity.grid_cells(emb, buckets=buckets).collect()
+    }
+
+    def digits(c):
+        return [(c // buckets ** (3 - i)) % buckets for i in range(4)]
+
+    want = set()
+    for r in dedup.embedding_cosine_dups(
+        emb.filter(valid_vector("embedding")), threshold=tau
+    ).collect():
+        da, db = digits(cells[r.id_a]), digits(cells[r.id_b])
+        if all(abs(x - y) <= 1 for x, y in zip(da, db)):
+            want.add((r.id_a, r.id_b))
+    assert probe == want, f"missing={want - probe} extra={probe - want}"
+
+
+def test_probe_pairs_planted_boundary_pair(spark):
+    """Two near-identical vectors placed to straddle a cell wall: plain
+    same-cell blocking misses them, probing finds them."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=64)
+    rows = []
+    # spread fillers to pin the per-dim grid bounds around [-3, 3]
+    for i in range(20):
+        v = rng.normal(size=64)
+        v[0] = -3.0 + 6.0 * (i / 19.0)
+        rows.append((100 + i, v.tolist()))
+    # boundary straddlers: identical except a hair's width across a wall
+    # in dim 1 (cells differ there, adjacent), cosine ~ 1.0
+    a = base.copy(); a[0] = -0.01
+    b = base.copy(); b[0] = +0.01
+    rows += [(1, a.tolist()), (2, b.tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plain = {
+        (r.id_a, r.id_b)
+        for r in similarity.semantic_grid_pairs(df, buckets=6, tau=0.9).collect()
+    }
+    probe = {
+        (r.id_a, r.id_b)
+        for r in similarity.semantic_grid_probe_pairs(
+            df, buckets=6, tau=0.9
+        ).collect()
+    }
+    cells = {r.id: r.cell for r in similarity.grid_cells(df, buckets=6).collect()}
+    if cells[1] == cells[2]:  # bounds landed the wall elsewhere: still found
+        assert (1, 2) in plain and (1, 2) in probe
+    else:
+        assert (1, 2) not in plain  # the boundary blindness, demonstrated
+        assert (1, 2) in probe  # and its fix
