@@ -282,6 +282,75 @@ def label_propagation(
     return labels
 
 
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 100,
+) -> DataFrame:
+    """(id, core_degree) — the vertices of the k-core of the undirected
+    simple graph induced by ``edges`` (the maximal subgraph in which every
+    vertex has degree ≥ ``k``), each with its degree WITHIN the core.
+
+    The classic iterative peel run to FIXPOINT (Matula–Beck): every round
+    drops the vertices whose degree among still-live vertices is < k; the
+    core is what survives. Peeling is confluent — the drop order cannot
+    change the result — so the synchronous all-at-once round used here is
+    exact, fully deterministic, and a SQL oracle replays it with a
+    recursive CTE accumulating the removed set (two different evaluation
+    strategies, one answer — the connected_components verification
+    pattern).
+
+    On a near-duplicate pair graph this is the TEMPLATE-FAMILY separator:
+    clique-ish clusters (every member pairwise-similar — boilerplate
+    stamped from one template) survive the 2-core, while chain-like
+    incidental matches (A~B~C with A and C unrelated) peel away —
+    information connected components cannot give, since a chain and a
+    clique are one component either way.
+
+    Scale envelope: per round one degree aggregate + two anti-joins over
+    the live edge list — O(rounds × |E|) shuffle traffic, rounds bounded
+    by the graph's degeneracy ordering depth (≤ |V|, in practice tiny);
+    per-round state is the live edge list, checkpointed so round N never
+    replays rounds 1..N-1. Self-loops and duplicate/bidirectional edges
+    are collapsed first (the triangle_counts discipline); NULL endpoints
+    identify nothing and are dropped."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+        )
+        .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+        .distinct()
+    )
+    sym = e.union(
+        e.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        deg = sym.groupBy(F.col("lo").alias("id")).agg(
+            F.count(F.lit(1)).alias("core_degree")
+        )
+        drop = deg.filter(F.col("core_degree") < k).select("id")
+        # Bounded driver-side scalar per round — the CC convergence-counter
+        # contract. A vertex whose neighbors were ALL dropped loses every
+        # edge row and needs no explicit drop: it simply has no degree row.
+        if drop.count() == 0:
+            return deg
+        sym = (
+            sym.join(drop.withColumnRenamed("id", "lo"), "lo", "left_anti")
+            .join(drop.withColumnRenamed("id", "hi"), "hi", "left_anti")
+            .select("lo", "hi")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"kcore did not converge in {max_iters} rounds "
+        "(peel depth exceeds max_iters); raise max_iters"
+    )
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: DataFrame,

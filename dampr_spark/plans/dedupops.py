@@ -1541,6 +1541,77 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs, src="id_a", dst="id_b")
 
 
+@register(
+    "dup_graph_kcore",
+    oracle="""
+    WITH RECURSIVE p AS (
+        WITH d AS (
+            SELECT doc_id AS id,
+                   array_to_string(string_split(text, ' ')[1:2], ' ') AS blk,
+                   left(text, 80) AS pre
+            FROM documents WHERE text IS NOT NULL),
+        ok AS (SELECT blk FROM d GROUP BY blk HAVING count(*) BETWEEN 2 AND 64)
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM d a JOIN ok USING (blk) JOIN d b USING (blk)
+        WHERE a.id < b.id AND levenshtein(a.pre, b.pre) <= 25),
+    sym AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+    removed(id) AS (
+        SELECT s FROM sym GROUP BY s HAVING count(*) < 2
+        UNION
+        SELECT v.id FROM (
+            SELECT e.s AS id,
+                   count(CASE WHEN e.d NOT IN (SELECT id FROM removed)
+                         THEN 1 END) AS deg
+            FROM sym e
+            WHERE e.s NOT IN (SELECT id FROM removed)
+            GROUP BY e.s
+        ) v WHERE v.deg < 2
+    )
+    SELECT e.s AS doc_id,
+           CAST(count(CASE WHEN e.d NOT IN (SELECT id FROM removed)
+                      THEN 1 END) AS BIGINT) AS core_degree
+    FROM sym e
+    WHERE e.s NOT IN (SELECT id FROM removed)
+    GROUP BY e.s
+    """,
+    tags=("dedup", "graph", "kcore", "extension"),
+)
+def dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-CORE of the fuzzy-duplicate pair graph — documents whose
+    duplicate neighborhood is cyclically redundant (each with its degree
+    within the core). This is the template-family separator that
+    components and triangles both miss half of: a chain A~B~C and a
+    triangle are one component either way, and a vertex can triangulate
+    zero times yet still sit in a dense 2-core cycle; the k-core peel
+    (operators/graph.kcore — synchronous Matula–Beck peel to fixpoint,
+    confluent so drop order is irrelevant) keeps exactly the subgraph
+    where every member has ≥ k surviving duplicate partners. A curator
+    reads the 2-core as "safe to transitively collapse"; peeled chain
+    links are the borderline matches worth human review.
+
+    Externally verifies the ITERATIVE peel against a DuckDB recursive CTE
+    that accumulates the removed set — two different fixpoint evaluation
+    strategies, one answer (the connected_components verification
+    pattern). Exact integer degrees, no tolerance.
+
+    Plan shape for 100 TB: per peel round one degree aggregate + two
+    anti-joins over the live edge list, state checkpointed per round —
+    O(rounds × |E|) traffic with rounds bounded by the graph's degeneracy
+    depth (tiny on capped dup graphs)."""
+    from dampr_spark.operators.graph import kcore
+
+    pairs = dedup.fuzzy_prefix_pairs(
+        _t(spark, sf_dir, "documents"),
+        block_tokens=2,
+        prefix_chars=80,
+        max_distance=25,
+        max_block=64,
+    )
+    return kcore(pairs, k=2, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "core_degree"
+    )
+
+
 _LPA_ITERS = 3
 
 

@@ -217,3 +217,81 @@ def test_bfs_distances_non_convergence_raises(spark):
     src_df = spark.createDataFrame([(0,)], "id long")
     with pytest.raises(RuntimeError, match="did not converge"):
         bfs_distances(df, src_df, max_iters=2)
+
+
+def _py_kcore(edges, k):
+    """Reference peel: iteratively remove vertices with live degree < k;
+    return {id: degree within the core}."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a is None or b is None or a == b:
+            continue
+        adj[a].add(b)
+        adj[b].add(a)
+    live = set(adj)
+    while True:
+        drop = {v for v in live if len(adj[v] & live) < k}
+        if not drop:
+            break
+        live -= drop
+    return {v: len(adj[v] & live) for v in live}
+
+
+def test_kcore_chain_peels_clique_survives(spark):
+    """Chain 0..5 bridged to a 4-clique: the chain needs MULTIPLE peel
+    rounds (each round only exposes the next endpoint), the clique
+    survives with in-core degree 3 — and the bridge edge into the clique
+    must not count toward core degrees."""
+    from dampr_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    edges = [(i, i + 1) for i in range(5)] + [(5, 10)] + clique
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.core_degree for r in kcore(df, k=2).collect()}
+    assert got == {10: 3, 11: 3, 12: 3, 13: 3}
+    got3 = {r.id: r.core_degree for r in kcore(df, k=3).collect()}
+    assert got3 == {10: 3, 11: 3, 12: 3, 13: 3}
+    assert kcore(df, k=4).count() == 0  # a 4-clique has no 4-core
+
+
+def test_kcore_matches_python_peel_on_random_graph(spark):
+    import random
+
+    from dampr_spark.operators.graph import kcore
+
+    rng = random.Random(17)
+    nodes = list(range(40))
+    edges = list(
+        {(min(a, b), max(a, b)) for a, b in
+         ((rng.choice(nodes), rng.choice(nodes)) for _ in range(120)) if a != b}
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 3, 4):
+        got = {r.id: r.core_degree for r in kcore(df, k=k).collect()}
+        assert got == _py_kcore(edges, k), f"k={k}"
+
+
+def test_kcore_collapses_dup_reversed_and_self_edges(spark):
+    """A triangle listed with duplicates, reversals, and a self-loop is
+    still just a triangle: 2-core degrees are all 2, not inflated."""
+    from dampr_spark.operators.graph import kcore
+
+    edges = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (1, 1), (None, 2), (3, None)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.core_degree for r in kcore(df, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_validates_k_and_raises_past_max_iters(spark):
+    import pytest
+
+    from dampr_spark.operators.graph import kcore
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(6)], "src long, dst long")
+    with pytest.raises(ValueError, match="k must be positive"):
+        kcore(df, k=0)
+    # A 7-node path needs 3 synchronous peel rounds for k=2.
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(df, k=2, max_iters=1)
