@@ -297,10 +297,16 @@ def kcore(
     drops the vertices whose degree among still-live vertices is < k; the
     core is what survives. Peeling is confluent — the drop order cannot
     change the result — so the synchronous all-at-once round used here is
-    exact, fully deterministic, and a SQL oracle replays it with a
-    recursive CTE accumulating the removed set (two different evaluation
-    strategies, one answer — the connected_components verification
-    pattern).
+    exact, fully deterministic, and a SQL oracle replays it with UNROLLED
+    chained CTEs each carrying the full live vertex set (two different
+    evaluation strategies, one answer — the label-propagation oracle's
+    unrolling pattern; a recursive CTE cannot carry the accumulated
+    removed set across non-consecutive rounds).
+
+    Convergence needs one extra quiet round: a peel that takes N dropping
+    rounds requires ``max_iters >= N + 1``, because the final iteration
+    re-derives degrees and confirms nothing more drops before returning.
+    Size ``max_iters`` as peel depth + 1 at minimum.
 
     On a near-duplicate pair graph this is the TEMPLATE-FAMILY separator:
     clique-ish clusters (every member pairwise-similar — boilerplate
@@ -346,8 +352,9 @@ def kcore(
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(
-        f"kcore did not converge in {max_iters} rounds "
-        "(peel depth exceeds max_iters); raise max_iters"
+        f"kcore did not converge in {max_iters} rounds — max_iters must "
+        "exceed the peel depth by one (N dropping rounds need N+1 "
+        "iterations, the last confirming the fixpoint); raise max_iters"
     )
 
 

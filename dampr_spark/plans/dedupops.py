@@ -1541,39 +1541,63 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs, src="id_a", dst="id_b")
 
 
+_KCORE_ROUNDS = 8
+
+
+_KCORE_PAIRS_SQL = """
+    WITH d AS (
+        SELECT doc_id AS id,
+               array_to_string(string_split(text, ' ')[1:2], ' ') AS blk,
+               left(text, 80) AS pre
+        FROM documents WHERE text IS NOT NULL),
+    ok AS (SELECT blk FROM d GROUP BY blk HAVING count(*) BETWEEN 2 AND 64)
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM d a JOIN ok USING (blk) JOIN d b USING (blk)
+    WHERE a.id < b.id AND levenshtein(a.pre, b.pre) <= 25"""
+
+
+def _kcore_oracle_sql(k: int, rounds: int, pairs_sql: str = _KCORE_PAIRS_SQL) -> str:
+    """Unroll the synchronous Matula–Beck peel as chained CTEs — the
+    `_lpa_oracle_sql` pattern. Each live{t} holds the FULL live vertex set
+    after round t: the vertices whose degree among live{t-1} is ≥ k. This
+    carries complete state across rounds (a recursive-CTE `NOT IN removed`
+    formulation cannot: the recursive term only sees the previous
+    iteration's rows, so removals from non-consecutive rounds leak back
+    into degree counts). At fixpoint live{t} = live{t-1}, so every extra
+    unrolled round is idempotent — `rounds` only needs to EXCEED the
+    graph's peel depth (measured: 1 shrinking round at sf0.01 and sf0.1;
+    8 gives 7 rounds of margin at negligible DuckDB cost).
+
+    ``pairs_sql`` must yield (id_a, id_b) undirected pair rows; the
+    default is the fuzzy-prefix dup-pair generation over `documents`.
+    Tests swap in an adversarial in-memory graph to pin this exact
+    generated SQL against the Spark peel."""
+    parts = [
+        f"""
+    WITH p AS ({pairs_sql}),
+    sym AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+    live0 AS (SELECT DISTINCT s AS id FROM sym)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+    live{t} AS (
+        SELECT e.s AS id FROM sym e
+        JOIN live{t - 1} a ON a.id = e.s
+        JOIN live{t - 1} b ON b.id = e.d
+        GROUP BY e.s HAVING count(*) >= {k})""")
+    parts.append(f"""
+    SELECT e.s AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM sym e
+    JOIN live{rounds} a ON a.id = e.s
+    JOIN live{rounds} b ON b.id = e.d
+    GROUP BY e.s
+    """)
+    return "".join(parts)
+
+
 @register(
     "dup_graph_kcore",
-    oracle="""
-    WITH RECURSIVE p AS (
-        WITH d AS (
-            SELECT doc_id AS id,
-                   array_to_string(string_split(text, ' ')[1:2], ' ') AS blk,
-                   left(text, 80) AS pre
-            FROM documents WHERE text IS NOT NULL),
-        ok AS (SELECT blk FROM d GROUP BY blk HAVING count(*) BETWEEN 2 AND 64)
-        SELECT a.id AS id_a, b.id AS id_b
-        FROM d a JOIN ok USING (blk) JOIN d b USING (blk)
-        WHERE a.id < b.id AND levenshtein(a.pre, b.pre) <= 25),
-    sym AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
-    removed(id) AS (
-        SELECT s FROM sym GROUP BY s HAVING count(*) < 2
-        UNION
-        SELECT v.id FROM (
-            SELECT e.s AS id,
-                   count(CASE WHEN e.d NOT IN (SELECT id FROM removed)
-                         THEN 1 END) AS deg
-            FROM sym e
-            WHERE e.s NOT IN (SELECT id FROM removed)
-            GROUP BY e.s
-        ) v WHERE v.deg < 2
-    )
-    SELECT e.s AS doc_id,
-           CAST(count(CASE WHEN e.d NOT IN (SELECT id FROM removed)
-                      THEN 1 END) AS BIGINT) AS core_degree
-    FROM sym e
-    WHERE e.s NOT IN (SELECT id FROM removed)
-    GROUP BY e.s
-    """,
+    oracle=_kcore_oracle_sql(2, _KCORE_ROUNDS),
     tags=("dedup", "graph", "kcore", "extension"),
 )
 def dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1589,10 +1613,16 @@ def dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads the 2-core as "safe to transitively collapse"; peeled chain
     links are the borderline matches worth human review.
 
-    Externally verifies the ITERATIVE peel against a DuckDB recursive CTE
-    that accumulates the removed set — two different fixpoint evaluation
-    strategies, one answer (the connected_components verification
-    pattern). Exact integer degrees, no tolerance.
+    Externally verifies the ITERATIVE peel against a DuckDB oracle that
+    UNROLLS the synchronous peel as chained CTEs, each carrying the full
+    live vertex set (the `_lpa_oracle_sql` pattern) — two different
+    fixpoint evaluation strategies, one answer. Unrolled rather than a
+    recursive CTE because standard recursive-CTE semantics give the
+    recursive term only the PREVIOUS iteration's rows, so a `NOT IN
+    removed` formulation silently forgets removals from non-consecutive
+    rounds; extra unrolled rounds past fixpoint are idempotent, so the
+    depth only needs to exceed the peel depth. Exact integer degrees, no
+    tolerance.
 
     Plan shape for 100 TB: per peel round one degree aggregate + two
     anti-joins over the live edge list, state checkpointed per round —

@@ -295,3 +295,36 @@ def test_kcore_validates_k_and_raises_past_max_iters(spark):
     # A 7-node path needs 3 synchronous peel rounds for k=2.
     with pytest.raises(RuntimeError, match="did not converge"):
         kcore(df, k=2, max_iters=1)
+
+
+def test_kcore_oracle_sql_faithful_on_cross_round_peel(spark):
+    """Regression for the round-7 advisory: the old recursive-CTE oracle
+    lost removals from non-consecutive peel rounds, so a hub whose
+    neighbors die in rounds 0 AND 3 wrongly survived with core_degree 1.
+    The unrolled-CTE oracle must agree with the Spark peel (and the
+    Python reference) on exactly that adversarial shape: hub H -> leaf L
+    (dies round 0) and H -> chain end C3 (dies round 3), plus a triangle
+    that must survive."""
+    import duckdb
+
+    from dampr_spark.operators.graph import kcore
+    from dampr_spark.plans.dedupops import _kcore_oracle_sql
+
+    edges = [
+        ("H", "L"), ("H", "C3"),
+        ("C0", "C1"), ("C1", "C2"), ("C2", "C3"),
+        ("T1", "T2"), ("T2", "T3"), ("T1", "T3"),
+    ]
+    expected = _py_kcore(edges, 2)
+    assert expected == {"T1": 2, "T2": 2, "T3": 2}  # hub must peel
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got_spark = {r.id: r.core_degree for r in kcore(df, k=2).collect()}
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE adv(id_a VARCHAR, id_b VARCHAR)")
+    con.executemany("INSERT INTO adv VALUES (?, ?)", edges)
+    sql = _kcore_oracle_sql(2, 8, pairs_sql="SELECT id_a, id_b FROM adv")
+    got_oracle = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert got_oracle == expected
