@@ -1,0 +1,125 @@
+"""Synthesize a 10x ("sf1.0") copy of /root/testdata/sf0.1 for the
+full-catalog scale sweep (benchmarks/scale_sweep.py).
+
+The driver only ships sf{0.001,0.01,0.1}; every scale claim beyond that
+rested on targeted 10x spot-proofs. This generator builds a
+structure-preserving 10x replication so the WHOLE catalog can be timed at
+10x and super-linear stragglers surface:
+
+- region/nation: fixed (TPC-H dimension tables don't grow with SF).
+- customer/supplier/part/orders/lineitem/events: 10 copies with per-copy
+  key offsets applied consistently to every PK and FK, so join
+  cardinalities and per-key fan-outs are EXACTLY preserved within each
+  copy and never collide across copies (orders.o_custkey moves with
+  customer.c_custkey, lineitem moves with orders/part/supplier,
+  events.user_id moves with event_id).
+- documents: doc_id offset; the copy salt is glued onto the FIRST token
+  ('c{i}_' || text) so the (token1, token2) blocking keys used by the
+  fuzzy-dup family map 1:1 per copy — block-size distribution is
+  preserved and no artificial cross-copy duplicate clusters appear
+  (a plain replication would hand every doc 9 exact twins and turn the
+  dup graph 10x denser than a real sf1.0 corpus would be).
+- embeddings: vec_id offset; each vector gets a small deterministic
+  value+id-dependent jitter (~1% of typical coordinate scale) so the
+  embedding space densifies 10x — which IS what a larger corpus looks
+  like — without exact-duplicate vectors across copies.
+
+Output is parquet under .scale/sf1.0 (gitignored; ~170 MB). Pure DuckDB,
+runs in seconds. Usage: python benchmarks/gen_scale_data.py [n_copies]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".scale", "sf1.0")
+
+# One offset unit per table, far above any real key at sf0.1.
+KOFF = 100_000_000
+
+
+def main(n_copies: int = 10) -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE copies AS SELECT range AS i FROM range({n_copies})")
+
+    def src(t: str) -> str:
+        return f"read_parquet('{SRC}/{t}.parquet')"
+
+    def write(t: str, sql: str) -> None:
+        con.execute(
+            f"COPY ({sql}) TO '{DST}/{t}.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)"
+        )
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+    # Dimensions: fixed across SF.
+    for t in ("region", "nation"):
+        write(t, f"SELECT * FROM {src(t)}")
+
+    write("customer", f"""
+        SELECT c_custkey + i * {KOFF} AS c_custkey,
+               c_name || ' #' || i AS c_name,
+               c_nationkey, c_acctbal, c_mktsegment
+        FROM {src('customer')}, copies""")
+
+    write("supplier", f"""
+        SELECT s_suppkey + i * {KOFF} AS s_suppkey,
+               s_name || ' #' || i AS s_name,
+               s_nationkey, s_acctbal
+        FROM {src('supplier')}, copies""")
+
+    write("part", f"""
+        SELECT p_partkey + i * {KOFF} AS p_partkey,
+               p_name || ' #' || i AS p_name,
+               p_brand, p_type, p_size, p_retailprice
+        FROM {src('part')}, copies""")
+
+    write("orders", f"""
+        SELECT o_orderkey + i * {KOFF} AS o_orderkey,
+               o_custkey + i * {KOFF} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM {src('orders')}, copies""")
+
+    write("lineitem", f"""
+        SELECT l_orderkey + i * {KOFF} AS l_orderkey,
+               l_partkey + i * {KOFF} AS l_partkey,
+               l_suppkey + i * {KOFF} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM {src('lineitem')}, copies""")
+
+    write("events", f"""
+        SELECT event_id + i * {KOFF} AS event_id,
+               ts,
+               user_id + i * {KOFF} AS user_id,
+               event_type, value, props
+        FROM {src('events')}, copies""")
+
+    write("documents", f"""
+        SELECT doc_id + i * {KOFF} AS doc_id,
+               'c' || i || '_' || text AS text,
+               lang, source,
+               length('c' || i || '_' || text) AS n_chars
+        FROM {src('documents')}, copies""")
+
+    # Jitter: deterministic in (vec_id, coordinate value); amplitude 0.01.
+    write("embeddings", f"""
+        SELECT vec_id + i * {KOFF} AS vec_id,
+               CAST(list_transform(embedding, x -> CAST(x + 0.01 * (
+                   (CAST(hash(vec_id + i * {KOFF}, floor(x * 1e6)) % 2001 AS DOUBLE)
+                    - 1000.0) / 1000.0
+               ) AS FLOAT)) AS FLOAT[]) AS embedding,
+               label
+        FROM {src('embeddings')}, copies""")
+
+    print(f"done -> {DST}")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)

@@ -196,11 +196,18 @@ class PBase:
     once, memoized — the first time a downstream op or action touches
     ``._rdd``."""
 
+    # Byte-range split metadata, set only by Dampr.text(chunk_size=...):
+    # lets len() count newlines in binary blocks instead of re-decoding the
+    # corpus line by line (a second full decode pass measured as the single
+    # biggest cost of the reference-style TF-IDF fluent pipeline).
+    _text_splits: list | None = None
+
     def __init__(
         self,
         rdd: RDD | Callable[[], RDD],
         spark: SparkSession,
         parents: tuple = (),
+        vop: tuple | None = None,
     ):
         self._rdd_or_thunk = rdd
         self._spark = spark
@@ -209,6 +216,14 @@ class PBase:
         # runner can find parents shared by two pipelines and persist them
         # BEFORE any child thunk builds its (otherwise fused) PythonRDD.
         self._parents = tuple(parents)
+        # Value-level op descriptor ("map"|"filter"|"flat_map", f) when this
+        # node is a PURE value transform of its single parent — the hook
+        # a_group_by uses to fuse whole map chains into one mapPartitions
+        # pass with a local combine (per-token tuple allocation and
+        # generator-frame overhead measured ~2x on token-grained fluent
+        # aggregations). None = fusion barrier (sources, shuffles, caches,
+        # side-effectful ops).
+        self._vop = vop
 
     @property
     def _rdd(self) -> RDD:
@@ -252,6 +267,52 @@ class PBase:
         return PMap(self._rdd.persist(StorageLevel.MEMORY_ONLY), self._spark, parents=(self,))
 
 
+def _count_lines_in_split(split: tuple) -> int:
+    """Lines OWNED by one byte-range text split — Hadoop LineRecordReader
+    ownership (a split owns lines STARTING within [start, end)) — counted by
+    scanning raw bytes for b'\\n' in 1 MiB blocks: no utf-8 decode, no
+    per-line objects.
+
+    A line starts at position q iff q == 0 or byte[q-1] == '\\n' (and
+    q < size); so the split's count is the newlines at positions
+    [max(start-1, 0), min(end-1, size-1)) plus 1 for the file head if this
+    split starts at 0 of a non-empty file. A trailing newline at size-1
+    starts no line and is excluded by the upper bound. Gzip whole-file
+    splits (end == -1) stream-decompress and count, tracking the last byte
+    for the no-trailing-newline case."""
+    import os as _os
+
+    path, start, end = split
+    if end == -1:  # whole-file gzip split
+        import gzip as _gzip
+
+        n = 0
+        last = b"\n"
+        with _gzip.open(path, "rb") as f:
+            while True:
+                block = f.read(1 << 20)
+                if not block:
+                    break
+                n += block.count(b"\n")
+                last = block[-1:]
+        return n + (0 if last == b"\n" else 1)
+    size = _os.path.getsize(path)
+    n = 1 if (start == 0 and size > 0) else 0
+    lo = max(start - 1, 0)
+    hi = min(end - 1, size - 1)  # exclusive
+    if hi > lo:
+        with open(path, "rb") as f:
+            f.seek(lo)
+            remaining = hi - lo
+            while remaining > 0:
+                block = f.read(min(1 << 20, remaining))
+                if not block:
+                    break
+                n += block.count(b"\n")
+                remaining -= len(block)
+    return n
+
+
 class PMap(PBase):
     """Map-like chain over a keyed stream (reference dampr/dampr.py:84-657)."""
 
@@ -264,19 +325,47 @@ class PMap(PBase):
     # construction time; a cached parent is the one fusion barrier).
 
     def map(self, f: Callable) -> "PMap":
-        return PMap(lambda: self._rdd.mapValues(f), self._spark, parents=(self,))
+        return PMap(
+            lambda: self._rdd.mapValues(f),
+            self._spark,
+            parents=(self,),
+            vop=("map", f),
+        )
 
     def filter(self, f: Callable) -> "PMap":
         return PMap(
             lambda: self._rdd.filter(lambda kv: f(kv[1])),
             self._spark,
             parents=(self,),
+            vop=("filter", f),
         )
 
     def flat_map(self, f: Callable) -> "PMap":
         return PMap(
-            lambda: self._rdd.flatMapValues(f), self._spark, parents=(self,)
+            lambda: self._rdd.flatMapValues(f),
+            self._spark,
+            parents=(self,),
+            vop=("flat_map", f),
         )
+
+    def _fused_chain(self) -> tuple["PBase", tuple]:
+        """(base, ops) — the longest suffix of pure value-level transforms
+        above this node, root-first, with ``base`` the node they apply to.
+
+        The walk stops at any node whose RDD is already MATERIALIZED
+        (``_rdd_or_thunk`` no longer callable): a persisted/checkpointed or
+        previously-forced node must be REUSED, not recomputed — this is what
+        keeps ``Dampr.run(share_python=True)``'s persist-shared-parents
+        contract intact (the runner forces shared parents before any child
+        thunk builds, so by the time a fused consumer walks the chain the
+        shared node is concrete and the walk stops there)."""
+        ops: list = []
+        node: PBase = self
+        while node._vop is not None and callable(node._rdd_or_thunk):
+            ops.append(node._vop)
+            node = node._parents[0]
+        ops.reverse()
+        return node, tuple(ops)
 
     def map_values(self, f: Callable) -> "PMap":
         """Value is a 2-tuple; map its 2nd field (dampr/dampr.py:290-301)."""
@@ -339,11 +428,20 @@ class PMap(PBase):
         )
 
     def a_group_by(self, key: Callable, vf: Callable = _identity) -> "ARReduce":
-        """Associative grouping with map-side combine (dampr/dampr.py:386-404)."""
+        """Associative grouping with map-side combine (dampr/dampr.py:386-404).
+
+        Carries a fusion handle: when the reduce is associative,
+        ARReduce.reduce re-derives the upstream map/filter/flat_map chain
+        (at FORCE time, so persisted shared parents are honored) and runs
+        chain + key/value extraction + a bounded local dict combine in ONE
+        mapPartitions pass — the generic path's per-token pair tuples and
+        per-op generator frames measured ~2x on token-grained fluent
+        aggregations like wordcount/TF-IDF."""
         return ARReduce(
             lambda: self._rdd.map(lambda kv: (key(kv[1]), vf(kv[1]))),
             self._spark,
             parents=(self,),
+            fuse_src=(self, key, vf),
         )
 
     def fold_by(self, key: Callable, binop: Callable, value: Callable = _identity) -> "PMap":
@@ -372,7 +470,36 @@ class PMap(PBase):
 
     def len(self) -> "PMap":
         """Total item count as a 1-element stream (dampr/dampr.py:245-275);
-        per-partition counts + single merge, empty input → [0]."""
+        per-partition counts + single merge, empty input → [0].
+
+        Fast path: when this stream is a byte-range text source (optionally
+        under count-preserving 1:1 maps — e.g. Dampr.json), the count is
+        derived by scanning raw bytes for newlines, with NO utf-8 decode and
+        NO per-line Python objects — ~10x the decoded-line walk. This
+        matters because the reference's own TF-IDF shape runs ``docs.len()``
+        as a SECOND full pass over the corpus: the fluent twin was paying a
+        full re-decode the DataFrame plan folds into its one scan."""
+        node: PBase = self
+        only_maps = True
+        while node._vop is not None and callable(node._rdd_or_thunk):
+            if node._vop[0] != "map":
+                only_maps = False  # filter/flat_map change cardinality
+                break
+            node = node._parents[0]
+        splits = node._text_splits if only_maps else None
+        if splits is not None:
+            sc = self._spark.sparkContext
+
+            def build_fast() -> RDD:
+                counts = sc.parallelize(splits, max(1, len(splits))).map(
+                    _count_lines_in_split
+                )
+                return counts.repartition(1).mapPartitions(
+                    lambda it: [(0, sum(it))]
+                )
+
+            return PMap(build_fast, self._spark, parents=(self,))
+
         def build() -> RDD:
             counts = self._rdd.mapPartitions(lambda it: [sum(1 for _ in it)])
             # repartition(1), NOT coalesce(1): a shuffle-less coalesce would
@@ -643,10 +770,66 @@ class PReduce(PBase):
         return self.reduce(lambda k, vs: list(vs)).run()
 
 
+# Local-combine dict spill threshold for the fused associative reduce: on
+# key cardinalities past this, partial dicts are flushed downstream (the
+# following reduceByKey merges duplicates), bounding executor memory the
+# same way the generic map-side combiner's spill does.
+_FUSED_COMBINE_MAX_KEYS = 1 << 20
+
+
+def _fused_combiner(ops: tuple, key: Callable, vf: Callable, binop: Callable):
+    """One-pass partition combiner: apply the fused value-op chain (via
+    C-level map/filter/chain.from_iterable — no per-op Python generator
+    frames), then key-extract + locally reduce into a bounded dict.
+
+    The spill threshold is read DRIVER-SIDE here and captured in the
+    closure (a module-global read inside ``combine`` would resolve against
+    the executor worker's fresh import and ignore test overrides)."""
+    from itertools import chain as _chain
+
+    _max_keys = _FUSED_COMBINE_MAX_KEYS
+
+    def combine(it: Iterator) -> Iterator:
+        vals: Iterator = (kv[1] for kv in it)
+        for op, f in ops:
+            if op == "map":
+                vals = map(f, vals)
+            elif op == "filter":
+                vals = filter(f, vals)
+            else:  # flat_map
+                vals = _chain.from_iterable(map(f, vals))
+        d: dict = {}
+        for v in vals:
+            k = key(v)
+            nv = vf(v)
+            if k in d:
+                d[k] = binop(d[k], nv)
+            else:
+                d[k] = nv
+                if len(d) >= _max_keys:
+                    yield from d.items()
+                    d.clear()
+        yield from d.items()
+
+    return combine
+
+
 class ARReduce(PBase):
     """Associative reduce: map-side combine via reduceByKey — the Spark
     native of the reference's ReducedWriter/PartialReduceCombiner
     (dampr/dampr.py:661-708, dampr/dataset.py:84-117)."""
+
+    def __init__(
+        self,
+        rdd: RDD | Callable[[], RDD],
+        spark: SparkSession,
+        parents: tuple = (),
+        fuse_src: tuple | None = None,
+    ):
+        super().__init__(rdd, spark, parents=parents)
+        # (parent PMap, key fn, value fn) from a_group_by — consulted at
+        # reduce() FORCE time to fuse the upstream value-op chain.
+        self._fuse_src = fuse_src
 
     def reduce(self, binop: Callable, reduce_buffer: int | None = None, sort: bool = True) -> PMap:
         """``reduce_buffer`` (reference dampr/dampr.py:661-691) sizes the
@@ -656,8 +839,21 @@ class ARReduce(PBase):
         if reduce_buffer is not None:
             _warn_ignored_kwargs("ARReduce.reduce", {"reduce_buffer": reduce_buffer}, {"reduce_buffer"})
 
+        fuse_src = self._fuse_src
+
         def build() -> RDD:
-            reduced = self._rdd.reduceByKey(binop)
+            if fuse_src is not None:
+                # Fused path: chain re-derived NOW (not at a_group_by time)
+                # so shared parents persisted by the runner in the meantime
+                # stop the walk and are reused, not recomputed.
+                src, key, vf = fuse_src
+                base, ops = src._fused_chain()
+                combined = base._rdd.mapPartitions(
+                    _fused_combiner(ops, key, vf, binop)
+                )
+                reduced = combined.reduceByKey(binop)
+            else:
+                reduced = self._rdd.reduceByKey(binop)
             if sort:
                 reduced = reduced.sortByKey()
             return reduced.map(lambda kv: (kv[0], (kv[0], kv[1])))
@@ -864,7 +1060,11 @@ class Dampr:
 
         sc = cls._session().sparkContext
         rdd = sc.parallelize(splits, max(1, len(splits))).flatMap(read_split)
-        return PMap(rdd, cls._session())
+        pm = PMap(rdd, cls._session())
+        # Enables len()'s decoded-pass-free newline count over these exact
+        # byte ranges.
+        pm._text_splits = splits
+        return pm
 
     @classmethod
     def json(cls, fname: str, **kwargs) -> PMap:

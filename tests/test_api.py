@@ -780,3 +780,87 @@ def test_run_share_python_nested_frontier_ancestor_runs_once(spark):
     assert sorted(r2.read()) == sorted(-(v + 1) * 10 for v in range(60))
     assert acc_y.value == 60, f"ancestor lambda ran {acc_y.value / 60}x"
     assert acc_x.value == 60, f"descendant lambda ran {acc_x.value / 60}x"
+
+
+def test_text_len_fast_path_matches_line_walk(tmp_path, spark):
+    """len() on a byte-range text source uses the binary newline counter;
+    it must agree with the decoded line walk for every chunk boundary,
+    with and without a trailing newline, through 1:1 maps (json), and
+    fall back (still correct) past cardinality-changing ops."""
+    Dampr.use_session(spark)
+    f = tmp_path / "lines.txt"
+    lines = [f"line{i:03d}" for i in range(57)]
+    for body, n in [
+        ("\n".join(lines) + "\n", 57),
+        ("\n".join(lines), 57),  # no trailing newline
+        ("", 0),
+        ("one", 1),
+        ("\n", 1),  # single empty line
+        ("\n\n\n", 3),
+    ]:
+        f.write_text(body)
+        for chunk in (1, 3, 8, 64, 10_000):
+            docs = Dampr.text(str(f), chunk_size=chunk)
+            # fast path must be active (splits metadata present)
+            assert docs._text_splits is not None
+            assert docs.len().run().read() == [n], (body[:20], chunk, n)
+            # 1:1 map keeps the fast path; flat_map must fall back
+            assert docs.map(str.upper).len().run().read() == [n]
+            assert docs.flat_map(lambda s: [s, s]).len().run().read() == [2 * n]
+
+    # gzip whole-file split
+    import gzip
+
+    g = tmp_path / "z.txt.gz"
+    with gzip.open(g, "wt") as fh:
+        fh.write("g1\ng2\ng3")  # no trailing newline
+    assert Dampr.text(str(g), chunk_size=4).len().run().read() == [3]
+
+
+def test_fused_a_group_by_matches_unfused(spark):
+    """The fused map/filter/flat_map -> local-combine path must produce
+    exactly the generic reduceByKey result, including through the dict
+    spill threshold and across a cached fusion barrier."""
+    import dampr_spark.api as api
+
+    Dampr.use_session(spark)
+    data = [f"w{i % 13} w{i % 7} w{i % 13}" for i in range(500)]
+
+    def pipeline(src):
+        return (
+            src.flat_map(str.split)
+            .filter(lambda w: w != "w0")
+            .map(lambda w: w.upper())
+            .count()
+        )
+
+    want = pipeline(Dampr.memory(data)).run().read()
+    assert want and all(isinstance(k, str) for k, _n in want)
+
+    # spill threshold of 2: partial dicts flush constantly; result identical
+    old = api._FUSED_COMBINE_MAX_KEYS
+    api._FUSED_COMBINE_MAX_KEYS = 2
+    try:
+        assert pipeline(Dampr.memory(data)).run().read() == want
+    finally:
+        api._FUSED_COMBINE_MAX_KEYS = old
+
+    # a cached() node is a fusion barrier: persisted parent is reused and
+    # the result is unchanged
+    cached = Dampr.memory(data).flat_map(str.split).cached()
+    got = (
+        cached.filter(lambda w: w != "w0")
+        .map(lambda w: w.upper())
+        .count()
+        .run()
+        .read()
+    )
+    assert got == want
+
+    # fold_by and mean ride the same fused path
+    nums = Dampr.memory(list(range(100)))
+    assert nums.fold_by(lambda v: v % 3, lambda a, b: a + b).run().read() == [
+        (0, sum(v for v in range(100) if v % 3 == 0)),
+        (1, sum(v for v in range(100) if v % 3 == 1)),
+        (2, sum(v for v in range(100) if v % 3 == 2)),
+    ]
