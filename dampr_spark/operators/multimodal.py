@@ -178,7 +178,13 @@ def _fake_decode(content: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return out
 
 
-def extract_features(media: DataFrame, fake: bool = False, batch_size: int = 256) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    fake: bool = False,
+    batch_size: int = 256,
+    image_codec=None,
+    av_codec=None,
+) -> DataFrame:
     """Decode + feature-extract media content via mapInPandas.
 
     With ``fake=False`` the executor probes for the codec library matching
@@ -187,11 +193,17 @@ def extract_features(media: DataFrame, fake: bool = False, batch_size: int = 256
     marker that this environment can't decode. Rows whose payload fails to
     decode yield null features (corrupt media must not kill the batch). The
     plumbing (Arrow batching, schema, null handling) is identical either way.
+
+    ``image_codec`` / ``av_codec`` override the probe with an explicit
+    decoder exposing pillow's / PyAV's ``open`` surface (e.g.
+    ``operators.minicodec.image`` / ``.av``) — the bring-your-own-decoder
+    seam; the object ships to executors via cloudpickle, so it works on
+    clusters where the library isn't installed. Ignored when ``fake=True``.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        Image = None if fake else _pil_image()
-        av = None if fake else _pyav()
+        Image = None if fake else (image_codec or _pil_image())
+        av = None if fake else (av_codec or _pyav())
         for pdf in batches:
             if fake:
                 feats = [
@@ -230,7 +242,11 @@ def extract_features(media: DataFrame, fake: bool = False, batch_size: int = 256
 
 
 def resize_images(
-    media: DataFrame, width: int = 64, height: int = 64, fake: bool = False
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    fake: bool = False,
+    image_codec=None,
 ) -> DataFrame:
     """Image resize: binary in → binary out with updated dimensions.
 
@@ -253,7 +269,7 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = width * height
-        Image = None if fake else _pil_image()
+        Image = None if fake else (image_codec or _pil_image())
         for pdf in batches:
             if not fake and Image is None:
                 raise NotImplementedError(
@@ -320,7 +336,9 @@ def _real_frame_sample(av, content: bytes, every_ms: int, dim: int = FEATURE_DIM
         return
 
 
-def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
+def frame_sample(
+    media: DataFrame, every_ms: int = 1000, fake: bool = False, av_codec=None
+) -> DataFrame:
     """Video frame sampling: one output row per sampled frame offset.
 
     Spark-side shape: flat-map via mapInPandas (a batch row explodes into
@@ -336,7 +354,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> 
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        av = None if fake else _pyav()
+        av = None if fake else (av_codec or _pyav())
         for pdf in batches:
             if not fake and av is None:
                 raise NotImplementedError(
@@ -404,7 +422,7 @@ def _real_audio_segments(av, content: bytes | None, segment_ms: int, dim: int = 
 
 
 def audio_segments(
-    media: DataFrame, segment_ms: int = 5000, fake: bool = False
+    media: DataFrame, segment_ms: int = 5000, fake: bool = False, av_codec=None
 ) -> DataFrame:
     """Audio segmentation: fixed-duration windows per clip, one output row
     per segment with its byte-slice and a feature digest — the audio twin
@@ -428,7 +446,7 @@ def audio_segments(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        av = None if fake else _pyav()
+        av = None if fake else (av_codec or _pyav())
         for pdf in batches:
             if not fake and av is None:
                 raise NotImplementedError(

@@ -238,45 +238,60 @@ def test_multimodal_decode_stub_raises(planted):
 
 
 def test_real_image_decode(spark):
-    """Real pillow decode path: PNG payload → 16 grayscale features; corrupt
-    payload → null features (no crash). Auto-skips when pillow is absent
-    (this container); runs for real wherever pillow exists."""
-    Image = multimodal._pil_image()
-    if Image is None:
-        pytest.skip("pillow not installed")
+    """Real image decode path: with pillow where installed (PNG payload),
+    otherwise with the hermetic minicodec PNM codec injected — the SAME
+    real-path code either way, so this no longer skips anywhere. Corrupt
+    payload → null features (no crash)."""
     import io
 
-    buf = io.BytesIO()
-    Image.new("L", (10, 10), color=128).save(buf, format="PNG")
+    import numpy as np
+
+    from dampr_spark.operators import minicodec
+
+    Image = multimodal._pil_image()
+    if Image is not None:
+        buf = io.BytesIO()
+        Image.new("L", (10, 10), color=128).save(buf, format="PNG")
+        payload, codec, opener = buf.getvalue(), None, Image.open
+    else:
+        payload = minicodec.encode_pnm(np.full((10, 10), 128, np.uint8))
+        codec, opener = minicodec.image, minicodec.image.open
     rows = [
-        (1, "image", buf.getvalue(), "image/png", 10, 10, None),
+        (1, "image", payload, "image/png", 10, 10, None),
         (2, "image", b"not-an-image", "image/png", None, None, None),
     ]
     media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
-    feats = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    feats = {
+        r.media_id: r
+        for r in multimodal.extract_features(media, image_codec=codec).collect()
+    }
     assert len(feats[1].features) == multimodal.FEATURE_DIM
     assert all(abs(v - 128 / 255) < 1e-6 for v in feats[1].features)
     assert feats[2].features is None
 
     resized = {
         r.media_id: r
-        for r in multimodal.resize_images(media, width=4, height=4).collect()
+        for r in multimodal.resize_images(
+            media, width=4, height=4, image_codec=codec
+        ).collect()
     }
     assert resized[1].mime == "image/png"
-    assert Image.open(io.BytesIO(resized[1].content)).size == (4, 4)
+    assert opener(io.BytesIO(bytes(resized[1].content))).size == (4, 4)
     assert resized[2].content is None
 
 
 def test_real_av_decode(spark):
-    """Real PyAV audio path: WAV payload → segments from the decoded
-    waveform. Auto-skips when PyAV is absent (this container)."""
-    av = multimodal._pyav()
-    if av is None:
-        pytest.skip("PyAV not installed")
+    """Real audio decode path: with PyAV where installed, otherwise with
+    the hermetic minicodec WAV codec injected (same real-path code) — no
+    longer skips anywhere. Segments come from the DECODED waveform."""
     import io
     import struct
     import wave as wave_mod
 
+    from dampr_spark.operators import minicodec
+
+    av = multimodal._pyav()
+    codec = None if av is not None else minicodec.av
     buf = io.BytesIO()
     with wave_mod.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -285,7 +300,7 @@ def test_real_av_decode(spark):
         w.writeframes(struct.pack("<" + "h" * 16000, *([1000] * 16000)))  # 2s
     rows = [(1, "audio", buf.getvalue(), "audio/wav", None, None, None)]
     media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
-    segs = multimodal.audio_segments(media, segment_ms=1000).collect()
+    segs = multimodal.audio_segments(media, segment_ms=1000, av_codec=codec).collect()
     assert len(segs) == 2
     assert segs[0].start_ms == 0 and segs[0].end_ms == 1000
     assert all(len(s.features) == multimodal.FEATURE_DIM for s in segs)
