@@ -20,6 +20,21 @@ query cost scales with posting-list sizes, never corpus size. For
 predicate-only one-shot searches with no index on disk, see the
 ``keyword_search_*`` catalog queries (arrays_overlap / array_intersect
 scans).
+
+**Incremental shards (round 8)**: the index root holds one or more
+``shard_NNNNN`` parquet directories; ``build*`` clears the root and writes
+shard 0, ``append*`` adds a new shard for a batch of NEW documents without
+touching existing ones (the persisted-state discipline of the streaming
+near-dup store: immutable history, additive updates), and queries read the
+shard glob — the ``token IN`` pushdown and bucketing behave identically
+because every shard is token-hashed and token-sorted on its own.
+``compact()`` folds all shards into one (a full token re-shuffle) when
+small appended shards accumulate enough to hurt lookup fan-out. Filesystem
+operations go through the Hadoop FileSystem API, so the layout works on
+HDFS/S3, not just local disk. Appended doc_ids must be NEW — re-indexing
+a changed document requires compaction after excluding it upstream
+(tombstones are out of scope, as in the reference's insert-only SQLite
+table).
 """
 
 from __future__ import annotations
@@ -47,6 +62,45 @@ class Indexer:
         self.path = path
         self.n_buckets = n_buckets
 
+    # -- shard plumbing (Hadoop FS API: works on HDFS/S3, not just local) --
+
+    def _fs(self, spark: SparkSession, root: str):
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(root)
+        return path.getFileSystem(spark._jsc.hadoopConfiguration()), path, jvm
+
+    def _shard_ids(self, spark: SparkSession, root: str) -> list[int]:
+        fs, path, _ = self._fs(spark, root)
+        if not fs.exists(path):
+            return []
+        return sorted(
+            int(st.getPath().getName()[6:])
+            for st in fs.listStatus(path)
+            if st.getPath().getName().startswith("shard_")
+        )
+
+    def _clear(self, spark: SparkSession, root: str) -> None:
+        fs, path, _ = self._fs(spark, root)
+        if fs.exists(path):
+            fs.delete(path, True)
+
+    def _write_shard(self, postings: DataFrame, root: str, shard: int) -> None:
+        (
+            postings.repartition(self.n_buckets, "token")
+            .sortWithinPartitions("token")
+            .write.mode("overwrite")
+            .parquet(f"{root}/shard_{shard:05d}")
+        )
+
+    @staticmethod
+    def _boolean_postings(
+        df: DataFrame, text_col: str, id_col: str, tokenizer
+    ) -> DataFrame:
+        return df.select(
+            F.explode(tokenizer(F.col(text_col))).alias("token"),
+            F.col(id_col).alias("doc_id"),
+        ).filter(F.col("token") != "")
+
     def build(
         self,
         df: DataFrame,
@@ -56,21 +110,61 @@ class Indexer:
     ) -> "Indexer":
         """Tokenize → explode → (token, doc_id) postings, written sorted by
         token within token-hashed files so point lookups touch few row
-        groups. One shuffle (the repartition by token)."""
-        postings = df.select(
-            F.explode(tokenizer(F.col(text_col))).alias("token"),
-            F.col(id_col).alias("doc_id"),
-        ).filter(F.col("token") != "")
-        (
-            postings.repartition(self.n_buckets, "token")
-            .sortWithinPartitions("token")
-            .write.mode("overwrite")
-            .parquet(self.path)
+        groups. One shuffle (the repartition by token). Clears any existing
+        shards and writes shard 0."""
+        self._clear(df.sparkSession, self.path)
+        self._write_shard(
+            self._boolean_postings(df, text_col, id_col, tokenizer), self.path, 0
         )
         return self
 
+    def append(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        tokenizer=default_tokenizer,
+    ) -> "Indexer":
+        """Index a batch of NEW documents as an additional shard — the
+        growing-corpus path: existing shards are immutable, the new batch
+        pays only its own tokenize+shuffle (never a rebuild over history).
+        Lookups see the union immediately; run :meth:`compact` when many
+        small shards accumulate."""
+        spark = df.sparkSession
+        ids = self._shard_ids(spark, self.path)
+        nxt = (ids[-1] + 1) if ids else 0
+        self._write_shard(
+            self._boolean_postings(df, text_col, id_col, tokenizer), self.path, nxt
+        )
+        return self
+
+    def compact(self, spark: SparkSession) -> "Indexer":
+        """Fold every shard into a single token-hashed shard 0 (one full
+        re-shuffle of the postings — the same cost as a fresh build over
+        the union, so schedule it like any other maintenance compaction).
+        The consolidated shard is written beside the live ones and swapped
+        in via rename, so a failure mid-compact leaves the index intact."""
+        for root in (self.path, self.path + "_stats"):
+            ids = self._shard_ids(spark, root)
+            if len(ids) <= 1:
+                continue
+            fs, _, jvm = self._fs(spark, root)
+            tmp = f"{root}_compacting"
+            self._clear(spark, tmp)
+            all_rows = spark.read.parquet(f"{root}/shard_*")
+            if root == self.path:
+                self._write_shard(all_rows, tmp, 0)
+            else:  # stats sidecar: doc-keyed, no token bucketing
+                all_rows.write.mode("overwrite").parquet(f"{tmp}/shard_00000")
+            self._clear(spark, root)
+            fs.rename(
+                jvm.org.apache.hadoop.fs.Path(tmp),
+                jvm.org.apache.hadoop.fs.Path(root),
+            )
+        return self
+
     def _postings(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        return spark.read.parquet(f"{self.path}/shard_*")
 
     def union(self, spark: SparkSession, keys: list[str]) -> DataFrame:
         """Doc ids matching ANY key (reference Indexer.union,
@@ -121,6 +215,23 @@ class Indexer:
         needs, so queries never touch the corpus text. Boolean ``union`` /
         ``intersect`` work unchanged on a scored index (extra column is
         pruned by the scan)."""
+        self._clear(df.sparkSession, self.path)
+        self._clear(df.sparkSession, self.path + "_stats")
+        return self.append_scored(df, text_col, id_col)
+
+    def append_scored(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> "Indexer":
+        """Scored-index shard append for NEW documents. BM25's corpus
+        statistics (doc count, average length) aggregate at query time over
+        the sharded stats sidecar, so scores reflect the grown corpus with
+        no rebuild — the appended batch pays only its own pass."""
+        spark = df.sparkSession
+        ids = self._shard_ids(spark, self.path)
+        nxt = (ids[-1] + 1) if ids else 0
         toks = df.select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),
@@ -128,17 +239,14 @@ class Indexer:
         postings = toks.groupBy("token", "doc_id").agg(
             F.count(F.lit(1)).cast("double").alias("tf")
         )
-        (
-            postings.repartition(self.n_buckets, "token")
-            .sortWithinPartitions("token")
-            .write.mode("overwrite")
-            .parquet(self.path)
-        )
+        self._write_shard(postings, self.path, nxt)
         dl = df.select(
             F.col(id_col).alias("doc_id"),
             F.size(F.split(F.col(text_col), r"\s+")).cast("double").alias("dl"),
         )
-        dl.write.mode("overwrite").parquet(self.path + "_stats")
+        dl.write.mode("overwrite").parquet(
+            f"{self.path}_stats/shard_{nxt:05d}"
+        )
         return self
 
     def search_bm25(
@@ -160,7 +268,7 @@ class Indexer:
         Identical scoring to the full-scan ``bm25_rank`` catalog query
         (equality-tested in tests/test_api.py); same 4dp-rounded cut
         ordering so the returned set is float-drift-stable."""
-        stats = spark.read.parquet(self.path + "_stats")
+        stats = spark.read.parquet(f"{self.path}_stats/shard_*")
         corpus = stats.agg(
             F.count(F.lit(1)).cast("double").alias("n_docs"),
             F.avg("dl").alias("avgdl"),
@@ -202,17 +310,25 @@ class Indexer:
         phrase matching needs repeats), written token-hashed and
         token-sorted like :meth:`build` so a phrase query's ``token IN
         (words)`` filter prunes files and row groups the same way."""
+        self._clear(df.sparkSession, self.path)
+        return self.append_positional(df, text_col, id_col)
+
+    def append_positional(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> "Indexer":
+        """Positional-index shard append for NEW documents — positions are
+        per-document, so shards compose with no rewrite."""
+        spark = df.sparkSession
+        ids = self._shard_ids(spark, self.path)
+        nxt = (ids[-1] + 1) if ids else 0
         postings = df.select(
             F.col(id_col).alias("doc_id"),
             F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "token"),
         ).filter(F.col("token") != "")
-        (
-            postings.select("token", "doc_id", "pos")
-            .repartition(self.n_buckets, "token")
-            .sortWithinPartitions("token")
-            .write.mode("overwrite")
-            .parquet(self.path)
-        )
+        self._write_shard(postings.select("token", "doc_id", "pos"), self.path, nxt)
         return self
 
     def phrase(self, spark: SparkSession, words: list[str]) -> DataFrame:

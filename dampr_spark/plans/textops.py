@@ -163,6 +163,46 @@ def keyword_search_min_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_index_search",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                   [{", ".join(repr(k) for k in _SEARCH_KEYS)}])) AS BIGINT)
+             AS n_matched
+    FROM documents
+    WHERE len(list_intersect(list_distinct(string_split(text, ' ')),
+              [{", ".join(repr(k) for k in _SEARCH_KEYS)}])) >= 2
+    """,
+    tags=("text", "indexer", "search", "extension"),
+)
+def incremental_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexer.intersect driven by a 2-shard INCREMENTAL index: half the
+    corpus indexed first, the other half appended as a second immutable
+    shard (operators/indexer.py append — the growing-corpus path the
+    reference's build-once SQLite indexer lacks, dampr/utils/indexer.py:35).
+    The oracle is the same corpus-truth SQL as `keyword_search_min_match`,
+    so this externally pins shard-union lookup = full-corpus semantics.
+
+    Plan shape for 100 TB: each shard is token-hashed/token-sorted parquet,
+    the `token IN` filter pushes into every shard's scan, and query cost
+    scales with the keys' posting lists — appending a batch costs one pass
+    over the batch, never a rebuild over history."""
+    import os
+    import tempfile
+
+    from dampr_spark.operators.indexer import Indexer
+
+    d = _t(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = os.path.join(
+        tempfile.gettempdir(), "dampr_spark_incr_idx", sf_tag
+    )
+    ix = Indexer(root).build(d.filter(F.col("doc_id") % 2 == 0), "text", "doc_id")
+    ix.append(d.filter(F.col("doc_id") % 2 == 1), "text", "doc_id")
+    return ix.intersect(spark, list(_SEARCH_KEYS), 2)
+
+
+@register(
     "token_count_bpe",
     oracle=r"""
     SELECT doc_id,

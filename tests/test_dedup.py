@@ -390,6 +390,76 @@ def test_indexer_union_intersect(docs, tmp_path, spark):
     assert {r.doc_id for r in rows.collect()} == want_any
 
 
+def _posting_set(spark, ix):
+    return {(r.token, r.doc_id) for r in ix._postings(spark).collect()}
+
+
+def test_indexer_incremental_shards_equal_full_rebuild(docs, tmp_path, spark):
+    """A 2-shard incremental build (half the corpus, then append the rest)
+    must yield EXACTLY the full rebuild's posting set, before and after
+    compaction — and all query paths must agree between the two indexes."""
+    from dampr_spark.operators.indexer import Indexer
+
+    full = Indexer(str(tmp_path / "full")).build(docs, "text", "doc_id")
+    part_a = docs.filter(F.col("doc_id") % 2 == 0)
+    part_b = docs.filter(F.col("doc_id") % 2 == 1)
+    incr = Indexer(str(tmp_path / "incr")).build(part_a, "text", "doc_id")
+    incr.append(part_b, "text", "doc_id")
+    assert incr._shard_ids(spark, incr.path) == [0, 1]
+
+    want = _posting_set(spark, full)
+    assert _posting_set(spark, incr) == want
+
+    keys = ["spark", "shuffle"]
+    assert {r.doc_id for r in incr.union(spark, keys).collect()} == {
+        r.doc_id for r in full.union(spark, keys).collect()
+    }
+    assert {
+        (r.doc_id, r.n_matched) for r in incr.intersect(spark, keys, 2).collect()
+    } == {(r.doc_id, r.n_matched) for r in full.intersect(spark, keys, 2).collect()}
+
+    # compaction folds to one shard, posting set unchanged
+    incr.compact(spark)
+    assert incr._shard_ids(spark, incr.path) == [0]
+    assert _posting_set(spark, incr) == want
+
+
+def test_indexer_scored_append_matches_full_bm25(docs, tmp_path, spark):
+    """BM25 over an appended scored index must equal the full rebuild's
+    scores exactly: the corpus stats (N, avgdl) aggregate over the sharded
+    stats sidecar, so they reflect the grown corpus."""
+    from dampr_spark.operators.indexer import Indexer
+
+    full = Indexer(str(tmp_path / "sfull")).build_scored(docs, "text", "doc_id")
+    incr = Indexer(str(tmp_path / "sincr")).build_scored(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id"
+    )
+    incr.append_scored(docs.filter(F.col("doc_id") % 2 == 1), "text", "doc_id")
+    terms = ["spark", "shuffle", "window"]
+    want = [(r.doc_id, r.bm25) for r in full.search_bm25(spark, terms, k=10).collect()]
+    got = [(r.doc_id, r.bm25) for r in incr.search_bm25(spark, terms, k=10).collect()]
+    assert got == want and want
+    incr.compact(spark)
+    assert [
+        (r.doc_id, r.bm25) for r in incr.search_bm25(spark, terms, k=10).collect()
+    ] == want
+
+
+def test_indexer_positional_append_matches_full_phrase(docs, tmp_path, spark):
+    from dampr_spark.operators.indexer import Indexer
+
+    full = Indexer(str(tmp_path / "pfull")).build_positional(docs, "text", "doc_id")
+    incr = Indexer(str(tmp_path / "pincr")).build_positional(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id"
+    )
+    incr.append_positional(docs.filter(F.col("doc_id") % 2 == 1), "text", "doc_id")
+    # pick a phrase that actually occurs: first two tokens of some doc
+    first = docs.select(F.split("text", r"\s+").alias("t")).first()["t"][:2]
+    want = {(r.doc_id, r.start) for r in full.phrase(spark, list(first)).collect()}
+    got = {(r.doc_id, r.start) for r in incr.phrase(spark, list(first)).collect()}
+    assert got == want and want
+
+
 def test_resize_images(planted):
     media = multimodal.documents_as_media(planted)
     out = multimodal.resize_images(media, width=8, height=4, fake=True).collect()
