@@ -1391,3 +1391,81 @@ def test_semantic_neardup_stream_cap_view_equals_batch(
         .collect()
     }
     assert view2 == capped, f"retry broke the cap: extra={view2 - capped} missing={capped - view2}"
+
+
+def test_incremental_neardup_stream_soak_bounded_state(spark, tmp_path_factory):
+    """100-micro-batch soak of the incremental near-dup sink (VERDICT r7
+    #7): state must be bounded by the CORPUS, not the batch count — the
+    signature store holds exactly docs x bands rows after any number of
+    batches — and per-batch latency must stay flat (each batch pays for
+    itself plus a columnar scan of history, never a history re-pairing).
+    Finishes with the read-view == batch-operator equivalence over the
+    whole ingested corpus, proving 100-way splitting changed nothing."""
+    import statistics
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dampr_spark.operators.dedup import minhash_lsh_candidates
+    from dampr_spark.sources.readers import read_table
+
+    base = tmp_path_factory.mktemp("neardup_soak")
+    in_dir, store, out = (str(base / d) for d in ("in", "store", "out"))
+    import os
+
+    os.makedirs(in_dir)
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    rows = docs.collect()
+    n_batches = 100
+    per = -(-len(rows) // n_batches)
+    for i in range(n_batches):
+        chunk = rows[i * per : (i + 1) * per]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r.doc_id for r in chunk], pa.int64()),
+                    "text": pa.array([r.text for r in chunk], pa.string()),
+                }
+            ),
+            f"{in_dir}/b{i:03d}.parquet",
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.incremental_neardup_stream(stream, store, out, max_bucket=10**9)
+    q.awaitTermination()
+
+    # Bounded state: EXACTLY docs x bands signature rows — batches appended
+    # their own documents once each, never re-wrote history.
+    store_df = spark.read.parquet(store)
+    assert store_df.count() == len(rows) * 16
+    assert store_df.select("id").distinct().count() == len(rows)
+
+    # Flat latency: compare first-third vs last-third medians of the
+    # per-batch trigger durations Spark recorded. History grows 100x over
+    # the run; a history re-pairing would blow this bound immediately,
+    # while the designed per-batch work (own pairs + one columnar history
+    # scan) stays inside it even with the documented ~2x host noise.
+    durs = [
+        p["durationMs"]["triggerExecution"]
+        for p in q.recentProgress
+        if p["numInputRows"] > 0
+    ]
+    assert len(durs) >= 90, f"expected ~100 progress records, got {len(durs)}"
+    third = len(durs) // 3
+    early = statistics.median(durs[:third])
+    late = statistics.median(durs[-third:])
+    assert late <= 4 * early + 1000, f"per-batch latency grew: {early}ms -> {late}ms"
+
+    # 100-way splitting must not change the candidate set.
+    got = {(r.id_a, r.id_b) for r in spark.read.parquet(out).distinct().collect()}
+    want = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs, max_bucket=10**9).collect()
+    }
+    assert got == want and want, f"missing={want - got} extra={got - want}"
