@@ -13,16 +13,28 @@ structure-preserving 10x replication so the WHOLE catalog can be timed at
   copy and never collide across copies (orders.o_custkey moves with
   customer.c_custkey, lineitem moves with orders/part/supplier,
   events.user_id moves with event_id).
-- documents: doc_id offset; the copy salt is glued onto the FIRST token
-  ('c{i}_' || text) so the (token1, token2) blocking keys used by the
-  fuzzy-dup family map 1:1 per copy — block-size distribution is
-  preserved and no artificial cross-copy duplicate clusters appear
-  (a plain replication would hand every doc 9 exact twins and turn the
-  dup graph 10x denser than a real sf1.0 corpus would be).
-- embeddings: vec_id offset; each vector gets a small deterministic
-  value+id-dependent jitter (~1% of typical coordinate scale) so the
-  embedding space densifies 10x — which IS what a larger corpus looks
-  like — without exact-duplicate vectors across copies.
+- documents: doc_id offset; EVERY token gets the copy tag as a suffix
+  ('tok' -> 'tok_c{i}') — a uniform injective per-copy token relabeling,
+  so within a copy every blocking key, n-gram posting, shingle set, and
+  Levenshtein relation keeps its structure (all docs transformed alike)
+  while across copies token/word-gram overlap is ZERO and char-shingle
+  Jaccard drops far below dedup thresholds. Measured alternatives are
+  wrong fixtures: plain replication hands every doc 9 exact twins, and a
+  first-token-only salt still leaves cross-copy char-shingle Jaccard at
+  ~0.99 — every document became an artificial 10-clique at MinHash 0.8
+  (cluster_consistency_check ran 33x, not 10x, on that fixture). The
+  organic model is dup RATE constant, dup COUNT x10 — which the uniform
+  relabeling delivers.
+- embeddings: vec_id offset; copy i CYCLICALLY ROLLS the vector's
+  dimensions by i (distance-preserving within a copy, so every organic
+  near-dup pair exists once per copy — dup RATE constant, dup COUNT x10,
+  the organic scaling), plus a small deterministic jitter for
+  distinctness. A jitter-only replication was measured to be the wrong
+  fixture: each vector's 10 jittered copies sit at cos ~0.997 of each
+  other, handing every vector an artificial 10-clique of near-dups and
+  quadratic-looking blowups in the near-dup family that a real 10x corpus
+  would not have. (Shift-invariant vectors — e.g. constants — still
+  collapse to jitter-distance; none exist in this data.)
 
 Output is parquet under .scale/sf1.0 (gitignored; ~170 MB). Pure DuckDB,
 runs in seconds. Usage: python benchmarks/gen_scale_data.py [n_copies]
@@ -102,21 +114,36 @@ def main(n_copies: int = 10) -> None:
         FROM {src('events')}, copies""")
 
     write("documents", f"""
-        SELECT doc_id + i * {KOFF} AS doc_id,
-               'c' || i || '_' || text AS text,
-               lang, source,
-               length('c' || i || '_' || text) AS n_chars
-        FROM {src('documents')}, copies""")
+        WITH relabeled AS (
+            SELECT doc_id + i * {KOFF} AS doc_id,
+                   array_to_string(
+                       list_transform(string_split(text, ' '),
+                                      t -> t || '_c' || i),
+                       ' ') AS text,
+                   lang, source
+            FROM {src('documents')}, copies)
+        SELECT doc_id, text, lang, source, length(text) AS n_chars
+        FROM relabeled""")
 
-    # Jitter: deterministic in (vec_id, coordinate value); amplitude 0.01.
+    # Roll dims by the copy index (distance-preserving per copy), then a
+    # deterministic (vec_id, value) jitter of amplitude 0.01 for
+    # distinctness.
     write("embeddings", f"""
-        SELECT vec_id + i * {KOFF} AS vec_id,
-               CAST(list_transform(embedding, x -> CAST(x + 0.01 * (
-                   (CAST(hash(vec_id + i * {KOFF}, floor(x * 1e6)) % 2001 AS DOUBLE)
+        WITH rolled AS (
+            SELECT vec_id + i * {KOFF} AS vec_id,
+                   list_concat(
+                       embedding[(i % len(embedding)) + 1 :],
+                       embedding[1 : i % len(embedding)]
+                   ) AS emb,
+                   label
+            FROM {src('embeddings')}, copies)
+        SELECT vec_id,
+               CAST(list_transform(emb, x -> CAST(x + 0.01 * (
+                   (CAST(hash(vec_id, floor(x * 1e6)) % 2001 AS DOUBLE)
                     - 1000.0) / 1000.0
                ) AS FLOAT)) AS FLOAT[]) AS embedding,
                label
-        FROM {src('embeddings')}, copies""")
+        FROM rolled""")
 
     print(f"done -> {DST}")
 
