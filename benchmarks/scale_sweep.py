@@ -90,6 +90,19 @@ def main() -> int:
     ap.add_argument("names", nargs="*", help="subset of query names (default: all)")
     ap.add_argument("--timeout", type=float, default=300.0)
     ap.add_argument("--summarize", action="store_true")
+    ap.add_argument(
+        "--no-warmup",
+        action="store_true",
+        help="one timed run per scale (screening mode): ~2x faster sweep; "
+        "cold planning overhead pushes short-query ratios TOWARD 1, so "
+        "follow up on ratios > ~8 with a warm refinement pass "
+        "(re-running a name appends a superseding record)",
+    )
+    ap.add_argument(
+        "--skip-anchors",
+        action="store_true",
+        help="skip the sf1.0 run of the documented quadratic oracle anchors",
+    )
     args = ap.parse_args()
 
     if args.summarize:
@@ -150,12 +163,20 @@ def main() -> int:
     out = open(OUT, "a")
     for i, name in enumerate(names):
         rec: dict = {"name": name}
-        _, to = run_once(name, SF01, args.timeout)  # warmup
+        if args.no_warmup:
+            to = False
+        else:
+            _, to = run_once(name, SF01, args.timeout)  # warmup
         t1, to1 = run_once(name, SF01, args.timeout)
         rec["sf0.1"] = round(t1, 3)
         rec["timeout_sf01"] = to or to1
-        if not rec["timeout_sf01"]:
-            _, to = run_once(name, SF10, args.timeout)  # warmup
+        if args.skip_anchors and name in QUADRATIC_ANCHORS:
+            rec["skipped_quadratic_anchor"] = True
+        elif not rec["timeout_sf01"]:
+            if args.no_warmup:
+                to = False
+            else:
+                _, to = run_once(name, SF10, args.timeout)  # warmup
             t10, to10 = run_once(name, SF10, args.timeout)
             rec["sf1.0"] = round(t10, 3)
             rec["timeout_sf1"] = to or to10
