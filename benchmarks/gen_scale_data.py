@@ -13,18 +13,23 @@ structure-preserving 10x replication so the WHOLE catalog can be timed at
   copy and never collide across copies (orders.o_custkey moves with
   customer.c_custkey, lineitem moves with orders/part/supplier,
   events.user_id moves with event_id).
-- documents: doc_id offset; EVERY token gets the copy tag as a suffix
-  ('tok' -> 'tok_c{i}') — a uniform injective per-copy token relabeling,
-  so within a copy every blocking key, n-gram posting, shingle set, and
-  Levenshtein relation keeps its structure (all docs transformed alike)
-  while across copies token/word-gram overlap is ZERO and char-shingle
-  Jaccard drops far below dedup thresholds. Measured alternatives are
-  wrong fixtures: plain replication hands every doc 9 exact twins, and a
-  first-token-only salt still leaves cross-copy char-shingle Jaccard at
-  ~0.99 — every document became an artificial 10-clique at MinHash 0.8
-  (cluster_consistency_check ran 33x, not 10x, on that fixture). The
-  organic model is dup RATE constant, dup COUNT x10 — which the uniform
-  relabeling delivers.
+- documents: doc_id offset; copy i applies a per-copy ALPHABET ROTATION
+  (a bijective character map, rot-i over a-z/A-Z via translate). A
+  bijection on characters preserves every within-copy relation EXACTLY —
+  shingle-set Jaccard, n-gram postings, blocking keys, Levenshtein
+  distances, token lengths — while copies share (almost) no shingles, so
+  the dup RATE stays constant and the dup COUNT grows x10: the organic
+  model. Three measured wrong fixtures led here: (1) plain replication
+  hands every doc 9 exact twins; (2) a first-token salt leaves cross-copy
+  char-shingle Jaccard ~0.99 (every doc an artificial 10-clique at
+  MinHash 0.8 — cluster_consistency_check ran 33x); (3) a per-token
+  '_c{i}' suffix injects the SAME 4-char shingles into every doc of a
+  copy, and whenever a MinHash permutation's global minimum lands on one
+  of those ubiquitous shingles, unrelated docs share signature
+  components — measured 2006-doc LSH buckets (sf0.1 max: 4) and a 300 s
+  timeout. Digits/punctuation pass through the rotation, so numerically
+  identical docs can still collide across copies — negligible on this
+  word-like data.
 - embeddings: vec_id offset; copy i CYCLICALLY ROLLS the vector's
   dimensions by i (distance-preserving within a copy, so every organic
   near-dup pair exists once per copy — dup RATE constant, dup COUNT x10,
@@ -113,17 +118,21 @@ def main(n_copies: int = 10) -> None:
                event_type, value, props
         FROM {src('events')}, copies""")
 
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    rot_case = " ".join(
+        f"WHEN {i} THEN translate(text, '{lower}{upper}', "
+        f"'{lower[i:] + lower[:i]}{upper[i:] + upper[:i]}')"
+        for i in range(10)
+    )
     write("documents", f"""
-        WITH relabeled AS (
+        WITH rotated AS (
             SELECT doc_id + i * {KOFF} AS doc_id,
-                   array_to_string(
-                       list_transform(string_split(text, ' '),
-                                      t -> t || '_c' || i),
-                       ' ') AS text,
+                   CASE i {rot_case} ELSE text END AS text,
                    lang, source
             FROM {src('documents')}, copies)
         SELECT doc_id, text, lang, source, length(text) AS n_chars
-        FROM relabeled""")
+        FROM rotated""")
 
     # Roll dims by the copy index (distance-preserving per copy), then a
     # deterministic (vec_id, value) jitter of amplitude 0.01 for
