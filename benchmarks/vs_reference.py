@@ -190,6 +190,19 @@ def main() -> int:
 
     spark = get_spark(app_name="tfidf-vs-reference")
     spark.read.text(corpus).count()  # warm page cache for Spark paths
+    # Spawn the Python worker pool before ANY timed run (the bench.py
+    # discipline): the first Python-lambda job otherwise pays ~2-3 s of
+    # one-time per-core worker forks — session infrastructure like the JVM
+    # startup, which is already excluded from every engine's timing. The
+    # reference's equivalent (multiprocessing fork at run start) is
+    # near-free because its children inherit the parent's imports, so
+    # excluding the Spark pool spawn is the apples-to-apples choice.
+    import multiprocessing as _mp
+
+    par = spark.sparkContext.defaultParallelism
+    spark.sparkContext.parallelize(range(par), par).map(
+        lambda i: (__import__("time").sleep(0.3), i)[1]
+    ).count()
 
     df_t, df_n = run_dataframe(spark, corpus, os.path.join(work, "out_df"))
     fl_t, fl_n = run_fluent(corpus, os.path.join(work, "out_fluent"))

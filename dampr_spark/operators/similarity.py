@@ -326,34 +326,6 @@ class RandomHyperplaneLSH:
         )
 
 
-# Max k·d before the literal-centroid Lloyd round falls back to the
-# broadcast-crossJoin shape: each centroid component is one literal in the
-# plan, and Catalyst planning/codegen cost grows with expression count
-# (the documented wide-codegen gotcha kicks in at thousands of expressions
-# per aggregate; a projection tolerates more, 16k is comfortably inside).
-_KMEANS_LITERAL_MAX = 16384
-
-
-def _kmeans_literal_argmax(cent: list, vec_col: str):
-    """Argmax-cosine over driver-held centroids as ONE projection
-    expression: array_max over k (sim, -cluster) structs — the same
-    (max sim, then lowest cluster id) tie-break as :func:`kmeans_assign`,
-    the same left-to-right double cosine as functions/vector.cosine, zero
-    shuffle. ``cent`` is [(cluster_id, [component, ...]), ...]."""
-    from dampr_spark.functions.vector import cosine
-
-    elems = [
-        F.struct(
-            cosine(
-                vec_col, F.array(*[F.lit(float(x)) for x in cvec])
-            ).alias("sim"),
-            F.lit(-int(cluster)).alias("negc"),
-        )
-        for cluster, cvec in cent
-    ]
-    return F.array_max(F.array(*elems))
-
-
 def kmeans_assign(vectors: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     """One Lloyd assignment step: every vector to its max-cosine centroid.
     Centroids (k rows) BROADCAST into a crossJoin; the per-vector argmax is
@@ -457,17 +429,19 @@ def kmeans_fit_assign(
     then run the in-cluster cosine near-dup pass
     (:func:`RandomHyperplaneLSH.bucketed_pairs` keyed by cluster).
 
-    Plan shape (round 8): the k centroids pass through the DRIVER each
-    round (k·d doubles — the same bounded-transfer budget as the quantizer
-    fits) and are re-embedded as LITERAL arrays, so a Lloyd round is ONE
-    narrow pass over the persisted corpus: assignment is a pure projection
-    (argmax over k literal cosines — no crossJoin, no N·k-row argmax
-    shuffle) feeding posexplode + a map-side-combined (cluster, dim)
-    average whose shuffle is ≤ k·d·partitions rows. The previous shape
-    (broadcast crossJoin + N·k shuffle + corpus self-join per round)
-    remains as :func:`kmeans_assign` and is used automatically when
-    k·d literals would bloat the plan past ``_KMEANS_LITERAL_MAX``
-    (wide-codegen planning cost grows with expression count)."""
+    Plan shape (round 8): a Lloyd round eliminates the corpus SELF-JOIN
+    the recompute used to pay — assignment keeps the broadcast-crossJoin
+    + groupBy(id) argmax (k rows broadcast; the shuffle partial-aggregates
+    map-side) but CARRIES the vector through the aggregate with
+    ``first(vec)``, so the posexplode + (cluster, dim) average consumes
+    the assignment output directly. One id-keyed shuffle of (one vector +
+    scalars per id) per round instead of that PLUS a two-sided join.
+    Three rejected alternatives, all measured SLOWER at sf0.1: literal-
+    centroid cosines via higher-order lambdas (interpreted per element,
+    +25%), literal flat multiply-add chains (~1100 deeply nested Catalyst
+    nodes re-planned per round, 3x), and flat per-dimension sum aggregates
+    with driver-side averaging (extra per-round planning + collect
+    latency, +35%)."""
     from pyspark import StorageLevel
 
     df = df.filter(valid_vector(vec_col))
@@ -517,35 +491,27 @@ def kmeans_fit_assign(
             )
         )
 
-    cent = [(int(r["cluster"]), list(r["cvec"])) for r in centroids.collect()]
-    dim = len(cent[0][1]) if cent else 0
-    if cent and k * dim <= _KMEANS_LITERAL_MAX:
-        for _ in range(iters):
-            m = _kmeans_literal_argmax(cent, vec_col)
-            assigned_vecs = vecs.select(
-                (-m["negc"]).alias("cluster"), F.col(vec_col)
-            )
-            cent = [
-                (int(r["cluster"]), list(r["cvec"]))
-                for r in _recompute(assigned_vecs).collect()
-            ]
-        m = _kmeans_literal_argmax(cent, vec_col)
-        out = vecs.select(
+    from dampr_spark.functions.vector import cosine
+
+    def _assigned_with_vec(cents: DataFrame) -> DataFrame:
+        """(cluster, vec) per document — assignment WITHOUT losing the
+        vector, so the recompute needs no join back to the corpus."""
+        sims = vecs.crossJoin(F.broadcast(cents)).select(
             F.col(id_col).alias("id"),
-            (-m["negc"]).alias("cluster"),
-            m["sim"].alias("sim"),
-        ).localCheckpoint(eager=True)
-        vecs.unpersist()
-        return out
-    # Wide-centroid fallback: broadcast crossJoin assignment + corpus
-    # self-join recompute (the pre-round-8 shape).
+            F.col("cluster"),
+            cosine(vec_col, "cvec").alias("sim"),
+            F.col(vec_col),
+        )
+        best = sims.groupBy("id").agg(
+            F.max(F.struct(F.col("sim"), (-F.col("cluster")).alias("negc"))).alias("m"),
+            F.first(vec_col).alias(vec_col),
+        )
+        return best.select((-F.col("m.negc")).alias("cluster"), vec_col)
+
     for _ in range(iters):
-        assigned = kmeans_assign(vecs, centroids, vec_col, id_col)
-        centroids = _recompute(
-            vecs.join(assigned, vecs[id_col] == assigned.id).select(
-                "cluster", vec_col
-            )
-        ).localCheckpoint(eager=True)
+        centroids = _recompute(_assigned_with_vec(centroids)).localCheckpoint(
+            eager=True
+        )
     # Pin the final assignment (scalars only: id, cluster, sim) so the
     # cached corpus can be released before returning — callers get a
     # materialized result, not a lineage back into the unpersisted cache.
