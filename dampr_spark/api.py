@@ -286,16 +286,26 @@ def _count_lines_in_split(split: tuple) -> int:
     if end == -1:  # whole-file gzip split
         import gzip as _gzip
 
+        # read_split opens gzip in TEXT mode, where universal-newline
+        # translation splits on '\n', lone '\r', and '\r\n' (once). Count in
+        # binary with the same semantics: breaks = #\n + #\r - #\r\n, with a
+        # carry for a \r\n pair straddling two blocks.
         n = 0
-        last = b"\n"
+        prev = b""
         with _gzip.open(path, "rb") as f:
             while True:
                 block = f.read(1 << 20)
                 if not block:
                     break
-                n += block.count(b"\n")
-                last = block[-1:]
-        return n + (0 if last == b"\n" else 1)
+                n += (
+                    block.count(b"\n")
+                    + block.count(b"\r")
+                    - block.count(b"\r\n")
+                )
+                if prev == b"\r" and block[:1] == b"\n":
+                    n -= 1  # straddling \r\n double-counted across blocks
+                prev = block[-1:]
+        return n + (0 if prev in (b"", b"\n", b"\r") else 1)
     size = _os.path.getsize(path)
     n = 1 if (start == 0 and size > 0) else 0
     lo = max(start - 1, 0)
@@ -478,7 +488,13 @@ class PMap(PBase):
         NO per-line Python objects — ~10x the decoded-line walk. This
         matters because the reference's own TF-IDF shape runs ``docs.len()``
         as a SECOND full pass over the corpus: the fluent twin was paying a
-        full re-decode the DataFrame plan folds into its one scan."""
+        full re-decode the DataFrame plan folds into its one scan.
+
+        Semantics note: the fast path proves the intervening 1:1 maps are
+        count-preserving and then SKIPS running them — so their side effects
+        (including exceptions: e.g. ``Dampr.json(bad).len()`` on malformed
+        lines) do not fire on this count-only branch. Any materialization
+        of the VALUES (run/read/sink) still executes the full chain."""
         node: PBase = self
         only_maps = True
         while node._vop is not None and callable(node._rdd_or_thunk):
@@ -1090,6 +1106,33 @@ class Dampr:
 
             return cls.from_df(_sql(spark, sf_dir, query))
         return cls.from_df(spark.sql(query))
+
+    @classmethod
+    def from_dataset(cls, dataset) -> PMap:
+        """Re-read a prior stage's output as an input (reference
+        dampr/dampr.py:904-912: ``assert isinstance(dataset, Chunker)``,
+        then tap it as a graph input). The reference uses this to feed one
+        run's raw on-disk output into the next pipeline; here the same two
+        handle kinds re-enter:
+
+        - a :class:`Chunker` / :class:`Dataset` tap → exactly
+          :meth:`read_input` (one partition per chunk, executor-side
+          ``read()``), mirroring the reference's type contract;
+        - a :class:`ValueEmitter` (what ``run()`` returns on this engine —
+          there is no raw-output directory to point a Chunker at) → its
+          values re-enter as an enumerated in-memory stream, the engine's
+          equivalent of re-reading a stage's output.
+
+        Anything else raises ``TypeError``, matching the reference's
+        assertion rather than silently iterating an arbitrary object."""
+        if isinstance(dataset, ValueEmitter):
+            return cls.memory(dataset.read())
+        if not isinstance(dataset, Chunker):
+            raise TypeError(
+                "from_dataset expects a Chunker/Dataset tap or a prior "
+                f"run's ValueEmitter, got {type(dataset).__name__}"
+            )
+        return cls.read_input(dataset)
 
     @classmethod
     def read_input(cls, *datasets: Iterable) -> PMap:

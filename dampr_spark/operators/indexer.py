@@ -84,6 +84,26 @@ class Indexer:
         if fs.exists(path):
             fs.delete(path, True)
 
+    def _guard_shard_type(
+        self, spark: SparkSession, expected_cols: list[str]
+    ) -> None:
+        """Fail fast when an append would mix shard schemas (boolean
+        ``(token, doc_id)`` vs scored ``(token, doc_id, tf)`` vs positional
+        ``(token, doc_id, pos)``) under one root — a mixed root would
+        otherwise fail or silently mis-merge at the ``shard_*`` union read."""
+        ids = self._shard_ids(spark, self.path)
+        if not ids:
+            return
+        have = spark.read.parquet(
+            f"{self.path}/shard_{ids[0]:05d}"
+        ).columns
+        if list(have) != list(expected_cols):
+            raise ValueError(
+                f"Indexer at {self.path!r} holds {have} shards; appending "
+                f"{expected_cols} shards would mix index types. Rebuild or "
+                "use a different path."
+            )
+
     def _write_shard(self, postings: DataFrame, root: str, shard: int) -> None:
         (
             postings.repartition(self.n_buckets, "token")
@@ -111,8 +131,11 @@ class Indexer:
         """Tokenize → explode → (token, doc_id) postings, written sorted by
         token within token-hashed files so point lookups touch few row
         groups. One shuffle (the repartition by token). Clears any existing
-        shards and writes shard 0."""
+        shards and writes shard 0 (the ``_stats`` sidecar a previous
+        ``build_scored`` may have left is cleared too — a boolean index must
+        not answer BM25 queries from stale statistics)."""
         self._clear(df.sparkSession, self.path)
+        self._clear(df.sparkSession, self.path + "_stats")
         self._write_shard(
             self._boolean_postings(df, text_col, id_col, tokenizer), self.path, 0
         )
@@ -131,6 +154,7 @@ class Indexer:
         Lookups see the union immediately; run :meth:`compact` when many
         small shards accumulate."""
         spark = df.sparkSession
+        self._guard_shard_type(spark, ["token", "doc_id"])
         ids = self._shard_ids(spark, self.path)
         nxt = (ids[-1] + 1) if ids else 0
         self._write_shard(
@@ -142,25 +166,36 @@ class Indexer:
         """Fold every shard into a single token-hashed shard 0 (one full
         re-shuffle of the postings — the same cost as a fresh build over
         the union, so schedule it like any other maintenance compaction).
-        The consolidated shard is written beside the live ones and swapped
-        in via rename, so a failure mid-compact leaves the index intact."""
+        The consolidated shard is written beside the live ones, the live
+        root is renamed ASIDE (never deleted first), the new root renamed
+        in, and only then is the old root deleted — so a crash at any step
+        leaves a readable index either at ``root`` or at ``root_precompact``
+        (recoverable by hand). Note the swap is still two renames, not one
+        atomic op, and on object stores (S3A) each rename is copy+delete —
+        the window where ``root`` is briefly absent exists but never
+        destroys data."""
         for root in (self.path, self.path + "_stats"):
             ids = self._shard_ids(spark, root)
             if len(ids) <= 1:
                 continue
             fs, _, jvm = self._fs(spark, root)
+            hpath = jvm.org.apache.hadoop.fs.Path
             tmp = f"{root}_compacting"
+            old = f"{root}_precompact"
             self._clear(spark, tmp)
+            self._clear(spark, old)
             all_rows = spark.read.parquet(f"{root}/shard_*")
             if root == self.path:
                 self._write_shard(all_rows, tmp, 0)
             else:  # stats sidecar: doc-keyed, no token bucketing
                 all_rows.write.mode("overwrite").parquet(f"{tmp}/shard_00000")
-            self._clear(spark, root)
-            fs.rename(
-                jvm.org.apache.hadoop.fs.Path(tmp),
-                jvm.org.apache.hadoop.fs.Path(root),
-            )
+            if not fs.rename(hpath(root), hpath(old)):
+                raise IOError(f"compact: failed to move {root} aside")
+            if not fs.rename(hpath(tmp), hpath(root)):
+                # Roll back so the live index stays queryable.
+                fs.rename(hpath(old), hpath(root))
+                raise IOError(f"compact: failed to swap in {tmp}")
+            self._clear(spark, old)
         return self
 
     def _postings(self, spark: SparkSession) -> DataFrame:
@@ -230,6 +265,7 @@ class Indexer:
         the sharded stats sidecar, so scores reflect the grown corpus with
         no rebuild — the appended batch pays only its own pass."""
         spark = df.sparkSession
+        self._guard_shard_type(spark, ["token", "doc_id", "tf"])
         ids = self._shard_ids(spark, self.path)
         nxt = (ids[-1] + 1) if ids else 0
         toks = df.select(
@@ -311,6 +347,7 @@ class Indexer:
         token-sorted like :meth:`build` so a phrase query's ``token IN
         (words)`` filter prunes files and row groups the same way."""
         self._clear(df.sparkSession, self.path)
+        self._clear(df.sparkSession, self.path + "_stats")
         return self.append_positional(df, text_col, id_col)
 
     def append_positional(
@@ -322,6 +359,7 @@ class Indexer:
         """Positional-index shard append for NEW documents — positions are
         per-document, so shards compose with no rewrite."""
         spark = df.sparkSession
+        self._guard_shard_type(spark, ["token", "doc_id", "pos"])
         ids = self._shard_ids(spark, self.path)
         nxt = (ids[-1] + 1) if ids else 0
         postings = df.select(

@@ -105,14 +105,30 @@ class image:
             raise ValueError("minicodec.image: not a binary PNM payload")
         # Header: magic, width, height, maxval as whitespace-separated
         # tokens (comments unsupported), then a single whitespace byte,
-        # then raw samples.
-        parts = data[2:].split(maxsplit=3)
-        if len(parts) < 4:
+        # then raw samples. Parsed positionally — bytes.split() with a None
+        # separator would strip whitespace-VALUED pixel bytes (9..13, 32)
+        # off the front of the payload, corrupting e.g. a top-left gray-32
+        # pixel into a "truncated pixel data" error.
+        ws = b" \t\n\r\x0b\x0c"
+        pos = 2
+        vals = []
+        for _ in range(3):
+            while pos < len(data) and data[pos : pos + 1] in ws:
+                pos += 1
+            start = pos
+            while pos < len(data) and data[pos : pos + 1].isdigit():
+                pos += 1
+            if pos == start:
+                raise ValueError("minicodec.image: truncated PNM header")
+            vals.append(int(data[start:pos]))
+        # Exactly ONE whitespace byte separates maxval from the samples.
+        if pos >= len(data) or data[pos : pos + 1] not in ws:
             raise ValueError("minicodec.image: truncated PNM header")
-        w, h, maxval = int(parts[0]), int(parts[1]), int(parts[2])
+        pos += 1
+        w, h, maxval = vals
         if maxval != 255:
             raise ValueError("minicodec.image: only maxval 255 supported")
-        raw = parts[3]
+        raw = data[pos:]
         ch = 1 if data[:2] == b"P5" else 3
         need = w * h * ch
         if len(raw) < need:

@@ -1572,25 +1572,47 @@ def _kcore_oracle_sql(k: int, rounds: int, pairs_sql: str = _KCORE_PAIRS_SQL) ->
     default is the fuzzy-prefix dup-pair generation over `documents`.
     Tests swap in an adversarial in-memory graph to pin this exact
     generated SQL against the Spark peel."""
+    # Every live{t} is referenced 2-3 times (both sides of the next round's
+    # degree join, plus the fixpoint probe on the last two) — MATERIALIZED
+    # stops DuckDB from inlining the chain, which would duplicate the
+    # pair-generation subplan exponentially in `rounds` (observed: fd
+    # exhaustion from hundreds of cloned parquet scans at rounds=8).
     parts = [
         f"""
-    WITH p AS ({pairs_sql}),
-    sym AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
-    live0 AS (SELECT DISTINCT s AS id FROM sym)"""
+    WITH p AS MATERIALIZED ({pairs_sql}),
+    sym AS MATERIALIZED (
+        SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+    live0 AS MATERIALIZED (SELECT DISTINCT s AS id FROM sym)"""
     ]
     for t in range(1, rounds + 1):
         parts.append(f""",
-    live{t} AS (
+    live{t} AS MATERIALIZED (
         SELECT e.s AS id FROM sym e
         JOIN live{t - 1} a ON a.id = e.s
         JOIN live{t - 1} b ON b.id = e.d
         GROUP BY e.s HAVING count(*) >= {k})""")
-    parts.append(f"""
+    # Fixpoint guard: if live{rounds} still shrank vs live{rounds-1}, the
+    # unroll depth was too shallow — fail LOUDLY as "oracle unconverged"
+    # (a runtime cast error naming the cause) instead of surfacing as a
+    # mysterious plan-vs-oracle hash mismatch. The cast's input is a column
+    # of the probe row (not a literal), so DuckDB cannot constant-fold it;
+    # when the counts agree the probe row is filtered out and the cast
+    # never evaluates.
+    parts.append(f""",
+    fixpoint AS (
+        SELECT (SELECT count(*) FROM live{rounds}) AS n_last,
+               (SELECT count(*) FROM live{rounds - 1}) AS n_prev)
     SELECT e.s AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
     FROM sym e
     JOIN live{rounds} a ON a.id = e.s
     JOIN live{rounds} b ON b.id = e.d
     GROUP BY e.s
+    UNION ALL
+    SELECT CAST('kcore ORACLE UNCONVERGED at rounds={rounds}; raise '
+                '_KCORE_ROUNDS (live shrank ' || CAST(n_prev AS VARCHAR)
+                || '->' || CAST(n_last AS VARCHAR) || ')' AS BIGINT),
+           CAST(-1 AS BIGINT)
+    FROM fixpoint WHERE n_last <> n_prev
     """)
     return "".join(parts)
 
