@@ -35,6 +35,26 @@ instead of contending with the cold run's dead blocks. Warm numbers for
 checkpoint-heavy queries (near_dedup_corpus, minhash_lsh_dedup,
 kmeans_clusters) are therefore NOT comparable with the r3/r4 recorded
 warm baselines; cold numbers are unaffected.
+
+PROVENANCE (round 9): cross-round bench deltas were un-attributable among
+three confounders — plan changes, TESTDATA regeneration (text density,
+dup-pair counts), and host CPU availability (calibration 0.46 vs 0.31
+across r8→r9 alone explains most of r8's "+30% regression"). Two
+additions separate them machine-readably:
+
+1. **Corpus stats** (``corpus`` key): doc/token counts, exact-dup rows,
+   and the 2-token-block candidate-pair count of the CURRENT sf dir —
+   the density knobs that move text/dedup query times. If a query's time
+   moved and these moved too, suspect the data first.
+2. **Frozen anchor** (``anchor*`` keys): a committed, never-regenerated
+   copy of the round-9 sf0.001 tables (benchmarks/frozen_anchor/). Six
+   anchor queries run against it every bench; their calibration-
+   normalized warm times compare against benchmarks/
+   frozen_anchor_baseline.json (written on first run). On frozen data a
+   normalized delta can only be a PLAN effect (or residual host jitter
+   the calibration ratio didn't capture) — any anchor >1.25x its
+   baseline ratio is flagged in ``anchor_regressed`` and owes a
+   benchmarks/RESULTS.md diagnosis.
 """
 
 from __future__ import annotations
@@ -159,6 +179,27 @@ BENCH_QUERIES = [
     "semantic_grid_dedup",
 ]
 
+# Frozen-anchor query set: one representative per regression class the r8
+# postmortem identified (scan+agg baseline, density-sensitive dedup,
+# multi-job sketch certificate, iterative graph, pair-explode LM, and the
+# two-pass MG sketch that looked like a 13s cold cliff in r8 but was host
+# contention). Runs against benchmarks/frozen_anchor/ — see module
+# docstring.
+ANCHOR_QUERIES = (
+    "q1_pricing_summary",
+    "simhash_dedup",
+    "bloom_join_prune",
+    "textrank_keywords",
+    "bigram_doc_perplexity",
+    "heavy_hitter_ngrams",
+)
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+ANCHOR_DIR = os.path.join(_REPO_DIR, "benchmarks", "frozen_anchor")
+ANCHOR_BASELINE = os.path.join(
+    _REPO_DIR, "benchmarks", "frozen_anchor_baseline.json"
+)
+ANCHOR_REGRESSION_RATIO = 1.25
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -235,14 +276,14 @@ def main() -> int:
         ).collect()
         return time.perf_counter() - t0
 
-    def run_once(name: str) -> float:
+    def run_once(name: str, data_dir: str | None = None) -> float:
         t0 = time.perf_counter()
         # noop sink materializes every row/column of the result without
         # shipping it to the driver (a bare count() would let Catalyst prune
         # the computed columns away).
-        catalog[name].builder(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        catalog[name].builder(spark, data_dir or sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
         dt = time.perf_counter() - t0
         release_checkpoints()
         return dt
@@ -277,6 +318,94 @@ def main() -> int:
 
     cal_post = calibrate()
     calibration_sec = (cal_pre + cal_post) / 2
+
+    # ---- provenance 1: corpus stats of the CURRENT (regenerated) sf dir.
+    def corpus_stats() -> dict:
+        from dampr_spark.sources.readers import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        r = docs.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(
+                F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+            ).alias("toks"),
+            (F.count(F.lit(1)) - F.count_distinct("text")).alias("dup_rows"),
+        ).first()
+        # Candidate-pair mass of the 2-token-prefix blocker — the density
+        # knob behind the fuzzy/simhash/jaccard query family (r8's only
+        # explained regression was exactly this moving).
+        bp = (
+            docs.filter(F.col("text").isNotNull())
+            .select(
+                F.concat_ws(
+                    " ", F.slice(F.split(F.col("text"), " "), 1, 2)
+                ).alias("blk")
+            )
+            .groupBy("blk")
+            .count()
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("`count` * (`count` - 1) / 2")), F.lit(0)
+                )
+                .cast("long")
+                .alias("bp")
+            )
+            .first()["bp"]
+        )
+        return {
+            "docs": int(r["docs"]),
+            "toks": int(r["toks"] or 0),
+            "dup_rows": int(r["dup_rows"]),
+            "block_pairs": int(bp),
+            "emb": read_table(spark, sf_dir, "embeddings").count(),
+            "events": read_table(spark, sf_dir, "events").count(),
+            "lineitem": read_table(spark, sf_dir, "lineitem").count(),
+        }
+
+    corpus = corpus_stats()
+
+    # ---- provenance 2: frozen-anchor runs (plan-vs-host separation).
+    anchor_detail: dict[str, dict] = {}
+    anchor_regressed: list[str] = []
+    anchor_norm_total = None
+    if os.path.isdir(ANCHOR_DIR):
+        for name in ANCHOR_QUERIES:
+            cold = run_once(name, ANCHOR_DIR)
+            reps = [run_once(name, ANCHOR_DIR) for _ in range(2)]
+            warm = min(reps)  # min of 2: the anchor wants the floor, not
+            # the median — any upward noise on frozen data is host-side
+            anchor_detail[name] = {
+                "cold": round(cold, 4),
+                "warm": round(warm, 4),
+                "norm": round(warm / calibration_sec, 3),
+            }
+        anchor_norm_total = round(
+            sum(d["norm"] for d in anchor_detail.values()), 3
+        )
+        if os.path.exists(ANCHOR_BASELINE):
+            with open(ANCHOR_BASELINE) as f:
+                base = json.load(f)
+            for name, d in anchor_detail.items():
+                b = base.get("norm", {}).get(name)
+                d["baseline_norm"] = b
+                if b and d["norm"] > ANCHOR_REGRESSION_RATIO * b:
+                    anchor_regressed.append(name)
+        else:
+            with open(ANCHOR_BASELINE, "w") as f:
+                json.dump(
+                    {
+                        "written_by": "bench.py first run after anchor landed",
+                        "calibration_sec": round(calibration_sec, 4),
+                        "norm": {
+                            n: d["norm"] for n, d in anchor_detail.items()
+                        },
+                        "warm_sec": {
+                            n: d["warm"] for n, d in anchor_detail.items()
+                        },
+                    },
+                    f,
+                    indent=1,
+                )
 
     # Per-family subtotals: lets a reader see where time goes without
     # re-grouping 40+ lines (families from the catalog's tags would drift
@@ -328,6 +457,9 @@ def main() -> int:
         "family_cold_totals": family_totals,
         "queries_warm": warm_timings,
         "queries_warm_reps": warm_raw,
+        "corpus": corpus,
+        "anchor": anchor_detail,
+        "anchor_regressed": anchor_regressed,
     }
     os.makedirs("benchmarks", exist_ok=True)
     with open("benchmarks/last_bench_verbose.json", "w") as f:
@@ -344,8 +476,25 @@ def main() -> int:
         "cold_total_r3_queryset": round(sum(cold_timings[q] for q in r3_set), 4),
         "warm_total_r3_queryset": round(sum(warm_timings[q] for q in r3_set), 4),
         "calibration_sec": round(calibration_sec, 4),
+        # Compact corpus stats as a fixed-order array (the named dict lives
+        # in the verbose payload; the compact line must stay under the
+        # driver's ~2000-char tail capture):
+        # [docs, doc_tokens, exact_dup_rows, block_pairs, embeddings,
+        #  events, lineitem]
+        "corpus": [
+            corpus["docs"],
+            corpus["toks"],
+            corpus["dup_rows"],
+            corpus["block_pairs"],
+            corpus["emb"],
+            corpus["events"],
+            corpus["lineitem"],
+        ],
+        "anchor_norm": anchor_norm_total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if anchor_regressed:
+        compact["anchor_regressed"] = anchor_regressed
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
         # Driver tail capture is 2000 chars; shed per-query detail before

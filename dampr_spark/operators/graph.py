@@ -27,6 +27,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _round_half_up(x: float, prec: int) -> float:
+    """Bit-compatible twin of ``F.round(col, prec)``: Spark rounds via
+    ``BigDecimal.valueOf(double)`` (shortest decimal representation) with
+    HALF_UP; ``Decimal(repr(x))`` is the same shortest representation in
+    Python, so the driver-side iteration fast paths produce the exact
+    doubles the distributed plan (and the DuckDB oracle) produce."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-prec), rounding=ROUND_HALF_UP)
+    )
+
+
+def _try_collect_small(e: DataFrame, max_edges: int) -> list | None:
+    """The bounded-graph probe: ONE job that collects at most
+    ``max_edges + 1`` edge rows (limit stops the scan early). Returns the
+    full edge list when the graph fits, else None — the caller then runs
+    the distributed path. ≤ max_edges rows of (src, dst[, w]) is a few MB
+    at the default caps: the same driver-budget class as the catalog's
+    bounded sample collects."""
+    if max_edges <= 0:
+        return None
+    rows = e.limit(max_edges + 1).collect()
+    return rows if len(rows) <= max_edges else None
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -100,6 +126,7 @@ def pagerank(
     iters: int = 4,
     damping: float = 0.85,
     prec: int = 10,
+    max_driver_edges: int = 50_000,
 ) -> DataFrame:
     """Fixed-iteration weighted PageRank over a directed edge list —
     (id, rank) after ``iters`` power-iteration rounds.
@@ -122,13 +149,61 @@ def pagerank(
     case) have none.
 
     N (vertex count) is a bounded driver-side scalar — same contract as
-    the CC convergence counter above."""
+    the CC convergence counter above.
+
+    Bounded-graph fast path: when the edge list fits under
+    ``max_driver_edges`` (probed by ONE early-terminating
+    ``limit(max+1).collect()`` job), the whole iteration runs driver-side
+    with the identical update rule and the identical per-round HALF_UP
+    rounding (``_round_half_up`` is bit-compatible with ``F.round``), so
+    the result — and any unrolled SQL oracle — is unchanged. Why: an
+    iteration's per-round cost on a provably tiny graph (TextRank's ≤150
+    keyword nodes) is pure scheduler overhead at EVERY corpus scale — the
+    graph size is corpus-independent, so 4 distributed rounds on 150 rows
+    never amortize. Set ``max_driver_edges=0`` to force the distributed
+    path."""
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .localCheckpoint(eager=True)
-    )
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+
+    small = _try_collect_small(e, max_driver_edges)
+    if small is not None:
+        spark = edges.sparkSession
+        id_type = e.schema["src"].dataType
+        if e.schema["dst"].dataType == id_type:
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            out_schema = StructType(
+                [StructField("id", id_type), StructField("rank", DoubleType())]
+            )
+            outw: dict = {}
+            for r in small:
+                outw[r["src"]] = outw.get(r["src"], 0.0) + r["w"]
+            node_ids = sorted(
+                {r["src"] for r in small} | {r["dst"] for r in small}
+            )
+            n = len(node_ids)
+            if n == 0:
+                return spark.createDataFrame([], out_schema)
+            en_local = [
+                (r["src"], r["dst"], r["w"] / outw[r["src"]]) for r in small
+            ]
+            base = (1.0 - damping) / n
+            ranks = {i: _round_half_up(1.0 / n, prec) for i in node_ids}
+            for _ in range(iters):
+                s: dict = {}
+                for src_id, dst_id, wn in en_local:
+                    s[dst_id] = s.get(dst_id, 0.0) + wn * ranks[src_id]
+                ranks = {
+                    i: _round_half_up(base + damping * s.get(i, 0.0), prec)
+                    for i in node_ids
+                }
+            return spark.createDataFrame(
+                [(i, ranks[i]) for i in node_ids], out_schema
+            )
+
+    e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -221,6 +296,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     iters: int = 3,
+    max_driver_edges: int = 50_000,
 ) -> DataFrame:
     """Fixed-iteration synchronous label propagation (community
     detection) — (id, label) after ``iters`` rounds. Every round each
@@ -250,8 +326,44 @@ def label_propagation(
         )
         .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+
+    # Bounded-graph fast path (the pagerank discipline, even simpler here:
+    # the update is pure integer arithmetic with a total tie order, so the
+    # driver-side rounds are trivially identical to the distributed ones).
+    small = _try_collect_small(e, max_driver_edges)
+    if small is not None:
+        spark = edges.sparkSession
+        id_type = e.schema["src"].dataType
+        if e.schema["dst"].dataType == id_type:
+            from pyspark.sql.types import StructField, StructType
+
+            out_schema = StructType(
+                [StructField("id", id_type), StructField("label", id_type)]
+            )
+            nbrs: dict = {}
+            for r in small:
+                nbrs.setdefault(r["src"], []).append(r["dst"])
+                nbrs.setdefault(r["dst"], []).append(r["src"])
+            labels = {i: i for i in nbrs}
+            for _ in range(iters):
+                new_labels = {}
+                for i, ns in nbrs.items():
+                    counts: dict = {labels[i]: 1}  # self-vote
+                    for nb in ns:
+                        lab = labels[nb]
+                        counts[lab] = counts.get(lab, 0) + 1
+                    # max votes, ties to the SMALLEST label — the same
+                    # (n, -label) struct-max order as the distributed path
+                    # (which already requires numeric labels: it negates
+                    # the label column).
+                    new_labels[i] = max(
+                        counts.items(), key=lambda kv: (kv[1], -kv[0])
+                    )[0]
+                labels = new_labels
+            return spark.createDataFrame(sorted(labels.items()), out_schema)
+
+    e = e.localCheckpoint(eager=True)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (
         sym.select(F.col("src").alias("id"))

@@ -214,6 +214,77 @@ def test_reference_dsl_public_method_parity():
     assert not missing, f"reference DSL surface not covered: {missing}"
 
 
+# -- 5. bounded-graph driver-side iteration fast paths ------------------------
+
+
+def test_pagerank_driver_fast_path_matches_distributed(spark):
+    """pagerank's bounded-graph fast path (collect + driver iteration with
+    bit-compatible HALF_UP rounding) must return EXACTLY the distributed
+    plan's ranks — int and string vertex ids, weighted and unweighted."""
+    import random
+
+    from dampr_spark.operators.graph import pagerank
+
+    random.seed(7)
+    edges = [
+        (random.randint(0, 60), random.randint(0, 60), round(random.uniform(0.5, 3), 3))
+        for _ in range(300)
+    ]
+    edges = [(a, b, w) for a, b, w in edges if a != b]
+    df = spark.createDataFrame(edges, "src int, dst int, w double")
+    sdf = spark.createDataFrame(
+        [(f"t{a}", f"t{b}", w) for a, b, w in edges], "src string, dst string, w double"
+    )
+    for frame, wcol in ((df, "w"), (df, None), (sdf, "w")):
+        fast = {r.id: r.rank for r in pagerank(frame, weight=wcol).collect()}
+        slow = {
+            r.id: r.rank
+            for r in pagerank(frame, weight=wcol, max_driver_edges=0).collect()
+        }
+        assert fast == slow and fast
+
+
+def test_label_propagation_driver_fast_path_matches_distributed(spark):
+    import random
+
+    from dampr_spark.operators.graph import label_propagation
+
+    random.seed(11)
+    edges = [(random.randint(0, 60), random.randint(0, 60)) for _ in range(250)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    fast = {r.id: r.label for r in label_propagation(df).collect()}
+    slow = {
+        r.id: r.label for r in label_propagation(df, max_driver_edges=0).collect()
+    }
+    assert fast == slow and fast
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """The driver-side rounding twin vs F.round on adversarial values —
+    exact .5 boundaries at the target precision and values whose shortest
+    repr carries >prec digits."""
+    from pyspark.sql import functions as F
+
+    from dampr_spark.operators.graph import _round_half_up
+
+    vals = [
+        0.00000000005,  # exactly .5 at 1e-10 in decimal-string form
+        0.00000000015,
+        0.1 + 0.2,  # 0.30000000000000004
+        1.0 / 3.0,
+        0.0066666666666666671,
+        (1.0 - 0.85) / 150.0,
+        0.123456789049999,
+        2.5e-10,
+        1.5e-10,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.y for r in df.select(F.round("x", 10).alias("y")).collect()]
+    want = [_round_half_up(v, 10) for v in vals]
+    assert got == want
+
+
 # -- 4. k-core oracle fixpoint guard -----------------------------------------
 
 
