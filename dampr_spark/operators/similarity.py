@@ -1060,3 +1060,102 @@ def semantic_grid_probe_pairs(
         )
         .filter(F.col("cos_sim") >= tau)
     )
+
+
+def grid_resolution_audit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims_candidates: tuple[int, ...] = (2, 4, 6),
+    buckets: int = 4,
+    max_cell: int = 64,
+) -> DataFrame:
+    """Pick the grid resolution BEFORE paying for blocking: one audit row
+    per candidate ``dims`` — ``(dims, cells_ge2, cells_over_cap,
+    raw_pair_budget, capped_pair_budget, recommended)`` — where
+    ``recommended`` marks the COARSEST candidate with zero over-cap cells
+    (coarser = fewer split true-neighbor pairs, i.e. best blocking recall
+    at equal safety; none marked when every resolution saturates, which
+    is itself the report: no grid at these candidates, move to LSH).
+
+    This operationalizes the round-9 100x proof's lesson
+    (benchmarks/grid_dedup_scale_proof_100x.py): a grid that audits
+    go at one scale SATURATES two decades up — 4^4 cells x cap 64 is
+    16k capacity — and the fix is the resolution knob, chosen by exactly
+    these columns. SemDeDup turns the same knob as k.
+
+    ONE corpus pass for every candidate: cell ids are base-``buckets``
+    Horner codes over the leading dims, so the cell at ``d`` dims is the
+    integer quotient ``cell_finest // buckets^(finest-d)`` — per-dim
+    bounds fit independently, making the digit prefixes EXACT. The corpus
+    is scanned and cell-aggregated once at the finest candidate
+    (<= buckets^finest rows, pinned); every coarser audit is a rollup of
+    that bounded table. At 100 TB the probe costs one scan + one bounded
+    shuffle regardless of how many resolutions are candidated.
+    """
+    cands = sorted(set(int(d) for d in dims_candidates))
+    if not cands or cands[0] < 1:
+        raise ValueError("dims_candidates must be positive ints")
+    finest = cands[-1]
+    fine_counts = (
+        grid_cells(df, vec_col, id_col, finest, buckets)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # <= buckets^finest rows, probed per d
+    )
+    audits = []
+    for d in cands:
+        q = buckets ** (finest - d)
+        per_cell = (
+            fine_counts.groupBy(
+                F.floor(F.col("cell") / F.lit(q)).alias("c")
+            ).agg(F.sum("n").alias("n"))
+            if q > 1
+            else fine_counts.select(F.col("cell").alias("c"), "n")
+        )
+        audits.append(
+            per_cell.filter(F.col("n") >= 2).agg(
+                F.lit(d).cast("long").alias("dims"),
+                F.count(F.lit(1)).alias("cells_ge2"),
+                F.coalesce(
+                    F.sum(F.when(F.col("n") > max_cell, 1).otherwise(0)),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("cells_over_cap"),
+                F.coalesce(F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0))
+                .cast("long")
+                .alias("raw_pair_budget"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("n") <= max_cell,
+                            F.col("n") * (F.col("n") - 1) / 2,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("capped_pair_budget"),
+            )
+        )
+    table = audits[0]
+    for a in audits[1:]:
+        table = table.unionByName(a)
+    best = table.filter(F.col("cells_over_cap") == 0).agg(
+        F.min("dims").alias("best_dims")
+    )
+    return (
+        table.crossJoin(F.broadcast(best))
+        .select(
+            "dims",
+            "cells_ge2",
+            "cells_over_cap",
+            "raw_pair_budget",
+            "capped_pair_budget",
+            F.coalesce(F.col("dims") == F.col("best_dims"), F.lit(False)).alias(
+                "recommended"
+            ),
+        )
+        .orderBy("dims")
+    )

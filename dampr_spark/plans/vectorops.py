@@ -825,14 +825,14 @@ _GRID_TAU = 0.30
 _GRID_MAX_CELL = 64
 
 
-def _grid_cells_sql() -> str:
+def _grid_cells_sql(dims: int = _GRID_DIMS) -> str:
     """DuckDB twin of operators/similarity.grid_cells: same min/max fit,
     same affine bucket transform (floor((x-lo)/(hi-lo)*B) clamped to
     [0, B-1], degenerate dim -> 0), same base-B Horner cell id."""
     b = float(_GRID_BUCKETS)
     terms = []
-    for i in range(1, _GRID_DIMS + 1):
-        w = _GRID_BUCKETS ** (_GRID_DIMS - i)
+    for i in range(1, dims + 1):
+        w = _GRID_BUCKETS ** (dims - i)
         terms.append(
             f"CAST(CASE WHEN his[{i}] > los[{i}] THEN "
             f"least({b - 1.0}, greatest(0.0, "
@@ -844,7 +844,7 @@ def _grid_cells_sql() -> str:
       v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings WHERE {V.valid_vector_sql('embedding')}),
       mm AS (SELECT i, min(e[i]) AS lo, max(e[i]) AS hi
-             FROM v, range(1, {_GRID_DIMS + 1}) t(i) GROUP BY i),
+             FROM v, range(1, {dims + 1}) t(i) GROUP BY i),
       mml AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
               FROM mm),
       cells AS (SELECT id, e, {cell} AS cell FROM v, mml)
@@ -895,6 +895,75 @@ def semantic_grid_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_members").desc(), "cell")
         .limit(20)
+    )
+
+
+_GRID_RES_CANDS = (2, 4, 6)
+
+
+def _grid_resolution_audit_sql() -> str:
+    """Oracle for grid_resolution_audit: cells at the FINEST candidate,
+    coarser audits by Horner-prefix integer division — one corpus pass,
+    the operator's exact mechanics."""
+    finest = max(_GRID_RES_CANDS)
+    legs = []
+    for d in _GRID_RES_CANDS:
+        q = _GRID_BUCKETS ** (finest - d)
+        legs.append(f"""
+    a{d} AS (
+      SELECT CAST({d} AS BIGINT) AS dims,
+             CAST(count(*) AS BIGINT) AS cells_ge2,
+             CAST(coalesce(sum(CASE WHEN n > {_GRID_MAX_CELL} THEN 1 ELSE 0 END), 0) AS BIGINT) AS cells_over_cap,
+             CAST(coalesce(sum(n * (n - 1) / 2), 0) AS BIGINT) AS raw_pair_budget,
+             CAST(coalesce(sum(CASE WHEN n <= {_GRID_MAX_CELL} THEN n * (n - 1) / 2 ELSE 0 END), 0) AS BIGINT) AS capped_pair_budget
+      FROM (SELECT CAST(floor(cell / {q}) AS BIGINT) AS c, sum(n) AS n
+            FROM fc GROUP BY 1) WHERE n >= 2)""")
+    union = " UNION ALL ".join(f"SELECT * FROM a{d}" for d in _GRID_RES_CANDS)
+    return f"""
+    WITH {_grid_cells_sql(finest)},
+    fc AS (SELECT cell, count(*) AS n FROM cells GROUP BY cell),
+    {",".join(legs)},
+    t AS ({union}),
+    b AS (SELECT min(dims) AS bd FROM t WHERE cells_over_cap = 0)
+    SELECT dims, cells_ge2, cells_over_cap, raw_pair_budget,
+           capped_pair_budget,
+           coalesce(dims = bd, false) AS recommended
+    FROM t, b ORDER BY dims
+    """
+
+
+@register(
+    "grid_resolution_audit",
+    oracle=_grid_resolution_audit_sql(),
+    tags=("vector", "dedup", "semantic", "blocking", "planning", "extension"),
+)
+def grid_resolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution-selection audit for grid semantic dedup: one row per
+    candidate grid resolution (dims 2/4/6 at 4 buckets) with the cell and
+    pair-budget columns, plus ``recommended`` marking the coarsest
+    resolution whose densest cell still fits the per-cell cap — the knob
+    report a pipeline owner reads before blocking a new corpus.
+
+    Why first-class: the round-9 100x proof
+    (benchmarks/grid_dedup_scale_proof_100x.py) measured a grid that
+    audits healthy at sf0.1 SATURATING two decades up (256 cells x cap
+    64 = 16k capacity vs 200k vectors; capped budget fell BELOW the 1x
+    value), with the dims=6 leg restoring ~linear pair growth at
+    sub-linear wall. Resolution is a scale PARAMETER; this query is the
+    instrument that sets it.
+
+    Plan shape for 100 TB: ONE corpus scan + one bounded cell aggregate
+    at the finest candidate; every coarser audit is an integer-division
+    rollup of that <= buckets^finest-row table (cell ids are base-B
+    Horner codes, so coarse cells are exact digit prefixes). Candidating
+    more resolutions costs nothing further at the corpus."""
+    from dampr_spark.operators import similarity
+
+    return similarity.grid_resolution_audit(
+        _t(spark, sf_dir, "embeddings"),
+        dims_candidates=_GRID_RES_CANDS,
+        buckets=_GRID_BUCKETS,
+        max_cell=_GRID_MAX_CELL,
     )
 
 

@@ -285,6 +285,66 @@ def test_round_half_up_matches_spark_round(spark):
     assert got == want
 
 
+# -- 6. grid_resolution_audit: Horner-prefix rollup exactness ----------------
+
+
+def test_grid_resolution_rollup_matches_direct_audit(spark):
+    """The multi-resolution audit derives coarse-grid stats by integer
+    division of the finest grid's cell ids. That shortcut must EQUAL a
+    direct audit run at each resolution (per-dim bounds fit independently,
+    so digit prefixes are exact) — pinned here against grid_cells at each
+    dims."""
+    from pyspark.sql import functions as F
+
+    from dampr_spark.operators.similarity import grid_cells, grid_resolution_audit
+    from dampr_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    audit = {
+        r.dims: (r.cells_ge2, r.cells_over_cap, r.raw_pair_budget, r.capped_pair_budget)
+        for r in grid_resolution_audit(emb, dims_candidates=(2, 4, 6)).collect()
+    }
+    for d in (2, 4, 6):
+        direct = (
+            grid_cells(emb, dims=d)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2)
+            .agg(
+                F.count(F.lit(1)).alias("g2"),
+                F.coalesce(
+                    F.sum(F.when(F.col("n") > 64, 1).otherwise(0)), F.lit(0)
+                ).alias("oc"),
+                F.coalesce(F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0))
+                .cast("long")
+                .alias("raw"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("n") <= 64, F.col("n") * (F.col("n") - 1) / 2
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("cap"),
+            )
+            .first()
+        )
+        assert audit[d] == (direct.g2, direct.oc, direct.raw, direct.cap), d
+
+
+def test_grid_resolution_recommended_is_coarsest_safe(spark):
+    from dampr_spark.operators.similarity import grid_resolution_audit
+    from dampr_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = grid_resolution_audit(emb, dims_candidates=(2, 4, 6)).collect()
+    safe = [r.dims for r in rows if r.cells_over_cap == 0]
+    rec = [r.dims for r in rows if r.recommended]
+    assert rec == ([min(safe)] if safe else [])
+
+
 # -- 4. k-core oracle fixpoint guard -----------------------------------------
 
 
