@@ -1084,14 +1084,16 @@ def grid_resolution_audit(
     16k capacity — and the fix is the resolution knob, chosen by exactly
     these columns. SemDeDup turns the same knob as k.
 
-    ONE corpus pass for every candidate: cell ids are base-``buckets``
+    Corpus cost is CANDIDATE-INDEPENDENT: cell ids are base-``buckets``
     Horner codes over the leading dims, so the cell at ``d`` dims is the
     integer quotient ``cell_finest // buckets^(finest-d)`` — per-dim
     bounds fit independently, making the digit prefixes EXACT. The corpus
-    is scanned and cell-aggregated once at the finest candidate
-    (<= buckets^finest rows, pinned); every coarser audit is a rollup of
-    that bounded table. At 100 TB the probe costs one scan + one bounded
-    shuffle regardless of how many resolutions are candidated.
+    is blocked once at the finest candidate (grid_cells' two documented
+    passes: bounds-fit aggregate + cell assignment) into a
+    <= buckets^finest-row pinned table; every coarser audit is a rollup
+    of that bounded table. At 100 TB the probe costs two scans + one
+    bounded shuffle regardless of how many resolutions are candidated
+    (plan-locked in tests/test_plan_quality.py).
     """
     cands = sorted(set(int(d) for d in dims_candidates))
     if not cands or cands[0] < 1:

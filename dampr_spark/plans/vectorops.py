@@ -952,11 +952,12 @@ def grid_resolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-linear wall. Resolution is a scale PARAMETER; this query is the
     instrument that sets it.
 
-    Plan shape for 100 TB: ONE corpus scan + one bounded cell aggregate
-    at the finest candidate; every coarser audit is an integer-division
-    rollup of that <= buckets^finest-row table (cell ids are base-B
-    Horner codes, so coarse cells are exact digit prefixes). Candidating
-    more resolutions costs nothing further at the corpus."""
+    Plan shape for 100 TB: corpus cost is candidate-independent — one
+    finest-grid blocking (grid_cells' bounds-fit + assignment passes) and
+    one bounded cell aggregate; every coarser audit is an integer-
+    division rollup of that <= buckets^finest-row table (cell ids are
+    base-B Horner codes, so coarse cells are exact digit prefixes).
+    Candidating more resolutions costs nothing further at the corpus."""
     from dampr_spark.operators import similarity
 
     return similarity.grid_resolution_audit(
