@@ -387,8 +387,20 @@ def main() -> int:
                 base = json.load(f)
             for name, d in anchor_detail.items():
                 b = base.get("norm", {}).get(name)
+                bw = base.get("warm_sec", {}).get(name, 0.0)
                 d["baseline_norm"] = b
-                if b and d["norm"] > ANCHOR_REGRESSION_RATIO * b:
+                # Flag needs BOTH the relative ratio and an absolute floor:
+                # sub-second anchors are dominated by fixed per-job
+                # overhead whose ratio to the calibration workload is
+                # noisy (q1's 0.15 s warm swings 30% with JVM JIT state).
+                # Baseline conditions = anchors run AFTER the full
+                # 3-warm-rep sf0.1 loop (the driver's invocation shape);
+                # a quick sf0.001 smoke run is cooler and reads high.
+                if (
+                    b
+                    and d["norm"] > ANCHOR_REGRESSION_RATIO * b
+                    and d["warm"] - bw > 0.5
+                ):
                     anchor_regressed.append(name)
         else:
             with open(ANCHOR_BASELINE, "w") as f:
@@ -497,8 +509,20 @@ def main() -> int:
         compact["anchor_regressed"] = anchor_regressed
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
-        # Driver tail capture is 2000 chars; shed per-query detail before
-        # ever risking an unparseable record (BENCH_r05 lesson).
+        # Driver tail capture is 2000 chars (BENCH_r05 lesson). Shed
+        # GRACEFULLY: per-query values drop to 1 decimal first (full
+        # precision lives in the verbose payload) — round 9's provenance
+        # keys put the 2-decimal form exactly at the boundary at sf0.1 and
+        # the old all-or-nothing shed silently dropped every per-query
+        # number from the driver record.
+        compact["queries"] = {q: round(t, 1) for q, t in cold_timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900 and anchor_regressed:
+        # Second shed stage: regressed NAMES live in the verbose payload;
+        # the compact record keeps the count.
+        compact["anchor_regressed"] = len(anchor_regressed)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
         compact.pop("queries")
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
