@@ -311,3 +311,61 @@ def test_sketch_olap_example(spark):
     # residues of i%40 over 600 rows), so Bloom must pass all 40
     assert rep["bloom_passed_user_ids"] == 40
     assert abs(rep["p50_value"] - 50.0) < 2.0
+
+
+def test_growing_corpus_example(spark, sf_dir, tmp_path):
+    """Growing-corpus loop: near-dup screen at the door, incremental
+    scored-index appends, scheduled compaction, resolution re-audit,
+    from_dataset re-entry — with search-spans-old-and-new pinned against
+    a from-scratch rebuild over the same survivor set."""
+    from growing_corpus import (
+        grow,
+        reenter_prior_run,
+        resolution_checkpoint,
+    )
+    from dampr_spark.api import Dampr
+    from dampr_spark.operators.indexer import Indexer
+    from dampr_spark.sources.readers import read_table
+
+    Dampr.use_session(spark)
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    seed = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    shard1 = docs.filter(F.col("doc_id") % 4 == 1).select("doc_id", "text")
+    # shard2 contains exact copies of seed docs (new ids): the screen
+    # must drop them all.
+    dupes = seed.limit(20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    shard2 = (
+        docs.filter(F.col("doc_id") % 4 == 2)
+        .select("doc_id", "text")
+        .unionByName(dupes)
+    )
+
+    root = str(tmp_path / "grow_idx")
+    rep = grow(spark, root, seed, [shard1, shard2], compact_every=3)
+    assert rep["dropped"][1] >= 20  # every planted dup caught at the door
+    assert rep["compactions"] >= 1 and rep["n_shards_final"] < 3
+
+    # Search spans old+new identically to a from-scratch rebuild over the
+    # same surviving history (shard-union == rebuild, the round-8 pin).
+    terms = ["the", "data"]
+    got = {
+        (r.doc_id, r.bm25)
+        for r in rep["index"].search_bm25(spark, terms, k=12).collect()
+    }
+    rebuilt = Indexer(str(tmp_path / "rebuild_idx")).build_scored(
+        rep["history"].select("doc_id", "text")
+    )
+    want = {
+        (r.doc_id, r.bm25)
+        for r in rebuilt.search_bm25(spark, terms, k=12).collect()
+    }
+    assert got == want and got
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assert resolution_checkpoint(emb) in (2, 4, 6, None)
+
+    assert reenter_prior_run([3, 1, 2]) == [11, 21, 31]
