@@ -41,12 +41,19 @@ def _round_half_up(x: float, prec: int) -> float:
 
 
 def _try_collect_small(e: DataFrame, max_edges: int) -> list | None:
-    """The bounded-graph probe: ONE job that collects at most
-    ``max_edges + 1`` edge rows (limit stops the scan early). Returns the
-    full edge list when the graph fits, else None — the caller then runs
-    the distributed path. ≤ max_edges rows of (src, dst[, w]) is a few MB
-    at the default caps: the same driver-budget class as the catalog's
-    bounded sample collects."""
+    """The bounded-graph probe: collect at most ``max_edges + 1`` edge
+    rows. Returns the full edge list when the graph fits, else None — the
+    caller then runs the distributed path. ≤ max_edges rows of
+    (src, dst[, w]) is a few MB at the default caps: the same
+    driver-budget class as the catalog's bounded sample collects.
+
+    CALLER CONTRACT: pass a MATERIALIZED frame (localCheckpoint'd). The
+    probe's limit otherwise executes the edge-GENERATION lineage (LSH
+    banding, Levenshtein verify, ...) and an over-threshold graph then
+    recomputes all of it on the distributed path — measured 2.2 -> 13.8 s
+    warm on simhash_dedup's 98k-pair graph before this rule. Every
+    fixpoint operator here needed the edge list materialized anyway (the
+    rounds re-read it), so checkpoint-then-probe costs nothing extra."""
     if max_edges <= 0:
         return None
     rows = e.limit(max_edges + 1).collect()
@@ -58,6 +65,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 50,
+    max_driver_edges: int = 50_000,
 ) -> DataFrame:
     """(id, component) for every vertex appearing in ``edges``; component =
     the minimum vertex id of the connected component. Runs min-label
@@ -65,11 +73,70 @@ def connected_components(
     (absent from edges) are by definition their own component and simply
     don't appear — union them in afterwards if needed.
 
-    NULL endpoints are dropped (an edge to NULL identifies nothing)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
-        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    NULL endpoints are dropped (an edge to NULL identifies nothing).
+
+    Bounded-graph fast path (the pagerank discipline): when the edge
+    list fits under ``max_driver_edges`` (one early-terminating probe
+    job), the SAME per-round update — neighbor-min plus pointer jump
+    through the previous round's labels — runs driver-side, including
+    the max_iters non-convergence raise, so both the labeling and the
+    round-count contract are identical to the join plan. Dup-pair graphs
+    are tiny at EVERY corpus scale whenever dup rate is low; the
+    distributed path stays for the rest (``max_driver_edges=0`` forces
+    it)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        # materialized BEFORE the probe (caller contract on
+        # _try_collect_small): an over-threshold graph must not pay its
+        # edge generation twice.
+        .localCheckpoint(eager=True)
     )
-    e = e.localCheckpoint(eager=True)
+
+    small = _try_collect_small(e, max_driver_edges)
+    if small is not None:
+        spark = edges.sparkSession
+        id_type = e.schema["src"].dataType
+        if e.schema["dst"].dataType == id_type:
+            from pyspark.sql.types import StructField, StructType
+
+            nbrs: dict = {}
+            for row in small:
+                a, b = row["src"], row["dst"]
+                nbrs.setdefault(a, set()).add(b)
+                nbrs.setdefault(b, set()).add(a)
+            labels = {v: v for v in nbrs}
+            for _ in range(max_iters):
+                lab1 = {
+                    v: min(
+                        labels[v],
+                        min((labels[n] for n in ns), default=labels[v]),
+                    )
+                    for v, ns in nbrs.items()
+                }
+                stepped = {
+                    v: min(l1, labels.get(l1, l1)) for v, l1 in lab1.items()
+                }
+                changed = sum(
+                    1 for v in labels if labels[v] != stepped[v]
+                )
+                labels = stepped
+                if changed == 0:
+                    out_schema = StructType(
+                        [
+                            StructField("id", id_type),
+                            StructField("component", id_type),
+                        ]
+                    )
+                    return spark.createDataFrame(
+                        sorted(labels.items()), out_schema
+                    )
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                "rounds (component diameter exceeds max_iters); raise "
+                "max_iters"
+            )
+
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
@@ -163,9 +230,13 @@ def pagerank(
     never amortize. Set ``max_driver_edges=0`` to force the distributed
     path."""
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
-    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        # materialized BEFORE the probe (caller contract on
+        # _try_collect_small).
+        .localCheckpoint(eager=True)
+    )
 
     small = _try_collect_small(e, max_driver_edges)
     if small is not None:
@@ -203,7 +274,6 @@ def pagerank(
                 [(i, ranks[i]) for i in node_ids], out_schema
             )
 
-    e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -326,6 +396,9 @@ def label_propagation(
         )
         .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
         .distinct()
+        # materialized BEFORE the probe (caller contract on
+        # _try_collect_small).
+        .localCheckpoint(eager=True)
     )
 
     # Bounded-graph fast path (the pagerank discipline, even simpler here:
@@ -363,7 +436,6 @@ def label_propagation(
                 labels = new_labels
             return spark.createDataFrame(sorted(labels.items()), out_schema)
 
-    e = e.localCheckpoint(eager=True)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (
         sym.select(F.col("src").alias("id"))
@@ -400,6 +472,7 @@ def kcore(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 100,
+    max_driver_edges: int = 50_000,
 ) -> DataFrame:
     """(id, core_degree) — the vertices of the k-core of the undirected
     simple graph induced by ``edges`` (the maximal subgraph in which every
@@ -443,7 +516,57 @@ def kcore(
         )
         .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
         .distinct()
+        # materialized BEFORE the probe (caller contract on
+        # _try_collect_small); the distributed path's sym union reads it
+        # twice, so this also stops the dedup-distinct running twice.
+        .localCheckpoint(eager=True)
     )
+
+    # Bounded-graph fast path (the connected_components discipline):
+    # peeling is confluent and the synchronous rounds are replicated
+    # verbatim — including the max_iters raise, so the peel-depth
+    # contract behaves identically on both paths.
+    small = _try_collect_small(e, max_driver_edges)
+    if small is not None:
+        spark = edges.sparkSession
+        id_type = e.schema["lo"].dataType
+        if e.schema["hi"].dataType == id_type:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            nbrs: dict = {}
+            for r in small:
+                nbrs.setdefault(r["lo"], set()).add(r["hi"])
+                nbrs.setdefault(r["hi"], set()).add(r["lo"])
+            live = set(nbrs)
+            for _ in range(max_iters):
+                # Zero-degree vertices get NO deg entry — the distributed
+                # path's "no edge rows -> no degree row" implicit drop, so
+                # the per-round drop sets (and thus the max_iters
+                # round-count contract) match the join plan exactly.
+                deg = {}
+                for v in live:
+                    d = sum(1 for n in nbrs[v] if n in live)
+                    if d > 0:
+                        deg[v] = d
+                drop = {v for v, dv in deg.items() if dv < k}
+                if not drop:
+                    out_schema = StructType(
+                        [
+                            StructField("id", id_type),
+                            StructField("core_degree", LongType()),
+                        ]
+                    )
+                    return spark.createDataFrame(
+                        sorted(deg.items()), out_schema
+                    )
+                live = {v for v in deg if v not in drop}
+            raise RuntimeError(
+                f"kcore did not converge in {max_iters} rounds — max_iters "
+                "must exceed the peel depth by one (N dropping rounds need "
+                "N+1 iterations, the last confirming the fixpoint); raise "
+                "max_iters"
+            )
+
     sym = e.union(
         e.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
     ).localCheckpoint(eager=True)
@@ -476,6 +599,7 @@ def bfs_distances(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 50,
+    max_driver_edges: int = 50_000,
 ) -> DataFrame:
     """(id, dist) — unweighted shortest-path hop distance from the nearest
     source vertex, over the undirected view of ``edges``. Runs min-plus
@@ -489,12 +613,62 @@ def bfs_distances(
     with a recursive CTE and the results compare exactly. Per-round cost:
     one |E|-keyed join + a vertex-keyed min — O(diameter × |E|) total,
     the standard Pregel SSSP shape; ``sources`` may be any number of roots
-    (multi-source BFS is the same loop seeded wider)."""
+    (multi-source BFS is the same loop seeded wider).
+
+    Bounded-graph fast path (the connected_components discipline): the
+    same synchronous relax rounds run driver-side when the edge list fits
+    under ``max_driver_edges`` — pure integer min-plus, so the distances
+    AND the max_iters round-count contract replicate exactly."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        # materialized BEFORE the probe (caller contract on
+        # _try_collect_small).
         .localCheckpoint(eager=True)
     )
+
+    small = _try_collect_small(e, max_driver_edges)
+    if small is not None:
+        spark = edges.sparkSession
+        id_type = e.schema["src"].dataType
+        if e.schema["dst"].dataType == id_type:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            nbrs: dict = {}
+            for row in small:
+                nbrs.setdefault(row["src"], set()).add(row["dst"])
+                nbrs.setdefault(row["dst"], set()).add(row["src"])
+            # NULL roots ride along at dist 0 exactly as the distributed
+            # union(dists) keeps them (they just never relax anything).
+            roots = {
+                r[0] for r in sources.select(sources.columns[0]).collect()
+            }
+            dists = {v: 0 for v in roots}
+            for _ in range(max_iters):
+                relaxed = dict(dists)
+                for v, dv in dists.items():
+                    for n in nbrs.get(v, ()):
+                        nd = dv + 1
+                        if nd < relaxed.get(n, nd + 1):
+                            relaxed[n] = nd
+                changed = relaxed != dists
+                dists = relaxed
+                if not changed:
+                    out_schema = StructType(
+                        [
+                            StructField("id", id_type),
+                            StructField("dist", LongType()),
+                        ]
+                    )
+                    rows = sorted(
+                        (v, d) for v, d in dists.items() if v is not None
+                    ) + [(None, d) for v, d in dists.items() if v is None]
+                    return spark.createDataFrame(rows, out_schema)
+            raise RuntimeError(
+                f"bfs_distances did not converge in {max_iters} rounds "
+                "(graph diameter exceeds max_iters); raise max_iters"
+            )
+
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     dists = (
         sources.select(F.col(sources.columns[0]).alias("id"))

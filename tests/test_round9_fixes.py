@@ -260,6 +260,60 @@ def test_label_propagation_driver_fast_path_matches_distributed(spark):
     assert fast == slow and fast
 
 
+def test_cc_kcore_bfs_driver_fast_paths_match_distributed(spark):
+    """connected_components / kcore / bfs_distances run their exact
+    synchronous rounds driver-side on bounded graphs — results AND the
+    max_iters round-count contract must match the join plans."""
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dampr_spark.operators.graph import (
+        bfs_distances,
+        connected_components,
+        kcore,
+    )
+
+    random.seed(99)
+    edges = [(random.randint(0, 120), random.randint(0, 120)) for _ in range(350)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src int, dst int")
+
+    cc_f = {r.id: r.component for r in connected_components(df).collect()}
+    cc_s = {
+        r.id: r.component
+        for r in connected_components(df, max_driver_edges=0).collect()
+    }
+    assert cc_f == cc_s and cc_f
+
+    for k in (2, 3):
+        kc_f = {r.id: r.core_degree for r in kcore(df, k=k).collect()}
+        kc_s = {
+            r.id: r.core_degree
+            for r in kcore(df, k=k, max_driver_edges=0).collect()
+        }
+        assert kc_f == kc_s
+
+    srcs = spark.createDataFrame([(0,), (50,)], "id int")
+    bf_f = {r.id: r.dist for r in bfs_distances(df, srcs).collect()}
+    bf_s = {
+        r.id: r.dist
+        for r in bfs_distances(df, srcs, max_driver_edges=0).collect()
+    }
+    assert bf_f == bf_s and bf_f
+
+    # max_iters raise parity on a diameter-11 path, both paths.
+    path = spark.createDataFrame([(i, i + 1) for i in range(11)], "src long, dst long")
+    one = spark.createDataFrame([(0,)], "id long")
+    for mde in (50_000, 0):
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(path, max_iters=3, max_driver_edges=mde)
+        with pytest.raises(RuntimeError, match="did not converge"):
+            kcore(path, k=2, max_iters=1, max_driver_edges=mde)
+        with pytest.raises(RuntimeError, match="did not converge"):
+            bfs_distances(path, one, max_iters=3, max_driver_edges=mde)
+
+
 def test_round_half_up_matches_spark_round(spark):
     """The driver-side rounding twin vs F.round on adversarial values —
     exact .5 boundaries at the target precision and values whose shortest
