@@ -2069,6 +2069,71 @@ def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_density_report",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS doc_tokens,
+             CAST(count(*) - count(DISTINCT text) AS BIGINT) AS exact_dup_rows
+      FROM d),
+    blk AS (
+      SELECT array_to_string(string_split(text, ' ')[1:2], ' ') AS blk,
+             count(*) AS n
+      FROM d GROUP BY 1),
+    bb AS (
+      SELECT CAST(coalesce(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS dup_blocks,
+             CAST(coalesce(sum(n * (n - 1) / 2), 0) AS BIGINT) AS block_pairs
+      FROM blk)
+    SELECT docs, doc_tokens, exact_dup_rows, dup_blocks, block_pairs
+    FROM base, bb
+    """,
+    tags=("curation", "profiling", "provenance", "extension"),
+)
+def corpus_density_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus density certificate: doc/token counts, exact-dup
+    rows, and the 2-token-prefix blocking mass (blocks with >= 2 members
+    plus their raw candidate-pair count). These are precisely the knobs
+    that move text/dedup query runtimes between corpus versions — the
+    round-8 bench postmortem could not attribute a fleet-wide delta
+    because nothing recorded them; ``bench.py`` now emits the same
+    numbers per run and this query is the standalone, oracle-checked
+    instrument (run it on each corpus version; if these moved, suspect
+    the data before the plans).
+
+    Plan shape for 100 TB: one corpus scan feeding a map-side-combinable
+    base aggregate, and one blocking-key groupBy whose output is bounded
+    by the distinct 2-token prefixes — the same pass any blocked dedup
+    would pay anyway, priced here without running one."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    base = d.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size(toks)).cast("long").alias("doc_tokens"),
+        (F.count(F.lit(1)) - F.count_distinct("text")).alias("exact_dup_rows"),
+    )
+    bb = (
+        d.select(F.concat_ws(" ", F.slice(toks, 1, 2)).alias("blk"))
+        .groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("dup_blocks"),
+            F.coalesce(F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0))
+            .cast("long")
+            .alias("block_pairs"),
+        )
+    )
+    return base.crossJoin(F.broadcast(bb)).select(
+        "docs", "doc_tokens", "exact_dup_rows", "dup_blocks", "block_pairs"
+    )
+
+
 _RESAMPLE_K = 50
 _GUMBEL_U_SQL = (
     f"(({_md5_uint_sql(chr(39) + 'g:' + chr(39) + ' || CAST(doc_id AS VARCHAR)', 4, little_endian=False)}"

@@ -65,6 +65,11 @@ _HARDENED = [
     "hybrid_rrf_search",
     "frame_sample_manifest",
     "audio_segments_manifest",
+    # round-9 additions: the resolution audit filters valid vectors at
+    # entry (NULL/zero-vector rows invisible on both engines); the density
+    # report drops NULL texts and counts planted exact dups identically
+    "grid_resolution_audit",
+    "corpus_density_report",
     # round-7 additions: the substring family drops NULL texts at entry
     # and the adversarial fixture's whole-doc duplicates become full-length
     # spans — exercised on both engines
