@@ -395,7 +395,7 @@ def minhash_lsh_dedup(
 
 
 def near_dup_clusters(
-    pairs: DataFrame, iters: int = 3
+    pairs: DataFrame, iters: int = 3, max_driver_edges: int = 50_000
 ) -> DataFrame:
     """Cluster near-dup pairs into (id, canonical) via min-label
     propagation: every id starts as its own label; each round takes the min
@@ -413,8 +413,45 @@ def near_dup_clusters(
     iteration then checkpoints its label table: round N's plan would
     otherwise nest N copies of the edge join and re-run them all at the
     final action, while an eager checkpoint makes every round O(1) jobs
-    over executor-local blocks — no driver collect, any scale."""
+    over executor-local blocks — no driver collect, any scale.
+
+    Bounded-graph fast path (operators/graph.py's round-9 discipline):
+    the update is a pure min over labels, so ``iters`` driver-side rounds
+    are trivially identical to the join plan when the pair set fits under
+    ``max_driver_edges`` — and the probe is free here because the pair
+    set is ALREADY materialized (the checkpoint above is this function's
+    standing lineage discipline, which is exactly the probe-after-pin
+    caller contract). Near-dup pair sets are small at every corpus scale
+    whenever dup rate is low; ``max_driver_edges=0`` forces the joins."""
+    from dampr_spark.operators.graph import _try_collect_small
+
     p = pairs.localCheckpoint(eager=True)
+
+    small = _try_collect_small(p.select("id_a", "id_b"), max_driver_edges)
+    if small is not None:
+        spark = pairs.sparkSession
+        id_type = p.schema["id_a"].dataType
+        if p.schema["id_b"].dataType == id_type:
+            from pyspark.sql.types import StructField, StructType
+
+            nbrs: dict = {}
+            for r in small:
+                nbrs.setdefault(r["id_a"], set()).add(r["id_b"])
+                nbrs.setdefault(r["id_b"], set()).add(r["id_a"])
+            labels = {v: v for v in nbrs}
+            for _ in range(iters):
+                labels = {
+                    v: min(
+                        labels[v],
+                        min((labels[n] for n in ns), default=labels[v]),
+                    )
+                    for v, ns in nbrs.items()
+                }
+            out_schema = StructType(
+                [StructField("id", id_type), StructField("canonical", id_type)]
+            )
+            return spark.createDataFrame(sorted(labels.items()), out_schema)
+
     edges = p.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         p.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
