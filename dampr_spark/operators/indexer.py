@@ -69,9 +69,22 @@ class Indexer:
         path = jvm.org.apache.hadoop.fs.Path(root)
         return path.getFileSystem(spark._jsc.hadoopConfiguration()), path, jvm
 
+    def _recover_precompact(self, spark: SparkSession, root: str) -> bool:
+        """Self-heal :meth:`compact`'s documented crash window: the swap is
+        two renames, and a crash between them leaves the only copy stranded
+        at ``root_precompact`` with ``root`` absent. Every read path calls
+        this first, so a reader (or the next compact) after such a crash
+        renames the stranded copy back into place instead of seeing an
+        empty index — recovery was previously manual (round-10 ADVICE)."""
+        fs, path, jvm = self._fs(spark, root)
+        if fs.exists(path):
+            return False
+        old = jvm.org.apache.hadoop.fs.Path(root + "_precompact")
+        return fs.exists(old) and bool(fs.rename(old, path))
+
     def _shard_ids(self, spark: SparkSession, root: str) -> list[int]:
         fs, path, _ = self._fs(spark, root)
-        if not fs.exists(path):
+        if not fs.exists(path) and not self._recover_precompact(spark, root):
             return []
         return sorted(
             int(st.getPath().getName()[6:])
@@ -170,10 +183,11 @@ class Indexer:
         root is renamed ASIDE (never deleted first), the new root renamed
         in, and only then is the old root deleted — so a crash at any step
         leaves a readable index either at ``root`` or at ``root_precompact``
-        (recoverable by hand). Note the swap is still two renames, not one
-        atomic op, and on object stores (S3A) each rename is copy+delete —
-        the window where ``root`` is briefly absent exists but never
-        destroys data."""
+        (auto-recovered by :meth:`_recover_precompact` on every read path).
+        Note the swap is still two renames, not one atomic op, and on
+        object stores (S3A) each rename is copy+delete — the window where
+        ``root`` is briefly absent exists but never destroys data, and a
+        reader landing inside it self-heals on its next call."""
         for root in (self.path, self.path + "_stats"):
             ids = self._shard_ids(spark, root)
             if len(ids) <= 1:
@@ -199,6 +213,7 @@ class Indexer:
         return self
 
     def _postings(self, spark: SparkSession) -> DataFrame:
+        self._recover_precompact(spark, self.path)
         return spark.read.parquet(f"{self.path}/shard_*")
 
     def union(self, spark: SparkSession, keys: list[str]) -> DataFrame:
@@ -304,6 +319,7 @@ class Indexer:
         Identical scoring to the full-scan ``bm25_rank`` catalog query
         (equality-tested in tests/test_api.py); same 4dp-rounded cut
         ordering so the returned set is float-drift-stable."""
+        self._recover_precompact(spark, self.path + "_stats")
         stats = spark.read.parquet(f"{self.path}_stats/shard_*")
         corpus = stats.agg(
             F.count(F.lit(1)).cast("double").alias("n_docs"),

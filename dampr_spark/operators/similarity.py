@@ -1099,6 +1099,15 @@ def grid_resolution_audit(
     if not cands or cands[0] < 1:
         raise ValueError("dims_candidates must be positive ints")
     finest = cands[-1]
+    if buckets < 1 or buckets**finest >= 2**62:
+        # Horner cell ids must fit a long with headroom; past 2^53 a
+        # DOUBLE division would silently corrupt the prefix rollup too,
+        # which is why the rollup below uses exact integer `div`, not
+        # F.floor(col / lit) (round-10 ADVICE).
+        raise ValueError(
+            f"buckets**finest = {buckets}**{finest} overflows the long "
+            "Horner cell id; lower buckets or the finest dims candidate"
+        )
     fine_counts = (
         grid_cells(df, vec_col, id_col, finest, buckets)
         .groupBy("cell")
@@ -1110,7 +1119,12 @@ def grid_resolution_audit(
         q = buckets ** (finest - d)
         per_cell = (
             fine_counts.groupBy(
-                F.floor(F.col("cell") / F.lit(q)).alias("c")
+                # Exact integer division (`div`), NOT F.floor(col / lit):
+                # long/long `/` is DOUBLE division, which silently rounds
+                # cell ids past 2^53 and corrupts the prefix rollup for
+                # user-supplied candidates like buckets=10, dims>=16.
+                # Horner codes are non-negative, so div == floor division.
+                F.expr(f"cell div CAST({q} AS BIGINT)").alias("c")
             ).agg(F.sum("n").alias("n"))
             if q > 1
             else fine_counts.select(F.col("cell").alias("c"), "n")
