@@ -1,0 +1,192 @@
+"""Decontamination-family 100x budget-discipline proof (round 10,
+VERDICT r9 next-round #4): the posting-list text queries
+(`decontaminate_ngram`, `fuzzy_decontaminate`) were the full-catalog 10x
+sweep's two worst ratios (8.7x / 8.4x — linear-ish, but with no evidence
+beyond one decade). This proof runs their generalized operators
+(`dedup.ngram_contamination`, `dedup.fuzzy_contamination`) at 100x and
+shows `dedup.contamination_posting_audit` pricing the join BEFORE it
+runs — the same audit-first discipline the grid 100x proof established
+for semantic dedup.
+
+The economics under test: the gram join streams Σ_g cf(g)·bf(g) rows.
+With a FIXED eval suite (the organic model — benchmarks never scale with
+the corpus) cf grows with the corpus and bf is constant, so the raw
+budget must grow ~linearly at 100x... UNLESS the bench grams are
+stopword-common, where the constant is corpus×bench-shaped. Two fixtures:
+
+- **organic 100x** — the corpus side (doc_id % 97 != 0 at sf0.1)
+  replicated 100x with id offsets; the bench side (doc_id % 97 == 0)
+  FIXED at 1x. Replication is the right fixture here because the join is
+  corpus×bench only — exact cross-copy duplicates never pair with each
+  other, so (unlike the dedup proofs) no artificial cliques can form.
+  Expected: audit raw budget exactly 100x the 1x value, wall sub-linear
+  on fixed cores.
+
+- **adversarial (boilerplate-stamped)** — every corpus AND bench doc
+  gets the same 24-token template sentence appended: template bigrams
+  are now shared corpus-wide, so raw_join_rows ≈ n_corpus × Σ_template
+  bf(g) — the template-spam blowup. The audit must price this no-go in
+  one linear pass (grams_over_cap > 0, raw >> capped); the CAPPED run
+  (max_df: template grams have cf = every corpus doc >> cap) must track
+  the capped budget, not the raw one. Width (n=3) does NOT rescue
+  identical boilerplate — the audit shows that too, which is the point:
+  the audit tells you WHICH knob (cap, not width) this failure mode
+  needs. The cap only drops signal-free grams, so organic leakage pairs
+  survive (checked: the capped adversarial run still finds every 1x
+  organic flagged doc).
+
+Prints one JSON line; the prose table goes into benchmarks/RESULTS.md.
+
+Usage: PYTHONPATH=/root/repo python benchmarks/decontam_scale_proof_100x.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from dampr_spark.operators.dedup import (
+    contamination_posting_audit,
+    fuzzy_contamination,
+    ngram_contamination,
+)
+from dampr_spark.session import get_spark
+from dampr_spark.sources.readers import read_table
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_COPIES = 100
+BENCH_MOD = 97
+MAX_DF_1X = 100         # cap for the 1x adversarial anchor
+MAX_DF_100X = 1000      # cap for 100x (scales with corpus: cf grows 100x)
+TEMPLATE = " ".join(f"tmpl{i} common" for i in range(12))  # 24 tokens
+
+
+def replicate(df, n: int):
+    out = df
+    for i in range(1, n):
+        out = out.unionByName(
+            df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000_000))
+        )
+    return out
+
+
+def stamp(df):
+    return df.withColumn("text", F.concat_ws(" ", "text", F.lit(TEMPLATE)))
+
+
+def audit_row(corpus, bench, n: int, max_df: int) -> dict:
+    t0 = time.perf_counter()
+    r = contamination_posting_audit(corpus, bench, n=n, max_df=max_df).first()
+    d = dict(r.asDict())
+    d["audit_sec"] = round(time.perf_counter() - t0, 3)
+    return d
+
+
+def timed_count(fn):
+    t0 = time.perf_counter()
+    n = fn().count()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fn().count()
+    warm = time.perf_counter() - t0
+    return n, round(cold, 3), round(warm, 3)
+
+
+def main() -> int:
+    spark = get_spark(app_name="decontam-scale-proof-100x")
+    docs = read_table(spark, BASE, "documents").filter(F.col("text").isNotNull())
+    corpus1 = docs.filter(F.col("doc_id") % BENCH_MOD != 0).localCheckpoint(
+        eager=True
+    )
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0).localCheckpoint(
+        eager=True
+    )
+    out = {
+        "metric": "decontam_scale_proof_100x",
+        "corpus_1x": corpus1.count(),
+        "bench_docs": bench.count(),
+    }
+
+    corpus100 = replicate(corpus1, N_COPIES).localCheckpoint(eager=True)
+    out["corpus_100x"] = corpus100.count()
+    adv100 = stamp(corpus100)   # lineage over the pinned 100x corpus
+    adv_bench = stamp(bench).localCheckpoint(eager=True)
+
+    # ---- audits first: each prices its join before any pair forms.
+    out["audit_1x_n2"] = audit_row(corpus1, bench, 2, MAX_DF_1X)
+    out["audit_100x_n2"] = audit_row(corpus100, bench, 2, MAX_DF_100X)
+    out["audit_adv_1x_n2"] = audit_row(stamp(corpus1), adv_bench, 2, MAX_DF_1X)
+    out["audit_adv_100x_n2"] = audit_row(adv100, adv_bench, 2, MAX_DF_100X)
+    # Width knob does NOT rescue identical boilerplate (trigram templates
+    # are still corpus-wide) — the audit shows it, steering you to the cap.
+    out["audit_adv_100x_n3"] = audit_row(adv100, adv_bench, 3, MAX_DF_100X)
+
+    # ---- exact contamination (broadcast distinct bench grams): linear by
+    # construction; timed for the record.
+    n1, c1, w1 = timed_count(lambda: ngram_contamination(corpus1, bench, n=3))
+    n100, c100, w100 = timed_count(
+        lambda: ngram_contamination(corpus100, bench, n=3)
+    )
+    out.update(
+        exact_1x_rows=n1, exact_1x_cold=c1, exact_1x_warm=w1,
+        exact_100x_rows=n100, exact_100x_cold=c100, exact_100x_warm=w100,
+    )
+
+    # ---- fuzzy contamination: organic 100x uncapped (the linear case)...
+    f1, fc1, fw1 = timed_count(lambda: fuzzy_contamination(corpus1, bench))
+    f100, fc100, fw100 = timed_count(
+        lambda: fuzzy_contamination(corpus100, bench)
+    )
+    out.update(
+        fuzzy_1x_rows=f1, fuzzy_1x_cold=fc1, fuzzy_1x_warm=fw1,
+        fuzzy_100x_rows=f100, fuzzy_100x_cold=fc100, fuzzy_100x_warm=fw100,
+    )
+
+    # ---- ...adversarial: uncapped only at 1x (anchors the blowup
+    # constant the audit predicted); at 100x the audit said no-go, so the
+    # production answer — the CAPPED run — is what gets timed.
+    a1, ac1, aw1 = timed_count(
+        lambda: fuzzy_contamination(stamp(corpus1), adv_bench)
+    )
+    acap100, accold, acwarm = timed_count(
+        lambda: fuzzy_contamination(adv100, adv_bench, max_df=MAX_DF_100X)
+    )
+    out.update(
+        fuzzy_adv_1x_rows=a1, fuzzy_adv_1x_cold=ac1, fuzzy_adv_1x_warm=aw1,
+        fuzzy_adv_100x_capped_rows=acap100,
+        fuzzy_adv_100x_capped_cold=accold,
+        fuzzy_adv_100x_capped_warm=acwarm,
+    )
+
+    # ---- recall floor under the cap: stamping + capping must never LOSE
+    # a real shared gram. Stamping only appends grams (originals intact,
+    # so per-gram corpus df is unchanged on original grams), and the cap
+    # drops the same high-df originals either way — so per doc,
+    # n_shared(adversarial, capped) >= n_shared(clean, capped), exactly.
+    clean_sh = {
+        r.doc_id: r.n_shared
+        for r in ngram_contamination(
+            corpus1, bench, n=2, max_df=MAX_DF_1X
+        ).collect()
+    }
+    adv_sh = {
+        r.doc_id: r.n_shared
+        for r in ngram_contamination(
+            stamp(corpus1), adv_bench, n=2, max_df=MAX_DF_1X
+        ).collect()
+    }
+    out["capped_recall_ok"] = all(
+        adv_sh.get(d, 0) >= s for d, s in clean_sh.items()
+    )
+    out["shared_grams_clean_1x"] = sum(clean_sh.values())
+    out["shared_grams_capped_adv_1x"] = sum(adv_sh.values())
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

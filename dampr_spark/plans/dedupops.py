@@ -1884,3 +1884,91 @@ def sorted_neighborhood_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_chars=80,
         max_distance=25,
     )
+
+
+_LSH_BAND_AUDIT_ORACLE = """
+WITH floor_t AS (
+  SELECT CAST(COALESCE(SUM((g * (g - 1)) // 2), 0) AS BIGINT) AS fl
+  FROM (SELECT count(*) AS g FROM documents
+        WHERE text IS NOT NULL GROUP BY text) t
+  WHERE g >= 2),
+nd AS (SELECT CAST(count(*) AS BIGINT)    AS all_docs,
+              CAST(count(text) AS BIGINT) AS nonnull_docs FROM documents),
+cfg(family, bands, band_width) AS (
+  VALUES ('minhash', 8, 8), ('minhash', 16, 4), ('minhash', 32, 2),
+         ('simhash', 4, 16))
+SELECT family,
+       CAST(bands AS BIGINT)      AS bands,
+       CAST(band_width AS BIGINT) AS band_width,
+       CASE WHEN family = 'minhash' THEN all_docs ELSE nonnull_docs END
+           AS n_docs,
+       fl                         AS exdup_pair_floor,
+       TRUE                       AS raw_ge_floor_ok,
+       TRUE                       AS capped_le_raw_ok
+FROM cfg, floor_t, nd
+ORDER BY family, bands
+"""
+
+
+@register(
+    "lsh_band_audit",
+    oracle=_LSH_BAND_AUDIT_ORACLE,
+    tags=("dedup", "invariant", "audit", "extension"),
+)
+def lsh_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine contract of `operators/dedup.lsh_band_audit` — the
+    banding sizing instrument (VERDICT r9 #3: the minhash/simhash twin of
+    `grid_resolution_audit`, pricing per-config bucket occupancy and the
+    `max_bucket` cap's dropped pair/doc mass BEFORE the pair join runs).
+
+    The audit's occupancy numbers are xxhash-dependent (deterministic but
+    not SQL-expressible), so the externally hash-compared columns are the
+    quantities BOTH engines derive independently, following
+    `minhash_audit_check`'s invariant-companion pattern:
+
+    - ``n_docs`` — Spark emits the audit's OWN band-row conservation
+      quotient (Σ bucket sizes ÷ bands); DuckDB emits plain doc counts
+      (all docs for minhash — NULL text still gets a sentinel signature;
+      non-NULL for simhash, whose banding drops NULL fingerprints). A
+      lost or duplicated band row anywhere in the explode/groupBy breaks
+      the hash compare for real.
+    - ``exdup_pair_floor`` — Σ C(g,2) over identical-(non-NULL)-text
+      groups, recomputed from raw text on both sides: identical text ⇒
+      identical signature ⇒ same bucket in EVERY band.
+    - ``raw_ge_floor_ok`` — each config's raw pair budget ≥ bands × the
+      floor (the pigeonhole lower bound the banding can never undercut).
+    - ``capped_le_raw_ok`` — the cap only removes budget.
+
+    The full instrument (occupancy, over-cap mass, raw-vs-capped budgets,
+    the recommended config) is the operator's own output, exercised with
+    a forced over-cap corpus in tests/test_round10_fixes.py."""
+    d = _t(spark, sf_dir, "documents")
+    audit = dedup.lsh_band_audit(d).localCheckpoint(eager=True)  # ≤4 rows
+    floor = (
+        d.filter(F.col("text").isNotNull())
+        .groupBy("text")
+        .agg(F.count(F.lit(1)).alias("g"))
+        .filter(F.col("g") >= 2)
+        .agg(
+            F.coalesce(F.sum(F.expr("(g * (g - 1)) div 2")), F.lit(0))
+            .cast("long")
+            .alias("fl")
+        )
+    )
+    return (
+        audit.crossJoin(F.broadcast(floor))
+        .select(
+            "family",
+            "bands",
+            "band_width",
+            "n_docs",
+            F.col("fl").alias("exdup_pair_floor"),
+            (F.col("raw_pairs") >= F.col("bands") * F.col("fl")).alias(
+                "raw_ge_floor_ok"
+            ),
+            (F.col("capped_pairs") <= F.col("raw_pairs")).alias(
+                "capped_le_raw_ok"
+            ),
+        )
+        .orderBy("family", "bands")
+    )

