@@ -525,7 +525,15 @@ def main() -> int:
         "anchor_watch": anchor_watch,
     }
     os.makedirs("benchmarks", exist_ok=True)
-    with open("benchmarks/last_bench_verbose.json", "w") as f:
+    # SPARK_GRAFT_BENCH_OUT redirects the verbose record to a named file —
+    # used by the per-round sf1.0 bench (benchmarks/bench_sf1_r{N}.json) so
+    # an off-scale run never clobbers last_bench_verbose.json, which must
+    # stay the sf0.1 record the driver's BENCH_r{N} corresponds to (an
+    # sf0.001 verify run polluted it in round 8).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", "benchmarks/last_bench_verbose.json"
+    )
+    with open(out_path, "w") as f:
         json.dump(verbose, f, indent=1)
     print("#VERBOSE " + json.dumps(verbose))
 
