@@ -75,3 +75,45 @@ def test_grid_resolution_audit_corpus_cost_is_candidate_independent(spark, sf_di
     assert "embeddings.parquet" not in out_plan, (
         "audit result plan re-reads the corpus instead of the pinned cells"
     )
+
+
+def test_lsh_band_audit_candidates_read_pinned_signatures_only(spark, sf_dir):
+    """The banding audit's whole point (round 10): candidate band counts
+    must re-slice ONE pinned signature pass, never re-pay the Arrow
+    signature UDF per candidate. With the simhash leg off, the audit
+    RESULT plan reads only checkpoint blocks — zero corpus scans no
+    matter how many candidates are priced (the grid audit's
+    candidate-independence lock, mirrored to banding)."""
+    from dampr_spark.operators.dedup import lsh_band_audit
+    from dampr_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    out = lsh_band_audit(d, band_candidates=(8, 16, 32), include_simhash=False)
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert "documents.parquet" not in plan, (
+        "band-audit result plan re-reads the corpus instead of the pinned "
+        "signatures"
+    )
+
+
+def test_contamination_posting_audit_aggregates_before_joining(spark, sf_dir):
+    """The posting audit prices the join WITHOUT performing it: both
+    sides collapse to per-gram frequencies first (two corpus-table scans
+    total — one per side), and the only join is gram-distinct cf x bf
+    rows. A third scan or a posting-level join would mean the audit pays
+    what it exists to price."""
+    from pyspark.sql import functions as F
+
+    from dampr_spark.operators.dedup import contamination_posting_audit
+    from dampr_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    out = contamination_posting_audit(
+        d.filter(F.col("doc_id") % 97 != 0),
+        d.filter(F.col("doc_id") % 97 == 0),
+        n=2,
+        max_df=50,
+    )
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    n_scans = plan.count("documents.parquet")
+    assert n_scans == 2, f"documents scanned {n_scans}x (want cf + bf only)"
