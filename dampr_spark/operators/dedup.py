@@ -1120,43 +1120,52 @@ def fuzzy_contamination(
     Plan shape for 100 TB: bench gram postings broadcast; candidate
     (doc, bench_doc) pairs only form for docs sharing a gram, and the
     shared-count aggregate collapses gram rows map-side before the one
-    doc-keyed shuffle; the argmax is a groupBy max_by. Join work =
-    Σ_g cf(g)·bf(g) — linear in the corpus for a FIXED eval suite, but
-    the constant explodes when bench grams are stopword-common (narrow
-    ``n`` on a big corpus): every corpus doc then pairs with every bench
-    doc through "of the". ``max_df`` drops those signal-free grams
-    (lowering Jaccard estimates only — never inventing a pair);
-    :func:`contamination_posting_audit` prices the raw-vs-capped join
-    BEFORE running, and widening ``n`` is the other knob."""
-    c = (
-        corpus.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("doc_id"), word_ngrams(text_col, n).alias("g"))
-        .localCheckpoint(eager=True)  # feeds grams + the size join
-    )
-    b = (
-        bench.filter(F.col(text_col).isNotNull())
+    doc-keyed shuffle; the argmax is a groupBy max_by. Gram-set sizes
+    RIDE ALONG the explode (the ``ngram_jaccard_pairs`` discipline), so
+    the corpus is scanned exactly once with no checkpoint and — the
+    round-10 fix — no corpus-sized size join back onto the pair table
+    (the previous shape shuffled a (doc_id, n) frame the size of the
+    corpus into the scoring join). Join work = Σ_g cf(g)·bf(g) — linear
+    in the corpus for a FIXED eval suite, but the constant explodes when
+    bench grams are stopword-common (narrow ``n`` on a big corpus):
+    every corpus doc then pairs with every bench doc through "of the".
+    ``max_df`` drops those signal-free grams (lowering Jaccard estimates
+    only — never inventing a pair); :func:`contamination_posting_audit`
+    prices the raw-vs-capped join BEFORE running, and widening ``n`` is
+    the other knob."""
+    # explode_outer on purpose (ngram_jaccard_pairs' documented gotcha):
+    # plain explode adds an implicit size(arr)>0 filter that predicate
+    # pushdown rewrites into a SECOND evaluation of the whole (expensive,
+    # interpreted) ngram expression per row; word_ngrams never yields an
+    # empty array, so outer adds no rows.
+    corpus_grams = (
+        _ensure_parallelism(corpus.filter(F.col(text_col).isNotNull()))
+        .withColumn("_arr", word_ngrams(text_col, n))
         .select(
-            F.col(id_col).alias("bench_doc_id"), word_ngrams(text_col, n).alias("g")
+            F.col(id_col).alias("doc_id"),
+            F.size("_arr").alias("na"),
+            F.explode_outer("_arr").alias("gram"),
         )
-        .localCheckpoint(eager=True)
     )
-    corpus_grams = _ensure_parallelism(c).select(
-        "doc_id", F.explode("g").alias("gram")
+    bench_grams = (
+        bench.filter(F.col(text_col).isNotNull())
+        .withColumn("_arr", word_ngrams(text_col, n))
+        .select(
+            F.col(id_col).alias("bench_doc_id"),
+            F.size("_arr").alias("nb"),
+            F.explode_outer("_arr").alias("gram"),
+        )
     )
-    bench_grams = b.select("bench_doc_id", F.explode("g").alias("gram"))
     bench_grams = _bench_gram_filter(corpus_grams, bench_grams, max_df)
+    # na/nb are functionally dependent on the ids: grouping by them adds
+    # no groups and keeps the sizes available without any re-join.
     pairs = (
         corpus_grams.join(F.broadcast(bench_grams), "gram")
-        .groupBy("doc_id", "bench_doc_id")
+        .groupBy("doc_id", "bench_doc_id", "na", "nb")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     scored = (
-        pairs.join(c.select("doc_id", F.size("g").alias("na")), "doc_id")
-        .join(
-            F.broadcast(b.select("bench_doc_id", F.size("g").alias("nb"))),
-            "bench_doc_id",
-        )
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.round(
                 F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6

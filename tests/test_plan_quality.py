@@ -117,3 +117,16 @@ def test_contamination_posting_audit_aggregates_before_joining(spark, sf_dir):
     plan = out._jdf.queryExecution().sparkPlan().toString()
     n_scans = plan.count("documents.parquet")
     assert n_scans == 2, f"documents scanned {n_scans}x (want cf + bf only)"
+
+
+def test_fuzzy_decontaminate_scans_each_side_once(spark, sf_dir):
+    """Round-10 plan fix: gram-set sizes ride along the explode (the
+    ngram_jaccard_pairs discipline), so the query reads documents exactly
+    twice (corpus side + bench side) — the previous shape checkpointed
+    the corpus gram arrays AND shuffled a corpus-sized (doc_id, n) frame
+    back into the scoring join (sf1.0 warm measured 14.4 -> 3.0 s)."""
+    df = all_queries()["fuzzy_decontaminate"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    n = plan.count("documents.parquet")
+    assert n == 2, f"documents scanned {n}x (want corpus + bench only)"
+    assert "Checkpoint" not in plan
