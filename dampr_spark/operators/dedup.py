@@ -1041,11 +1041,20 @@ def _bench_gram_filter(
     corpus document: it multiplies the join by cf(g) rows while carrying
     zero contamination signal (leakage is identified by RARE shared
     grams). Capping can only lower per-doc overlap counts — never invent
-    a hit. Size the cap with :func:`contamination_posting_audit`."""
+    a hit. Size the cap with :func:`contamination_posting_audit`.
+
+    Cost note: the cap's premium is one extra corpus gram pass (cf must
+    be counted before the join it prunes — inherent, and exactly what
+    the audit prices). The frequency AGGREGATE is semi-joined to the
+    broadcast bench gram set first, so only bench-matching gram rows
+    (typically a tiny corpus fraction) enter its exchange — cf values
+    for those grams are identical either way."""
     if max_df is None:
         return bench_grams
+    bench_set = bench_grams.select("gram").distinct()
     hot = (
-        corpus_grams.groupBy("gram")
+        corpus_grams.join(F.broadcast(bench_set), "gram", "left_semi")
+        .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_cf"))
         .filter(F.col("_cf") > max_df)
         .select("gram")
@@ -1220,16 +1229,21 @@ def contamination_posting_audit(
     re-run prices either choice."""
     c = corpus.filter(F.col(text_col).isNotNull())
     b = bench.filter(F.col(text_col).isNotNull())
-    cf = (
-        _ensure_parallelism(c)
-        .select(F.explode(word_ngrams(text_col, n)).alias("gram"))
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("cf"))
-    )
     bf = (
         b.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("bf"))
+        .localCheckpoint(eager=True)  # bounded eval-suite grams; read twice
+    )
+    # cf is only consumed joined to bench grams, so only bench-matching
+    # corpus gram rows need to enter the frequency exchange (a broadcast
+    # semi-join on the exploded rows; values for those grams identical).
+    cf = (
+        _ensure_parallelism(c)
+        .select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .join(F.broadcast(bf.select("gram")), "gram", "left_semi")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cf"))
     )
     joined = bf.join(cf, "gram", "left").select(
         "gram", "bf", F.coalesce(F.col("cf"), F.lit(0)).alias("cf")

@@ -1356,8 +1356,10 @@ def contamination_posting_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the decontamination sizing instrument (VERDICT r9 #4: the
     posting-list twin of `grid_resolution_audit` / `lsh_band_audit`):
     Σ cf(g)·bf(g) is EXACTLY the row count `fuzzy_decontaminate`'s gram
-    join streams, computed here from two linear gram-frequency aggregates
-    before any pair forms, split into raw vs capped at corpus-df ≤ 50
+    join streams, computed here from two gram-frequency aggregates (the
+    corpus one semi-joined to the broadcast bench gram set, so only
+    bench-matching rows enter its exchange) before any pair forms,
+    split into raw vs capped at corpus-df ≤ 50
     (the `max_df` knob that drops stopword-common, signal-free grams).
     Fully SQL-expressible — every column hash-compares against DuckDB for
     real. 100x budget proof: benchmarks/decontam_scale_proof_100x.py."""

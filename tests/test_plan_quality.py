@@ -97,11 +97,13 @@ def test_lsh_band_audit_candidates_read_pinned_signatures_only(spark, sf_dir):
 
 
 def test_contamination_posting_audit_aggregates_before_joining(spark, sf_dir):
-    """The posting audit prices the join WITHOUT performing it: both
-    sides collapse to per-gram frequencies first (two corpus-table scans
-    total — one per side), and the only join is gram-distinct cf x bf
-    rows. A third scan or a posting-level join would mean the audit pays
-    what it exists to price."""
+    """The posting audit prices the join WITHOUT performing it: the
+    bounded bench gram frequencies pin (eager checkpoint, read twice),
+    the corpus is scanned exactly ONCE — its gram rows semi-join the
+    broadcast bench set before the frequency exchange, so only
+    bench-matching rows shuffle — and the only join above the aggregates
+    is gram-distinct cf x bf rows. More corpus scans or a posting-level
+    join would mean the audit pays what it exists to price."""
     from pyspark.sql import functions as F
 
     from dampr_spark.operators.dedup import contamination_posting_audit
@@ -116,7 +118,7 @@ def test_contamination_posting_audit_aggregates_before_joining(spark, sf_dir):
     )
     plan = out._jdf.queryExecution().sparkPlan().toString()
     n_scans = plan.count("documents.parquet")
-    assert n_scans == 2, f"documents scanned {n_scans}x (want cf + bf only)"
+    assert n_scans == 1, f"documents scanned {n_scans}x (want corpus cf only)"
 
 
 def test_fuzzy_decontaminate_scans_each_side_once(spark, sf_dir):
