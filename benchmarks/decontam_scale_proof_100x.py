@@ -163,8 +163,19 @@ def main() -> int:
     araw, arcold, arwarm = timed_count(
         lambda: fuzzy_contamination(adv100, adv_bench)
     )
+    # The audit-then-run flow: the cap's pricing pass (the hot-gram cf
+    # aggregate — same work the audit just did) runs ONCE and its bounded
+    # result feeds the production join via hot_grams=, so the capped run
+    # costs uncapped-join + one broadcast anti-join, not a second
+    # corpus-wide frequency pass per run.
+    from dampr_spark.operators.dedup import hot_bench_grams
+
+    t0 = time.perf_counter()
+    hot = hot_bench_grams(adv100, adv_bench, n=3, max_df=MAX_DF_100X)
+    out["hot_grams_pass_sec"] = round(time.perf_counter() - t0, 3)
+    out["hot_grams_rows"] = hot.count()
     acap100, accold, acwarm = timed_count(
-        lambda: fuzzy_contamination(adv100, adv_bench, n=3, max_df=MAX_DF_100X)
+        lambda: fuzzy_contamination(adv100, adv_bench, n=3, hot_grams=hot)
     )
     out.update(
         fuzzy_adv_1x_rows=a1, fuzzy_adv_1x_cold=ac1, fuzzy_adv_1x_warm=aw1,

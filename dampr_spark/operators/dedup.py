@@ -1031,8 +1031,47 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def hot_bench_grams(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    max_df: int = 1000,
+) -> DataFrame:
+    """The grams the ``max_df`` cap would drop — bench grams whose corpus
+    document frequency exceeds the cap — as a one-column ``gram`` frame,
+    pinned. This IS the cap's pricing pass (the same cf aggregate
+    :func:`contamination_posting_audit` runs): compute it ONCE, then feed
+    it to :func:`ngram_contamination` / :func:`fuzzy_contamination` via
+    ``hot_grams=`` so the production join pays no second frequency pass —
+    the audit-then-run flow costs audit + uncapped-join, not audit +
+    (frequency pass + join). The frame is bounded by the bench gram count
+    (eval-suite sized), so it broadcasts."""
+    c = corpus.filter(F.col(text_col).isNotNull())
+    b = bench.filter(F.col(text_col).isNotNull())
+    bench_set = (
+        b.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return (
+        _ensure_parallelism(c)
+        .select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .join(F.broadcast(bench_set), "gram", "left_semi")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_cf"))
+        .filter(F.col("_cf") > max_df)
+        .select("gram")
+        .localCheckpoint(eager=True)
+    )
+
+
 def _bench_gram_filter(
-    corpus_grams: DataFrame, bench_grams: DataFrame, max_df: int | None
+    corpus_grams: DataFrame,
+    bench_grams: DataFrame,
+    max_df: int | None,
+    hot_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Apply the posting cap: drop bench grams whose CORPUS document
     frequency exceeds ``max_df`` — the decontamination twin of
@@ -1048,7 +1087,13 @@ def _bench_gram_filter(
     the audit prices). The frequency AGGREGATE is semi-joined to the
     broadcast bench gram set first, so only bench-matching gram rows
     (typically a tiny corpus fraction) enter its exchange — cf values
-    for those grams are identical either way."""
+    for those grams are identical either way. A precomputed ``hot_grams``
+    frame (:func:`hot_bench_grams` — the audit-then-run flow) skips the
+    pass entirely."""
+    if hot_grams is not None:
+        return bench_grams.join(
+            F.broadcast(hot_grams.select("gram")), "gram", "left_anti"
+        )
     if max_df is None:
         return bench_grams
     bench_set = bench_grams.select("gram").distinct()
@@ -1069,6 +1114,7 @@ def ngram_contamination(
     id_col: str = "doc_id",
     n: int = 3,
     max_df: int | None = None,
+    hot_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Exact benchmark decontamination: per corpus document, the fraction
     of its distinct word ``n``-grams appearing ANYWHERE in the benchmark
@@ -1097,7 +1143,7 @@ def ngram_contamination(
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    bench_grams = _bench_gram_filter(corpus_grams, bench_grams, max_df)
+    bench_grams = _bench_gram_filter(corpus_grams, bench_grams, max_df, hot_grams)
     return (
         corpus_grams.join(F.broadcast(bench_grams), "gram", "left")
         .groupBy("doc_id")
@@ -1119,6 +1165,7 @@ def fuzzy_contamination(
     n: int = 2,
     tau: float = 0.05,
     max_df: int | None = None,
+    hot_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy benchmark decontamination: flag a corpus document when its
     word-``n``-gram Jaccard with ANY bench document reaches ``tau``,
@@ -1165,7 +1212,7 @@ def fuzzy_contamination(
             F.explode_outer("_arr").alias("gram"),
         )
     )
-    bench_grams = _bench_gram_filter(corpus_grams, bench_grams, max_df)
+    bench_grams = _bench_gram_filter(corpus_grams, bench_grams, max_df, hot_grams)
     # na/nb are functionally dependent on the ids: grouping by them adds
     # no groups and keeps the sizes available without any re-join.
     pairs = (

@@ -304,3 +304,30 @@ def test_lsh_band_audit_bounds_generator_budget(spark):
             lsh_band_audit(df, band_candidates=(7,))
 
     test_bad_candidates_raise()
+
+
+def test_hot_grams_reuse_matches_max_df_path(spark):
+    """The audit-then-run flow: a precomputed hot_bench_grams frame fed
+    via hot_grams= must produce byte-identical results to the inline
+    max_df path (same cap, same corpus) for BOTH contamination operators
+    — the point is skipping the second frequency pass, not changing the
+    answer."""
+    from dampr_spark.operators.dedup import (
+        fuzzy_contamination,
+        hot_bench_grams,
+        ngram_contamination,
+    )
+
+    df = _stamped_corpus(spark)
+    corpus = df  # template docs + organic docs
+    bench = df.filter(F.col("doc_id") < 1000)  # the 12 template docs
+    hot = hot_bench_grams(corpus, bench, n=2, max_df=5)
+    assert hot.count() > 0  # the template bigrams (corpus df 12) are over-cap
+
+    a = sorted(map(tuple, ngram_contamination(corpus, bench, n=2, max_df=5).collect()))
+    b = sorted(map(tuple, ngram_contamination(corpus, bench, n=2, hot_grams=hot).collect()))
+    assert a == b and a
+
+    fa = sorted(map(tuple, fuzzy_contamination(corpus, bench, n=2, tau=0.01, max_df=5).collect()))
+    fb = sorted(map(tuple, fuzzy_contamination(corpus, bench, n=2, tau=0.01, hot_grams=hot).collect()))
+    assert fa == fb
