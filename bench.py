@@ -75,8 +75,17 @@ threshold. Three changes (VERDICT r9 next-round #1 + ADVICE #4):
   breaches under the floor are annotated in ``anchor_watch`` instead of
   suppressed.
 
-The baseline file carries ``protocol: 2``; an old-protocol baseline is
-re-baselined (overwritten) on the first v2 run rather than compared
+ANCHOR PROTOCOL v3 (round 10, same day): two same-shape v2 runs showed
+the 50M-row calibration job JIT-warming to ~0.10-0.16 s by the anchor
+loop, with the warmed denominator moving ~1.7x BETWEEN runs — enough to
+ratio-flag anchors whose raw seconds had IMPROVED (the absolute floor
+correctly kept them watch-only, but a denominator that noisy defeats
+the ratio). v3 uses a 4x heavier (200M-row, ~0.5-1 s) workload for the
+anchor-adjacent samples only; the run-level sandwich stays at 50M for
+historical comparability of ``calibration_sec``.
+
+The baseline file carries ``protocol: 3``; an old-protocol baseline is
+re-baselined (overwritten) on the first v3 run rather than compared
 against incompatibly — per-anchor normalization changes the norm's
 meaning.
 """
@@ -283,7 +292,7 @@ def main() -> int:
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist(True)
 
-    def calibrate() -> float:
+    def calibrate(n_rows: int = 50_000_000) -> float:
         # Fixed, data-independent CPU workload (codegen'd xxhash64 sum over
         # range) measured per bench invocation: the host's CPU availability
         # varies up to ~2x between rounds (virtualized), which swamps
@@ -295,7 +304,7 @@ def main() -> int:
 
         # pmod keeps the running sum < 5e13 — a raw xxhash64 sum overflows
         # long under ANSI mode.
-        spark.range(0, 50_000_000, 1, 32).select(
+        spark.range(0, n_rows, 1, 32).select(
             F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_000)))
         ).collect()
         return time.perf_counter() - t0
@@ -397,11 +406,20 @@ def main() -> int:
     anchor_watch: list[str] = []
     anchor_norm_total = None
     if os.path.isdir(ANCHOR_DIR):
-        cal_samples = [calibrate()]
+        # Protocol 3 refinement: the anchor-adjacent samples use a 4x
+        # heavier workload than the run-level sandwich. Two same-shape v2
+        # runs showed the 50M-row job JIT-warming to ~0.10-0.16 s by the
+        # anchor loop, where scheduler noise and JIT-depth differences
+        # moved the denominator ~1.7x BETWEEN runs and flagged anchors
+        # whose raw seconds had gone DOWN (watch-only, thanks to the
+        # absolute floor — but a noisy denominator defeats the ratio's
+        # purpose). At 200M rows the sample sits near 0.5-1 s, where the
+        # fixed overheads it exists to cancel are amortized.
+        cal_samples = [calibrate(200_000_000)]
         for name in ANCHOR_QUERIES:
             cold = run_once(name, ANCHOR_DIR)
             reps = [run_once(name, ANCHOR_DIR) for _ in range(3)]
-            cal_samples.append(calibrate())
+            cal_samples.append(calibrate(200_000_000))
             warm = statistics.median(reps)
             # Adjacent calibration: the mean of the samples taken
             # immediately before and after THIS anchor's rep block —
@@ -426,7 +444,7 @@ def main() -> int:
         if os.path.exists(ANCHOR_BASELINE):
             with open(ANCHOR_BASELINE) as f:
                 base = json.load(f)
-            if base.get("protocol") != 2:
+            if base.get("protocol") != 3:
                 base = None  # pre-v2 norms aren't comparable: re-baseline
         if base is not None:
             for name, d in anchor_detail.items():
@@ -449,11 +467,11 @@ def main() -> int:
                 json.dump(
                     {
                         "written_by": (
-                            "bench.py first run under anchor protocol v2 "
-                            "(round 10: adjacent calibration, median of 3 "
-                            "warm reps)"
+                            "bench.py first run under anchor protocol v3 "
+                            "(round 10: adjacent 200M-row calibration, "
+                            "median of 3 warm reps)"
                         ),
-                        "protocol": 2,
+                        "protocol": 3,
                         "calibration_sec": round(calibration_sec, 4),
                         "norm": {
                             n: d["norm"] for n, d in anchor_detail.items()
