@@ -234,6 +234,33 @@ ANCHOR_BASELINE = os.path.join(
 ANCHOR_REGRESSION_RATIO = 1.25
 
 
+def classify_anchors(
+    anchor_detail: dict, base: dict, ratio: float = ANCHOR_REGRESSION_RATIO
+) -> tuple[list, list]:
+    """The anchor gate, pure (unit-tested in tests/test_round10_fixes.py):
+    an anchor whose calibration-normalized warm exceeds ``ratio`` × its
+    baseline norm is REGRESSED when its raw warm seconds also exceed the
+    baseline by the scaled floor ``max(0.1, 0.5 * baseline_warm)``
+    (ADVICE r10 #4: a flat 0.5 s floor silently disabled the gate for
+    sub-0.5 s anchors), and WATCH-annotated otherwise (a ratio breach
+    with flat-or-better raw seconds is a denominator artifact, not a
+    plan regression — measured twice under protocol v2). Mutates each
+    detail dict with its ``baseline_norm`` for the record."""
+    regressed: list = []
+    watch: list = []
+    for name, d in anchor_detail.items():
+        b = (base.get("norm") or {}).get(name)
+        bw = (base.get("warm_sec") or {}).get(name, 0.0)
+        d["baseline_norm"] = b
+        if not b or d["norm"] <= ratio * b:
+            continue
+        if d["warm"] - bw > max(0.1, 0.5 * bw):
+            regressed.append(name)
+        else:
+            watch.append(name)
+    return regressed, watch
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -447,21 +474,9 @@ def main() -> int:
             if base.get("protocol") != 3:
                 base = None  # pre-v2 norms aren't comparable: re-baseline
         if base is not None:
-            for name, d in anchor_detail.items():
-                b = base.get("norm", {}).get(name)
-                bw = base.get("warm_sec", {}).get(name, 0.0)
-                d["baseline_norm"] = b
-                if not b or d["norm"] <= ANCHOR_REGRESSION_RATIO * b:
-                    continue
-                # Ratio breached. The absolute floor scales with the
-                # anchor (ADVICE r10 #4: a flat 0.5 s floor let q1's
-                # 0.15 s warm triple unflagged): above the floor the
-                # anchor is REGRESSED and owes a RESULTS.md diagnosis;
-                # under it the breach is annotated, not suppressed.
-                if d["warm"] - bw > max(0.1, 0.5 * bw):
-                    anchor_regressed.append(name)
-                else:
-                    anchor_watch.append(name)
+            anchor_regressed, anchor_watch = classify_anchors(
+                anchor_detail, base
+            )
         else:
             with open(ANCHOR_BASELINE, "w") as f:
                 json.dump(

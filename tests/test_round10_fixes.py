@@ -331,3 +331,51 @@ def test_hot_grams_reuse_matches_max_df_path(spark):
     fa = sorted(map(tuple, fuzzy_contamination(corpus, bench, n=2, tau=0.01, max_df=5).collect()))
     fb = sorted(map(tuple, fuzzy_contamination(corpus, bench, n=2, tau=0.01, hot_grams=hot).collect()))
     assert fa == fb
+
+
+# ---------------------------------------------------------------------------
+# 7. the anchor gate's decision logic (bench.py classify_anchors)
+# ---------------------------------------------------------------------------
+
+
+def test_anchor_gate_classification():
+    """Pins the gate's semantics (ADVICE #4 + the v2/v3 postmortems):
+    ratio breach + raw-seconds breach of the SCALED floor => regressed;
+    ratio breach with flat-or-better seconds => watch (denominator
+    artifact); sub-0.5s anchors are no longer exempt; no baseline =>
+    silent."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    base = {
+        "norm": {"slow": 10.0, "fast": 1.0, "faster_secs": 10.0, "new": None},
+        "warm_sec": {"slow": 2.0, "fast": 0.15, "faster_secs": 1.7},
+    }
+    detail = {
+        # 1.5x norm AND +1.5s raw: a real regression.
+        "slow": {"norm": 15.0, "warm": 3.5},
+        # The ADVICE #4 case: a 0.15s anchor tripling. Old flat 0.5s
+        # floor suppressed it; scaled floor max(0.1, 0.075)=0.1 < +0.35.
+        "fast": {"norm": 3.0, "warm": 0.5},
+        # Ratio breach but raw seconds IMPROVED — the measured v2
+        # denominator artifact: watch, never regressed.
+        "faster_secs": {"norm": 13.5, "warm": 1.3},
+        # No baseline entry: silent (first appearance).
+        "new": {"norm": 5.0, "warm": 1.0},
+    }
+    regressed, watch = bench.classify_anchors(detail, base)
+    assert sorted(regressed) == ["fast", "slow"]
+    assert watch == ["faster_secs"]
+    assert detail["slow"]["baseline_norm"] == 10.0
+
+    # Under-ratio anchors never flag regardless of seconds.
+    r2, w2 = bench.classify_anchors(
+        {"ok": {"norm": 11.0, "warm": 9.9}}, {"norm": {"ok": 10.0}, "warm_sec": {"ok": 2.0}}
+    )
+    assert r2 == [] and w2 == []
