@@ -379,3 +379,43 @@ def test_anchor_gate_classification():
         {"ok": {"norm": 11.0, "warm": 9.9}}, {"norm": {"ok": 10.0}, "warm_sec": {"ok": 2.0}}
     )
     assert r2 == [] and w2 == []
+
+
+def test_compare_bench_flags():
+    """benchmarks/compare_bench.py: normalized cross-round comparison with
+    the anchor gate's ratio + scaled-floor rule."""
+    import importlib.util
+    import json
+    import os
+    import tempfile
+
+    spec = importlib.util.spec_from_file_location(
+        "compare_bench",
+        os.path.join(
+            os.path.dirname(__file__), "..", "benchmarks", "compare_bench.py"
+        ),
+    )
+    cb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cb)
+
+    old = {
+        "calibration_sec": 0.4,
+        "queries_warm": {"a": 2.0, "b": 0.2, "c": 3.0, "gone": 1.0},
+    }
+    # New run, cal 0.35: "a" regresses (norm 5.0 -> 11.4, +2.0s over the
+    # 1.0s floor); "b" breaches the ratio (0.5 -> 0.8) but moves only
+    # +0.08s, under its max(0.1, 0.1) floor -> watch; "c" improves
+    # (7.5 -> 4.3 normalized).
+    new = {
+        "calibration_sec": 0.35,
+        "queries_warm": {"a": 4.0, "b": 0.28, "c": 1.5, "fresh": 1.0},
+    }
+    with tempfile.TemporaryDirectory() as d:
+        po, pn = f"{d}/old.json", f"{d}/new.json"
+        json.dump(old, open(po, "w"))
+        json.dump(new, open(pn, "w"))
+        r = cb.compare(po, pn)
+    assert r["regressed"] == ["a"]
+    assert r["watch"] == ["b"]
+    assert r["improved"] == ["c"]
+    assert r["only_old"] == ["gone"] and r["only_new"] == ["fresh"]
