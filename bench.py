@@ -210,6 +210,13 @@ BENCH_QUERIES = [
     # (broadcast grid fit -> codegen cell assign -> capped in-cell cosine
     # -> fixpoint components), the oracle-replayable SemDeDup anchor.
     "semantic_grid_dedup",
+    # round-10 flagships: the sizing instruments — banding occupancy from
+    # one pinned signature pass (minhash candidates + simhash), and the
+    # decontamination gram-join budget (sum cf*bf raw vs capped) from one
+    # semi-joined corpus scan. Audits must stay cheap relative to the
+    # jobs they price; their per-round timing here is that contract.
+    "lsh_band_audit",
+    "contamination_posting_audit",
 ]
 
 # Frozen-anchor query set: one representative per regression class the r8
