@@ -241,6 +241,25 @@ ANCHOR_BASELINE = os.path.join(
 ANCHOR_REGRESSION_RATIO = 1.25
 
 
+def gate_class(
+    norm_old,
+    norm_new,
+    warm_old: float,
+    warm_new: float,
+    ratio: float = ANCHOR_REGRESSION_RATIO,
+) -> str | None:
+    """The ONE gate predicate (shared with benchmarks/compare_bench.py so
+    the cross-round comparator can never drift from the per-run anchor
+    gate): None (no ratio breach or no baseline), "regressed" (ratio
+    breach AND raw seconds over the scaled floor), or "watch" (ratio
+    breach with seconds under the floor — a denominator artifact)."""
+    if not norm_old or norm_new <= ratio * norm_old:
+        return None
+    if warm_new - warm_old > max(0.1, 0.5 * warm_old):
+        return "regressed"
+    return "watch"
+
+
 def classify_anchors(
     anchor_detail: dict, base: dict, ratio: float = ANCHOR_REGRESSION_RATIO
 ) -> tuple[list, list]:
@@ -259,11 +278,10 @@ def classify_anchors(
         b = (base.get("norm") or {}).get(name)
         bw = (base.get("warm_sec") or {}).get(name, 0.0)
         d["baseline_norm"] = b
-        if not b or d["norm"] <= ratio * b:
-            continue
-        if d["warm"] - bw > max(0.1, 0.5 * bw):
+        cls = gate_class(b, d["norm"], bw, d["warm"], ratio)
+        if cls == "regressed":
             regressed.append(name)
-        else:
+        elif cls == "watch":
             watch.append(name)
     return regressed, watch
 

@@ -22,7 +22,22 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import importlib.util
 import json
+import os
+
+
+def _gate_class():
+    """bench.gate_class — the ONE flagging predicate, imported by path so
+    this comparator can never drift from the per-run anchor gate
+    (round-10 review finding: the rule was duplicated here)."""
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    return bench.gate_class
 
 
 def load(path: str) -> tuple[dict, float]:
@@ -32,6 +47,7 @@ def load(path: str) -> tuple[dict, float]:
 
 
 def compare(old_path: str, new_path: str, flag_ratio: float = 1.5) -> dict:
+    gate = _gate_class()
     old_w, old_cal = load(old_path)
     new_w, new_cal = load(new_path)
     shared = sorted(set(old_w) & set(new_w))
@@ -41,11 +57,11 @@ def compare(old_path: str, new_path: str, flag_ratio: float = 1.5) -> dict:
         no, nn = old_w[q] / old_cal, new_w[q] / new_cal
         ratio = nn / no if no > 0 else float("inf")
         rows.append((q, old_w[q], new_w[q], round(ratio, 2)))
-        if ratio > flag_ratio:
-            if new_w[q] - old_w[q] > max(0.1, 0.5 * old_w[q]):
-                regressed.append(q)
-            else:
-                watch.append(q)
+        cls = gate(no, nn, old_w[q], new_w[q], ratio=flag_ratio)
+        if cls == "regressed":
+            regressed.append(q)
+        elif cls == "watch":
+            watch.append(q)
         elif ratio < 1.0 / flag_ratio:
             improved.append(q)
     return {

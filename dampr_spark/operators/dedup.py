@@ -434,6 +434,11 @@ def lsh_band_audit(
     table = rows[0]
     for r in rows[1:]:
         table = table.unionByName(r)
+    # Pin the (<= k+1)-row stats table: `best` below re-reads it, and an
+    # unpinned union would execute every occupancy aggregate — including
+    # the simhash leg's full corpus scan — TWICE per action (round-10
+    # review finding; the grid audit pins its bounded table the same way).
+    table = table.localCheckpoint(eager=True)
     best = (
         table.filter(
             (F.col("family") == "minhash") & (F.col("buckets_over_cap") == 0)
@@ -1047,22 +1052,26 @@ def hot_bench_grams(
     ``hot_grams=`` so the production join pays no second frequency pass —
     the audit-then-run flow costs audit + uncapped-join, not audit +
     (frequency pass + join). The frame is bounded by the bench gram count
-    (eval-suite sized), so it broadcasts."""
+    (eval-suite sized), so it broadcasts. It carries a ``gram_width``
+    literal column the consumers validate against their own ``n`` — a hot
+    frame built at the wrong width (e.g. this function's bigram default
+    fed to the trigram contamination check) would otherwise anti-join
+    NOTHING and silently run uncapped."""
     c = corpus.filter(F.col(text_col).isNotNull())
     b = bench.filter(F.col(text_col).isNotNull())
     bench_set = (
-        b.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        b.select(F.explode_outer(word_ngrams(text_col, n)).alias("gram"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     return (
         _ensure_parallelism(c)
-        .select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .select(F.explode_outer(word_ngrams(text_col, n)).alias("gram"))
         .join(F.broadcast(bench_set), "gram", "left_semi")
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_cf"))
         .filter(F.col("_cf") > max_df)
-        .select("gram")
+        .select("gram", F.lit(n).cast("int").alias("gram_width"))
         .localCheckpoint(eager=True)
     )
 
@@ -1072,6 +1081,7 @@ def _bench_gram_filter(
     bench_grams: DataFrame,
     max_df: int | None,
     hot_grams: DataFrame | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """Apply the posting cap: drop bench grams whose CORPUS document
     frequency exceeds ``max_df`` — the decontamination twin of
@@ -1089,8 +1099,20 @@ def _bench_gram_filter(
     (typically a tiny corpus fraction) enter its exchange — cf values
     for those grams are identical either way. A precomputed ``hot_grams``
     frame (:func:`hot_bench_grams` — the audit-then-run flow) skips the
-    pass entirely."""
+    pass entirely; its ``gram_width`` tag is validated against ``n`` so a
+    width mismatch fails fast instead of silently disabling the cap."""
     if hot_grams is not None:
+        if n is not None and "gram_width" in hot_grams.columns:
+            # The hot frame is bounded and pinned — this probe is one
+            # cheap local-block read, paid once per operator call.
+            row = hot_grams.select("gram_width").first()
+            if row is not None and row[0] != n:
+                raise ValueError(
+                    f"hot_grams was built at gram width {row[0]} but this "
+                    f"operator uses n={n} — the anti-join would drop "
+                    "nothing and the run would proceed UNCAPPED. Rebuild "
+                    "hot_bench_grams with the matching n."
+                )
         return bench_grams.join(
             F.broadcast(hot_grams.select("gram")), "gram", "left_anti"
         )
@@ -1136,14 +1158,14 @@ def ngram_contamination(
     b = bench.filter(F.col(text_col).isNotNull())
     corpus_grams = _ensure_parallelism(c).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_ngrams(text_col, n)).alias("gram"),
+        F.explode_outer(word_ngrams(text_col, n)).alias("gram"),
     )
     bench_grams = (
-        b.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        b.select(F.explode_outer(word_ngrams(text_col, n)).alias("gram"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    bench_grams = _bench_gram_filter(corpus_grams, bench_grams, max_df, hot_grams)
+    bench_grams = _bench_gram_filter(corpus_grams, bench_grams, max_df, hot_grams, n)
     return (
         corpus_grams.join(F.broadcast(bench_grams), "gram", "left")
         .groupBy("doc_id")
@@ -1212,7 +1234,7 @@ def fuzzy_contamination(
             F.explode_outer("_arr").alias("gram"),
         )
     )
-    bench_grams = _bench_gram_filter(corpus_grams, bench_grams, max_df, hot_grams)
+    bench_grams = _bench_gram_filter(corpus_grams, bench_grams, max_df, hot_grams, n)
     # na/nb are functionally dependent on the ids: grouping by them adds
     # no groups and keeps the sizes available without any re-join.
     pairs = (
@@ -1277,7 +1299,7 @@ def contamination_posting_audit(
     c = corpus.filter(F.col(text_col).isNotNull())
     b = bench.filter(F.col(text_col).isNotNull())
     bf = (
-        b.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        b.select(F.explode_outer(word_ngrams(text_col, n)).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("bf"))
         .localCheckpoint(eager=True)  # bounded eval-suite grams; read twice
@@ -1287,7 +1309,7 @@ def contamination_posting_audit(
     # semi-join on the exploded rows; values for those grams identical).
     cf = (
         _ensure_parallelism(c)
-        .select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .select(F.explode_outer(word_ngrams(text_col, n)).alias("gram"))
         .join(F.broadcast(bf.select("gram")), "gram", "left_semi")
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("cf"))

@@ -101,8 +101,8 @@ def parse_junit(path: str) -> tuple[dict[str, int], dict[str, float], list[str]]
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--shards", type=int, default=4)
-    ap.add_argument("--cpus-per-shard", type=int, default=8)
+    ap.add_argument("--shards", type=int, default=5)
+    ap.add_argument("--cpus-per-shard", type=int, default=6)
     ap.add_argument("pytest_args", nargs="*", default=[])
     args = ap.parse_args()
 
@@ -165,7 +165,11 @@ def main() -> int:
             print("    FAILED", t)
 
     wall = time.time() - t0
-    if ok and total["tests"]:
+    # Persist measured weights only for FULL, unfiltered, green runs: a
+    # `-k`/`-m`-filtered run records near-zero durations for deselected
+    # files and would poison the LPT balance of the next full run
+    # (round-10 review finding).
+    if ok and total["tests"] and not args.pytest_args:
         try:
             with open(WEIGHTS, "w") as f:
                 json.dump(durations, f, indent=1, sort_keys=True)

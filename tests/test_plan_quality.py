@@ -94,6 +94,16 @@ def test_lsh_band_audit_candidates_read_pinned_signatures_only(spark, sf_dir):
         "band-audit result plan re-reads the corpus instead of the pinned "
         "signatures"
     )
+    # With the simhash leg ON (the catalog/bench shape), the <= k+1-row
+    # stats table is pinned before the `recommended` self-reference — the
+    # round-10 review caught the unpinned union executing every occupancy
+    # aggregate (including the simhash corpus scan) twice per action.
+    out2 = lsh_band_audit(d, band_candidates=(8, 16), include_simhash=True)
+    plan2 = out2._jdf.queryExecution().sparkPlan().toString()
+    assert "documents.parquet" not in plan2, (
+        "band-audit stats table not pinned: the result plan re-executes "
+        "the occupancy aggregates (simhash corpus scan included) twice"
+    )
 
 
 def test_contamination_posting_audit_aggregates_before_joining(spark, sf_dir):

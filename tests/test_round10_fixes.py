@@ -332,6 +332,12 @@ def test_hot_grams_reuse_matches_max_df_path(spark):
     fb = sorted(map(tuple, fuzzy_contamination(corpus, bench, n=2, tau=0.01, hot_grams=hot).collect()))
     assert fa == fb
 
+    # Width mismatch fails FAST (round-10 review): a bigram hot frame fed
+    # to the trigram check would anti-join nothing and silently run
+    # uncapped — the gram_width tag turns that into an error.
+    with pytest.raises(ValueError, match="gram width 2 .* n=3"):
+        ngram_contamination(corpus, bench, n=3, hot_grams=hot)
+
 
 # ---------------------------------------------------------------------------
 # 7. the anchor gate's decision logic (bench.py classify_anchors)
