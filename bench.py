@@ -217,6 +217,10 @@ BENCH_QUERIES = [
     # jobs they price; their per-round timing here is that contract.
     "lsh_band_audit",
     "contamination_posting_audit",
+    # round-10b flagship: the window family's sizing instrument — hot-key
+    # partition mass and sliding-frame budget from one per-(user, hour)
+    # count rollup; prices rolling_event_value vs its bucketed twin.
+    "window_frame_audit",
 ]
 
 # Frozen-anchor query set: one representative per regression class the r8

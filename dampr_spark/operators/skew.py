@@ -139,3 +139,84 @@ def bucketed_range_window(
         *[c.alias(n) for n, c in cols_fn(w).items()],
     )
     return out.filter(F.col("_own")).drop("_own")
+
+
+def window_frame_audit(
+    df: DataFrame,
+    keys: list[str],
+    ts_us_col,
+    range_us: int,
+) -> DataFrame:
+    """Price a trailing RANGE-frame window BEFORE running it — the window
+    family's sizing instrument, completing the audit set
+    (`grid_resolution_audit`, `lsh_band_audit`,
+    `contamination_posting_audit`: every family with a saturation mode
+    gets a one-linear-pass go/no-go report).
+
+    A window's two scale killers are (1) PARTITION mass — ``Window
+    .partitionBy(keys)`` puts every row of a hot key into ONE task, and
+    AQE cannot split a window partition (frames may span any split
+    point) — and (2) FRAME mass — Spark's sliding RANGE frame
+    re-aggregates the buffered frame per row, so dense keys pay
+    ~Σ |frame(i)| row-visits, quadratic in within-range density. Both
+    are priced here from one per-(key, time-bucket) count rollup
+    (bucket width = ``range_us``, the frame's own width — a trailing
+    frame at any row reaches only its own and the previous bucket):
+
+    - ``n_rows`` / ``n_keys`` — corpus shape;
+    - ``max_key_rows`` — the plain window's largest partition (its
+      single-task floor), with ``skew_ratio`` = max/mean;
+    - ``n_buckets`` — occupied (key, bucket) pairs;
+    - ``max_bucket_task_rows`` — max(own + previous-bucket context), the
+      largest partition of :func:`bucketed_range_window`'s layout: what
+      the remedy buys, BEFORE paying its 2x replication;
+    - ``est_frame_rows`` — Σ n·(n + prev) over buckets, an upper bound
+      on total frame row-visits (identical for both layouts — bucketing
+      redistributes this work, it does not change it).
+
+    Mechanics mirror `join_key_skew_report` (one map-side-combinable
+    count per key×bucket, then bounded rollups): linear in the corpus,
+    no window over row-level data, no join. At 100 TB this costs one
+    shuffle of bucket counts — the cheapest possible look before a
+    window stage that a hot key would otherwise stall."""
+    from pyspark.sql.window import Window
+
+    ts = ts_us_col if isinstance(ts_us_col, Column) else F.col(ts_us_col)
+    notnull = df
+    for k in keys:
+        notnull = notnull.filter(F.col(k).isNotNull())
+    b = (
+        notnull.select(*keys, F.floor(ts / F.lit(range_us)).alias("_bucket"))
+        .groupBy(*keys, "_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(*keys).orderBy("_bucket")
+    p = b.select(
+        *keys,
+        "n",
+        F.when(
+            F.lag("_bucket").over(w) == F.col("_bucket") - 1,
+            F.lag("n").over(w),
+        )
+        .otherwise(F.lit(0))
+        .alias("prev"),
+    )
+    per_key = p.groupBy(*keys).agg(
+        F.sum("n").alias("key_rows"),
+        F.count(F.lit(1)).alias("key_buckets"),
+        F.max(F.col("n") + F.col("prev")).alias("key_max_task"),
+        F.sum(F.col("n") * (F.col("n") + F.col("prev"))).alias("key_frame"),
+    )
+    return per_key.agg(
+        F.sum("key_rows").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("key_rows").cast("long").alias("max_key_rows"),
+        F.round(
+            F.max("key_rows")
+            / (F.sum("key_rows").cast("double") / F.count(F.lit(1))),
+            6,
+        ).alias("skew_ratio"),
+        F.sum("key_buckets").cast("long").alias("n_buckets"),
+        F.max("key_max_task").cast("long").alias("max_bucket_task_rows"),
+        F.sum("key_frame").cast("long").alias("est_frame_rows"),
+    )

@@ -461,7 +461,9 @@ def rolling_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's rangeBetween needs a numeric ordering column: order by
     microsecond epoch (exact — a double epoch would round at 16 digits)
     with the interval as ±µs. One shuffle on user_id; the frame scan is
-    a per-partition sliding aggregate."""
+    a per-partition sliding aggregate. Size BEFORE running with
+    `window_frame_audit` (hot-key partition mass + frame budget in one
+    linear pass); a hot key needs `rolling_event_value_bucketed`."""
     e = _t(spark, sf_dir, "events")
     hour_us = 3_600_000_000
     w = (
@@ -558,7 +560,10 @@ def rolling_event_value_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     with one user holding ~9% of a 1.1M-row table, the hot partition shrinks
     14x (99k rows -> <=7k per hour bucket) and measured max task time drops
     1.8x at local[32] — the per-task fixed costs flooring that ratio shrink
-    with scale, the partition bound does not (benchmarks/RESULTS.md)."""
+    with scale, the partition bound does not (benchmarks/RESULTS.md).
+    `window_frame_audit` prices exactly this trade before the run: its
+    max_key_rows vs max_bucket_task_rows columns are the plain and
+    bucketed layouts' task bounds side by side."""
     from dampr_spark.operators.skew import bucketed_range_window
 
     e = _t(spark, sf_dir, "events")
@@ -573,6 +578,65 @@ def rolling_event_value_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_trailing": F.round(F.avg("value").over(w), 6),
         },
     ).select("event_id", "user_id", "n_trailing", "avg_trailing")
+
+
+@register(
+    "window_frame_audit",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+    p AS (
+      SELECT user_id, n,
+             CASE WHEN lag(bucket) OVER w = bucket - 1
+                  THEN lag(n) OVER w ELSE 0 END AS prev
+      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY bucket)),
+    k AS (
+      SELECT user_id,
+             sum(n) AS key_rows,
+             count(*) AS key_buckets,
+             max(n + prev) AS key_max_task,
+             sum(n * (n + prev)) AS key_frame
+      FROM p GROUP BY 1)
+    SELECT CAST(sum(key_rows) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(key_rows) AS BIGINT) AS max_key_rows,
+           round(max(key_rows)
+                 / (CAST(sum(key_rows) AS DOUBLE) / count(*)), 6)
+             AS skew_ratio,
+           CAST(sum(key_buckets) AS BIGINT) AS n_buckets,
+           CAST(max(key_max_task) AS BIGINT) AS max_bucket_task_rows,
+           CAST(sum(key_frame) AS BIGINT) AS est_frame_rows
+    FROM k
+    """,
+    tags=("events", "window", "skew", "audit", "extension"),
+)
+def window_frame_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window family's sizing instrument (round 10): price the
+    trailing 1-hour per-user RANGE window (`rolling_event_value`) before
+    running it — the same audit-then-run discipline as
+    `grid_resolution_audit` / `lsh_band_audit` /
+    `contamination_posting_audit`, aimed at the window family's two
+    scale killers: hot-key PARTITION mass (one task per key; AQE cannot
+    split a window partition) and sliding-FRAME mass (Spark re-aggregates
+    the buffered range frame per row). One row: corpus shape,
+    ``max_key_rows`` (the plain window's single-task floor, with
+    ``skew_ratio``), ``max_bucket_task_rows`` (the task bound
+    `rolling_event_value_bucketed`'s layout would buy), and
+    ``est_frame_rows`` (Σ n·(n+prev) — the frame row-visit budget both
+    layouts pay). Mechanics: one per-(user, hour-bucket) count rollup —
+    linear, map-side-combinable, no row-level window, no join."""
+    from dampr_spark.operators.skew import window_frame_audit as _audit
+
+    e = _t(spark, sf_dir, "events")
+    return _audit(
+        e,
+        keys=["user_id"],
+        ts_us_col=F.unix_micros(F.col("ts").cast("timestamp")),
+        range_us=3_600_000_000,
+    )
 
 
 @register(

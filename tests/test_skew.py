@@ -106,3 +106,76 @@ def test_bucketed_range_window_emits_each_row_once(spark):
     )
     assert out.count() == 1000
     assert out.select("k", "t").distinct().count() == 1000
+
+
+def test_window_frame_audit_hand_computed(spark):
+    """Tiny fixture with known bucket layout (range=10us):
+
+    key a: ts 1,2,3 (bucket 0), 11 (bucket 1), 25 (bucket 2)
+      buckets: (0, n=3, prev=0) (1, n=1, prev=3) (2, n=1, prev=1)
+      key_rows=5, max_task=max(3, 4, 2)=4, frame=3*3 + 1*4 + 1*2 = 15
+    key b: ts 5 (bucket 0)
+      key_rows=1, max_task=1, frame=1
+    """
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 11), ("a", 25), ("b", 5),
+         (None, 7)],
+        "k string, us long",
+    )
+    r = skew.window_frame_audit(df, keys=["k"], ts_us_col="us", range_us=10).first()
+    assert r.n_rows == 6  # NULL key dropped
+    assert r.n_keys == 2
+    assert r.max_key_rows == 5
+    assert r.skew_ratio == round(5 / (6 / 2), 6)
+    assert r.n_buckets == 4
+    assert r.max_bucket_task_rows == 4
+    assert r.est_frame_rows == 16
+
+
+def test_window_frame_audit_bounds_the_bucketed_layout(spark, sf_dir):
+    """On real events: the audit's max_bucket_task_rows must be a true
+    upper bound for bucketed_range_window's realized partition sizes, and
+    max_key_rows for the plain window's."""
+    from dampr_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ts = F.unix_micros(F.col("ts").cast("timestamp"))
+    hour_us = 3_600_000_000
+    r = skew.window_frame_audit(
+        e, keys=["user_id"], ts_us_col=ts, range_us=hour_us
+    ).first()
+    plain_max = (
+        e.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    )
+    assert r.max_key_rows == plain_max
+    # realized bucketed partitions: own rows + next-bucket context
+    b = e.select("user_id", F.floor(ts / F.lit(hour_us)).alias("b"))
+    own = b.groupBy("user_id", "b").count()
+    nxt = own.select(
+        "user_id", (F.col("b") + 1).alias("b"), F.col("count").alias("ctx")
+    )
+    merged = (
+        own.join(nxt, ["user_id", "b"], "full_outer")
+        .select(
+            (F.coalesce("count", F.lit(0)) + F.coalesce("ctx", F.lit(0))).alias(
+                "task_rows"
+            ),
+            F.coalesce("count", F.lit(0)).alias("own_rows"),
+        )
+    )
+    realized = merged.filter(F.col("own_rows") > 0).agg(
+        F.max("task_rows")
+    ).first()[0]
+    assert r.max_bucket_task_rows == realized
+
+
+def test_window_frame_audit_scans_events_once(spark, sf_dir):
+    """The instrument must not pay what it prices: one corpus scan, no
+    row-level window, no join (same plan-lock style as the other sizing
+    audits in test_plan_quality.py)."""
+    from dampr_spark.plans import all_queries
+
+    out = all_queries()["window_frame_audit"].builder(spark, sf_dir)
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert plan.count("events.parquet") == 1
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
