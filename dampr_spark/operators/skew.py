@@ -122,10 +122,10 @@ def bucketed_range_window(
         )
     ts = ts_us_col if isinstance(ts_us_col, Column) else F.col(ts_us_col)
     own = df.withColumn("_ts_us", ts).withColumn(
-        "_bucket", F.floor(F.col("_ts_us") / F.lit(range_us))
+        "_bucket", _floor_div("_ts_us", range_us)
     ).withColumn("_own", F.lit(True))
     ctx = df.withColumn("_ts_us", ts).withColumn(
-        "_bucket", F.floor(F.col("_ts_us") / F.lit(range_us)) + 1
+        "_bucket", _floor_div("_ts_us", range_us) + 1
     ).withColumn("_own", F.lit(False))
     u = own.unionByName(ctx)
     w = (
@@ -139,6 +139,18 @@ def bucketed_range_window(
         *[c.alias(n) for n, c in cols_fn(w).items()],
     )
     return out.filter(F.col("_own")).drop("_own")
+
+
+def _floor_div(col_name: str, divisor: int) -> Column:
+    """Exact integer floor division of a long column — never a double
+    divide, which silently corrupts past 2^53 (the grid-audit lesson from
+    round 10's ADVICE: a ns-epoch ordering column would overflow a double
+    floor). pmod makes the numerator an exact nonnegative-remainder
+    multiple, so SQL `div` (truncating) IS floor, at any magnitude and
+    for negative timestamps."""
+    c = F.col(col_name)
+    adj = c - F.pmod(c, F.lit(divisor))
+    return (adj.cast("decimal(38,0)") / F.lit(divisor)).cast("long")
 
 
 def window_frame_audit(
@@ -186,7 +198,8 @@ def window_frame_audit(
     for k in keys:
         notnull = notnull.filter(F.col(k).isNotNull())
     b = (
-        notnull.select(*keys, F.floor(ts / F.lit(range_us)).alias("_bucket"))
+        notnull.select(*keys, ts.alias("_ts_us"))
+        .select(*keys, _floor_div("_ts_us", range_us).alias("_bucket"))
         .groupBy(*keys, "_bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -179,3 +179,24 @@ def test_window_frame_audit_scans_events_once(spark, sf_dir):
     plan = out._jdf.queryExecution().sparkPlan().toString()
     assert plan.count("events.parquet") == 1
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_floor_div_exact_past_double_precision(spark):
+    """The bucket id must be exact integer floor division: a double
+    divide corrupts past 2^53 (the grid-audit ADVICE lesson), and
+    truncation differs from floor for negative timestamps."""
+    from dampr_spark.operators.skew import _floor_div
+
+    ns = 1_700_000_000_000_000_123  # ns-epoch magnitude, > 2^53
+    df = spark.createDataFrame(
+        [(ns,), (-7,), (-10,), (10,), (0,)], "v long"
+    )
+    got = {
+        r.v: r.b
+        for r in df.select("v", _floor_div("v", 10).alias("b")).collect()
+    }
+    assert got[ns] == ns // 10
+    assert got[-7] == -1  # floor, not truncation (-7 div 10 == 0)
+    assert got[-10] == -1
+    assert got[10] == 1
+    assert got[0] == 0
