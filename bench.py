@@ -217,10 +217,13 @@ BENCH_QUERIES = [
     # jobs they price; their per-round timing here is that contract.
     "lsh_band_audit",
     "contamination_posting_audit",
-    # round-10b flagship: the window family's sizing instrument — hot-key
+    # round-10b flagships: the window family's sizing instrument — hot-key
     # partition mass and sliding-frame budget from one per-(user, hour)
-    # count rollup; prices rolling_event_value vs its bucketed twin.
+    # count rollup; prices rolling_event_value vs its bucketed twin — and
+    # the substring family's (anchor-posting occupancy + diagonal-pair
+    # budget from one positional-anchor pass).
     "window_frame_audit",
+    "substring_posting_audit",
 ]
 
 # Frozen-anchor query set: one representative per regression class the r8

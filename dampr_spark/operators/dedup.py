@@ -1774,6 +1774,52 @@ def positional_anchor_rows(
     )
 
 
+def substring_posting_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    anchor_tokens: int = 8,
+    max_posting: int = 16,
+    hash_anchors: bool = False,
+) -> DataFrame:
+    """Price the suffix-run family's posting stage BEFORE paying it — the
+    substring-dedup sizing instrument, same discipline as
+    :func:`lsh_band_audit` / :func:`contamination_posting_audit` /
+    `similarity.grid_resolution_audit` / `skew.window_frame_audit`.
+
+    :func:`repeated_substring_spans` (and the report/trim wrappers) pays
+    Σ C(occ, 2) diagonal pairs per anchor window, capped at
+    ``max_posting`` OCCURRENCES; a boilerplate window shared corpus-wide
+    is the blowup, and the cap's dropped-position mass is the recall
+    silently lost. One :func:`positional_anchor_rows` pass (the
+    production pipelines' own entry stage, byte-identical keys — pass
+    ``hash_anchors=True`` to price the 8-byte-key 100 TB path) feeds one
+    occurrence-count aggregate; the pair arithmetic is
+    :func:`band_occupancy_stats`' exact integer ``div`` (shared
+    implementation, not a re-derivation). One row:
+    ``anchor_positions`` (total position rows = the posting shuffle's
+    volume), ``anchors_ge2``, ``max_posting_sz``, ``anchors_over_cap``,
+    ``positions_over_cap``, ``raw_pairs`` / ``capped_pairs`` /
+    ``pairs_dropped`` (the diagonal-pair budget the run would stream,
+    before/after the cap)."""
+    pos = positional_anchor_rows(
+        df, text_col, id_col, anchor_tokens, hash_anchors=hash_anchors
+    )
+    banded = pos.select(
+        F.lit(0).alias("band"), F.col("gram").alias("band_hash")
+    )
+    return band_occupancy_stats(banded, max_posting).select(
+        F.col("band_rows").alias("anchor_positions"),
+        F.col("buckets_ge2").alias("anchors_ge2"),
+        F.col("max_bucket_sz").alias("max_posting_sz"),
+        F.col("buckets_over_cap").alias("anchors_over_cap"),
+        F.col("docs_over_cap").alias("positions_over_cap"),
+        "raw_pairs",
+        "capped_pairs",
+        "pairs_dropped",
+    )
+
+
 def repeated_substring_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -1810,7 +1856,11 @@ def repeated_substring_spans(
     that partitioning (subset-key clustering), so no third exchange.
 
     ``within_doc=True`` returns self-repetition runs instead (offset > 0),
-    the primitive behind looping/degenerate-text quality filters."""
+    the primitive behind looping/degenerate-text quality filters.
+
+    Size (anchor_tokens, max_posting) BEFORE the run with
+    :func:`substring_posting_audit`: one anchor pass prices the posting
+    occupancy and the cap's dropped diagonal-pair/position mass."""
     if min_len is None:
         min_len = anchor_tokens
     if min_len < anchor_tokens:

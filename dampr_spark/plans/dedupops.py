@@ -1254,6 +1254,57 @@ def substring_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "substring_posting_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split(text, ' ') AS t
+      FROM documents WHERE text IS NOT NULL),
+    pos AS (
+      SELECT id,
+        unnest(range(1, greatest(len(t)-7, 0)+1)) AS i,
+        unnest(list_transform(range(1, greatest(len(t)-7, 0)+1),
+                              i -> array_to_string(t[i:i+7], ' '))) AS gram
+      FROM toks),
+    c AS (SELECT gram, CAST(count(*) AS BIGINT) AS n FROM pos GROUP BY gram)
+    SELECT CAST(sum(n) AS BIGINT) AS anchor_positions,
+           CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS anchors_ge2,
+           CAST(max(n) AS BIGINT) AS max_posting_sz,
+           CAST(sum(CASE WHEN n > {_SUBSTR_MAX_POSTING} THEN 1 ELSE 0 END)
+                AS BIGINT) AS anchors_over_cap,
+           CAST(sum(CASE WHEN n > {_SUBSTR_MAX_POSTING} THEN n ELSE 0 END)
+                AS BIGINT) AS positions_over_cap,
+           CAST(sum(n * (n - 1) // 2) AS BIGINT) AS raw_pairs,
+           CAST(sum(CASE WHEN n <= {_SUBSTR_MAX_POSTING}
+                         THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT)
+             AS capped_pairs,
+           CAST(sum(n * (n - 1) // 2)
+                - sum(CASE WHEN n <= {_SUBSTR_MAX_POSTING}
+                           THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT)
+             AS pairs_dropped
+    FROM c
+    """,
+    tags=("dedup", "substring", "skew", "audit", "extension"),
+)
+def substring_posting_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring family's sizing instrument: price the suffix-run
+    posting stage (`repeated_substrings` / `substring_dedup_report` /
+    `substring_trim_dedup` — positional 8-token anchors, occurrence cap
+    64 = _SUBSTR_MAX_POSTING) from ONE anchor pass, before any diagonal pair
+    forms. Columns: posting-shuffle volume (anchor_positions), occupancy
+    (anchors_ge2 / max_posting_sz), the cap's dropped mass
+    (anchors_over_cap / positions_over_cap — recall silently lost to
+    boilerplate windows), and the diagonal-pair budget raw vs capped.
+    Pair arithmetic shared with the banded-LSH audit
+    (operators/dedup.band_occupancy_stats — exact integer div)."""
+    return dedup.substring_posting_audit(
+        _t(spark, sf_dir, "documents"),
+        anchor_tokens=8,
+        max_posting=_SUBSTR_MAX_POSTING,
+    )
+
+
+@register(
     "duplicate_ngram_coverage",
     oracle="""
 WITH toks AS (

@@ -155,3 +155,36 @@ def test_ngram_novelty_no_gram_level_join_back(spark, sf_dir):
     n = plan.count("documents.parquet")
     assert n == 2, f"documents scanned {n}x (want per-doc sizes + grams)"
     assert "Checkpoint" not in plan
+
+
+def test_substring_posting_audit_prices_without_pairing(spark, sf_dir):
+    """The substring audit scans the corpus once and never forms diagonal
+    pairs; its capped budget must equal the pair count the production
+    posting stage ACTUALLY streams (same anchors, same cap), pinning the
+    audit to the plan it prices."""
+    from pyspark.sql import functions as F
+
+    from dampr_spark.operators.dedup import (
+        positional_anchor_rows,
+        substring_posting_audit,
+    )
+    from dampr_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    out = substring_posting_audit(d, anchor_tokens=8, max_posting=16)
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert plan.count("documents.parquet") == 1
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+    row = out.first()
+    streamed = (
+        positional_anchor_rows(d, anchor_tokens=8)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= 16))
+        .agg(F.sum(F.expr("(n * (n - 1)) div 2")))
+        .first()[0]
+    ) or 0
+    assert row.capped_pairs == streamed
+    assert row.raw_pairs >= row.capped_pairs
+    assert row.pairs_dropped == row.raw_pairs - row.capped_pairs
