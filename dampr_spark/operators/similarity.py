@@ -53,7 +53,16 @@ class IVFIndex:
     recipe), list assignment is one Arrow-vectorized matmul pass over the
     corpus, and search touches nprobe/n_lists of the data — write the
     assigned corpus out partitioned by ``list_id`` and searches prune to
-    those partitions."""
+    those partitions.
+
+    ``n_lists`` is a SCALE parameter, not a constant: constant-fraction
+    pruning is not constant work — lists saturate by depth as the corpus
+    grows (the grid-resolution/simhash-band wall, IVF-shaped). Re-fit at
+    ~sqrt(N) each corpus decade; the staleness signal is list-depth
+    occupancy (one ``groupBy(list_id).count()`` aggregate). Measured at
+    200k vectors (benchmarks/ivf_scale_proof_100x.py): a stale 16-list
+    config vs re-tuned 400 lists at the SAME 24% I/O budget is 13
+    recall points worse and ~3x slower."""
 
     def __init__(self, n_lists: int = 16, nprobe: int = 4, seed: int = 42):
         self.n_lists = n_lists
