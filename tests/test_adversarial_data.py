@@ -77,6 +77,12 @@ _HARDENED = [
     "substring_dedup_report",
     "duplicate_ngram_coverage",
     "substring_trim_dedup",
+    # round-10 additions: both sizing instruments drop NULLs at entry
+    # (NULL text for the anchor pass, NULL user_id for the key rollup);
+    # the fixture's planted whole-doc duplicates shift the substring
+    # audit's posting occupancy identically on both engines
+    "substring_posting_audit",
+    "window_frame_audit",
     "dsir_en_importance",
     "bigram_doc_perplexity",
     "pq_recall_check",
