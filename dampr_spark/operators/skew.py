@@ -146,8 +146,10 @@ def _floor_div(col_name: str, divisor: int) -> Column:
     divide, which silently corrupts past 2^53 (the grid-audit lesson from
     round 10's ADVICE: a ns-epoch ordering column would overflow a double
     floor). pmod makes the numerator an exact nonnegative-remainder
-    multiple, so SQL `div` (truncating) IS floor, at any magnitude and
-    for negative timestamps."""
+    multiple, so SQL `div` (truncating) IS floor, including for negative
+    timestamps. Valid domain: c > LONG_MIN + divisor — the `c - pmod`
+    adjustment would wrap for values within `divisor` of Long.MIN_VALUE
+    (never reachable for epoch timestamps at any supported unit)."""
     c = F.col(col_name)
     adj = c - F.pmod(c, F.lit(divisor))
     return (adj.cast("decimal(38,0)") / F.lit(divisor)).cast("long")
@@ -183,8 +185,11 @@ def window_frame_audit(
       largest partition of :func:`bucketed_range_window`'s layout: what
       the remedy buys, BEFORE paying its 2x replication;
     - ``est_frame_rows`` — Σ n·(n + prev) over buckets, an upper bound
-      on total frame row-visits (identical for both layouts — bucketing
-      redistributes this work, it does not change it).
+      on the plain layout's total frame row-visits. The bucketed layout
+      additionally evaluates frames for the replicated context rows it
+      later filters out, so its realized row-visits can exceed this
+      bound (capped by the 2x replication); what bucketing buys is the
+      per-TASK bound (``max_bucket_task_rows``), not total work.
 
     Mechanics mirror `join_key_skew_report` (one map-side-combinable
     count per key×bucket, then bounded rollups): linear in the corpus,

@@ -585,7 +585,14 @@ def rolling_event_value_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT user_id,
-             CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+             -- exact integer floor division, mirroring the Spark side's
+             -- _floor_div (never a double divide — a ns-scale column
+             -- would exceed a double's 2^53 exact-integer range): the
+             -- positive-mod adjustment makes the numerator an exact
+             -- multiple, so // is exact floor at any magnitude.
+             (epoch_us(ts)
+              - (epoch_us(ts) % 3600000000 + 3600000000) % 3600000000)
+             // 3600000000 AS bucket,
              CAST(count(*) AS BIGINT) AS n
       FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
     p AS (

@@ -25,11 +25,14 @@ invalidate the committed proof record if a refactor broke it:
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
 
-sys.path.insert(0, "/root/repo")  # benchmarks/ is not a package
+# benchmarks/ is not a package; derive the repo root from this file so the
+# test works on any checkout location (r10 ADVICE).
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from benchmarks.lsh_scale_proof_100x import (  # noqa: E402
     COPY_STRIDE,
