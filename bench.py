@@ -224,6 +224,13 @@ BENCH_QUERIES = [
     # budget from one positional-anchor pass).
     "window_frame_audit",
     "substring_posting_audit",
+    # round-11 flagship: the ANN family's sizing instrument — one corpus
+    # assignment pass at the finest n_lists candidate, nested-quantizer
+    # rollups pricing every candidate's list depth and bytes/query, with
+    # the ~sqrt(N) candidate recommended (closes the audit set; evidence:
+    # benchmarks/ivf_scale_proof_100x.py's 13-recall-point stale-config
+    # cliff, now priced pre-build).
+    "ivf_list_audit",
 ]
 
 # Frozen-anchor query set: one representative per regression class the r8

@@ -51,6 +51,7 @@ from dampr_spark.operators.similarity import (  # noqa: E402
     IVFIndex,
     ScalarQuantizer,
     brute_force_topk,
+    ivf_list_audit,
 )
 from dampr_spark.session import get_spark  # noqa: E402
 from dampr_spark.sources.readers import read_table  # noqa: E402
@@ -80,6 +81,31 @@ def main() -> int:
         organic_100x(e1).select("vec_id", "embedding").localCheckpoint(eager=True)
     )
     out = {"metric": "ivf_scale_proof_100x", "corpus_vectors": big.count()}
+
+    # Round 11: the sizing instrument this proof motivated. One corpus
+    # pass prices every candidate; the recommendation must land on the
+    # re-tuned config (sqrt(200k) ~ 447 -> nearest candidate 400), turning
+    # the proof's manual re-tune into a priced, pre-run decision.
+    audit = ivf_list_audit(
+        big, n_lists_candidates=(16, 100, 400, 1600), nprobe=24,
+        sample_size=4096,
+    ).collect()
+    out["audit"] = [
+        {
+            "n_lists": r.n_lists,
+            "max_list_depth": r.max_list_depth,
+            "depth_skew": r.depth_skew,
+            "probe_rows_worst": r.probe_rows_worst,
+            "probe_mb_worst": round(r.probe_bytes_worst / 1e6, 2),
+            "recommended": r.recommended,
+        }
+        for r in audit
+    ]
+    rec = [r.n_lists for r in audit if r.recommended]
+    assert rec == [400], f"audit recommendation {rec} != the re-tuned 400"
+    if "--audit-only" in sys.argv:
+        print(json.dumps(out))
+        return 0
 
     qrows = e1.orderBy("vec_id").limit(N_QUERIES).collect()
     # Exact ground truth once per query (full 200k scan each).

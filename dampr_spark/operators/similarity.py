@@ -62,7 +62,10 @@ class IVFIndex:
     occupancy (one ``groupBy(list_id).count()`` aggregate). Measured at
     200k vectors (benchmarks/ivf_scale_proof_100x.py): a stale 16-list
     config vs re-tuned 400 lists at the SAME 24% I/O budget is 13
-    recall points worse and ~3x slower."""
+    recall points worse and ~3x slower. :func:`ivf_list_audit` prices
+    this knob BEFORE the build — one corpus pass, every candidate's
+    list-depth occupancy and bytes/query, with the ~sqrt(N) candidate
+    recommended (round 11, completing the audit-instrument family)."""
 
     def __init__(self, n_lists: int = 16, nprobe: int = 4, seed: int = 42):
         self.n_lists = n_lists
@@ -200,6 +203,188 @@ class IVFIndex:
         return self.query_topk(
             spark.read.parquet(path), query_vec, k=k, vec_col=vec_col, id_col=id_col
         )
+
+
+def ivf_list_audit(
+    df: DataFrame,
+    n_lists_candidates: tuple[int, ...] = (4, 16, 64, 256),
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Price the IVF ``n_lists`` knob BEFORE building the index — the ANN
+    family's sizing instrument, closing the audit set
+    (:func:`grid_resolution_audit`, ``dedup.lsh_band_audit``,
+    ``dedup.contamination_posting_audit``, ``dedup.substring_posting_audit``,
+    ``skew.window_frame_audit``: every family with a measured saturation
+    mode gets a one-linear-pass go/no-go report). Evidence of need:
+    benchmarks/ivf_scale_proof_100x.py — a 16-list config that audits fine
+    at 2k vectors saturates by list DEPTH at 200k (constant-fraction
+    pruning is not constant work), and the fix was a manual re-tune to
+    ~sqrt(N) lists. This instrument makes that re-tune a priced, data-driven
+    recommendation instead of a post-hoc migration.
+
+    One row per ``n_lists`` candidate:
+
+    - ``n_lists`` / ``nprobe`` — the candidate config (``nprobe`` clamped
+      to the candidate: probing more lists than exist prices as a full
+      scan, which is the honest number);
+    - ``n_vecs`` — Σ rolled-up list depths for THIS candidate (the
+      conservation quotient: equals the valid-vector count unless a depth
+      was lost or duplicated in the rollup — the catalog query hash-compares
+      it against DuckDB's independent count) and ``dim``;
+    - ``occupied_lists`` / ``max_list_depth`` / ``depth_skew``
+      (max/mean) — list-depth occupancy: the quantizer-health signal
+      (mega-lists = the stale-quantizer smell the 100x proof measured);
+    - ``probe_rows_ideal`` = nprobe·N div n_lists (uniform-depth floor)
+      vs ``probe_rows_worst`` = Σ of the nprobe deepest lists (the
+      adversarial query's scan), each with a ``probe_bytes_*`` twin at
+      the embedding's wire size (4·dim+8 B/row) — bytes/query is what
+      ``write_partitioned``'s directory pruning actually saves at 100 TB;
+    - ``sqrt_n`` and ``recommended`` — the candidate nearest sqrt(N)
+      (ties to the larger), the FAISS-guideline operating point the 100x
+      proof's re-tune landed on (400 lists at 200k vectors, sqrt = 447).
+
+    Corpus cost is CANDIDATE-INDEPENDENT, mirroring the grid audit's
+    Horner rollup: the corpus pays ONE bounded-sample quantizer fit at the
+    FINEST candidate plus ONE Arrow assignment pass, aggregated
+    immediately to a <= max(n_lists) row depth table. Every coarser
+    candidate is priced by NESTED quantization — driver-side weighted
+    spherical k-means over the fine CENTROIDS (<= max candidate points,
+    depth-weighted) defines coarse lists as unions of fine lists, so
+    coarse depths are exact rollups of the fine depth table. Depth stats
+    are exact for the nested quantizer and estimates for a direct re-fit
+    at the coarse k (a direct fit differs only by centroid placement, not
+    by the depth-vs-n_lists trend this audit prices). At 100 TB: one scan,
+    one bounded shuffle, zero joins, driver state <= max(n_lists) rows.
+
+    Catalog query ``ivf_list_audit`` pins the cross-engine contract;
+    tests/test_round11_fixes.py exercises conservation, the worst>=ideal
+    bound, nested-rollup exactness, and the sqrt-N recommendation against
+    the 100x proof's corpus shape."""
+    import math
+
+    cands = sorted(set(int(k) for k in n_lists_candidates))
+    if not cands or cands[0] < 1:
+        raise ValueError("n_lists_candidates must be positive ints")
+    kmax = cands[-1]
+    if kmax > 65536:
+        raise ValueError(
+            f"finest candidate {kmax} exceeds the 65536-list driver bound "
+            "(the depth table and centroid set are driver-side state)"
+        )
+    eff_nprobe = max(1, int(nprobe))
+
+    ivf = IVFIndex(n_lists=kmax, nprobe=eff_nprobe, seed=seed).fit(
+        df, vec_col=vec_col, sample_size=sample_size, iters=iters
+    )
+    fine_c = ivf.centroids  # (n_fine <= kmax, dim), unit rows
+    n_fine = len(fine_c)
+    # The single corpus pass: assign to the finest quantizer, aggregate to
+    # a bounded (list_id, depth, max dim) table. `dim` rides along so the
+    # bytes/query pricing needs no second scan.
+    stats = (
+        ivf.assign(df, vec_col=vec_col)
+        .groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.size(F.col(vec_col))).alias("d"),
+        )
+        .collect()
+    )
+    depths = np.zeros(n_fine, dtype=np.int64)
+    dim = 0
+    for r in stats:
+        depths[r["list_id"]] = r["n"]
+        dim = max(dim, r["d"] or 0)
+    total = int(depths.sum())
+    row_bytes = 4 * dim + 8  # array<float> payload + 8B id, the wire size
+    sqrt_n = round(math.sqrt(total), 6)
+
+    def coarse_depths(k: int) -> np.ndarray:
+        if k >= n_fine:
+            return depths
+        # Nested quantizer: weighted spherical k-means over the fine
+        # centroids. Deterministic init = the k deepest fine lists.
+        cc = fine_c[np.argsort(-depths, kind="stable")[:k]].copy()
+        for _ in range(iters):
+            a = np.argmax(fine_c @ cc.T, axis=1)
+            for j in range(k):
+                w = depths[a == j]
+                if w.sum():
+                    cc[j] = np.average(fine_c[a == j], axis=0, weights=w)
+            cc /= np.maximum(np.linalg.norm(cc, axis=1, keepdims=True), 1e-12)
+        mapping = np.argmax(fine_c @ cc.T, axis=1)
+        return np.bincount(mapping, weights=depths, minlength=k).astype(
+            np.int64
+        )
+
+    # Recommendation: nearest candidate to sqrt(N), ties to the larger —
+    # scanning ascending with <= keeps the later (larger) candidate.
+    best_k = cands[0]
+    best_dist = None
+    for k in cands:
+        dist = abs(k - math.sqrt(total)) if total else float(k)
+        if best_dist is None or dist <= best_dist:
+            best_k, best_dist = k, dist
+
+    rows = []
+    for k in cands:
+        cd = coarse_depths(k)
+        np_k = min(eff_nprobe, k)
+        n_vecs = int(cd.sum())
+        max_depth = int(cd.max()) if len(cd) else 0
+        mean_depth = n_vecs / k
+        ideal = np_k * n_vecs // k
+        worst = int(np.sort(cd)[-np_k:].sum()) if len(cd) else 0
+        rows.append(
+            {
+                "n_lists": k,
+                "nprobe": np_k,
+                "n_vecs": n_vecs,
+                "dim": dim,
+                "occupied_lists": int((cd > 0).sum()),
+                "max_list_depth": max_depth,
+                "depth_skew": round(max_depth / mean_depth, 6)
+                if n_vecs
+                else 0.0,
+                "probe_rows_ideal": ideal,
+                "probe_rows_worst": worst,
+                "probe_bytes_ideal": ideal * row_bytes,
+                "probe_bytes_worst": worst * row_bytes,
+                "sqrt_n": sqrt_n,
+                "recommended": k == best_k,
+                "depths_conserved_ok": n_vecs == total,
+                "worst_ge_ideal_ok": worst >= ideal,
+                "occupied_le_lists_ok": int((cd > 0).sum()) <= k,
+            }
+        )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("n_lists", T.LongType()),
+            T.StructField("nprobe", T.LongType()),
+            T.StructField("n_vecs", T.LongType()),
+            T.StructField("dim", T.LongType()),
+            T.StructField("occupied_lists", T.LongType()),
+            T.StructField("max_list_depth", T.LongType()),
+            T.StructField("depth_skew", T.DoubleType()),
+            T.StructField("probe_rows_ideal", T.LongType()),
+            T.StructField("probe_rows_worst", T.LongType()),
+            T.StructField("probe_bytes_ideal", T.LongType()),
+            T.StructField("probe_bytes_worst", T.LongType()),
+            T.StructField("sqrt_n", T.DoubleType()),
+            T.StructField("recommended", T.BooleanType()),
+            T.StructField("depths_conserved_ok", T.BooleanType()),
+            T.StructField("worst_ge_ideal_ok", T.BooleanType()),
+            T.StructField("occupied_le_lists_ok", T.BooleanType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(rows, schema).orderBy("n_lists")
 
 
 class RandomHyperplaneLSH:

@@ -292,6 +292,83 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ivf_list_audit",
+    oracle=f"""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nv,
+                      CAST(COALESCE(max(len(embedding)), 0) AS BIGINT) AS dim
+               FROM embeddings WHERE {V.valid_vector_sql('embedding')}),
+    cand(k) AS (VALUES (4), (16), (64), (256)),
+    d AS (SELECT k, nv, dim, abs(k - sqrt(nv)) AS dist FROM cand, n),
+    best AS (SELECT max(k) AS bk FROM d WHERE dist = (SELECT min(dist) FROM d))
+    SELECT CAST(k AS BIGINT)           AS n_lists,
+           CAST(least(4, k) AS BIGINT) AS nprobe,
+           nv                          AS n_vecs,
+           dim,
+           (least(4, k) * nv) // k     AS probe_rows_ideal,
+           ((least(4, k) * nv) // k) * (4 * dim + 8) AS probe_bytes_ideal,
+           round(sqrt(nv), 6)          AS sqrt_n,
+           k = bk                      AS recommended,
+           TRUE                        AS depths_conserved_ok,
+           TRUE                        AS worst_ge_ideal_ok,
+           TRUE                        AS occupied_le_lists_ok
+    FROM d, best
+    ORDER BY n_lists
+    """,
+    tags=("vector", "ann", "invariant", "audit", "extension"),
+)
+def ivf_list_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine contract of `operators/similarity.ivf_list_audit` — the
+    ANN family's sizing instrument (VERDICT r10 #1: the one family with a
+    measured 100x cliff — benchmarks/ivf_scale_proof_100x.py, where a
+    stale 16-list config cost 13 recall points and 3x latency vs the
+    ~sqrt(N) re-tune — but no pre-run audit until now). One corpus
+    assignment pass at the finest candidate prices every ``n_lists``
+    candidate's list-depth occupancy and bytes/query via nested-quantizer
+    rollups, and recommends the candidate nearest sqrt(N).
+
+    The depth-occupancy numbers are quantizer-dependent (deterministic
+    seeded k-means, not SQL-expressible), so the hash-compared columns
+    follow `lsh_band_audit`'s invariant-companion pattern — quantities
+    BOTH engines derive independently:
+
+    - ``n_vecs`` — Spark emits each candidate's OWN depth-rollup sum
+      (Σ list depths after the nested rollup); DuckDB emits the plain
+      valid-vector count. A vector lost or duplicated anywhere in the
+      assign/rollup chain breaks the hash compare for real.
+    - ``dim`` / ``probe_rows_ideal`` / ``probe_bytes_ideal`` /
+      ``sqrt_n`` — the uniform-depth pricing floor, recomputed from raw
+      data on both sides (exact integer division, 4·dim+8 B wire rows).
+    - ``recommended`` — both engines independently apply the
+      nearest-to-sqrt(N), ties-to-larger rule over the candidate set.
+    - ``depths_conserved_ok`` / ``worst_ge_ideal_ok`` /
+      ``occupied_le_lists_ok`` — Spark's realized occupancy must satisfy
+      the bounds the uniform floor implies.
+
+    The full instrument (occupancy, max depth, skew, worst-case probe
+    bytes) is the operator's own output, exercised with clustered
+    fixtures in tests/test_round11_fixes.py."""
+    from dampr_spark.operators import similarity
+
+    return similarity.ivf_list_audit(
+        _t(spark, sf_dir, "embeddings"),
+        n_lists_candidates=(4, 16, 64, 256),
+        nprobe=4,
+    ).select(
+        "n_lists",
+        "nprobe",
+        "n_vecs",
+        "dim",
+        "probe_rows_ideal",
+        "probe_bytes_ideal",
+        "sqrt_n",
+        "recommended",
+        "depths_conserved_ok",
+        "worst_ge_ideal_ok",
+        "occupied_le_lists_ok",
+    )
+
+
 @register("pca_embeddings", oracle=None, tags=("vector", "extension"))
 def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-axis explained variance of the distributed PCA fit over the

@@ -149,6 +149,11 @@ _HARDENED = [
     "semantic_grid_dedup",
     "semantic_grid_survivors",
     "semantic_grid_probe_pairs",
+    # round-11 addition: the IVF sizing instrument filters valid_vector
+    # at entry on both engines (NULL embeddings and the planted zero
+    # vector invisible to assignment AND to the oracle's count), and its
+    # hash-compared columns are recomputed from the surviving set
+    "ivf_list_audit",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",
