@@ -88,6 +88,24 @@ The baseline file carries ``protocol: 3``; an old-protocol baseline is
 re-baselined (overwritten) on the first v3 run rather than compared
 against incompatibly — per-anchor normalization changes the norm's
 meaning.
+
+ANCHOR PROTOCOL v3.1 (round 11, diagnostic-only — the gate and the
+baseline are unchanged): the r10 DRIVER record put bigram_doc_perplexity
+and heavy_hitter_ngrams on anchor_watch at 1.35x/1.31x norm while the
+builder-host run of the same code showed both empty. The split inside
+the driver run itself is the diagnosis (benchmarks/RESULTS.md round 11):
+the xxhash calibration probe ran 8-9% FASTER than baseline while the
+memory-traffic-heavy anchors ran 15-25% slower and the codegen-bound
+anchors (q1, bloom) tracked the probe — i.e. the probe measures
+register-resident codegen CPU and is blind to the memory/IPC bandwidth
+that mapInPandas transfers and localCheckpoint pins pay. v3.1 therefore
+records a SECOND adjacent probe through exactly that path — a
+``mapInPandas`` pass-through sum (Arrow serialize -> Python worker ->
+Arrow deserialize) — as ``cal_arrow_adj``/``norm_arrow`` per anchor.
+Future ratio breaches come with a measured attribution (probe-CPU drift
+vs Arrow/memory drift) instead of an inferred one. The v3 norm still
+gates; norm_arrow never does (a two-probe gate would need a re-frozen
+baseline and double the false-positive surface).
 """
 
 from __future__ import annotations
@@ -375,6 +393,28 @@ def main() -> int:
         ).collect()
         return time.perf_counter() - t0
 
+    import pandas as pd
+
+    def _arrow_cal_batches(it):
+        for batch in it:
+            yield pd.DataFrame({"v": [int(batch["id"].sum())]})
+
+    def calibrate_arrow(n_rows: int = 8_000_000) -> float:
+        # Protocol v3.1 diagnostic probe (round 11, see module docstring):
+        # the same fixed-workload adjacent-sample discipline as
+        # calibrate(), but routed through the Python-worker/Arrow path —
+        # Arrow serialize -> worker IPC -> pandas reduce -> Arrow return —
+        # the bandwidth-bound machinery that mapInPandas anchors
+        # (heavy_hitter_ngrams) and big pinned frames
+        # (bigram_doc_perplexity's pair-explode localCheckpoint) pay and
+        # the register-resident xxhash probe cannot see. Recorded per
+        # anchor as cal_arrow_adj/norm_arrow; never gates.
+        t0 = time.perf_counter()
+        spark.range(0, n_rows, 1, 32).mapInPandas(
+            _arrow_cal_batches, "v long"
+        ).agg(F.sum("v")).collect()
+        return time.perf_counter() - t0
+
     def run_once(name: str, data_dir: str | None = None) -> float:
         t0 = time.perf_counter()
         # noop sink materializes every row/column of the result without
@@ -482,10 +522,12 @@ def main() -> int:
         # purpose). At 200M rows the sample sits near 0.5-1 s, where the
         # fixed overheads it exists to cancel are amortized.
         cal_samples = [calibrate(200_000_000)]
+        arrow_samples = [calibrate_arrow()]
         for name in ANCHOR_QUERIES:
             cold = run_once(name, ANCHOR_DIR)
             reps = [run_once(name, ANCHOR_DIR) for _ in range(3)]
             cal_samples.append(calibrate(200_000_000))
+            arrow_samples.append(calibrate_arrow())
             warm = statistics.median(reps)
             # Adjacent calibration: the mean of the samples taken
             # immediately before and after THIS anchor's rep block —
@@ -502,6 +544,13 @@ def main() -> int:
                 ),
                 "cal_adj": round(cal_adj, 4),
                 "norm": round(warm / cal_adj, 3),
+                # v3.1 diagnostic pair — records, never gates.
+                "cal_arrow_adj": round(
+                    (arrow_samples[-2] + arrow_samples[-1]) / 2, 4
+                ),
+                "norm_arrow": round(
+                    warm * 2 / (arrow_samples[-2] + arrow_samples[-1]), 3
+                ),
             }
         anchor_norm_total = round(
             sum(d["norm"] for d in anchor_detail.values()), 3
