@@ -249,6 +249,11 @@ BENCH_QUERIES = [
     # benchmarks/ivf_scale_proof_100x.py's 13-recall-point stale-config
     # cliff, now priced pre-build).
     "ivf_list_audit",
+    # round-11b flagship: the re-crawl governance loop — two GD gate fits
+    # off one persisted feature frame, both applied in one scan, drift +
+    # smoothed PSI over per-source keep mass (the new pipeline SHAPE of
+    # the round; everything oracle-replayed end-to-end).
+    "quality_gate_refit_drift",
 ]
 
 # Frozen-anchor query set: one representative per regression class the r8

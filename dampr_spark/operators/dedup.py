@@ -342,6 +342,7 @@ def lsh_band_audit(
     shingle_k: int = 5,
     max_bucket: int = 1000,
     include_simhash: bool = True,
+    simhash_configs: tuple[tuple[int, int], ...] = ((64, 4),),
 ) -> DataFrame:
     """Price the LSH banding knob BEFORE paying for the pair join — the
     minhash/simhash twin of :func:`similarity.grid_resolution_audit`
@@ -358,9 +359,14 @@ def lsh_band_audit(
       must divide ``num_perm``); ``band_width`` = signature rows per band.
       More bands ⇒ higher S-curve recall but fuller buckets — the audit
       shows exactly where occupancy crosses the cap.
-    - ``family='simhash'`` (``include_simhash``): the fixed 4×16-bit
-      pigeonhole banding of :func:`simhash_dedup`; ``band_width`` = 16
-      bits. Not a tunable knob — the row prices the pipeline you'd run.
+    - ``family='simhash'`` (``include_simhash``): one row per
+      ``simhash_configs`` (bits, bands) geometry of :func:`simhash_dedup`
+      — a tunable knob since round 11; the default prices the 4×16-bit
+      pipeline. ``band_width`` = bits/bands. Unlike minhash bandings,
+      each geometry pays its own signature pass (different bit planes
+      can't re-slice one signature); candidate the geometries you'd
+      actually run — e.g. ((64, 4), (96, 4)) to price the 24-bit-band
+      remedy for the 16-bit pigeonhole floor next to the default.
     - ``recommended`` marks the minhash candidate with the MOST bands and
       zero over-cap buckets (best blocking recall at equal safety — the
       grid audit's coarsest-safe rule mirrored to banding, where recall
@@ -416,21 +422,27 @@ def lsh_band_audit(
             F.array_distinct(F.split(F.col(text_col), " ")),
             lambda t: F.xxhash64(t),
         )
-        banded = _ensure_parallelism(df).select(
-            F.col(id_col).alias("id"),
-            F.posexplode(simhash_bands_udf()(tok_hashes)).alias(
-                "band", "band_hash"
-            ),
-        )
-        rows.append(
-            band_occupancy_stats(banded, max_bucket).select(
-                F.lit("simhash").alias("family"),
-                F.lit(4).cast("long").alias("bands"),
-                F.lit(16).cast("long").alias("band_width"),
-                F.expr("band_rows div 4").alias("n_docs"),
-                "*",
+        # One audit row per candidate fingerprint geometry (round 11:
+        # bits/bands is now a simhash_dedup knob; each candidate pays its
+        # own Arrow signature pass — unlike minhash bandings, different
+        # geometries don't re-slice one signature).
+        for sh_bits, sh_bands in simhash_configs:
+            width = _simhash_geometry(sh_bits, sh_bands)
+            banded = _ensure_parallelism(df).select(
+                F.col(id_col).alias("id"),
+                F.posexplode(
+                    simhash_bands_udf(sh_bits, sh_bands)(tok_hashes)
+                ).alias("band", "band_hash"),
             )
-        )
+            rows.append(
+                band_occupancy_stats(banded, max_bucket).select(
+                    F.lit("simhash").alias("family"),
+                    F.lit(sh_bands).cast("long").alias("bands"),
+                    F.lit(width).cast("long").alias("band_width"),
+                    F.expr(f"band_rows div {sh_bands}").alias("n_docs"),
+                    "*",
+                )
+            )
     table = rows[0]
     for r in rows[1:]:
         table = table.unionByName(r)
@@ -466,7 +478,7 @@ def lsh_band_audit(
                 F.lit(False),
             ).alias("recommended"),
         )
-        .orderBy("family", "bands")
+        .orderBy("family", "bands", "band_width")
     )
 
 
@@ -778,20 +790,50 @@ def simhash_bands(votes: Column, bits: int = 64) -> Column:
     )
 
 
-def simhash_bands_udf(bits: int = 64):
+def _simhash_geometry(bits: int, bands: int) -> int:
+    """Validate a (bits, bands) fingerprint geometry; returns band width.
+    Width is capped at 62 so a packed band value always fits a signed
+    long (the join key / xor-popcount type)."""
+    if bits < 1 or bands < 1 or bits % bands:
+        raise ValueError(
+            f"bands={bands} must be a positive divisor of bits={bits}"
+        )
+    width = bits // bands
+    if width > 62:
+        raise ValueError(
+            f"band width {width} exceeds 62 (packed band must fit a long); "
+            "use more bands or fewer bits"
+        )
+    return width
+
+
+def simhash_bands_udf(bits: int = 64, bands: int = 4):
     """Arrow-vectorized hot path for ``simhash_bands(simhash_votes(...))``:
     takes the per-document array of 64-bit token hashes (computed JVM-side —
     ``transform(array_distinct(split(text)), xxhash64)`` is one cheap
-    interpreted pass) and produces the 4×16-bit banded fingerprint in one
-    numpy pass per batch. Bit-exact to the SQL spec form: per bit position
-    a +1/−1 vote per token hash, band value packs the positive-vote bits.
+    interpreted pass) and produces the ``bands``×``bits/bands``-bit banded
+    fingerprint in one numpy pass per batch. At the 64/4 default it is
+    bit-exact to the SQL spec form (simhash_votes→simhash_bands): per bit
+    position a +1/−1 vote per token hash, band value packs the
+    positive-vote bits.
 
-    Why: the SQL form's 64-mask ``zip_with`` aggregate runs interpreted per
-    token, and CollapseProject inlines the vote aggregate into each of the 4
-    band expressions — the corpus pays the aggregate 4×. Here the quadratic
-    (tokens × 64) work is two vectorized numpy ops (measured ~5× faster at
-    sf0.1, and it no longer multiplies with downstream column references)."""
-    key = ("bands", bits)
+    Wider fingerprints (round 11, VERDICT r10 #6): ``bits`` may exceed 64
+    — bit planes past the first 64 are derived from the same token hash
+    via splitmix64 finalizer remixes (vectorized, deterministic), giving
+    each token ``bits`` independent hash bits without a second JVM hash
+    pass. This is the structural remedy for the 4×16 pigeonhole floor the
+    100x proof measured (2^16 buckets per band ⇒ quadratic raw budget
+    past ~1e5 docs regardless of data): 24-bit bands give 2^24 buckets
+    per band, 16.7M — the floor recedes by 256x per band.
+
+    Why a UDF: the SQL form's 64-mask ``zip_with`` aggregate runs
+    interpreted per token, and CollapseProject inlines the vote aggregate
+    into each band expression — the corpus pays the aggregate per band.
+    Here the (tokens × bits) work is two vectorized numpy ops (measured
+    ~5× faster at sf0.1, and it no longer multiplies with downstream
+    column references)."""
+    width = _simhash_geometry(bits, bands)
+    key = ("bands", bits, bands)
     if key in _SIG_UDF_CACHE:
         return _SIG_UDF_CACHE[key]
 
@@ -800,12 +842,19 @@ def simhash_bands_udf(bits: int = 64):
     from pyspark.sql import types as T
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-    n_bands = bits // 16
-    shifts = np.arange(bits, dtype=np.uint64)
-    pow2 = (np.uint64(1) << np.arange(16, dtype=np.uint64)).astype(np.int64)
+    n_bands = bands
+    pow2 = (np.uint64(1) << np.arange(width, dtype=np.uint64)).astype(np.int64)
+
+    def _remix(h: "np.ndarray", k: int) -> "np.ndarray":
+        # splitmix64 finalizer over (h ^ k*golden) — the standard recipe
+        # for deriving independent 64-bit hash streams from one hash.
+        z = h ^ (np.uint64(0x9E3779B97F4A7C15) * np.uint64(k))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
 
     @pandas_udf(T.ArrayType(T.LongType()), PandasUDFType.SCALAR)
-    def bands(hash_arrays):
+    def bands_udf(hash_arrays):
         n = len(hash_arrays)
         if n == 0:
             return pd.Series([], dtype=object)
@@ -825,8 +874,16 @@ def simhash_bands_udf(bits: int = 64):
                     if h is not None and len(h)
                 ]
             ).view(np.uint64)
-            # bit matrix: (total_tokens, 64) of 0/1 → votes are 2*ones - count
-            ones = (flat[:, None] >> shifts[None, :]) & np.uint64(1)
+            # bit matrix: (total_tokens, bits) of 0/1 → votes 2*ones - count.
+            # Plane k (bits 64k..64k+63) reads remix_k of the token hash;
+            # plane 0 is the raw hash — identical to the 64-bit spec form.
+            planes = []
+            for k in range((bits + 63) // 64):
+                hk = flat if k == 0 else _remix(flat, k)
+                nb = min(64, bits - 64 * k)
+                sh = np.arange(nb, dtype=np.uint64)
+                planes.append((hk[:, None] >> sh[None, :]) & np.uint64(1))
+            ones = planes[0] if len(planes) == 1 else np.concatenate(planes, axis=1)
             offsets = np.zeros(n, dtype=np.int64)
             np.cumsum(lengths[:-1], out=offsets[1:])
             sums = np.add.reduceat(ones.astype(np.int64), offsets[nonempty], axis=0)
@@ -834,11 +891,11 @@ def simhash_bands_udf(bits: int = 64):
         pos = votes > 0
         out = np.empty((n, n_bands), dtype=np.int64)
         for b in range(n_bands):
-            out[:, b] = pos[:, b * 16 : (b + 1) * 16] @ pow2
+            out[:, b] = pos[:, b * width : (b + 1) * width] @ pow2
         return pd.Series([None if nulls[i] else out[i] for i in range(n)])
 
-    _SIG_UDF_CACHE[key] = bands
-    return bands
+    _SIG_UDF_CACHE[key] = bands_udf
+    return bands_udf
 
 
 def simhash(col: str = "text", bits: int = 64) -> Column:
@@ -862,10 +919,24 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int = 1000,
+    bits: int = 64,
+    bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: documents sharing any 16-bit band are
-    candidates (pigeonhole: hamming ≤ 3 over 4 bands ⇒ at least one band
+    """Near-dup pairs by SimHash: documents sharing any band are
+    candidates (pigeonhole: hamming ≤ bands-1 ⇒ at least one band
     identical); verify with full hamming distance.
+
+    ``bits``/``bands`` (round 11, VERDICT r10 #6) turn the fingerprint
+    geometry into a knob instead of a migration: the default 4×16-bit
+    banding has a 2^16-buckets-per-band pigeonhole floor that makes the
+    raw candidate budget quadratic past ~1e5 docs on ANY corpus (measured
+    183x at the 100x proof; benchmarks/lsh_scale_proof_100x.py). Wider
+    bands recede the floor by 2^(width-16) per band — e.g. bits=96,
+    bands=4 (24-bit bands) gives 16.7M buckets/band; bits=96, bands=6
+    keeps 16-bit bands but raises the guaranteed-recall radius to
+    hamming ≤ 5. The pigeonhole guarantee requires max_hamming < bands
+    (validated). Bit planes past 64 derive deterministically from the
+    same token hashes (see simhash_bands_udf).
 
     Candidate generation is a self-join on (band, band_val) — NOT the
     collect_list-bucket shape minhash uses. SimHash's fixed 16-bit bands are
@@ -884,9 +955,16 @@ def simhash_dedup(
     common loses no real signal (exact template dups belong to exact_dedup).
     The hamming verify runs on band columns carried through the join —
     codegen'd bit_count/xor over longs, no second pass over the corpus.
-    :func:`lsh_band_audit` (include_simhash=True) prices this banding's
-    bucket occupancy and the cap's dropped mass before the pair join."""
-    n_bands = 4  # 64 bits / 16-bit bands
+    :func:`lsh_band_audit` (include_simhash=True, simhash_configs=...)
+    prices each candidate banding's bucket occupancy and the cap's
+    dropped mass before the pair join."""
+    _simhash_geometry(bits, bands)
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(pigeonhole recall guarantee); got bands={bands}"
+        )
+    n_bands = bands
     # Eager local checkpoint: three consumers (bucket sizing + both join
     # sides) read the banded signatures; checkpointing computes the
     # interpreted vote aggregate once and truncates the lineage (same
@@ -899,7 +977,10 @@ def simhash_dedup(
     )
     banded = (
         _ensure_parallelism(df)
-        .select(F.col(id_col).alias("id"), simhash_bands_udf()(tok_hashes).alias("sh"))
+        .select(
+            F.col(id_col).alias("id"),
+            simhash_bands_udf(bits, bands)(tok_hashes).alias("sh"),
+        )
         .select(
             "id",
             *[F.col("sh")[i].alias(f"b{i}") for i in range(n_bands)],

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dampr_spark.operators.pinning import pin as _pin
+
 
 def _round_half_up(x: float, prec: int) -> float:
     """Bit-compatible twin of ``F.round(col, prec)``: Spark rounds via
@@ -64,9 +66,13 @@ def _try_collect_small(e: DataFrame, max_edges: int) -> list | None:
 def pin_probe_edges(
     edges: DataFrame, max_edges: int
 ) -> tuple[DataFrame, list | None]:
-    """Pin (eager localCheckpoint) an edge frame, THEN probe whether it
+    """Pin an edge frame (eager ``pinning.pin`` — localCheckpoint by
+    default, reliable ``checkpoint`` when the session's
+    reliable-checkpoint knob is set; round 11), THEN probe whether it
     fits under ``max_edges`` — the single entry point for every
-    bounded-graph fast path in this package.
+    bounded-graph fast path in this package. Every per-round pin in this
+    module routes through the same knob, so on a cluster with executor
+    churn the long iterative chains survive block loss.
 
     Returns ``(pinned_frame, rows_or_None)``: the caller runs its
     driver-side loop on ``rows`` when not None, and its distributed loop
@@ -78,7 +84,7 @@ def pin_probe_edges(
     happens before the probe, and every fixpoint operator needs the edge
     list materialized anyway (the rounds re-read it), so the checkpoint
     costs nothing extra."""
-    e = edges.localCheckpoint(eager=True)
+    e = edges.transform(_pin)
     return e, _try_collect_small(e, max_edges)
 
 
@@ -206,7 +212,7 @@ def connected_components(
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).localCheckpoint(eager=True)
+    ).transform(_pin)
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -239,7 +245,7 @@ def connected_components(
                     F.col("lab1"), F.coalesce(F.col("jlab"), F.col("lab1"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_pin)
         )
         n_changed = stepped.filter(F.col("old") != F.col("label")).count()
         labels = stepped.select("id", "label")
@@ -365,7 +371,7 @@ def pagerank(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     n = nodes.count()
     if n == 0:
@@ -376,7 +382,7 @@ def pagerank(
     en = (
         e.join(outw, "src")
         .select("src", "dst", (F.col("w") / F.col("outw")).alias("wn"))
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     base = (1.0 - damping) / n
     ranks = nodes.select("id", F.round(F.lit(1.0 / n), prec).alias("rank"))
@@ -395,7 +401,7 @@ def pagerank(
                     prec,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_pin)
         )
     return ranks
 
@@ -419,7 +425,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
         .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
@@ -427,7 +433,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
     tris = wedges.join(
         e.select(F.col("lo").alias("b"), F.col("hi").alias("c")), ["b", "c"]
-    ).localCheckpoint(eager=True)
+    ).transform(_pin)
     corners = (
         tris.select(F.col("a").alias("id"))
         .union(tris.select(F.col("b").alias("id")))
@@ -529,7 +535,7 @@ def label_propagation(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     for _ in range(iters):
         votes = sym.join(labels, sym.dst == labels.id).select("src", "label")
@@ -549,7 +555,7 @@ def label_propagation(
                 "id",
                 F.coalesce(-F.col("m.nl"), F.col("old")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_pin)
         )
     return labels
 
@@ -654,7 +660,7 @@ def kcore(
 
     sym = e.union(
         e.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
-    ).localCheckpoint(eager=True)
+    ).transform(_pin)
     for _ in range(max_iters):
         deg = sym.groupBy(F.col("lo").alias("id")).agg(
             F.count(F.lit(1)).alias("core_degree")
@@ -669,7 +675,7 @@ def kcore(
             sym.join(drop.withColumnRenamed("id", "lo"), "lo", "left_anti")
             .join(drop.withColumnRenamed("id", "hi"), "hi", "left_anti")
             .select("lo", "hi")
-            .localCheckpoint(eager=True)
+            .transform(_pin)
         )
     raise RuntimeError(fail_msg)
 
@@ -750,7 +756,7 @@ def bfs_distances(
         sources.select(F.col(sources.columns[0]).alias("id"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     for _ in range(max_iters):
         relaxed = (
@@ -759,7 +765,7 @@ def bfs_distances(
             .union(dists)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(_pin)
         )
         n_new = relaxed.count()
         changed = n_new != dists.count()

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dampr_spark.operators.pinning import pin as _pin
+
 from dampr_spark.operators.dedup import _ensure_parallelism
 
 
@@ -175,7 +177,7 @@ def dsir_importance_weights(
     carries text."""
     ratios = dsir_log_ratios(
         df, target, text_col=text_col, n_buckets=n_buckets
-    ).localCheckpoint(eager=True)
+    ).transform(_pin)  # honors the reliable-checkpoint knob (pinning.pin)
     return dsir_score(
         df, ratios, text_col=text_col, id_col=id_col, n_buckets=n_buckets
     )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dampr_spark.functions.vector import cosine, valid_vector, dot
+from dampr_spark.operators.pinning import pin as _pin
 
 
 def brute_force_topk(
@@ -703,15 +704,14 @@ def kmeans_fit_assign(
         return best.select((-F.col("m.negc")).alias("cluster"), vec_col)
 
     for _ in range(iters):
-        centroids = _recompute(_assigned_with_vec(centroids)).localCheckpoint(
-            eager=True
-        )
+        # Per-round pin honors the reliable-checkpoint knob (pinning.pin):
+        # on a real cluster with executor churn, round N's centroids live
+        # in the configured reliable store instead of executor-local disk.
+        centroids = _pin(_recompute(_assigned_with_vec(centroids)))
     # Pin the final assignment (scalars only: id, cluster, sim) so the
     # cached corpus can be released before returning — callers get a
     # materialized result, not a lineage back into the unpersisted cache.
-    out = kmeans_assign(vecs, centroids, vec_col, id_col).localCheckpoint(
-        eager=True
-    )
+    out = _pin(kmeans_assign(vecs, centroids, vec_col, id_col))
     vecs.unpersist()
     return out
 

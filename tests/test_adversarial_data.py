@@ -154,6 +154,11 @@ _HARDENED = [
     # vector invisible to assignment AND to the oracle's count), and its
     # hash-compared columns are recomputed from the surviving set
     "ivf_list_audit",
+    # round-11 addition: the re-fit drift loop drops NULL text/lang at
+    # entry exactly like quality_logreg_fit (both fits, both slices, the
+    # apply scan) and every downstream count/PSI is integer-exact on the
+    # surviving set
+    "quality_gate_refit_drift",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",
