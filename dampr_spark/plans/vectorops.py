@@ -1229,3 +1229,86 @@ def semantic_grid_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tau=_GRID_TAU,
         max_cell=_GRID_MAX_CELL,
     )
+
+
+@register(
+    "embedding_drift_psi",
+    oracle=f"""
+    WITH {_grid_cells_sql()}
+    , g AS (SELECT cell, CASE WHEN id % 2 = 0 THEN 'ref' ELSE 'cur' END AS grp
+            FROM cells),
+    c AS (SELECT cell,
+                 sum(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS nr,
+                 sum(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS nc
+          FROM g GROUP BY cell),
+    t AS (SELECT sum(nr) AS tr, sum(nc) AS tc, count(*) AS s FROM c)
+    SELECT CAST(t.tr AS BIGINT) AS n_ref,
+           CAST(t.tc AS BIGINT) AS n_cur,
+           CAST(t.s AS BIGINT)  AS n_cells,
+           round(sum(
+               ((c.nr + 1.0) / (t.tr + t.s) - (c.nc + 1.0) / (t.tc + t.s))
+               * ln(((c.nr + 1.0) / (t.tr + t.s))
+                    / ((c.nc + 1.0) / (t.tc + t.s)))), 6) AS psi
+    FROM c, t GROUP BY t.tr, t.tc, t.s
+    """,
+    tags=("vector", "drift", "quality", "extension"),
+)
+def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two EMBEDDING slices over
+    deterministic grid cells — completing the drift family across the
+    three modalities (`value_drift_psi` events, `corpus_token_drift`
+    text, this for vectors): the gate an embedding pipeline runs between
+    a reference corpus and a re-embed/re-crawl before trusting
+    similarity-search or dedup thresholds fit on the old distribution.
+
+    Mechanics: the same parity split as the other drift queries (vec_id
+    % 2), grid cells from `similarity.grid_cells` fit on the WHOLE valid
+    corpus (both slices share bounds — per-slice bounds would hide a
+    shift by re-normalizing it away), per-(cell, slice) counts, then the
+    `value_drift_psi` Laplace-smoothed PSI fold with the occupied-cell
+    count as the smoothing width. Fully oracle-replayable because the
+    grid blocker is deterministic (the reason it exists alongside
+    k-means/LSH).
+
+    Plan shape for 100 TB: one dims-row bounds aggregate broadcast into
+    a codegen cell-assignment pass, one (cell)-keyed count aggregate
+    with map-side partials (<= buckets^dims rows), and a bounded PSI
+    fold — two corpus scans, no row-level join, nothing driver-side
+    beyond the bounded cell table."""
+    from dampr_spark.operators import similarity
+
+    cells = similarity.grid_cells(
+        _t(spark, sf_dir, "embeddings"),
+        dims=_GRID_DIMS,
+        buckets=_GRID_BUCKETS,
+    )
+    c = (
+        cells.select(
+            "cell",
+            F.when(F.col("id") % 2 == 0, "ref").otherwise("cur").alias("grp"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.sum(F.when(F.col("grp") == "ref", 1).otherwise(0)).alias("nr"),
+            F.sum(F.when(F.col("grp") == "cur", 1).otherwise(0)).alias("nc"),
+        )
+        .localCheckpoint(eager=True)  # bounded (<= buckets^dims rows);
+        # feeds the totals aggregate AND the PSI fold
+    )
+    t = c.agg(
+        F.sum("nr").alias("tr"), F.sum("nc").alias("tc"),
+        F.count(F.lit(1)).alias("s"),
+    )
+    sr = (F.col("nr") + 1.0) / (F.col("tr") + F.col("s"))
+    sc = (F.col("nc") + 1.0) / (F.col("tc") + F.col("s"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("tr", "tc", "s")
+        .agg(F.round(F.sum((sr - sc) * F.log(sr / sc)), 6).alias("psi"))
+        .select(
+            F.col("tr").cast("long").alias("n_ref"),
+            F.col("tc").cast("long").alias("n_cur"),
+            F.col("s").cast("long").alias("n_cells"),
+            "psi",
+        )
+    )

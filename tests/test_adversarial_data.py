@@ -159,6 +159,12 @@ _HARDENED = [
     # apply scan) and every downstream count/PSI is integer-exact on the
     # surviving set
     "quality_gate_refit_drift",
+    # round-11 addition: embedding drift PSI filters valid_vector at
+    # entry (NULL embeddings and the planted zero vector invisible on
+    # both engines); grid bounds and cells recompute on the surviving
+    # set identically, and the smoothed PSI fold is the value_drift_psi
+    # arithmetic over integer counts
+    "embedding_drift_psi",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",
