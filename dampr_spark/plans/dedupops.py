@@ -1947,7 +1947,7 @@ nd AS (SELECT CAST(count(*) AS BIGINT)    AS all_docs,
               CAST(count(text) AS BIGINT) AS nonnull_docs FROM documents),
 cfg(family, bands, band_width) AS (
   VALUES ('minhash', 8, 8), ('minhash', 16, 4), ('minhash', 32, 2),
-         ('simhash', 4, 16))
+         ('simhash', 4, 16), ('simhash', 4, 24))
 SELECT family,
        CAST(bands AS BIGINT)      AS bands,
        CAST(band_width AS BIGINT) AS band_width,
@@ -1957,7 +1957,7 @@ SELECT family,
        TRUE                       AS raw_ge_floor_ok,
        TRUE                       AS capped_le_raw_ok
 FROM cfg, floor_t, nd
-ORDER BY family, bands
+ORDER BY family, bands, band_width
 """
 
 
@@ -1980,9 +1980,13 @@ def lsh_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``n_docs`` — Spark emits the audit's OWN band-row conservation
       quotient (Σ bucket sizes ÷ bands); DuckDB emits plain doc counts
       (all docs for minhash — NULL text still gets a sentinel signature;
-      non-NULL for simhash, whose banding drops NULL fingerprints). A
-      lost or duplicated band row anywhere in the explode/groupBy breaks
-      the hash compare for real.
+      non-NULL for both simhash geometries, whose banding drops NULL
+      fingerprints). A lost or duplicated band row anywhere in the
+      explode/groupBy breaks the hash compare for real. Since round 11
+      the instrument prices TWO simhash geometries side by side — the
+      default 4x16 and the wider 4x24 (bits=96) remedy for the 16-bit
+      pigeonhole floor — so the re-geometry decision is driver-checked,
+      not just unit-tested.
     - ``exdup_pair_floor`` — Σ C(g,2) over identical-(non-NULL)-text
       groups, recomputed from raw text on both sides: identical text ⇒
       identical signature ⇒ same bucket in EVERY band.
@@ -1994,7 +1998,9 @@ def lsh_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recommended config) is the operator's own output, exercised with
     a forced over-cap corpus in tests/test_round10_fixes.py."""
     d = _t(spark, sf_dir, "documents")
-    audit = dedup.lsh_band_audit(d).localCheckpoint(eager=True)  # ≤4 rows
+    audit = dedup.lsh_band_audit(
+        d, simhash_configs=((64, 4), (96, 4))
+    ).localCheckpoint(eager=True)  # <= 5 rows
     floor = (
         d.filter(F.col("text").isNotNull())
         .groupBy("text")
@@ -2021,5 +2027,5 @@ def lsh_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "capped_le_raw_ok"
             ),
         )
-        .orderBy("family", "bands")
+        .orderBy("family", "bands", "band_width")
     )
