@@ -773,6 +773,99 @@ def value_drift_stream(
     )
 
 
+def fit_embedding_cell_histogram(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int = 4,
+    buckets: int = 4,
+    bounds: tuple[list[float], list[float]] | None = None,
+):
+    """Fit the static reference for :func:`embedding_drift_stream`: fixed
+    grid bounds (``similarity.fit_grid_bounds`` — the fit-on-reference
+    discipline this module already uses for values and grid near-dup)
+    plus the per-cell reference counts as a dict. Pass ``bounds`` to pin
+    them externally (e.g. the combined-corpus bounds the batch
+    ``embedding_drift_psi`` query uses, for exact twin equivalence).
+    Driver state is O(buckets^dims) — the documented bounded shape."""
+    from dampr_spark.operators.similarity import fit_grid_bounds, grid_cells
+
+    if bounds is None:
+        bounds = fit_grid_bounds(df, vec_col, dims)
+    counts = {
+        int(r["cell"]): int(r["n"])
+        for r in grid_cells(df, vec_col, id_col, dims, buckets, bounds=bounds)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return bounds, counts
+
+
+def embedding_drift_stream(
+    vec_stream: DataFrame,
+    ref_counts: dict,
+    bounds,
+    out_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int = 4,
+    buckets: int = 4,
+):
+    """Streaming EMBEDDING drift monitor — the stream twin of the batch
+    ``embedding_drift_psi`` catalog query (round 11), completing the
+    drift-twin family alongside :func:`value_drift_stream`: every
+    micro-batch assigns grid cells under the FIXED reference bounds
+    (cells clamp out-of-range vectors into edge cells, so a re-embed
+    whose space wanders past the reference bounds moves the PSI instead
+    of vanishing), counts per cell, and appends one
+    (batch_id, n_vectors, n_cells, psi) row.
+
+    Arithmetic matches the batch query exactly: Laplace +1 smoothing
+    with the occupied-cell union width, 6dp rounding — a single-batch
+    replay of the current slice against a reference fit on the other
+    slice (under combined bounds) reproduces the batch PSI to the digit
+    (pinned by the equivalence test). State is the O(buckets^dims)
+    reference dict, broadcast by closure; per-batch work is one codegen
+    cell-assignment pass plus a bounded count."""
+    import math
+
+    from dampr_spark.operators.similarity import grid_cells
+
+    tr = sum(ref_counts.values())
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = {
+            int(r["cell"]): int(r["n"])
+            for r in grid_cells(
+                batch_df, vec_col, id_col, dims, buckets, bounds=bounds
+            )
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        tc = sum(cur.values())
+        occupied = sorted(set(ref_counts) | set(cur))
+        s = len(occupied)
+        psi = 0.0
+        for cell in occupied:
+            pr = (ref_counts.get(cell, 0) + 1.0) / (tr + s)
+            pc = (cur.get(cell, 0) + 1.0) / (tc + s)
+            psi += (pr - pc) * math.log(pr / pc)
+        spark.createDataFrame(
+            [(int(batch_id), int(tc), int(s), round(psi, 6))],
+            "batch_id long, n_vectors long, n_cells long, psi double",
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        vec_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", out_dir + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_substring_stream(
     docs_stream: DataFrame,
     store_dir: str,

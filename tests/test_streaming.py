@@ -1469,3 +1469,81 @@ def test_incremental_neardup_stream_soak_bounded_state(spark, tmp_path_factory):
         for r in minhash_lsh_candidates(docs, max_bucket=10**9).collect()
     }
     assert got == want and want, f"missing={want - got} extra={got - want}"
+
+
+def test_embedding_drift_stream_matches_batch_psi(spark, sf_dir, tmp_path_factory):
+    """Single availableNow replay of the odd-vec_id half against a
+    reference fit on the even half UNDER COMBINED-corpus grid bounds:
+    the streamed PSI must equal the batch `embedding_drift_psi` catalog
+    query's row to the digit (same cells, occupied-union smoothing
+    width, 6dp rounding)."""
+    from dampr_spark.operators.similarity import fit_grid_bounds
+    from dampr_spark.plans import all_queries
+    from dampr_spark.sources.readers import read_table
+
+    base = tmp_path_factory.mktemp("emb_psi_stream")
+    e = read_table(spark, sf_dir, "embeddings")
+    bounds = fit_grid_bounds(e, "embedding", 4)  # the batch query's bounds
+    _, ref_counts = streaming.fit_embedding_cell_histogram(
+        e.filter(F.col("vec_id") % 2 == 0), bounds=bounds
+    )
+    cur = e.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    in_dir = str(base / "in")
+    cur.coalesce(1).write.parquet(in_dir)
+    stream = spark.readStream.schema(cur.schema).parquet(in_dir)
+    out = str(base / "out")
+    q = streaming.embedding_drift_stream(stream, ref_counts, bounds, out)
+    q.awaitTermination()
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    want = all_queries()["embedding_drift_psi"].builder(spark, sf_dir).first()
+    assert got[0].psi == want.psi
+    assert got[0].n_vectors == want.n_cur
+    assert got[0].n_cells == want.n_cells
+
+
+def test_embedding_drift_stream_flags_shifted_space(spark, tmp_path_factory):
+    """A genuinely shifted batch (vectors pushed past the reference
+    bounds) must clamp into edge cells and move the PSI well past the
+    0.25 page-the-pipeline line, while an identically-distributed batch
+    stays near zero."""
+    import numpy as np
+
+    base = tmp_path_factory.mktemp("emb_psi_shift")
+    rng = np.random.default_rng(3)
+
+    def corpus(start_id, shift):
+        rows = [
+            (
+                start_id + i,
+                [float(x) for x in rng.standard_normal(8) + shift],
+            )
+            for i in range(400)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    ref = corpus(0, 0.0)
+    # dims=2 -> 16 cells over 400 vectors: dense enough that sampling
+    # noise stays far from the 0.25 line (dims=4's 256 cells at ~1.5
+    # vectors/cell made the smoothed PSI noise-dominated)
+    bounds, ref_counts = streaming.fit_embedding_cell_histogram(ref, dims=2)
+
+    for name, shift, check in (
+        ("same", 0.0, lambda p: p < 0.1),
+        ("shifted", 5.0, lambda p: p > 0.25),
+    ):
+        in_dir = str(base / f"in_{name}")
+        corpus(10_000, shift).coalesce(1).write.parquet(in_dir)
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(in_dir)
+        out = str(base / f"out_{name}")
+        q = streaming.embedding_drift_stream(
+            stream, ref_counts, bounds, out, dims=2
+        )
+        q.awaitTermination()
+        psi = spark.read.parquet(out).first().psi
+        assert check(psi), (name, psi)
