@@ -188,3 +188,23 @@ def test_substring_posting_audit_prices_without_pairing(spark, sf_dir):
     assert row.capped_pairs == streamed
     assert row.raw_pairs >= row.capped_pairs
     assert row.pairs_dropped == row.raw_pairs - row.capped_pairs
+
+
+def test_quality_gate_refit_drift_result_reads_bounded_pin_only(spark, sf_dir):
+    """Round-11 composition lock: after the two fits and the dual-gate
+    apply, the RESULT plan must read only the pinned per-source rollup
+    (<= n_sources rows) plus its broadcast totals — never the documents
+    corpus again. A corpus scan here would mean the drift join re-derived
+    the keep decisions instead of reusing the one apply pass."""
+    df = all_queries()["quality_gate_refit_drift"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "documents" not in plan, f"corpus scan in result plan:\n{plan}"
+
+
+def test_embedding_drift_psi_result_reads_bounded_pin_only(spark, sf_dir):
+    """Same discipline for the embedding drift gate: the PSI fold reads
+    the pinned (<= buckets^dims row) cell-count table, not the embeddings
+    corpus."""
+    df = all_queries()["embedding_drift_psi"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "embeddings" not in plan, f"corpus scan in result plan:\n{plan}"
