@@ -166,6 +166,82 @@ class IVFIndex:
             .limit(k)
         )
 
+    def batch_topk(
+        self,
+        assigned: DataFrame,
+        queries: DataFrame,
+        k: int = 10,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "qv",
+    ) -> DataFrame:
+        """Batch-of-queries IVF search — the 100 TB retrieval shape
+        (per-example neighbors/negatives for a whole training slice in
+        one job), round 11: :meth:`query_topk` repeated per query would
+        launch one job per query and re-scan per query; this runs ALL
+        queries in one plan with NO corpus shuffle.
+
+        Mechanics: one Arrow pass over the QUERY frame assigns each query
+        its ``nprobe`` nearest lists (the same argsort over the broadcast
+        centroid matrix as :meth:`query_topk`, so a one-query batch
+        returns byte-identical rows — pinned in tests); the exploded
+        (query, list_id) probe frame — |queries|·nprobe rows, almost
+        always broadcastable — broadcast-joins the assigned corpus on
+        ``list_id``, exact cosine scores the candidates, and a per-query
+        window ranks them (6dp-rounded sim then id, the ann_batch_topk
+        ordering discipline, so float drift cannot reorder the cut).
+        The window key is ``query_id`` — bounded per query by the probed
+        lists' depth, which :func:`ivf_list_audit`'s ``probe_rows_worst``
+        prices in advance. On a :meth:`write_partitioned` layout the
+        ``list_id`` join degenerates further: only probed directories are
+        read. Returns (query_id, vec_id, cos_sim, rank <= k)."""
+        assert self.centroids is not None, "call fit() first"
+        import pandas as pd
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+        from pyspark.sql.window import Window
+
+        c = self.centroids
+        nprobe = min(self.nprobe, len(c))
+
+        @pandas_udf(T.ArrayType(T.IntegerType()), PandasUDFType.SCALAR)
+        def probe_lists(vecs):
+            out = []
+            for v in vecs:
+                if v is None:
+                    out.append(None)
+                    continue
+                q = np.asarray(v, dtype=np.float64)
+                q /= max(float(np.linalg.norm(q)), 1e-12)
+                out.append(
+                    [int(p) for p in np.argsort(-(c @ q))[:nprobe]]
+                )
+            return pd.Series(out)
+
+        qp = (
+            queries.filter(valid_vector(query_vec_col))
+            .select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vec_col).alias("_qv"),
+                F.explode(probe_lists(F.col(query_vec_col))).alias("list_id"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col(id_col)
+        )
+        return (
+            assigned.join(F.broadcast(qp), "list_id")
+            .select(
+                "query_id",
+                F.col(id_col),
+                F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias(
+                    "cos_sim"
+                ),
+            )
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+        )
 
     def write_partitioned(
         self, assigned: DataFrame, path: str, lists_per_file: int = 1

@@ -369,6 +369,116 @@ def ivf_list_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivf_batch_ann_topk", oracle=None, tags=("vector", "ann", "extension"))
+def ivf_batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-of-queries IVF search (round 11, `IVFIndex.batch_topk`): the
+    4-query bulk-retrieval shape of `ann_batch_topk`, but list-pruned —
+    one Arrow pass assigns each query its nprobe lists, the exploded
+    probe frame broadcast-joins the assigned corpus (NO corpus shuffle,
+    no per-query job), a per-query window ranks. Sampled-quantizer seeds
+    make it rows-only; `ivf_batch_recall_check` is the oracle-backed
+    companion."""
+    from dampr_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
+    q = e.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    qids = [r.query_id for r in q.collect()]
+    rest = e.filter(~F.col("vec_id").isin(qids))
+    ivf = similarity.IVFIndex(n_lists=16, nprobe=6).fit(rest)
+    return ivf.batch_topk(ivf.assign(rest), q, k=10)
+
+
+@register(
+    "ivf_batch_recall_check",
+    oracle=f"""
+    WITH v AS (SELECT * FROM embeddings WHERE {V.valid_vector_sql('embedding')}),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM v ORDER BY vec_id LIMIT 4),
+    scored AS (
+        SELECT query_id, v.vec_id,
+               round({V.cosine_sql('embedding', 'qv')}, 6) AS cs
+        FROM v CROSS JOIN q
+        WHERE v.vec_id NOT IN (SELECT query_id FROM q)),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rk
+          FROM scored)
+    SELECT query_id,
+           round(min(cs), 6)        AS kth_cos_sim,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           TRUE                     AS ivf_batch_health_ok
+    FROM r WHERE rk <= 10 GROUP BY query_id ORDER BY query_id
+    """,
+    tags=("vector", "ann", "invariant", "extension"),
+)
+def ivf_batch_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Externally-verified health invariants of `ivf_batch_ann_topk`
+    (seeded quantizer → rows-only), one row per query — the
+    `ann_recall_check` pattern applied to the round-11 batch path:
+
+    - ``kth_cos_sim`` / ``n_exact`` — each query's exact 10th-best cosine
+      and exact top-k size, computed independently by both engines
+      (hash-compared for real).
+    - ``ivf_batch_health_ok`` — the batch path returns a full k=10 per
+      query whose overlap with the exact top-10 clears a broken-index
+      floor (>= 2/10; measured band 3-9 across sf0.001/0.01/0.1, chance
+      overlap ~10·k/N ≈ 0.05-0.2 vectors — the floor catches a
+      probe/join/window bug, not tuning drift)."""
+    from pyspark.sql.window import Window
+
+    from dampr_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
+    q = e.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    qids = [r.query_id for r in q.collect()]
+    rest = e.filter(~F.col("vec_id").isin(qids))
+
+    scored = rest.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(V.cosine("embedding", "qv"), 6).alias("cs"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), "vec_id")
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .localCheckpoint(eager=True)  # bounded (40 rows); feeds the
+        # aggregate AND the overlap join
+    )
+    ivf = similarity.IVFIndex(n_lists=16, nprobe=6).fit(rest)
+    got = ivf.batch_topk(ivf.assign(rest), q, k=10).localCheckpoint(
+        eager=True
+    )  # bounded (40 rows); feeds count AND overlap
+    ex = exact.groupBy("query_id").agg(
+        F.round(F.min("cs"), 6).alias("kth_cos_sim"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    n_got = got.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_got"))
+    ov = (
+        got.select("query_id", "vec_id")
+        .join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        ex.join(F.broadcast(n_got), "query_id", "left")
+        .join(F.broadcast(ov), "query_id", "left")
+        .select(
+            "query_id",
+            "kth_cos_sim",
+            "n_exact",
+            (
+                (F.coalesce(F.col("n_got"), F.lit(0)) == 10)
+                & (F.coalesce(F.col("overlap"), F.lit(0)) >= 2)
+            ).alias("ivf_batch_health_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
 @register("pca_embeddings", oracle=None, tags=("vector", "extension"))
 def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-axis explained variance of the distributed PCA fit over the

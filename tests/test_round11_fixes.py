@@ -487,3 +487,67 @@ def test_simhash_wider_bands_recede_collision_floor(spark):
     # exact-dup floor: none here, so raw pairs == collision pairs; wider
     # bands can only shrink them.
     assert rows[(4, 24)].raw_pairs <= rows[(4, 16)].raw_pairs
+
+
+# ---------------------------------------------------------------------------
+# 5. IVF batch-of-queries search
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_batch_topk_single_query_matches_query_topk(spark):
+    """A one-query batch must return byte-identical (id, sim) rows to the
+    single-query path — same probe argsort, same rounded cosine, same
+    id tie-break."""
+    df = _clustered_corpus(spark)
+    idx = IVFIndex(n_lists=8, nprobe=3, seed=42).fit(df, sample_size=400)
+    assigned = idx.assign(df).localCheckpoint(eager=True)
+    qv = [float(x) for x in df.orderBy("vec_id").first().embedding]
+    single = [
+        (r.vec_id, r.cos_sim)
+        for r in idx.query_topk(assigned, qv, k=7).collect()
+    ]
+    q = spark.createDataFrame(
+        [(0, qv)], "query_id long, qv array<float>"
+    )
+    batch = [
+        (r.vec_id, r.cos_sim)
+        for r in idx.batch_topk(assigned, q, k=7)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert batch == single
+
+
+def test_ivf_batch_topk_routes_each_query_to_its_cluster(spark):
+    """Queries at three distinct cluster centers must each retrieve
+    members of their own cluster (the clusters are well-separated, so
+    every top-5 id lies in the query's own 50-id block)."""
+    df = _clustered_corpus(spark)
+    idx = IVFIndex(n_lists=8, nprobe=2, seed=42).fit(df, sample_size=400)
+    assigned = idx.assign(df).localCheckpoint(eager=True)
+    centers = []
+    for cidx in (0, 3, 6):
+        center = [0.0] * 16
+        center[cidx] = 1.0
+        centers.append((cidx, center))
+    q = spark.createDataFrame(centers, "query_id long, qv array<float>")
+    rows = idx.batch_topk(assigned, q, k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    assert set(by_q) == {0, 3, 6}
+    for cidx, ids in by_q.items():
+        assert len(ids) == 5
+        assert all(cidx * 50 <= i < (cidx + 1) * 50 for i in ids), (cidx, ids)
+
+
+def test_ivf_batch_topk_null_query_dropped(spark):
+    df = _clustered_corpus(spark, n_clusters=2, per_cluster=10)
+    idx = IVFIndex(n_lists=2, nprobe=1, seed=42).fit(df, sample_size=100)
+    assigned = idx.assign(df)
+    q = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 15), (1, None), (2, [0.0] * 16)],
+        "query_id long, qv array<float>",
+    )
+    got = idx.batch_topk(assigned, q, k=3).select("query_id").distinct()
+    assert {r.query_id for r in got.collect()} == {0}
