@@ -230,8 +230,15 @@ class ValueEmitter:
 
     def _ensure_spill(self, batch_rows: int) -> str:
         if self._spill is None:
+            import weakref
+
             base = os.environ.get("DAMPR_SPARK_SPILL_DIR")
             d = tempfile.mkdtemp(prefix="dampr_emitter_", dir=base)
+            # GC safety net: an emitter dropped without delete() must not
+            # leak its spill dir for the life of the process (the
+            # reference GCs its run directories the same way). delete()
+            # remains the explicit path; rmtree is idempotent.
+            weakref.finalize(self, shutil.rmtree, d, ignore_errors=True)
 
             def write(idx: int, it: Iterator) -> Iterator:
                 path = os.path.join(d, f"part-{idx:05d}")

@@ -551,3 +551,26 @@ def test_ivf_batch_topk_null_query_dropped(spark):
     )
     got = idx.batch_topk(assigned, q, k=3).select("query_id").distinct()
     assert {r.query_id for r in got.collect()} == {0}
+
+
+def test_sorted_stream_spill_cleaned_on_gc(spark, tmp_path, monkeypatch):
+    """An emitter dropped WITHOUT delete() must not leak its spill dir —
+    the weakref finalizer removes it at GC (the reference GCs its run
+    directories; delete() stays the explicit path)."""
+    import gc
+    import os
+
+    from dampr_spark.api import Dampr
+
+    monkeypatch.setenv("DAMPR_SPARK_SPILL_DIR", str(tmp_path))
+    em = (
+        Dampr.memory([(i % 5, i) for i in range(100)])
+        .group_by(lambda kv: kv[0])
+        .reduce(lambda k, vs: len(list(vs)))
+        .run()
+    )
+    list(em.stream())
+    assert len(os.listdir(tmp_path)) == 1
+    del em
+    gc.collect()
+    assert os.listdir(str(tmp_path)) == []
