@@ -159,12 +159,23 @@ _HARDENED = [
     # apply scan) and every downstream count/PSI is integer-exact on the
     # surviving set
     "quality_gate_refit_drift",
+    # round-11 addition: the banding instrument's hash-compared columns
+    # recompute from raw text on both engines (all-docs vs non-null-docs
+    # conservation quotients, the exact-dup pair floor over identical
+    # non-NULL texts) — NULL/empty texts and planted whole-doc dups are
+    # the exact perturbations its contract must absorb
+    "lsh_band_audit",
     # round-11 addition: embedding drift PSI filters valid_vector at
     # entry (NULL embeddings and the planted zero vector invisible on
     # both engines); grid bounds and cells recompute on the surviving
     # set identically, and the smoothed PSI fold is the value_drift_psi
     # arithmetic over integer counts
     "embedding_drift_psi",
+    # round-11 addition: the batch-IVF companion picks its 4 queries from
+    # the SURVIVING valid vectors (ORDER BY vec_id over the filtered set,
+    # identical on both engines) and its exact kth-sim/count columns
+    # recompute under the perturbation
+    "ivf_batch_recall_check",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",
