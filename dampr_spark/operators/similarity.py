@@ -243,6 +243,129 @@ class IVFIndex:
             .filter(F.col("rank") <= k)
         )
 
+    def knn_graph(
+        self,
+        assigned: DataFrame,
+        k: int = 10,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """Approximate kNN GRAPH over the whole corpus — top-k neighbors
+        for EVERY vector (round 11): the backbone of semantic clustering
+        / SemDeDup-style curation, where the "queries" ARE the corpus and
+        :meth:`batch_topk`'s broadcast-the-queries shape no longer
+        applies. Scale shape: one Arrow pass adds each vector's nprobe
+        probe lists (the same centroid argsort as every search path), the
+        exploded probe side SHUFFLE-joins the assigned corpus on
+        ``list_id`` (the one corpus-keyed exchange; both sides are
+        corpus-sized, so no broadcast), exact cosine scores each
+        (prober, member) pair inside codegen, and a per-prober window
+        keeps the top k. Per-list pair work is |members| x |probers|,
+        bounded by list depth — exactly what :func:`ivf_list_audit`'s
+        ``max_list_depth``/``probe_rows_worst`` columns price BEFORE this
+        join runs (a mega-list is the one thing that can blow it up; the
+        audit's ~sqrt(N) recommendation is the defense). Returns
+        (vec_id, neighbor_id, cos_sim, rank <= k); ``exclude_self`` drops
+        the trivial self-pair. Probe-side traffic carries each vector
+        nprobe times — at 8 bytes/id + 4·dim vector bytes this is the
+        nprobe x corpus wire volume the audit's bytes columns estimate."""
+        assert self.centroids is not None, "call fit() first"
+        import pandas as pd
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+        from pyspark.sql.window import Window
+
+        c = self.centroids
+        nprobe = min(self.nprobe, len(c))
+
+        @pandas_udf(T.ArrayType(T.IntegerType()), PandasUDFType.SCALAR)
+        def probe_lists(vecs):
+            if not len(vecs):
+                return pd.Series([], dtype=object)
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vecs]
+            )
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(m @ c.T), axis=1)[:, :nprobe]
+            return pd.Series([[int(p) for p in row] for row in order])
+
+        probers = assigned.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
+        )
+        members = assigned.select(
+            "list_id", F.col(id_col).alias("nid"), F.col(vec_col).alias("mv")
+        )
+        keep_self = not exclude_self
+
+        # Per-list scoring is ONE Arrow cogroup: the list's member matrix
+        # against its prober matrix as a numpy matmul, keeping each
+        # prober's within-list top k. An expression-level cosine here
+        # (zip_with/aggregate) evaluates INTERPRETED per element — at the
+        # 10x sweep scale that was ~30M x dim interpreted folds and the
+        # sweep's watchdog fired; the matmul does the same arithmetic in
+        # BLAS (measured ~40x on that leg). Exact sims are recomputed
+        # identically everywhere Spark-side; the health companion
+        # compares against DuckDB through exact-SQL columns only.
+        def score_list(key, mpdf, ppdf):
+            if not len(mpdf) or not len(ppdf):
+                return pd.DataFrame({"qid": [], "nid": [], "cos_sim": []})
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in mpdf["mv"]]
+            )
+            qm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in ppdf["qv"]]
+            )
+            m_n = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+            )
+            q_n = qm / np.maximum(
+                np.linalg.norm(qm, axis=1, keepdims=True), 1e-12
+            )
+            sims = q_n @ m_n.T  # (n_probers, n_members)
+            nids = mpdf["nid"].to_numpy()
+            qids = ppdf["qid"].to_numpy()
+            rows_q, rows_n, rows_s = [], [], []
+            kk = min(k + 1, sims.shape[1])  # +1 absorbs the self hit
+            for i in range(sims.shape[0]):
+                row = sims[i]
+                top = np.argpartition(-row, kk - 1)[:kk]
+                for j in top:
+                    if keep_self or nids[j] != qids[i]:
+                        rows_q.append(qids[i])
+                        rows_n.append(nids[j])
+                        rows_s.append(round(float(row[j]), 6))
+            return pd.DataFrame(
+                {"qid": rows_q, "nid": rows_n, "cos_sim": rows_s}
+            )
+
+        cand = (
+            members.groupBy("list_id")
+            .cogroup(probers.groupBy("list_id"))
+            .applyInPandas(
+                score_list, "qid long, nid long, cos_sim double"
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cos_sim").desc(), F.col("nid")
+        )
+        return (
+            cand
+            # the same candidate can surface via several shared probe
+            # lists — dedup before ranking or rank k can repeat a pair
+            .distinct()
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("qid").alias(id_col),
+                F.col("nid").alias("neighbor_id"),
+                "cos_sim",
+                "rank",
+            )
+        )
+
     def write_partitioned(
         self, assigned: DataFrame, path: str, lists_per_file: int = 1
     ) -> None:

@@ -479,6 +479,138 @@ def ivf_batch_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivf_knn_graph", oracle=None, tags=("vector", "ann", "graph", "extension"))
+def ivf_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate kNN graph (round 11,
+    `IVFIndex.knn_graph`): top-5 neighbors for EVERY vector — the
+    semantic-clustering backbone where the queries ARE the corpus, so
+    `ivf_batch_ann_topk`'s broadcast-the-queries shape gives way to ONE
+    shuffle join on list_id with per-list work bounded by list depth
+    (priced in advance by `ivf_list_audit`). Sampled-quantizer seeds make
+    it rows-only; `knn_graph_recall_check` is the oracle-backed
+    companion."""
+    import math
+
+    from dampr_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
+    # n_lists ~ sqrt(N): the audit-recommended operating point. A FIXED
+    # n_lists makes this graph quadratic — per-list pair work is
+    # |members| x |probers| ~ (N/L)·(N·nprobe/L), so L must grow with
+    # sqrt(N) to keep the join linear-ish. Measured: pinning L=16 at the
+    # 10x sweep scale (20k vectors) costs ~150M cosine pairs vs ~10M at
+    # sqrt(N) lists — the ivf_list_audit lesson applied to this query's
+    # own knob.
+    n = e.count()
+    ivf = similarity.IVFIndex(
+        n_lists=max(8, int(math.isqrt(max(n, 1)))), nprobe=10
+    ).fit(e)
+    return ivf.knn_graph(
+        ivf.assign(e).localCheckpoint(eager=True), k=5
+    )
+
+
+@register(
+    "knn_graph_recall_check",
+    oracle=f"""
+    WITH v AS (SELECT * FROM embeddings WHERE {V.valid_vector_sql('embedding')}),
+    q AS (SELECT vec_id AS qid, embedding AS qv
+          FROM v ORDER BY vec_id LIMIT 8),
+    scored AS (
+        SELECT qid, v.vec_id,
+               round({V.cosine_sql('embedding', 'qv')}, 6) AS cs
+        FROM v CROSS JOIN q WHERE v.vec_id <> qid),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY cs DESC, vec_id) AS rk
+          FROM scored)
+    SELECT qid AS query_id,
+           round(min(cs), 6)        AS kth_cos_sim,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           TRUE                     AS knn_graph_health_ok
+    FROM r WHERE rk <= 5 GROUP BY qid ORDER BY query_id
+    """,
+    tags=("vector", "ann", "graph", "invariant", "extension"),
+)
+def knn_graph_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Externally-verified health invariants of `ivf_knn_graph` (seeded
+    quantizer → rows-only), one row per probed vector — the
+    `ann_recall_check`/`ivf_batch_recall_check` pattern applied to the
+    corpus-wide graph:
+
+    - ``kth_cos_sim`` / ``n_exact`` — each probe's exact 5th-best cosine
+      (self excluded, matching the graph's exclude_self) and exact top-k
+      size, computed independently by both engines (hash-compared).
+    - ``knn_graph_health_ok`` — the graph holds a full k=5 row set for
+      the probe whose overlap with the exact top-5 clears a broken-graph
+      floor (>= 1/5; measured band 2-5 across sf0.001/0.01/0.1 at the
+      sqrt(N)-lists/nprobe=10 config, chance ~5·k/N ≈ 0 — the floor
+      catches a probe/join/window/dedup bug, not tuning drift)."""
+    from pyspark.sql.window import Window
+
+    from dampr_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
+    q = e.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    qids = [r.qid for r in q.collect()]
+
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", F.round(V.cosine("embedding", "qv"), 6).alias("cs")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cs").desc(), "vec_id")
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .localCheckpoint(eager=True)  # bounded (40 rows); feeds the
+        # aggregate AND the overlap join
+    )
+    import math
+
+    ivf = similarity.IVFIndex(
+        n_lists=max(8, int(math.isqrt(max(e.count(), 1)))), nprobe=10
+    ).fit(e)
+    got = (
+        ivf.knn_graph(ivf.assign(e).localCheckpoint(eager=True), k=5)
+        .filter(F.col("vec_id").isin(qids))
+        .localCheckpoint(eager=True)  # bounded (40 rows)
+    )
+    ex = exact.groupBy("qid").agg(
+        F.round(F.min("cs"), 6).alias("kth_cos_sim"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    n_got = got.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_got"))
+    ov = (
+        got.select(
+            F.col("vec_id").alias("qid"),
+            F.col("neighbor_id").alias("vec_id"),
+        )
+        .join(exact.select("qid", "vec_id"), ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        ex.join(
+            F.broadcast(n_got.withColumnRenamed("vec_id", "qid")), "qid", "left"
+        )
+        .join(F.broadcast(ov), "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            "kth_cos_sim",
+            "n_exact",
+            (
+                (F.coalesce(F.col("n_got"), F.lit(0)) == 5)
+                & (F.coalesce(F.col("overlap"), F.lit(0)) >= 1)
+            ).alias("knn_graph_health_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
 @register("pca_embeddings", oracle=None, tags=("vector", "extension"))
 def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-axis explained variance of the distributed PCA fit over the

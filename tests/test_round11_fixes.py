@@ -574,3 +574,32 @@ def test_sorted_stream_spill_cleaned_on_gc(spark, tmp_path, monkeypatch):
     del em
     gc.collect()
     assert os.listdir(str(tmp_path)) == []
+
+
+def test_ivf_knn_graph_neighbors_stay_in_cluster(spark):
+    """On well-separated clusters, every vector's top-3 neighbors lie in
+    its own 50-id block, self excluded, ranks dense 1..3."""
+    df = _clustered_corpus(spark)
+    idx = IVFIndex(n_lists=8, nprobe=2, seed=42).fit(df, sample_size=400)
+    g = idx.knn_graph(
+        idx.assign(df).localCheckpoint(eager=True), k=3
+    ).collect()
+    by_id = {}
+    for r in g:
+        assert r.vec_id != r.neighbor_id
+        by_id.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id))
+    assert len(by_id) == 400  # every vector has neighbors
+    for vid, rows in by_id.items():
+        assert sorted(r for r, _ in rows) == [1, 2, 3]
+        block = vid // 50
+        assert all(n // 50 == block for _, n in rows), (vid, rows)
+
+
+def test_ivf_knn_graph_no_duplicate_pairs(spark):
+    """A neighbor reachable through several shared probe lists must
+    appear once — the pre-rank distinct contract."""
+    df = _clustered_corpus(spark, n_clusters=2, per_cluster=30)
+    idx = IVFIndex(n_lists=4, nprobe=4, seed=42).fit(df, sample_size=100)
+    g = idx.knn_graph(idx.assign(df).localCheckpoint(eager=True), k=10)
+    pairs = g.select("vec_id", "neighbor_id")
+    assert pairs.count() == pairs.distinct().count()
