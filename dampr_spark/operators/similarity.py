@@ -366,6 +366,48 @@ class IVFIndex:
             )
         )
 
+    def mutual_knn_clusters(
+        self,
+        assigned: DataFrame,
+        k: int = 5,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Semantic clusters from the mutual-kNN graph (round 11): two
+        vectors are linked iff each is in the OTHER's top-k
+        (:meth:`knn_graph` both directions — the standard mutual-kNN
+        symmetrization that kills hub vertices: a hub appearing in
+        thousands of top-k lists only links back to its own k, so no
+        mega-cluster forms by hub transitivity), then connected
+        components over the mutual edges. Every valid vector appears in
+        exactly ONE cluster — isolated vectors are their own singleton
+        cluster — so Σ cluster sizes == the valid-vector count, the
+        conservation contract `knn_clusters_check` hash-compares.
+
+        Scale shape: the kNN graph's one list_id shuffle + a self-join of
+        the BOUNDED edge list (N·k rows) for mutuality + the
+        components fixpoint (O(log d) rounds, reliable-checkpoint knob
+        honored via graph.pin_probe_edges). Returns (vec_id, cluster)
+        with cluster = min member id."""
+        from dampr_spark.operators.graph import connected_components
+
+        g = self.knn_graph(
+            assigned, k=k, vec_col=vec_col, id_col=id_col, exclude_self=True
+        ).select(F.col(id_col).alias("a"), F.col("neighbor_id").alias("b"))
+        rev = g.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        mutual = g.join(rev, ["a", "b"], "left_semi").filter(
+            F.col("a") < F.col("b")
+        )
+        comp = connected_components(mutual, src="a", dst="b").select(
+            F.col("id").alias(id_col), F.col("component").alias("cluster")
+        )
+        singletons = (
+            assigned.select(id_col)
+            .join(comp.select(id_col), id_col, "left_anti")
+            .select(F.col(id_col), F.col(id_col).alias("cluster"))
+        )
+        return comp.unionByName(singletons)
+
     def write_partitioned(
         self, assigned: DataFrame, path: str, lists_per_file: int = 1
     ) -> None:

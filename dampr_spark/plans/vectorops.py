@@ -611,6 +611,89 @@ def knn_graph_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_knn_clusters",
+    oracle=None,
+    tags=("vector", "ann", "dedup", "semantic", "extension"),
+)
+def semantic_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN semantic clustering (round 11,
+    `IVFIndex.mutual_knn_clusters`): the ANN-backed sibling of
+    `semantic_grid_dedup`'s deterministic clustering — kNN graph (sqrt(N)
+    lists), mutual-edge symmetrization (kills hub transitivity),
+    connected components, singletons kept. Seeded quantizer → rows-only;
+    `knn_clusters_check` hash-compares the partition contract."""
+    import math
+
+    from dampr_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
+    ivf = similarity.IVFIndex(
+        n_lists=max(8, int(math.isqrt(max(e.count(), 1)))), nprobe=10
+    ).fit(e)
+    return ivf.mutual_knn_clusters(
+        ivf.assign(e).localCheckpoint(eager=True), k=5
+    )
+
+
+@register(
+    "knn_clusters_check",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           TRUE AS partition_ok,
+           TRUE AS edges_within_ok
+    FROM embeddings WHERE {V.valid_vector_sql('embedding')}
+    """,
+    tags=("vector", "ann", "invariant", "extension"),
+)
+def knn_clusters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Externally-verified partition contract of `semantic_knn_clusters`
+    (seeded quantizer → rows-only), the invariant-companion pattern:
+
+    - ``n_vecs`` — Spark emits Σ cluster sizes (the clustering's OWN
+      conservation quotient: every valid vector in exactly one cluster,
+      singletons included); DuckDB emits the independent valid-vector
+      count. A dropped or doubled vector anywhere in the
+      graph/mutual/components/singleton chain breaks the hash compare.
+    - ``partition_ok`` — no vector carries two cluster labels.
+    - ``edges_within_ok`` — every mutual-kNN edge joins same-cluster
+      members (components actually closed over the edge set)."""
+    import math
+
+    from dampr_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
+    ivf = similarity.IVFIndex(
+        n_lists=max(8, int(math.isqrt(max(e.count(), 1)))), nprobe=10
+    ).fit(e)
+    assigned = ivf.assign(e).localCheckpoint(eager=True)
+    clusters = ivf.mutual_knn_clusters(assigned, k=5).localCheckpoint(
+        eager=True
+    )  # bounded (one row per vector, ids+labels only); feeds three checks
+    g = ivf.knn_graph(assigned, k=5).select(
+        F.col("vec_id").alias("a"), F.col("neighbor_id").alias("b")
+    )
+    mutual = g.join(
+        g.select(F.col("b").alias("a"), F.col("a").alias("b")),
+        ["a", "b"],
+        "left_semi",
+    ).filter(F.col("a") < F.col("b"))
+    ca = clusters.select(F.col("vec_id").alias("a"), F.col("cluster").alias("cl_a"))
+    cb = clusters.select(F.col("vec_id").alias("b"), F.col("cluster").alias("cl_b"))
+    cross_edges = (
+        mutual.join(ca, "a").join(cb, "b").filter(F.col("cl_a") != F.col("cl_b"))
+    )
+    n = clusters.agg(F.count(F.lit(1)).alias("n")).first().n
+    dup_ids = (
+        clusters.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    )
+    crossing = cross_edges.count()
+    return spark.createDataFrame(
+        [(int(n), dup_ids == 0, crossing == 0)],
+        "n_vecs bigint, partition_ok boolean, edges_within_ok boolean",
+    )
+
+
 @register("pca_embeddings", oracle=None, tags=("vector", "extension"))
 def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-axis explained variance of the distributed PCA fit over the

@@ -603,3 +603,45 @@ def test_ivf_knn_graph_no_duplicate_pairs(spark):
     g = idx.knn_graph(idx.assign(df).localCheckpoint(eager=True), k=10)
     pairs = g.select("vec_id", "neighbor_id")
     assert pairs.count() == pairs.distinct().count()
+
+
+def test_mutual_knn_clusters_pure_and_conserving(spark):
+    """On well-separated clusters: every produced cluster is PURE (never
+    spans two planted blocks) and the labeling partitions the corpus
+    (every vector exactly once — the knn_clusters_check contract)."""
+    df = _clustered_corpus(spark)
+    idx = IVFIndex(n_lists=8, nprobe=3, seed=42).fit(df, sample_size=400)
+    rows = idx.mutual_knn_clusters(
+        idx.assign(df).localCheckpoint(eager=True), k=4
+    ).collect()
+    assert len(rows) == 400
+    assert len({r.vec_id for r in rows}) == 400
+    members: dict = {}
+    for r in rows:
+        members.setdefault(r.cluster, []).append(r.vec_id)
+    for cl, ids in members.items():
+        blocks = {i // 50 for i in ids}
+        assert len(blocks) == 1, (cl, sorted(ids)[:8])
+    # the planted structure is actually found: 8 dominant clusters, one
+    # per block, each holding most of its 50 members
+    big = sorted(len(v) for v in members.values() if len(v) >= 10)
+    assert len(big) == 8 and all(b >= 30 for b in big), sorted(
+        len(v) for v in members.values()
+    )
+
+
+def test_mutual_knn_clusters_singletons_survive(spark):
+    """A far-away outlier with no mutual edge must come back as its own
+    singleton cluster, not vanish."""
+    base = _clustered_corpus(spark, n_clusters=2, per_cluster=20)
+    outlier = spark.createDataFrame(
+        [(9999, [-1.0] * 16)], VEC_SCHEMA
+    )
+    df = base.unionByName(outlier)
+    idx = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=100)
+    rows = idx.mutual_knn_clusters(
+        idx.assign(df).localCheckpoint(eager=True), k=3
+    ).collect()
+    assert len(rows) == 41
+    lab = {r.vec_id: r.cluster for r in rows}
+    assert lab[9999] == 9999  # its own cluster
