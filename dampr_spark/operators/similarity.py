@@ -408,6 +408,72 @@ class IVFIndex:
         )
         return comp.unionByName(singletons)
 
+    def semantic_keep_best(
+        self,
+        assigned: DataFrame,
+        k: int = 5,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """SemDeDup-style collapse over :meth:`mutual_knn_clusters`
+        (round 11 — the dedup ENDPOINT of the kNN stack): keep, per
+        semantic cluster, the member nearest the cluster MEAN (max cosine
+        to the centroid, ties → lowest id — the most representative copy,
+        the embedding-space analog of keep-best exact dedup's
+        quality-max), plus every singleton. Returns one row per survivor:
+        (vec_id, cluster, n_members, rep_cos) — exactly n_clusters rows,
+        the conservation contract `knn_keep_best_check` hash-compares.
+
+        Scale shape on top of the clustering's own cost: centroids are
+        one posexplode + (cluster, dim)-keyed avg (the kmeans recompute
+        shape — scalar shuffle, never vectors), the representative pick
+        is one max_by aggregate per cluster. Nothing driver-side."""
+        clusters = self.mutual_knn_clusters(
+            assigned, k=k, vec_col=vec_col, id_col=id_col
+        )
+        members = assigned.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ).join(
+            clusters.select(F.col(id_col).alias("id"), "cluster"), "id"
+        )
+        cents = (
+            members.select(
+                "cluster", F.posexplode(F.col("v").cast("array<double>")).alias("dim", "x")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("c"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda s: s["c"],
+                ).alias("cvec")
+            )
+        )
+        scored = members.join(cents, "cluster").select(
+            "cluster",
+            "id",
+            F.round(cosine("v", "cvec"), 6).alias("rep_cos"),
+        )
+        return (
+            scored.groupBy("cluster")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col("id").alias("id"), F.col("rep_cos").alias("rc")
+                    ),
+                    F.struct(F.col("rep_cos"), (-F.col("id")).alias("neg")),
+                ).alias("m"),
+                F.count(F.lit(1)).alias("n_members"),
+            )
+            .select(
+                F.col("m.id").alias(id_col),
+                "cluster",
+                "n_members",
+                F.col("m.rc").alias("rep_cos"),
+            )
+        )
+
     def write_partitioned(
         self, assigned: DataFrame, path: str, lists_per_file: int = 1
     ) -> None:

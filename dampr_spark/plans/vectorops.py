@@ -694,6 +694,84 @@ def knn_clusters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_knn_keep_best",
+    oracle=None,
+    tags=("vector", "ann", "dedup", "semantic", "extension"),
+)
+def semantic_knn_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ENDPOINT of the kNN stack (round 11,
+    `IVFIndex.semantic_keep_best`): per mutual-kNN semantic cluster keep
+    the member nearest the cluster mean (the representative copy),
+    singletons kept — the SemDeDup collapse, ANN-backed. Seeded
+    quantizer → rows-only; `knn_keep_best_check` hash-compares the
+    survivor/member conservation contract."""
+    import math
+
+    from dampr_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
+    ivf = similarity.IVFIndex(
+        n_lists=max(8, int(math.isqrt(max(e.count(), 1)))), nprobe=10
+    ).fit(e)
+    return ivf.semantic_keep_best(
+        ivf.assign(e).localCheckpoint(eager=True), k=5
+    )
+
+
+@register(
+    "knn_keep_best_check",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           TRUE AS one_rep_per_cluster_ok,
+           TRUE AS reps_are_members_ok
+    FROM embeddings WHERE {V.valid_vector_sql('embedding')}
+    """,
+    tags=("vector", "ann", "invariant", "extension"),
+)
+def knn_keep_best_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Externally-verified conservation contract of
+    `semantic_knn_keep_best` (seeded quantizer → rows-only):
+
+    - ``n_vecs`` — Spark emits Σ n_members over the survivor rows (the
+      collapse's OWN conservation quotient: every valid vector counted in
+      exactly one cluster's membership); DuckDB emits the independent
+      valid-vector count. A vector lost or double-counted anywhere in the
+      graph/cluster/centroid/max_by chain breaks the hash compare.
+    - ``one_rep_per_cluster_ok`` — survivor rows are unique per cluster.
+    - ``reps_are_members_ok`` — every survivor id belongs to the cluster
+      it represents (the max_by never leaks an id across clusters)."""
+    import math
+
+    from dampr_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
+    ivf = similarity.IVFIndex(
+        n_lists=max(8, int(math.isqrt(max(e.count(), 1)))), nprobe=10
+    ).fit(e)
+    assigned = ivf.assign(e).localCheckpoint(eager=True)
+    reps = ivf.semantic_keep_best(assigned, k=5).localCheckpoint(
+        eager=True
+    )  # bounded (one row per cluster); feeds three checks
+    clusters = ivf.mutual_knn_clusters(assigned, k=5)
+    n_vecs = int(
+        reps.agg(F.coalesce(F.sum("n_members"), F.lit(0))).first()[0]
+    )
+    dup_clusters = (
+        reps.groupBy("cluster").count().filter(F.col("count") > 1).count()
+    )
+    non_member_reps = (
+        reps.select("vec_id", "cluster")
+        .join(clusters, ["vec_id", "cluster"], "left_anti")
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_vecs, dup_clusters == 0, non_member_reps == 0)],
+        "n_vecs bigint, one_rep_per_cluster_ok boolean, "
+        "reps_are_members_ok boolean",
+    )
+
+
 @register("pca_embeddings", oracle=None, tags=("vector", "extension"))
 def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-axis explained variance of the distributed PCA fit over the

@@ -645,3 +645,34 @@ def test_mutual_knn_clusters_singletons_survive(spark):
     assert len(rows) == 41
     lab = {r.vec_id: r.cluster for r in rows}
     assert lab[9999] == 9999  # its own cluster
+
+
+def test_semantic_keep_best_one_representative_per_block(spark):
+    """On the planted clusters: survivors partition the membership
+    (sum n_members == corpus), one representative per cluster, each
+    representative a member of its own planted block."""
+    df = _clustered_corpus(spark)
+    idx = IVFIndex(n_lists=8, nprobe=3, seed=42).fit(df, sample_size=400)
+    reps = idx.semantic_keep_best(
+        idx.assign(df).localCheckpoint(eager=True), k=4
+    ).collect()
+    assert sum(r.n_members for r in reps) == 400
+    assert len({r.cluster for r in reps}) == len(reps)
+    for r in reps:
+        assert r.vec_id // 50 == r.cluster // 50  # rep from its block
+        assert r.rep_cos is not None and r.rep_cos <= 1.0
+
+
+def test_semantic_keep_best_singleton_is_its_own_rep(spark):
+    base = _clustered_corpus(spark, n_clusters=2, per_cluster=20)
+    outlier = spark.createDataFrame([(9999, [-1.0] * 16)], VEC_SCHEMA)
+    df = base.unionByName(outlier)
+    idx = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=100)
+    reps = {
+        r.cluster: r
+        for r in idx.semantic_keep_best(
+            idx.assign(df).localCheckpoint(eager=True), k=3
+        ).collect()
+    }
+    assert reps[9999].vec_id == 9999 and reps[9999].n_members == 1
+    assert reps[9999].rep_cos == 1.0  # the centroid of one vector is itself
