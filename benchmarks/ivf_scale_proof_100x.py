@@ -103,6 +103,56 @@ def main() -> int:
     ]
     rec = [r.n_lists for r in audit if r.recommended]
     assert rec == [400], f"audit recommendation {rec} != the re-tuned 400"
+
+    # Round 11: the corpus-wide kNN graph at two decades, at the audit's
+    # recommended config. 200k probers x nprobe lists against sqrt(N)
+    # lists is ~900M scored pairs — payable ONLY because the per-list
+    # scoring is one Arrow cogroup matmul (the interpreted-cosine form
+    # was measured watchdog-slow at a tenth of this scale). Invariants:
+    # a full k rows for (almost) every vector, and spot recall against
+    # exact brute force for 10 sampled vectors.
+    if "--knn" in sys.argv or "--knn-only" in sys.argv:
+        idx = IVFIndex(n_lists=400, nprobe=24).fit(big, sample_size=4096)
+        assigned = idx.assign(big).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        g = idx.knn_graph(assigned, k=K).localCheckpoint(eager=True)
+        n_rows = g.count()
+        knn_sec = time.perf_counter() - t0
+        full = (
+            g.groupBy("vec_id").count().filter(F.col("count") == K).count()
+        )
+        sample_ids = [r.vec_id for r in big.orderBy("vec_id").limit(10).collect()]
+        sample_vecs = {
+            r.vec_id: [float(x) for x in r.embedding]
+            for r in big.filter(F.col("vec_id").isin(sample_ids)).collect()
+        }
+        overlaps = []
+        for vid in sample_ids:
+            exact = {
+                r.vec_id
+                for r in brute_force_topk(
+                    big.filter(F.col("vec_id") != vid), sample_vecs[vid], k=K
+                ).collect()
+            }
+            got = {
+                r.neighbor_id
+                for r in g.filter(F.col("vec_id") == vid).collect()
+            }
+            overlaps.append(len(got & exact))
+        out["knn_graph_200k"] = {
+            "n_lists": 400,
+            "nprobe": 24,
+            "k": K,
+            "wall_sec": round(knn_sec, 2),
+            "rows": n_rows,
+            "vectors_with_full_k": full,
+            "corpus_vectors": 200000,
+            "spot_overlap_of_10": sorted(overlaps),
+        }
+        if "--knn-only" in sys.argv:
+            print(json.dumps(out))
+            return 0
+
     if "--audit-only" in sys.argv:
         print(json.dumps(out))
         return 0

@@ -327,16 +327,20 @@ class IVFIndex:
             sims = q_n @ m_n.T  # (n_probers, n_members)
             nids = mpdf["nid"].to_numpy()
             qids = ppdf["qid"].to_numpy()
-            rows_q, rows_n, rows_s = [], [], []
             kk = min(k + 1, sims.shape[1])  # +1 absorbs the self hit
-            for i in range(sims.shape[0]):
-                row = sims[i]
-                top = np.argpartition(-row, kk - 1)[:kk]
-                for j in top:
-                    if keep_self or nids[j] != qids[i]:
-                        rows_q.append(qids[i])
-                        rows_n.append(nids[j])
-                        rows_s.append(round(float(row[j]), 6))
+            # Vectorized within-list top-k: axis argpartition + fancy
+            # indexing — no per-prober Python loop (a 200k-vector corpus
+            # visits ~2M prober rows through here; looping them in Python
+            # was the residual hotspot after the matmul rewrite).
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(qids, kk)
+            rows_n = nids[top].ravel()
+            rows_s = np.round(
+                np.take_along_axis(sims, top, axis=1).ravel(), 6
+            )
+            if not keep_self:
+                keep = rows_q != rows_n
+                rows_q, rows_n, rows_s = rows_q[keep], rows_n[keep], rows_s[keep]
             return pd.DataFrame(
                 {"qid": rows_q, "nid": rows_n, "cos_sim": rows_s}
             )
