@@ -254,6 +254,11 @@ BENCH_QUERIES = [
     # smoothed PSI over per-source keep mass (the new pipeline SHAPE of
     # the round; everything oracle-replayed end-to-end).
     "quality_gate_refit_drift",
+    # round-11c flagship: the corpus-wide kNN graph primitive (queries ARE
+    # the corpus: one list_id shuffle, per-list Arrow cogroup matmul,
+    # bounded window merge; n_lists ~ sqrt(N) per the audit). The
+    # clustering/keep-best endpoints are thin compositions over it.
+    "ivf_knn_graph",
 ]
 
 # Frozen-anchor query set: one representative per regression class the r8
