@@ -445,7 +445,11 @@ class IVFIndex:
                 "cluster", F.posexplode(F.col("v").cast("array<double>")).alias("dim", "x")
             )
             .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("c"))
+            # 6dp-rounded components, the kmeans _recompute discipline:
+            # F.avg over doubles is not merge-order deterministic, and an
+            # unrounded 1-ulp drift could flip a near-tied representative
+            # between runs.
+            .agg(F.round(F.avg("x"), 6).alias("c"))
             .groupBy("cluster")
             .agg(
                 F.transform(
