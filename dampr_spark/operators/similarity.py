@@ -305,8 +305,9 @@ class IVFIndex:
         # prober's within-list top k. An expression-level cosine here
         # (zip_with/aggregate) evaluates INTERPRETED per element — at the
         # 10x sweep scale that was ~30M x dim interpreted folds and the
-        # sweep's watchdog fired; the matmul does the same arithmetic in
-        # BLAS (measured ~40x on that leg). Exact sims are recomputed
+        # sweep's watchdog fired (>400 s); the matmul does the same
+        # arithmetic in BLAS — the same leg then ran in 3.4 s
+        # (benchmarks/RESULTS.md round 11). Exact sims are recomputed
         # identically everywhere Spark-side; the health companion
         # compares against DuckDB through exact-SQL columns only.
         def score_list(key, mpdf, ppdf):
