@@ -222,7 +222,10 @@ class ValueEmitter:
         files = sorted(
             os.path.join(d, f)
             for f in os.listdir(d)
-            if f.startswith("part-")
+            # a crashed/retried write task can leave a stale part-*.tmp
+            # next to the completed part file — merging it would
+            # duplicate rows (ADVICE r11)
+            if f.startswith("part-") and not f.endswith(".tmp")
         )
         return heapq.merge(
             *[_read_spill_file(p) for p in files], key=lambda kv: kv[0]

@@ -22,6 +22,15 @@ lineage-truncation semantics (round N reads round N-1's files, never
 replays rounds 1..N-1 — pinned by tests/test_round11_fixes.py). Default
 behavior is unchanged: no knob, no reliable store required, local pins.
 
+Checkpoint-file hygiene: each round leaves one copy of round state in
+the shared store. Spark's ContextCleaner deletes a collected frame's
+checkpoint files only when
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — a conf read
+ONCE at SparkContext construction, so it must be set at session build
+(``session.get_spark`` sets it by default); setting it later is a
+no-op. Without it, a thousand-round fixpoint accumulates a thousand
+round-state copies until the run directory is removed.
+
 Deliberately NOT routed through this module: the bounded small-table
 pins (audit stats tables, broadcast model frames — a few rows, rebuilt
 in milliseconds if lost) where reliable-store round-trips would cost
@@ -68,4 +77,14 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
         pass
     if not current or not str(current).startswith(str(d)):
         sc.setCheckpointDir(d)
-    return df.checkpoint(eager=eager)
+    if eager:
+        # checkpoint() RECOMPUTES the plan to write its files unless the
+        # frame is cached — without this persist every fixpoint round
+        # paid ~2x compute (ADVICE r11). The eager write drains from the
+        # cache, after which the blocks are dead weight: unpersist.
+        df = df.persist()
+        try:
+            return df.checkpoint(eager=True)
+        finally:
+            df.unpersist(False)
+    return df.checkpoint(eager=False)

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dampr_spark.functions.vector import cosine, valid_vector, dot
+from dampr_spark.operators.graph import _round_half_up
 from dampr_spark.operators.pinning import pin as _pin
 
 
@@ -313,6 +314,11 @@ class IVFIndex:
         def score_list(key, mpdf, ppdf):
             if not len(mpdf) or not len(ppdf):
                 return pd.DataFrame({"qid": [], "nid": [], "cos_sim": []})
+            # Ascending-nid member order makes the column index a total id
+            # tiebreak for the top-k cut below — cogroup row order is
+            # shuffle-fetch order, NOT stable between evaluations of the
+            # same plan (ADVICE r11).
+            mpdf = mpdf.sort_values("nid", kind="stable")
             m = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in mpdf["mv"]]
             )
@@ -325,7 +331,9 @@ class IVFIndex:
             q_n = qm / np.maximum(
                 np.linalg.norm(qm, axis=1, keepdims=True), 1e-12
             )
-            sims = q_n @ m_n.T  # (n_probers, n_members)
+            # 6dp BEFORE the cut: the selection must rank by the same
+            # rounded value the window discipline orders by downstream.
+            sims = np.round(q_n @ m_n.T, 6)  # (n_probers, n_members)
             nids = mpdf["nid"].to_numpy()
             qids = ppdf["qid"].to_numpy()
             kk = min(k + 1, sims.shape[1])  # +1 absorbs the self hit
@@ -333,12 +341,22 @@ class IVFIndex:
             # indexing — no per-prober Python loop (a 200k-vector corpus
             # visits ~2M prober rows through here; looping them in Python
             # was the residual hotspot after the matmul rewrite).
-            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            # DETERMINISTIC under exact-cosine ties (which duplicate
+            # vectors — the SemDeDup target workload — produce in bulk):
+            # argpartition runs over a composite int64 key (rounded sim
+            # first, then lower nid via the ascending-nid column index),
+            # so the kept candidate set cannot depend on cogroup row
+            # order (ADVICE r11). |sim·1e6| <= 1e6 and the index term is
+            # < n_members, so buckets never collide and int64 never
+            # overflows for any list that fits in memory.
+            m_len = sims.shape[1]
+            key_i = np.rint(sims * 1e6).astype(np.int64) * m_len - np.arange(
+                m_len, dtype=np.int64
+            )
+            top = np.argpartition(-key_i, kk - 1, axis=1)[:, :kk]
             rows_q = np.repeat(qids, kk)
             rows_n = nids[top].ravel()
-            rows_s = np.round(
-                np.take_along_axis(sims, top, axis=1).ravel(), 6
-            )
+            rows_s = np.take_along_axis(sims, top, axis=1).ravel()
             if not keep_self:
                 keep = rows_q != rows_n
                 rows_q, rows_n, rows_s = rows_q[keep], rows_n[keep], rows_s[keep]
@@ -358,9 +376,10 @@ class IVFIndex:
         )
         return (
             cand
-            # the same candidate can surface via several shared probe
-            # lists — dedup before ranking or rank k can repeat a pair
-            .distinct()
+            # No distinct() here: each member vector lives in exactly ONE
+            # IVF list, so a (qid, nid) pair can surface at most once —
+            # the dedup shuffle of the N·nprobe·(k+1)-row candidate set
+            # was a corpus-scale exchange for no effect (ADVICE r11).
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select(
@@ -396,9 +415,17 @@ class IVFIndex:
         with cluster = min member id."""
         from dampr_spark.operators.graph import connected_components
 
-        g = self.knn_graph(
-            assigned, k=k, vec_col=vec_col, id_col=id_col, exclude_self=True
-        ).select(F.col(id_col).alias("a"), F.col("neighbor_id").alias("b"))
+        # Pin the (bounded, N·k-row) edge list before the mutuality
+        # self-join: `g` is referenced twice in one plan, and without the
+        # pin Spark evaluates the kNN graph twice — any residual
+        # nondeterminism between the evaluations could fabricate or drop
+        # mutual edges (ADVICE r11). The pin also halves the graph cost.
+        g = _pin(
+            self.knn_graph(
+                assigned, k=k, vec_col=vec_col, id_col=id_col,
+                exclude_self=True,
+            ).select(F.col(id_col).alias("a"), F.col("neighbor_id").alias("b"))
+        )
         rev = g.select(F.col("b").alias("a"), F.col("a").alias("b"))
         mutual = g.join(rev, ["a", "b"], "left_semi").filter(
             F.col("a") < F.col("b")
@@ -619,7 +646,10 @@ def ivf_list_audit(
         dim = max(dim, r["d"] or 0)
     total = int(depths.sum())
     row_bytes = 4 * dim + 8  # array<float> payload + 8B id, the wire size
-    sqrt_n = round(math.sqrt(total), 6)
+    # Half-up (not banker's) rounding: this column is hash-compared
+    # against DuckDB's round(), which rounds halves away from zero —
+    # the repo-wide F.round discipline (ADVICE r11).
+    sqrt_n = _round_half_up(math.sqrt(total), 6)
 
     def coarse_depths(k: int) -> np.ndarray:
         if k >= n_fine:

@@ -60,6 +60,12 @@ def get_spark(
         # reader refuses; read as long and convert in the reader
         # (sources/readers.py) — DuckDB truncates nanos→micros the same way.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Reliable-checkpoint hygiene (operators/pinning.py): when the
+        # spark.dampr.checkpointDir knob routes iterative pins through
+        # DataFrame.checkpoint, let the ContextCleaner GC checkpoint
+        # files of collected frames. Read ONCE at SparkContext
+        # construction — it cannot be enabled later at runtime.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

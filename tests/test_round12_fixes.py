@@ -1,0 +1,230 @@
+"""Round-12 items. First block: the five ADVICE r11 fixes, each pinned:
+
+1. (medium) ``IVFIndex.knn_graph``'s within-list top-k cut is now
+   DETERMINISTIC under exact-cosine ties — argpartition runs over a
+   composite int64 key (6dp-rounded sim, then lower nid via the
+   ascending-nid column order), so the kept candidate set cannot depend
+   on pandas-cogroup row order (shuffle fetch order). Duplicate vectors
+   — the SemDeDup target workload — produce those ties in bulk.
+   ``mutual_knn_clusters`` additionally pins the graph frame before the
+   mutuality self-join, so the two references in one plan can never see
+   two different evaluations.
+2. (low) ``ivf_list_audit``'s hash-compared ``sqrt_n`` uses the repo's
+   half-up rounding twin (``F.round`` / DuckDB ``round`` semantics), not
+   builtin banker's ``round()``.
+3. (low) ``ValueEmitter._merged_spill_pairs`` skips stale ``part-*.tmp``
+   files a crashed/retried write task can leave behind — merging one
+   would duplicate rows.
+4. (low) the reliable pin path persists before ``checkpoint()`` so each
+   fixpoint round's plan is computed ONCE (checkpoint otherwise
+   recomputes the plan to write its files), and the session factory sets
+   ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (read once
+   at SparkContext construction) so collected frames' checkpoint files
+   are GC'd.
+5. (low) ``knn_graph`` no longer ``distinct()``s the candidate set: with
+   single-assignment members a (qid, nid) pair can surface at most once,
+   so the dedup was a corpus-scale shuffle for no effect. (The multi-
+   assignment path added this round re-introduces a bounded per-pair
+   dedup only when ``assign_m > 1`` — see block 2 below.)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import pickle
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dampr_spark.operators.similarity import IVFIndex
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _tie_corpus(spark, dim=8, n_u=12, n_v=8, n_noise=20, seed=3):
+    """Duplicate-heavy corpus: n_u exact copies of one unit vector
+    (ids 0..n_u-1), n_v copies of an orthogonal one (ids 100..), plus
+    noise vectors (ids 1000..) — exact-cosine ties in bulk, the ADVICE
+    r11 scenario."""
+    rng = np.random.default_rng(seed)
+    u = np.zeros(dim)
+    u[0] = 1.0
+    v = np.zeros(dim)
+    v[1] = 1.0
+    rows = [(i, [float(x) for x in u]) for i in range(n_u)]
+    rows += [(100 + i, [float(x) for x in v]) for i in range(n_v)]
+    for i in range(n_noise):
+        w = rng.standard_normal(dim)
+        w /= np.linalg.norm(w)
+        rows.append((1000 + i, [float(x) for x in w]))
+    return spark.createDataFrame(rows, VEC_SCHEMA)
+
+
+def test_knn_graph_tie_cut_keeps_lowest_ids(spark):
+    """With >k exact-tie candidates in one list, the kept neighbors must
+    be exactly the k lowest ids — the 6dp+id window discipline applied
+    INSIDE the per-list cut, not just at the final window."""
+    df = _tie_corpus(spark)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=100)
+    g = ivf.knn_graph(ivf.assign(df), k=3)
+    rows = g.collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id, r.cos_sim))
+    # Every u-copy's top-3 are the 3 lowest OTHER u-copy ids, sim 1.0.
+    for qid in range(12):
+        got = sorted(by_qid[qid])
+        want_ids = [i for i in range(12) if i != qid][:3]
+        assert [n for _, n, _ in got] == want_ids, (qid, got)
+        assert all(s == 1.0 for _, _, s in got)
+    # Same for the v-copies.
+    for qid in range(100, 108):
+        got = sorted(by_qid[qid])
+        want_ids = [100 + i for i in range(8) if 100 + i != qid][:3]
+        assert [n for _, n, _ in got] == want_ids, (qid, got)
+
+
+def test_knn_graph_two_evaluations_identical(spark):
+    """The same plan evaluated twice yields the same frame — the cogroup
+    row-order nondeterminism the composite-key cut removes."""
+    df = _tie_corpus(spark, n_noise=40)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=100)
+    assigned = ivf.assign(df).localCheckpoint(eager=True)
+    g = ivf.knn_graph(assigned, k=4)
+    a = sorted(map(tuple, g.collect()))
+    b = sorted(map(tuple, g.collect()))
+    assert a == b
+
+
+def test_mutual_knn_clusters_conserve_on_tie_corpus(spark):
+    """Duplicate-heavy corpus: clusters conserve members (Σ sizes == N)
+    and every duplicate group lands in one cluster — exercises the
+    pinned-graph mutuality self-join."""
+    df = _tie_corpus(spark)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=100)
+    clusters = ivf.mutual_knn_clusters(ivf.assign(df), k=3)
+    rows = clusters.collect()
+    assert len(rows) == df.count()  # one row per vector
+    assert len({r.vec_id for r in rows}) == len(rows)
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, set()).add(r.vec_id)
+    cluster_of = {r.vec_id: r.cluster for r in rows}
+    # Deterministic lowest-id tie selection makes the mutual graph over a
+    # d-duplicate group (d > k+1) EXACTLY a clique of the k+1 lowest ids
+    # — every other copy points at the lowest ids, which don't point
+    # back, so they are singletons. That fragmentation is the mutual-kNN
+    # hub-killing contract applied to ties (raise k to widen groups);
+    # what determinism buys is that it's the SAME fragmentation every
+    # evaluation.
+    assert by_cluster[cluster_of[0]] == {0, 1, 2, 3}
+    for i in range(4, 12):
+        assert by_cluster[cluster_of[i]] == {i}
+    assert by_cluster[cluster_of[100]] == {100, 101, 102, 103}
+    for i in range(104, 108):
+        assert by_cluster[cluster_of[i]] == {i}
+
+
+def test_knn_graph_plan_has_no_distinct_exchange(spark):
+    """ADVICE r11 #5: the candidate-set distinct() was a corpus-scale
+    shuffle for no effect (single-assignment members make (qid, nid)
+    unique by construction). Plan-locked: no HashAggregate-for-distinct
+    between the cogroup and the rank window — i.e. exactly ONE Exchange
+    over the candidate output (the window's), not two."""
+    df = _tie_corpus(spark)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=100)
+    g = ivf.knn_graph(ivf.assign(df), k=3)
+    plan = g._jdf.queryExecution().optimizedPlan().toString()
+    assert "Deduplicate" not in plan, plan
+
+
+def test_ivf_list_audit_sqrt_n_half_up(spark):
+    """sqrt_n follows the repo's half-up rounding discipline (the value
+    DuckDB's round() produces), not builtin banker's rounding."""
+    from dampr_spark.operators.graph import _round_half_up
+    from dampr_spark.operators.similarity import ivf_list_audit
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(10)], VEC_SCHEMA
+    )
+    out = ivf_list_audit(df, n_lists_candidates=(2, 4), nprobe=2).collect()
+    want = _round_half_up(math.sqrt(10), 6)
+    assert all(r.sqrt_n == want for r in out)
+    # And the twin itself rounds halves AWAY from zero where banker's
+    # rounds to even — the cross-engine divergence the fix closes.
+    assert _round_half_up(0.1234565, 6) == 0.123457
+    assert round(0.1234565, 6) == 0.123456  # banker's, the old behavior
+
+
+def test_spill_merge_ignores_stale_tmp(spark, tmp_path, monkeypatch):
+    """A stale part-*.tmp (crashed/retried write task) next to the
+    completed part file must not be merged — it would duplicate rows."""
+    from dampr_spark.api import Dampr
+
+    monkeypatch.setenv("DAMPR_SPARK_SPILL_DIR", str(tmp_path))
+    em = (
+        Dampr.memory([(i % 11, i) for i in range(800)])
+        .group_by(lambda kv: kv[0])
+        .reduce(lambda k, vs: sum(v[1] for v in vs))
+        .run()
+    )
+    first = list(em.stream())  # materializes the spill dir
+    assert len(first) == 11
+    spill = [
+        os.path.join(tmp_path, d)
+        for d in os.listdir(tmp_path)
+        if d.startswith("dampr_emitter_")
+    ]
+    assert len(spill) == 1
+    # Plant a stale temp file containing rows that WOULD duplicate keys.
+    with open(os.path.join(spill[0], "part-00000.tmp"), "wb") as f:
+        pickle.dump(first, f, protocol=4)
+    again = list(em.stream())
+    assert again == first
+    em.delete()
+
+
+def test_reliable_pin_computes_plan_once(spark, tmp_path, monkeypatch):
+    """ADVICE r11 #4: checkpoint() without a persist recomputes the plan
+    to write its files (~2x compute per fixpoint round). The pin now
+    persists first — the tapped source is evaluated exactly once."""
+    import pandas as pd
+
+    from dampr_spark.operators.pinning import pin
+
+    monkeypatch.setenv(
+        "DAMPR_SPARK_CHECKPOINT_DIR", str(tmp_path / "ckpt")
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def tap(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    src = spark.range(100).selectExpr("id", "id * 3 AS v")
+    tapped = src.mapInPandas(tap, src.schema)
+    out = pin(tapped)
+    assert acc.value == 100, f"plan evaluated {acc.value / 100:g}x"
+    assert out.count() == 100
+    assert acc.value == 100  # count() reads checkpoint files, no replay
+
+
+def test_session_sets_checkpoint_cleaner_conf():
+    """The ContextCleaner reads cleanCheckpoints ONCE at SparkContext
+    construction; the session factory must bake it in."""
+    from dampr_spark.session import get_spark
+
+    spark = get_spark()
+    assert (
+        spark.conf.get("spark.cleaner.referenceTracking.cleanCheckpoints")
+        == "true"
+    )
