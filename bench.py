@@ -106,6 +106,43 @@ Future ratio breaches come with a measured attribution (probe-CPU drift
 vs Arrow/memory drift) instead of an inferred one. The v3 norm still
 gates; norm_arrow never does (a two-probe gate would need a re-frozen
 baseline and double the false-positive surface).
+
+ANCHOR PROTOCOL v4 (round 12, VERDICT r11 next-round #1 — the gate
+self-attributes): v3.1 left the Arrow probe diagnostic-only, so
+BENCH_r11 — the record of note — carried a false
+``anchor_regressed: ["heavy_hitter_ngrams"]`` that took a manual
+worktree A/B to refute, and symmetrically a REAL regression landing in
+a degraded window could have been hand-waved as host. v4 freezes BOTH
+probes' idle baselines into frozen_anchor_baseline.json
+(``cal_cpu_sec`` = the 200M-row xxhash adjacent sample,
+``cal_arrow_sec`` = the 8M-row mapInPandas pass-through; medians of an
+idle round-12 window; the per-anchor ``norm``/``warm_sec`` baselines
+are UNCHANGED — same numbers, same meaning, per the never-regenerate
+rule) and tags each anchor with its dominant axis (``axis``: "cpu" for
+the codegen-bound q1/bloom, "arrow" for the memory/IPC-bound
+simhash/textrank/perplexity/heavy-hitter four — exactly the split the
+r10/r11 degraded windows measured). Classification of a ratio breach
+that clears the raw-seconds floor:
+
+- per-anchor probe ratios C = cal_adj / cal_cpu_sec and
+  A = cal_arrow_adj / cal_arrow_sec;
+- expected host inflation of the CPU-normalized norm is A/C for an
+  arrow-axis anchor (its numerator scales with A while the denominator
+  scales with C) and 1.0 for a cpu-axis anchor (C cancels), clamped at
+  >= 1 so a faster-than-idle probe never excuses a breach;
+- ``adjusted_norm = norm / expected``: still over the ratio threshold
+  -> ``anchor_regressed`` (a plan regression survives host
+  attribution — the injected-slowdown pytest pins this); under it ->
+  ``anchor_hostwindow`` (named, with axis + probe ratios + adjusted
+  norm recorded inline in the anchor detail).
+
+The attribution assumes dominant-axis scaling (a breach only PARTLY
+explained by the window still flags regressed, because the residual is
+in adjusted_norm); the worktree code A/B (benchmarks/RESULTS.md
+round-11 addendum) remains the dispositive manual tool for anything
+attribution leaves ambiguous. A protocol-3 baseline (no probe idles)
+still gates exactly as before — every breach lands in regressed/watch,
+none in hostwindow — so the gate degrades to v3, never silently off.
 """
 
 from __future__ import annotations
@@ -281,6 +318,19 @@ ANCHOR_BASELINE = os.path.join(
     _REPO_DIR, "benchmarks", "frozen_anchor_baseline.json"
 )
 ANCHOR_REGRESSION_RATIO = 1.25
+# Dominant cost axis per anchor — the r10/r11 degraded-window split:
+# q1/bloom tracked the xxhash (codegen CPU) probe while the four
+# memory/IPC-bound anchors tracked the Arrow probe. Frozen into the
+# baseline file (the file's copy wins at runtime); this map seeds a
+# fresh baseline.
+ANCHOR_AXIS = {
+    "q1_pricing_summary": "cpu",
+    "bloom_join_prune": "cpu",
+    "simhash_dedup": "arrow",
+    "textrank_keywords": "arrow",
+    "bigram_doc_perplexity": "arrow",
+    "heavy_hitter_ngrams": "arrow",
+}
 
 
 def gate_class(
@@ -304,28 +354,64 @@ def gate_class(
 
 def classify_anchors(
     anchor_detail: dict, base: dict, ratio: float = ANCHOR_REGRESSION_RATIO
-) -> tuple[list, list]:
-    """The anchor gate, pure (unit-tested in tests/test_round10_fixes.py):
-    an anchor whose calibration-normalized warm exceeds ``ratio`` × its
-    baseline norm is REGRESSED when its raw warm seconds also exceed the
-    baseline by the scaled floor ``max(0.1, 0.5 * baseline_warm)``
-    (ADVICE r10 #4: a flat 0.5 s floor silently disabled the gate for
-    sub-0.5 s anchors), and WATCH-annotated otherwise (a ratio breach
-    with flat-or-better raw seconds is a denominator artifact, not a
-    plan regression — measured twice under protocol v2). Mutates each
-    detail dict with its ``baseline_norm`` for the record."""
+) -> tuple[list, list, list]:
+    """The anchor gate, pure (unit-tested in tests/test_round10_fixes.py
+    and tests/test_round12_fixes.py). v3 layer: an anchor whose
+    calibration-normalized warm exceeds ``ratio`` × its baseline norm is
+    a BREACH when its raw warm seconds also exceed the baseline by the
+    scaled floor ``max(0.1, 0.5 * baseline_warm)`` (ADVICE r10 #4), and
+    WATCH-annotated otherwise (a ratio breach with flat-or-better raw
+    seconds is a denominator artifact). v4 layer (module docstring):
+    a breach self-attributes via the frozen probe idles — the expected
+    host inflation of the norm is A/C (arrow-axis anchors) or 1 (cpu
+    axis), clamped >= 1; the breach lands in HOSTWINDOW when the
+    host-adjusted norm clears the threshold and in REGRESSED when it
+    does not (a real plan regression survives attribution even inside a
+    degraded window). With a protocol-3 baseline (no probe idles) every
+    breach is REGRESSED — the gate degrades to v3, never silently off.
+    Mutates each detail dict with its ``baseline_norm`` (and, for
+    breaches under v4, the attribution evidence) for the record.
+    Returns (regressed, hostwindow, watch)."""
     regressed: list = []
+    hostwindow: list = []
     watch: list = []
+    cpu_idle = base.get("cal_cpu_sec")
+    arrow_idle = base.get("cal_arrow_sec")
+    axes = base.get("axis") or {}
     for name, d in anchor_detail.items():
         b = (base.get("norm") or {}).get(name)
         bw = (base.get("warm_sec") or {}).get(name, 0.0)
         d["baseline_norm"] = b
         cls = gate_class(b, d["norm"], bw, d["warm"], ratio)
-        if cls == "regressed":
-            regressed.append(name)
-        elif cls == "watch":
+        if cls == "watch":
             watch.append(name)
-    return regressed, watch
+            continue
+        if cls != "regressed":
+            continue
+        axis = axes.get(name, "cpu")
+        can_attribute = (
+            cpu_idle
+            and arrow_idle
+            and d.get("cal_adj")
+            and d.get("cal_arrow_adj")
+        )
+        if not can_attribute:
+            regressed.append(name)
+            continue
+        c_ratio = d["cal_adj"] / cpu_idle
+        a_ratio = d["cal_arrow_adj"] / arrow_idle
+        expected = max(a_ratio / c_ratio, 1.0) if axis == "arrow" else 1.0
+        adjusted = d["norm"] / expected
+        d["axis"] = axis
+        d["probe_ratio_cpu"] = round(c_ratio, 3)
+        d["probe_ratio_arrow"] = round(a_ratio, 3)
+        d["host_factor"] = round(expected, 3)
+        d["adjusted_norm"] = round(adjusted, 3)
+        if adjusted > ratio * b:
+            regressed.append(name)
+        else:
+            hostwindow.append(name)
+    return regressed, hostwindow, watch
 
 
 def main() -> int:
@@ -519,6 +605,7 @@ def main() -> int:
     # absolute floor with flag-but-annotate for sub-floor ratio breaches.
     anchor_detail: dict[str, dict] = {}
     anchor_regressed: list[str] = []
+    anchor_hostwindow: list[str] = []
     anchor_watch: list[str] = []
     anchor_norm_total = None
     if os.path.isdir(ANCHOR_DIR):
@@ -569,23 +656,40 @@ def main() -> int:
         if os.path.exists(ANCHOR_BASELINE):
             with open(ANCHOR_BASELINE) as f:
                 base = json.load(f)
-            if base.get("protocol") != 3:
+            if base.get("protocol") not in (3, 4):
                 base = None  # pre-v2 norms aren't comparable: re-baseline
+            # A v3 baseline (no probe idles) still gates — classify_anchors
+            # degrades to v3 semantics (no hostwindow attribution).
         if base is not None:
-            anchor_regressed, anchor_watch = classify_anchors(
-                anchor_detail, base
+            anchor_regressed, anchor_hostwindow, anchor_watch = (
+                classify_anchors(anchor_detail, base)
             )
         else:
             with open(ANCHOR_BASELINE, "w") as f:
                 json.dump(
                     {
                         "written_by": (
-                            "bench.py first run under anchor protocol v3 "
-                            "(round 10: adjacent 200M-row calibration, "
-                            "median of 3 warm reps)"
+                            "bench.py first run under anchor protocol v4 "
+                            "(round 12: v3 adjacent 200M-row calibration + "
+                            "median of 3 warm reps, plus frozen dual-axis "
+                            "probe idles and per-anchor axis tags for "
+                            "breach self-attribution)"
                         ),
-                        "protocol": 3,
+                        "protocol": 4,
                         "calibration_sec": round(calibration_sec, 4),
+                        # Probe idles: medians of the adjacent samples of
+                        # THIS (baseline-writing) run — the same
+                        # instruments future runs ratio against.
+                        "cal_cpu_sec": round(
+                            statistics.median(cal_samples), 4
+                        ),
+                        "cal_arrow_sec": round(
+                            statistics.median(arrow_samples), 4
+                        ),
+                        "axis": {
+                            n: ANCHOR_AXIS.get(n, "cpu")
+                            for n in anchor_detail
+                        },
                         "norm": {
                             n: d["norm"] for n, d in anchor_detail.items()
                         },
@@ -653,6 +757,7 @@ def main() -> int:
         "corpus": corpus,
         "anchor": anchor_detail,
         "anchor_regressed": anchor_regressed,
+        "anchor_hostwindow": anchor_hostwindow,
         "anchor_watch": anchor_watch,
     }
     os.makedirs("benchmarks", exist_ok=True)
@@ -697,6 +802,8 @@ def main() -> int:
     }
     if anchor_regressed:
         compact["anchor_regressed"] = anchor_regressed
+    if anchor_hostwindow:
+        compact["anchor_hostwindow"] = anchor_hostwindow
     if anchor_watch:
         compact["anchor_watch"] = anchor_watch
     line = json.dumps(compact, separators=(",", ":"))
@@ -709,10 +816,13 @@ def main() -> int:
         # number from the driver record.
         compact["queries"] = {q: round(t, 1) for q, t in cold_timings.items()}
         line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900 and anchor_regressed:
-        # Second shed stage: regressed NAMES live in the verbose payload;
-        # the compact record keeps the count.
-        compact["anchor_regressed"] = len(anchor_regressed)
+    if len(line) > 1900 and (anchor_regressed or anchor_hostwindow):
+        # Second shed stage: regressed/hostwindow NAMES live in the
+        # verbose payload; the compact record keeps the counts.
+        if anchor_regressed:
+            compact["anchor_regressed"] = len(anchor_regressed)
+        if anchor_hostwindow:
+            compact["anchor_hostwindow"] = len(anchor_hostwindow)
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
         compact.pop("queries")

@@ -375,16 +375,19 @@ def test_anchor_gate_classification():
         # No baseline entry: silent (first appearance).
         "new": {"norm": 5.0, "warm": 1.0},
     }
-    regressed, watch = bench.classify_anchors(detail, base)
+    # Protocol-3 baseline (no probe idles): the v4 gate degrades to v3 —
+    # every breach is regressed/watch, hostwindow stays empty.
+    regressed, hostwindow, watch = bench.classify_anchors(detail, base)
     assert sorted(regressed) == ["fast", "slow"]
+    assert hostwindow == []
     assert watch == ["faster_secs"]
     assert detail["slow"]["baseline_norm"] == 10.0
 
     # Under-ratio anchors never flag regardless of seconds.
-    r2, w2 = bench.classify_anchors(
+    r2, h2, w2 = bench.classify_anchors(
         {"ok": {"norm": 11.0, "warm": 9.9}}, {"norm": {"ok": 10.0}, "warm_sec": {"ok": 2.0}}
     )
-    assert r2 == [] and w2 == []
+    assert r2 == [] and h2 == [] and w2 == []
 
 
 def test_compare_bench_flags():

@@ -228,3 +228,141 @@ def test_session_sets_checkpoint_cleaner_conf():
         spark.conf.get("spark.cleaner.referenceTracking.cleanCheckpoints")
         == "true"
     )
+
+
+# ---------------------------------------------------------------------------
+# 2. anchor protocol v4 — the bench gate self-attributes (VERDICT r11 #1)
+# ---------------------------------------------------------------------------
+
+
+def _bench_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    return bench
+
+
+def _v4_base():
+    """The committed protocol-4 baseline (frozen probe idles + axis tags)."""
+    import json
+
+    with open(
+        os.path.join(
+            os.path.dirname(__file__),
+            "..",
+            "benchmarks",
+            "frozen_anchor_baseline.json",
+        )
+    ) as f:
+        return json.load(f)
+
+
+def test_frozen_baseline_is_protocol_v4_with_unchanged_norms():
+    base = _v4_base()
+    assert base["protocol"] == 4
+    assert base["cal_cpu_sec"] > 0 and base["cal_arrow_sec"] > 0
+    assert set(base["axis"]) == set(base["norm"])
+    assert set(base["axis"].values()) == {"cpu", "arrow"}
+    # The never-regenerate rule: v4 carries the exact v3 norms.
+    assert base["norm"]["heavy_hitter_ngrams"] == 7.913
+    assert base["norm"]["q1_pricing_summary"] == 0.636
+
+
+def test_anchor_v4_refiles_the_r11_false_positive_as_hostwindow():
+    """Replays the ACTUAL BENCH_r11 heavy_hitter_ngrams measurement (the
+    false anchor_regressed flag the manual worktree A/B refuted) through
+    the v4 gate: arrow probe 3.2x idle while the cpu probe ran FASTER
+    than idle -> the breach self-attributes to anchor_hostwindow, with
+    the probe evidence inline in the detail record."""
+    bench = _bench_module()
+    base = _v4_base()
+    detail = {
+        "heavy_hitter_ngrams": {
+            "norm": 12.298,
+            "warm": 2.2669,
+            "cal_adj": 0.1843,
+            "cal_arrow_adj": 1.9536,
+        }
+    }
+    regressed, hostwindow, watch = bench.classify_anchors(detail, base)
+    assert regressed == [] and watch == []
+    assert hostwindow == ["heavy_hitter_ngrams"]
+    d = detail["heavy_hitter_ngrams"]
+    assert d["axis"] == "arrow"
+    assert d["probe_ratio_arrow"] > 3.0  # the degraded-window evidence
+    assert d["probe_ratio_cpu"] < 1.0
+    assert d["adjusted_norm"] <= 1.25 * base["norm"]["heavy_hitter_ngrams"]
+
+
+def test_anchor_v4_plan_slowdown_flags_regressed_despite_degraded_probe():
+    """The symmetric case the v3.1 instrument could NOT defend against:
+    an artificial 2x plan slowdown (the interpreted-simhash-path
+    magnitude) injected INSIDE a simulated 2x-degraded Arrow window must
+    still flag regressed — the host factor only explains its own share,
+    and the residual stays over the threshold."""
+    bench = _bench_module()
+    base = _v4_base()
+    bw = base["warm_sec"]["simhash_dedup"]
+    bn = base["norm"]["simhash_dedup"]
+    plan_slowdown, window = 2.0, 2.0
+    detail = {
+        "simhash_dedup": {
+            # warm carries BOTH the plan regression and the host window;
+            # the cpu calibration is at its idle value (clean cpu axis).
+            "warm": bw * plan_slowdown * window,
+            "norm": round(
+                bw * plan_slowdown * window / base["cal_cpu_sec"], 3
+            ),
+            "cal_adj": base["cal_cpu_sec"],
+            "cal_arrow_adj": base["cal_arrow_sec"] * window,
+        }
+    }
+    regressed, hostwindow, watch = bench.classify_anchors(detail, base)
+    assert regressed == ["simhash_dedup"], (regressed, hostwindow, watch)
+    d = detail["simhash_dedup"]
+    assert d["host_factor"] == 2.0
+    assert d["adjusted_norm"] > 1.25 * bn  # the residual = the plan
+
+
+def test_anchor_v4_breach_with_clean_probes_is_regressed():
+    """Breach + both probes at their idles -> regressed (no attribution
+    available to excuse it)."""
+    bench = _bench_module()
+    base = _v4_base()
+    bw = base["warm_sec"]["heavy_hitter_ngrams"]
+    detail = {
+        "heavy_hitter_ngrams": {
+            "warm": bw * 2.0,
+            "norm": round(bw * 2.0 / base["cal_cpu_sec"], 3),
+            "cal_adj": base["cal_cpu_sec"],
+            "cal_arrow_adj": base["cal_arrow_sec"],
+        }
+    }
+    regressed, hostwindow, watch = bench.classify_anchors(detail, base)
+    assert regressed == ["heavy_hitter_ngrams"]
+    assert hostwindow == [] and watch == []
+
+
+def test_anchor_v4_cpu_axis_anchor_never_excused_by_arrow_window():
+    """A cpu-axis anchor (q1) breaching inside a degraded ARROW window
+    stays regressed: its norm already normalizes by the cpu probe, so
+    the arrow window explains none of its breach."""
+    bench = _bench_module()
+    base = _v4_base()
+    bw = base["warm_sec"]["q1_pricing_summary"]
+    detail = {
+        "q1_pricing_summary": {
+            "warm": bw * 2.0,
+            "norm": round(bw * 2.0 / base["cal_cpu_sec"], 3),
+            "cal_adj": base["cal_cpu_sec"],
+            "cal_arrow_adj": base["cal_arrow_sec"] * 3.0,
+        }
+    }
+    regressed, hostwindow, watch = bench.classify_anchors(detail, base)
+    assert regressed == ["q1_pricing_summary"]
+    assert hostwindow == []
+    assert detail["q1_pricing_summary"]["host_factor"] == 1.0
