@@ -86,10 +86,13 @@ def main() -> int:
     # pass prices every candidate; the recommendation must land on the
     # re-tuned config (sqrt(200k) ~ 447 -> nearest candidate 400), turning
     # the proof's manual re-tune into a priced, pre-run decision.
-    audit = ivf_list_audit(
-        big, n_lists_candidates=(16, 100, 400, 1600), nprobe=24,
-        sample_size=4096,
-    ).collect()
+    if "--clusters-only" in sys.argv:
+        audit = []  # the clusters leg measures the consumers, not the knob
+    else:
+        audit = ivf_list_audit(
+            big, n_lists_candidates=(16, 100, 400, 1600), nprobe=24,
+            sample_size=4096,
+        ).collect()
     out["audit"] = [
         {
             "n_lists": r.n_lists,
@@ -101,8 +104,9 @@ def main() -> int:
         }
         for r in audit
     ]
-    rec = [r.n_lists for r in audit if r.recommended]
-    assert rec == [400], f"audit recommendation {rec} != the re-tuned 400"
+    if audit:
+        rec = [r.n_lists for r in audit if r.recommended]
+        assert rec == [400], f"audit recommendation {rec} != the re-tuned 400"
 
     # Round 11: the corpus-wide kNN graph at two decades, at the audit's
     # recommended config. 200k probers x nprobe lists against sqrt(N)
@@ -149,9 +153,155 @@ def main() -> int:
             "corpus_vectors": 200000,
             "spot_overlap_of_10": sorted(overlaps),
         }
+        # Round 12 (VERDICT r11 #3): member-side multi-assignment at the
+        # SAME nprobe budget — each member vector lands in its 2 nearest
+        # lists so near-boundary neighbors co-occur with their probers.
+        # Cost is a clean linear x2 on the member side of the one
+        # list_id shuffle (priced by ivf_list_audit's
+        # member_rows_assigned column); the claim under measurement is
+        # that spot recall rises at unchanged probe I/O.
+        t0 = time.perf_counter()
+        g2 = idx.knn_graph(assigned, k=K, assign_m=2).localCheckpoint(
+            eager=True
+        )
+        knn2_sec = time.perf_counter() - t0
+        overlaps2 = []
+        for vid in sample_ids:
+            exact = {
+                r.vec_id
+                for r in brute_force_topk(
+                    big.filter(F.col("vec_id") != vid), sample_vecs[vid], k=K
+                ).collect()
+            }
+            got = {
+                r.neighbor_id
+                for r in g2.filter(F.col("vec_id") == vid).collect()
+            }
+            overlaps2.append(len(got & exact))
+        out["knn_graph_200k_assign_m2"] = {
+            "n_lists": 400,
+            "nprobe": 24,
+            "k": K,
+            "assign_m": 2,
+            "wall_sec": round(knn2_sec, 2),
+            "rows": g2.count(),
+            "spot_overlap_of_10": sorted(overlaps2),
+            "mean_overlap_m1": round(sum(overlaps) / len(overlaps), 2),
+            "mean_overlap_m2": round(sum(overlaps2) / len(overlaps2), 2),
+        }
         if "--knn-only" in sys.argv:
             print(json.dumps(out))
             return 0
+
+    # Round 12 (VERDICT r11 #4): the graph's CONSUMERS at proof scale.
+    # Their risks differ from the graph's own: (a) the component
+    # fixpoint's ROUND COUNT under a giant near-dup cluster — a planted
+    # 4096-vector 1-D manifold chain (angles i*0.45 deg in one 2-plane:
+    # each member's top-k are its angular neighbors, so the mutual graph
+    # is one long chain, diameter ~4k — the worst case pointer jumping
+    # must compress) — and (b) hub behavior — a planted 512-spoke star
+    # (spokes see the hub as top-1; the hub links back to only k of
+    # them), the mega-cluster-by-hub-transitivity trap mutual-kNN exists
+    # to kill; plus the (cluster, dim) centroid shuffle in keep-best
+    # over those giant clusters.
+    if "--clusters-only" in sys.argv:
+        import math
+
+        chain_n, star_n = 4096, 512
+        chain = [
+            (
+                10_000_000 + i,
+                [
+                    float(math.cos(math.radians(i * 0.45))),
+                    float(math.sin(math.radians(i * 0.45))),
+                ]
+                + [0.0] * (DIM - 2),
+            )
+            for i in range(chain_n)
+        ]
+        # Star: hub along dim 2; spoke j tilted 8 deg toward its OWN
+        # near-orthogonal direction u_j (seeded random sign vector over
+        # dims 3..63, unit norm): every spoke's cos to the hub is
+        # cos 8deg = .990 while spoke-spoke cosines are
+        # cos^2 8deg + sin^2 8deg * (u_j . u_k) ~ .980 +- .01 — so the
+        # hub tops EVERY spoke's list (512 appearances) but links back
+        # to only its k, the exact hub shape mutual symmetrization must
+        # keep from snowballing into a mega-cluster.
+        eps = math.radians(8.0)
+        rng = np.random.default_rng(12)
+        hub = [0.0] * DIM
+        hub[2] = 1.0
+        star = [(11_000_000, [float(x) for x in hub])]
+        for j in range(star_n):
+            u = rng.choice([-1.0, 1.0], size=DIM - 3) / math.sqrt(DIM - 3)
+            v = [0.0] * 3 + [float(math.sin(eps) * x) for x in u]
+            v[2] = math.cos(eps)
+            star.append((11_000_001 + j, [float(x) for x in v]))
+        planted = spark.createDataFrame(
+            chain + star, "vec_id long, embedding array<float>"
+        )
+        corpus = big.unionByName(planted).localCheckpoint(eager=True)
+        n_corpus = corpus.count()
+        idx = IVFIndex(n_lists=400, nprobe=24).fit(corpus, sample_size=4096)
+        assigned = idx.assign(corpus).localCheckpoint(eager=True)
+
+        from dampr_spark.operators import graph as graph_mod
+
+        t0 = time.perf_counter()
+        clusters = idx.mutual_knn_clusters(assigned, k=5).localCheckpoint(
+            eager=True
+        )
+        clusters_sec = time.perf_counter() - t0
+        n_rows = clusters.count()
+        sizes = clusters.groupBy("cluster").count()
+        top_sizes = [
+            (int(r.cluster), int(r["count"]))
+            for r in sizes.orderBy(F.col("count").desc()).limit(3).collect()
+        ]
+        chain_cluster_size = (
+            clusters.filter(
+                (F.col("vec_id") >= 10_000_000)
+                & (F.col("vec_id") < 10_000_000 + chain_n)
+            )
+            .groupBy("cluster")
+            .count()
+            .orderBy(F.col("count").desc())
+            .first()
+        )
+        hub_cluster = clusters.filter(F.col("vec_id") == 11_000_000).first()
+        hub_cluster_size = clusters.filter(
+            F.col("cluster") == hub_cluster.cluster
+        ).count()
+        out["clusters_200k"] = {
+            "corpus_vectors": n_corpus,
+            "wall_sec": round(clusters_sec, 2),
+            "cc_rounds": graph_mod.LAST_FIXPOINT_ROUNDS,
+            "conserved": n_rows == n_corpus,
+            "largest_clusters": top_sizes,
+            "chain_largest_cluster_rows": int(chain_cluster_size["count"]),
+            "hub_cluster_rows": int(hub_cluster_size),
+        }
+
+        t0 = time.perf_counter()
+        reps = idx.semantic_keep_best(assigned, k=5).localCheckpoint(
+            eager=True
+        )
+        keep_sec = time.perf_counter() - t0
+        member_sum = int(reps.agg(F.sum("n_members")).first()[0])
+        dup_reps = (
+            reps.groupBy("cluster").count().filter(F.col("count") > 1).count()
+        )
+        out["keep_best_200k"] = {
+            "wall_sec": round(keep_sec, 2),
+            "survivors": reps.count(),
+            "member_sum_conserved": member_sum == n_corpus,
+            "one_rep_per_cluster": dup_reps == 0,
+            "largest_cluster_rep_cos": float(
+                reps.orderBy(F.col("n_members").desc()).first().rep_cos
+            ),
+        }
+        print(json.dumps(out))
+        return 0
 
     if "--audit-only" in sys.argv:
         print(json.dumps(out))

@@ -111,6 +111,12 @@ def _undirected_adj(rows: list, a: str = "src", b: str = "dst") -> dict:
     return nbrs
 
 
+# Observability, not control flow: the round count of the most recent
+# fixpoint-mode run in this process (driver_fixpoint max_iters mode and
+# the distributed connected_components loop both set it).
+LAST_FIXPOINT_ROUNDS: int | None = None
+
+
 def driver_fixpoint(
     spark,
     schema,
@@ -134,15 +140,23 @@ def driver_fixpoint(
       identical message, so the round-count contract is path-invariant).
 
     ``step(state) -> (new_state, changed)``; ``emit(state) -> rows``;
-    the result materializes as ``spark.createDataFrame(rows, schema)``."""
+    the result materializes as ``spark.createDataFrame(rows, schema)``.
+
+    Convergence observability: fixpoint-mode runs record the round count
+    in module-level ``LAST_FIXPOINT_ROUNDS`` (the distributed CC loop
+    sets the same counter) — the 100x proofs record it for the
+    giant-component legs, where round count IS the risk being measured
+    (O(log diameter) via pointer jumping)."""
+    global LAST_FIXPOINT_ROUNDS
     if iters is not None:
         for _ in range(iters):
             state, _ = step(state)
         return spark.createDataFrame(emit(state), schema)
     assert max_iters is not None
-    for _ in range(max_iters):
+    for rounds in range(1, max_iters + 1):
         state, changed = step(state)
         if not changed:
+            LAST_FIXPOINT_ROUNDS = rounds
             return spark.createDataFrame(emit(state), schema)
     raise RuntimeError(fail)
 
@@ -209,11 +223,12 @@ def connected_components(
             fail=fail_msg,
         )
 
+    global LAST_FIXPOINT_ROUNDS
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).transform(_pin)
-    for _ in range(max_iters):
+    for _round in range(1, max_iters + 1):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src")
@@ -250,6 +265,7 @@ def connected_components(
         n_changed = stepped.filter(F.col("old") != F.col("label")).count()
         labels = stepped.select("id", "label")
         if n_changed == 0:
+            LAST_FIXPOINT_ROUNDS = _round
             return labels.select("id", F.col("label").alias("component"))
     raise RuntimeError(fail_msg)
 

@@ -244,6 +244,30 @@ class IVFIndex:
             .filter(F.col("rank") <= k)
         )
 
+    def _top_lists_udf(self, n: int):
+        """Arrow kernel shared by probe-side probing (:meth:`knn_graph`)
+        and member-side multi-assignment (``assign_m``): each vector's
+        ``n`` nearest centroid ids (descending dot on unit vectors) in
+        one batch matmul per partition."""
+        import pandas as pd
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        c = self.centroids
+
+        @pandas_udf(T.ArrayType(T.IntegerType()), PandasUDFType.SCALAR)
+        def top_lists(vecs):
+            if not len(vecs):
+                return pd.Series([], dtype=object)
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vecs]
+            )
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(m @ c.T), axis=1)[:, :n]
+            return pd.Series([[int(p) for p in row] for row in order])
+
+        return top_lists
+
     def knn_graph(
         self,
         assigned: DataFrame,
@@ -251,6 +275,7 @@ class IVFIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         exclude_self: bool = True,
+        assign_m: int = 1,
     ) -> DataFrame:
         """Approximate kNN GRAPH over the whole corpus — top-k neighbors
         for EVERY vector (round 11): the backbone of semantic clustering
@@ -270,35 +295,45 @@ class IVFIndex:
         (vec_id, neighbor_id, cos_sim, rank <= k); ``exclude_self`` drops
         the trivial self-pair. Probe-side traffic carries each vector
         nprobe times — at 8 bytes/id + 4·dim vector bytes this is the
-        nprobe x corpus wire volume the audit's bytes columns estimate."""
+        nprobe x corpus wire volume the audit's bytes columns estimate.
+
+        ``assign_m`` (round 12, VERDICT r11 #3 — the standard IVF recall
+        remedy): each MEMBER vector is placed in its ``assign_m`` nearest
+        lists (not just its first), so near-boundary neighbors co-occur
+        with their probers instead of hiding one list over. Cost is a
+        clean linear ×m on the member side of the shuffle — priced by
+        :func:`ivf_list_audit`'s ``member_rows_assigned`` /
+        ``member_bytes_assigned`` columns before the join runs. With
+        ``assign_m > 1`` a (prober, neighbor) pair can surface via
+        several lists, so a per-pair dedup (bounded: identical rows, one
+        exchange of the N·nprobe·(k+1) candidate set) precedes the rank
+        window; at the default ``assign_m=1`` pairs are unique by
+        construction and no dedup shuffle runs (ADVICE r11)."""
         assert self.centroids is not None, "call fit() first"
         import pandas as pd
-        from pyspark.sql import types as T
-        from pyspark.sql.functions import PandasUDFType, pandas_udf
         from pyspark.sql.window import Window
 
         c = self.centroids
         nprobe = min(self.nprobe, len(c))
-
-        @pandas_udf(T.ArrayType(T.IntegerType()), PandasUDFType.SCALAR)
-        def probe_lists(vecs):
-            if not len(vecs):
-                return pd.Series([], dtype=object)
-            m = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in vecs]
-            )
-            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            order = np.argsort(-(m @ c.T), axis=1)[:, :nprobe]
-            return pd.Series([[int(p) for p in row] for row in order])
+        assign_m = min(max(1, int(assign_m)), len(c))
+        probe_lists = self._top_lists_udf(nprobe)
 
         probers = assigned.select(
             F.col(id_col).alias("qid"),
             F.col(vec_col).alias("qv"),
             F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
         )
-        members = assigned.select(
-            "list_id", F.col(id_col).alias("nid"), F.col(vec_col).alias("mv")
-        )
+        if assign_m > 1:
+            member_lists = self._top_lists_udf(assign_m)
+            members = assigned.select(
+                F.col(id_col).alias("nid"),
+                F.col(vec_col).alias("mv"),
+                F.explode(member_lists(F.col(vec_col))).alias("list_id"),
+            ).select("list_id", "nid", "mv")
+        else:
+            members = assigned.select(
+                "list_id", F.col(id_col).alias("nid"), F.col(vec_col).alias("mv")
+            )
         keep_self = not exclude_self
 
         # Per-list scoring is ONE Arrow cogroup: the list's member matrix
@@ -374,12 +409,18 @@ class IVFIndex:
         w = Window.partitionBy("qid").orderBy(
             F.col("cos_sim").desc(), F.col("nid")
         )
+        if assign_m > 1:
+            # Multi-assigned members CAN surface a pair once per shared
+            # list (identical rows — sims recompute identically); dedup
+            # before ranking or rank k could repeat a pair.
+            cand = cand.dropDuplicates(["qid", "nid"])
         return (
             cand
-            # No distinct() here: each member vector lives in exactly ONE
-            # IVF list, so a (qid, nid) pair can surface at most once —
-            # the dedup shuffle of the N·nprobe·(k+1)-row candidate set
-            # was a corpus-scale exchange for no effect (ADVICE r11).
+            # No distinct() at assign_m=1: each member vector lives in
+            # exactly ONE IVF list, so a (qid, nid) pair can surface at
+            # most once — the dedup shuffle of the N·nprobe·(k+1)-row
+            # candidate set was a corpus-scale exchange for no effect
+            # (ADVICE r11).
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select(
@@ -396,6 +437,7 @@ class IVFIndex:
         k: int = 5,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
+        assign_m: int = 1,
     ) -> DataFrame:
         """Semantic clusters from the mutual-kNN graph (round 11): two
         vectors are linked iff each is in the OTHER's top-k
@@ -423,7 +465,7 @@ class IVFIndex:
         g = _pin(
             self.knn_graph(
                 assigned, k=k, vec_col=vec_col, id_col=id_col,
-                exclude_self=True,
+                exclude_self=True, assign_m=assign_m,
             ).select(F.col(id_col).alias("a"), F.col("neighbor_id").alias("b"))
         )
         rev = g.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -446,6 +488,7 @@ class IVFIndex:
         k: int = 5,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
+        assign_m: int = 1,
     ) -> DataFrame:
         """SemDeDup-style collapse over :meth:`mutual_knn_clusters`
         (round 11 — the dedup ENDPOINT of the kNN stack): keep, per
@@ -461,7 +504,7 @@ class IVFIndex:
         shape — scalar shuffle, never vectors), the representative pick
         is one max_by aggregate per cluster. Nothing driver-side."""
         clusters = self.mutual_knn_clusters(
-            assigned, k=k, vec_col=vec_col, id_col=id_col
+            assigned, k=k, vec_col=vec_col, id_col=id_col, assign_m=assign_m
         )
         members = assigned.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v")
@@ -548,6 +591,222 @@ class IVFIndex:
             spark.read.parquet(path), query_vec, k=k, vec_col=vec_col, id_col=id_col
         )
 
+    # -- incremental shard store (round 12, VERDICT r11 #2) ----------------
+    #
+    # A growing corpus — the production norm (examples/growing_corpus.py)
+    # — must not re-fit and re-write the whole inverted file per batch.
+    # The store mirrors the indexer's shard discipline
+    # (operators/indexer.py append/compact): the root holds immutable
+    # ``shard=N`` directories, each hive-partitioned by ``list_id``
+    # (layout ``root/shard=N/list_id=K/``, so a plain root read infers
+    # BOTH partition columns and the ``list_id IN (probes)`` predicate
+    # stays directory partition pruning across every shard — plan-locked
+    # in tests). Appending a batch costs one Arrow assignment pass over
+    # the BATCH against the frozen centroids plus one bounded shuffle,
+    # never a pass over history. Centroids are deliberately frozen at
+    # fit() — that is what makes shard union == full rebuild an exact
+    # equality (the catalog's `incremental_ann_check`), and quantizer
+    # staleness under drift is priced by :func:`ivf_store_audit`, whose
+    # ~sqrt(N) rule is the re-fit trigger.
+
+    def _fs(self, spark, root: str):
+        # Hadoop FS API: works on HDFS/S3, not just local (the indexer's
+        # shard plumbing, operators/indexer.py:67).
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(root)
+        return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+    def store_shard_ids(self, spark, path: str) -> list[int]:
+        fs, p, _ = self._fs(spark, path)
+        if not fs.exists(p):
+            return []
+        return sorted(
+            int(st.getPath().getName().split("=", 1)[1])
+            for st in fs.listStatus(p)
+            if st.getPath().getName().startswith("shard=")
+        )
+
+    def _write_store_shard(
+        self, df: DataFrame, path: str, shard: int, vec_col: str,
+        lists_per_file: int,
+    ) -> None:
+        assigned = df if "list_id" in df.columns else self.assign(
+            df, vec_col=vec_col
+        )
+        (
+            assigned.repartition(
+                max(1, self.n_lists // lists_per_file), "list_id"
+            )
+            .write.partitionBy("list_id")
+            .mode("overwrite")
+            .parquet(f"{path}/shard={shard}")
+        )
+
+    def init_store(
+        self,
+        df: DataFrame,
+        path: str,
+        vec_col: str = "embedding",
+        lists_per_file: int = 1,
+    ) -> None:
+        """Create (or overwrite) the shard store: clears the root and
+        writes the initial corpus as ``shard=0``. ``df`` may be raw
+        vectors (assigned here) or an already-``assign()``-ed frame."""
+        assert self.centroids is not None, "call fit() first"
+        fs, p, _ = self._fs(df.sparkSession, path)
+        if fs.exists(p):
+            fs.delete(p, True)
+        self._write_store_shard(df, path, 0, vec_col, lists_per_file)
+
+    def append_shard(
+        self,
+        df: DataFrame,
+        path: str,
+        vec_col: str = "embedding",
+        lists_per_file: int = 1,
+    ) -> int:
+        """Append a batch of NEW vectors as the next immutable shard:
+        assign to the EXISTING centroids (one Arrow pass over the batch),
+        write ``shard=<next>``; existing shards are untouched. Returns
+        the new shard id. Check :func:`ivf_store_audit` after appends —
+        when accumulated depth drifts past the ~sqrt(N) rule, re-fit +
+        :meth:`init_store` is the remedy (the indexer's compact
+        analogue)."""
+        assert self.centroids is not None, "call fit() first"
+        ids = self.store_shard_ids(df.sparkSession, path)
+        if not ids:
+            raise ValueError(
+                f"no store at {path!r}: call init_store() first "
+                "(append_shard never creates the root, so a typo'd "
+                "path fails instead of silently forking a store)"
+            )
+        shard = ids[-1] + 1
+        self._write_store_shard(df, path, shard, vec_col, lists_per_file)
+        return shard
+
+    @staticmethod
+    def read_store(spark, path: str) -> DataFrame:
+        """The shard-union corpus: one root read — ``shard`` and
+        ``list_id`` are partition columns, so shard-glob union costs no
+        per-shard plan and ``list_id`` predicates prune directories
+        across all shards at once."""
+        return spark.read.parquet(path)
+
+    def search_store(
+        self,
+        spark,
+        path: str,
+        query_vec: list[float],
+        k: int = 10,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Top-k over the shard store — :meth:`search_pruned` semantics
+        (the ``list_id IN (probes)`` filter is a partition filter), now
+        across every appended shard in one scan."""
+        return self.query_topk(
+            self.read_store(spark, path),
+            query_vec,
+            k=k,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+
+
+def ivf_store_audit(
+    spark,
+    path: str,
+    n_lists: int,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Re-price a shard store AFTER appends — the re-fit trigger
+    (round 12, completing :func:`ivf_list_audit`'s loop for growing
+    corpora). ``list_id`` is materialized in the store, so this is ONE
+    bounded aggregate over the store scan (no assignment pass): per-list
+    depths roll up to total/occupancy/skew, and the ~sqrt(N) rule prices
+    whether appended depth justifies a re-fit:
+
+    - ``n_shards`` / ``n_vecs`` / ``dim`` — store shape;
+    - ``occupied_lists`` / ``max_list_depth`` / ``depth_skew`` — the
+      quantizer-staleness signals (appends assigned to frozen centroids
+      drift toward mega-lists exactly like the 100x proof's stale
+      16-list config);
+    - ``probe_rows_worst`` / ``probe_bytes_worst`` — the nprobe deepest
+      lists' mass, the adversarial query's scan after the appends;
+    - ``sqrt_n`` and ``refit_recommended`` — the FAISS ~sqrt(N)
+      operating point; the flag fires when the CONFIGURED ``n_lists``
+      has drifted a full octave from it (n_lists < sqrt(N)/2 or
+      > 2·sqrt(N)) — the "re-fit each corpus decade" rule made a
+      priced, data-driven signal. Both are recomputable from the raw
+      count alone, so the catalog companion hash-compares them against
+      DuckDB."""
+    store = IVFIndex.read_store(spark, path)
+    depths = (
+        store.groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.size(F.col(vec_col))).alias("d"),
+        )
+        .collect()
+    )
+    import math
+
+    n_shards = len(
+        IVFIndex(n_lists=n_lists).store_shard_ids(spark, path)
+    )
+    total = sum(r["n"] for r in depths)
+    dim = max((r["d"] or 0) for r in depths) if depths else 0
+    max_depth = max((r["n"] for r in depths), default=0)
+    occupied = len(depths)
+    mean_depth = total / n_lists if n_lists else 0.0
+    np_k = min(max(1, int(nprobe)), max(1, n_lists))
+    worst = sum(sorted((r["n"] for r in depths), reverse=True)[:np_k])
+    row_bytes = 4 * dim + 8
+    sqrt_n = _round_half_up(math.sqrt(total), 6) if total else 0.0
+    refit = bool(total) and (
+        n_lists < math.sqrt(total) / 2 or n_lists > 2 * math.sqrt(total)
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("n_lists", T.LongType()),
+            T.StructField("nprobe", T.LongType()),
+            T.StructField("n_shards", T.LongType()),
+            T.StructField("n_vecs", T.LongType()),
+            T.StructField("dim", T.LongType()),
+            T.StructField("occupied_lists", T.LongType()),
+            T.StructField("max_list_depth", T.LongType()),
+            T.StructField("depth_skew", T.DoubleType()),
+            T.StructField("probe_rows_worst", T.LongType()),
+            T.StructField("probe_bytes_worst", T.LongType()),
+            T.StructField("sqrt_n", T.DoubleType()),
+            T.StructField("refit_recommended", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            {
+                "n_lists": n_lists,
+                "nprobe": np_k,
+                "n_shards": n_shards,
+                "n_vecs": total,
+                "dim": dim,
+                "occupied_lists": occupied,
+                "max_list_depth": max_depth,
+                "depth_skew": round(max_depth / mean_depth, 6)
+                if total
+                else 0.0,
+                "probe_rows_worst": worst,
+                "probe_bytes_worst": worst * row_bytes,
+                "sqrt_n": sqrt_n,
+                "refit_recommended": refit,
+            }
+        ],
+        schema,
+    )
+
 
 def ivf_list_audit(
     df: DataFrame,
@@ -558,6 +817,7 @@ def ivf_list_audit(
     sample_size: int = 10_000,
     iters: int = 10,
     seed: int = 42,
+    assign_m: int = 1,
 ) -> DataFrame:
     """Price the IVF ``n_lists`` knob BEFORE building the index — the ANN
     family's sizing instrument, closing the audit set
@@ -590,7 +850,13 @@ def ivf_list_audit(
       ``write_partitioned``'s directory pruning actually saves at 100 TB;
     - ``sqrt_n`` and ``recommended`` — the candidate nearest sqrt(N)
       (ties to the larger), the FAISS-guideline operating point the 100x
-      proof's re-tune landed on (400 lists at 200k vectors, sqrt = 447).
+      proof's re-tune landed on (400 lists at 200k vectors, sqrt = 447);
+    - ``assign_m`` / ``member_rows_assigned`` / ``member_bytes_assigned``
+      (round 12) — the member-side multi-assignment knob priced: the
+      :meth:`IVFIndex.knn_graph` ``assign_m`` recall remedy multiplies
+      the member side of the list_id shuffle by a clean linear ×m
+      (rows = m·N, bytes at the same 4·dim+8 wire size) — candidate-
+      independent, so one column pair prices it for every n_lists.
 
     Corpus cost is CANDIDATE-INDEPENDENT, mirroring the grid audit's
     Horner rollup: the corpus pays ONE bounded-sample quantizer fit at the
@@ -621,6 +887,7 @@ def ivf_list_audit(
             "(the depth table and centroid set are driver-side state)"
         )
     eff_nprobe = max(1, int(nprobe))
+    eff_assign_m = max(1, int(assign_m))
 
     ivf = IVFIndex(n_lists=kmax, nprobe=eff_nprobe, seed=seed).fit(
         df, vec_col=vec_col, sample_size=sample_size, iters=iters
@@ -704,6 +971,9 @@ def ivf_list_audit(
                 "probe_bytes_worst": worst * row_bytes,
                 "sqrt_n": sqrt_n,
                 "recommended": k == best_k,
+                "assign_m": eff_assign_m,
+                "member_rows_assigned": eff_assign_m * n_vecs,
+                "member_bytes_assigned": eff_assign_m * n_vecs * row_bytes,
                 "depths_conserved_ok": n_vecs == total,
                 "worst_ge_ideal_ok": worst >= ideal,
                 "occupied_le_lists_ok": int((cd > 0).sum()) <= k,
@@ -726,6 +996,9 @@ def ivf_list_audit(
             T.StructField("probe_bytes_worst", T.LongType()),
             T.StructField("sqrt_n", T.DoubleType()),
             T.StructField("recommended", T.BooleanType()),
+            T.StructField("assign_m", T.LongType()),
+            T.StructField("member_rows_assigned", T.LongType()),
+            T.StructField("member_bytes_assigned", T.LongType()),
             T.StructField("depths_conserved_ok", T.BooleanType()),
             T.StructField("worst_ge_ideal_ok", T.BooleanType()),
             T.StructField("occupied_le_lists_ok", T.BooleanType()),

@@ -772,6 +772,121 @@ def knn_keep_best_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incr_store_root(sf_dir: str, name: str) -> str:
+    import os
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(tempfile.gettempdir(), name, sf_tag)
+
+
+@register(
+    "incremental_ann_search",
+    oracle=None,
+    tags=("vector", "ann", "incremental", "extension"),
+)
+def incremental_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search over an INCREMENTALLY-built IVF shard store (round 12,
+    VERDICT r11 #2 — `IVFIndex.init_store`/`append_shard`): two thirds of
+    the corpus initialize the store, the remaining third is appended as
+    a second immutable shard ASSIGNED TO THE FROZEN CENTROIDS (one Arrow
+    pass over the batch, never a pass over history — the indexer's
+    `append` discipline applied to the inverted file). The search reads
+    the shard union in one scan with `list_id IN (probes)` still a
+    directory partition filter across every shard (layout
+    ``root/shard=N/list_id=K/``). Seeded quantizer → rows-only;
+    `incremental_ann_check` is the oracle-backed equality companion
+    (shard union == same-centroid full rebuild, hash-compared
+    conservation + refit pricing)."""
+    from dampr_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
+    initial = e.filter(F.col("vec_id") % 3 != 0)
+    batch = e.filter(F.col("vec_id") % 3 == 0)
+    ivf = similarity.IVFIndex(n_lists=16, nprobe=6).fit(initial)
+    root = _incr_store_root(sf_dir, "dampr_spark_incr_ann")
+    ivf.init_store(initial, root)
+    ivf.append_shard(batch, root)
+    q = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select("embedding")
+        .first()[0]
+    )  # bounded: one query vector
+    return ivf.search_store(spark, root, [float(x) for x in q], k=10)
+
+
+@register(
+    "incremental_ann_check",
+    oracle=f"""
+    WITH v AS (SELECT count(*) AS cnt FROM embeddings
+               WHERE {V.valid_vector_sql('embedding')})
+    SELECT CAST(cnt AS BIGINT)          AS n_vecs,
+           CAST(2 AS BIGINT)            AS n_shards,
+           round(sqrt(cnt), 6)          AS sqrt_n,
+           (16 < sqrt(cnt) / 2 OR 16 > 2 * sqrt(cnt)) AS refit_recommended,
+           TRUE                         AS union_equals_rebuild_ok
+    FROM v
+    """,
+    tags=("vector", "ann", "incremental", "invariant", "extension"),
+)
+def incremental_ann_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed contract of `incremental_ann_search` (the
+    invariant-companion pattern — quantities BOTH engines derive
+    independently, hash-compared):
+
+    - ``n_vecs`` — Spark emits the STORE's row count after init+append
+      (Σ over shards and lists); DuckDB the independent valid-vector
+      count. A vector lost or doubled anywhere in the
+      assign/write/append/union chain breaks the hash compare.
+    - ``n_shards`` — the store holds exactly the two immutable shards.
+    - ``sqrt_n`` / ``refit_recommended`` — `ivf_store_audit`'s re-fit
+      pricing recomputed by DuckDB from the raw count: the ~sqrt(N)
+      octave rule (n_lists < sqrt/2 or > 2·sqrt) is externally pinned,
+      not self-certified.
+    - ``union_equals_rebuild_ok`` — top-10 over the shard union is
+      EXACTLY the top-10 of a same-centroid full rebuild (both
+      directions of exceptAll empty): frozen centroids make incremental
+      == monolithic an equality, not a recall band."""
+    from dampr_spark.operators import similarity
+    from dampr_spark.operators.similarity import ivf_store_audit
+
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
+    initial = e.filter(F.col("vec_id") % 3 != 0)
+    batch = e.filter(F.col("vec_id") % 3 == 0)
+    ivf = similarity.IVFIndex(n_lists=16, nprobe=6).fit(initial)
+    root = _incr_store_root(sf_dir, "dampr_spark_incr_ann_check")
+    ivf.init_store(initial, root)
+    ivf.append_shard(batch, root)
+    q = (
+        e.orderBy("vec_id").limit(1).select("embedding").first()[0]
+    )
+    qv = [float(x) for x in q]
+    got = ivf.search_store(spark, root, qv, k=10).localCheckpoint(
+        eager=True
+    )  # bounded (10 rows); feeds both exceptAll directions
+    want = ivf.query_topk(ivf.assign(e), qv, k=10).localCheckpoint(
+        eager=True
+    )
+    union_eq = (
+        got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    )
+    audit = ivf_store_audit(spark, root, n_lists=16, nprobe=6).first()
+    return spark.createDataFrame(
+        [
+            (
+                int(audit.n_vecs),
+                int(audit.n_shards),
+                float(audit.sqrt_n),
+                bool(audit.refit_recommended),
+                union_eq,
+            )
+        ],
+        "n_vecs bigint, n_shards bigint, sqrt_n double, "
+        "refit_recommended boolean, union_equals_rebuild_ok boolean",
+    )
+
+
 @register("pca_embeddings", oracle=None, tags=("vector", "extension"))
 def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-axis explained variance of the distributed PCA fit over the

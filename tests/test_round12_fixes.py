@@ -366,3 +366,164 @@ def test_anchor_v4_cpu_axis_anchor_never_excused_by_arrow_window():
     assert regressed == ["q1_pricing_summary"]
     assert hostwindow == []
     assert detail["q1_pricing_summary"]["host_factor"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# 3. incremental IVF shard store + member multi-assignment (VERDICT #2, #3)
+# ---------------------------------------------------------------------------
+
+
+def _clustered(spark, n_clusters=8, per_cluster=50, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for c in range(n_clusters):
+        center = np.zeros(dim)
+        center[c % dim] = 1.0
+        for i in range(per_cluster):
+            v = center + 0.05 * rng.standard_normal(dim)
+            v /= np.linalg.norm(v)
+            rows.append((c * per_cluster + i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, VEC_SCHEMA)
+
+
+def test_store_union_equals_same_centroid_full_rebuild(spark, tmp_path):
+    """The incremental contract: init_store(half) + append_shard(half)
+    searched over the shard union returns EXACTLY the rows a same-
+    centroid full rebuild returns — frozen centroids make it an exact
+    frame equality, not a recall statement."""
+    df = _clustered(spark)
+    ivf = IVFIndex(n_lists=8, nprobe=3, seed=42).fit(df, sample_size=400)
+    root = str(tmp_path / "store")
+    even = df.filter(F.col("vec_id") % 2 == 0)
+    odd = df.filter(F.col("vec_id") % 2 == 1)
+    ivf.init_store(even, root)
+    assert ivf.append_shard(odd, root) == 1
+    assert ivf.store_shard_ids(spark, root) == [0, 1]
+    store = ivf.read_store(spark, root)
+    assert store.count() == df.count()
+    q = [1.0] + [0.0] * 15
+    got = sorted(
+        (r.vec_id, r.cos_sim)
+        for r in ivf.search_store(spark, root, q, k=10).collect()
+    )
+    want = sorted(
+        (r.vec_id, r.cos_sim)
+        for r in ivf.query_topk(ivf.assign(df), q, k=10).collect()
+    )
+    assert got == want
+
+
+def test_append_leaves_existing_shards_untouched(spark, tmp_path):
+    df = _clustered(spark, n_clusters=4, per_cluster=20)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=200)
+    root = str(tmp_path / "store")
+    ivf.init_store(df.filter(F.col("vec_id") < 40), root)
+
+    def snapshot():
+        out = {}
+        for dirpath, _, files in os.walk(os.path.join(root, "shard=0")):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = snapshot()
+    assert before
+    ivf.append_shard(df.filter(F.col("vec_id") >= 40), root)
+    assert snapshot() == before  # shard 0 is immutable
+
+
+def test_append_without_store_raises(spark, tmp_path):
+    df = _clustered(spark, n_clusters=2, per_cluster=10)
+    ivf = IVFIndex(n_lists=2, nprobe=1, seed=42).fit(df, sample_size=50)
+    with pytest.raises(ValueError, match="init_store"):
+        ivf.append_shard(df, str(tmp_path / "nope"))
+
+
+def test_search_store_prunes_list_partitions_across_shards(spark, tmp_path):
+    """Plan lock: the probes' list_id predicate must land in the scan's
+    PartitionFilters over the whole shard union — the pruning that makes
+    nprobe/n_lists real I/O savings survive appends."""
+    df = _clustered(spark)
+    ivf = IVFIndex(n_lists=8, nprobe=2, seed=42).fit(df, sample_size=400)
+    root = str(tmp_path / "store")
+    ivf.init_store(df.filter(F.col("vec_id") % 2 == 0), root)
+    ivf.append_shard(df.filter(F.col("vec_id") % 2 == 1), root)
+    q = ivf.search_store(spark, root, [1.0] + [0.0] * 15, k=5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and any(
+        "list_id" in l and "PartitionFilters: []" not in l for l in scan
+    ), plan
+
+
+def test_ivf_store_audit_depths_and_refit_rule(spark, tmp_path):
+    from dampr_spark.operators.similarity import ivf_store_audit
+
+    df = _clustered(spark)  # 400 vectors, sqrt = 20
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=400)
+    root = str(tmp_path / "store")
+    ivf.init_store(df.filter(F.col("vec_id") < 200), root)
+    ivf.append_shard(df.filter(F.col("vec_id") >= 200), root)
+    # n_lists=4 against sqrt(400)=20: a full octave under -> refit.
+    r = ivf_store_audit(spark, root, n_lists=4, nprobe=2).collect()[0]
+    assert r.n_shards == 2 and r.n_vecs == 400 and r.dim == 16
+    assert 0 < r.occupied_lists <= 4
+    assert r.max_list_depth <= 400 and r.probe_rows_worst >= r.max_list_depth
+    assert r.probe_bytes_worst == r.probe_rows_worst * (4 * 16 + 8)
+    assert r.sqrt_n == 20.0
+    assert r.refit_recommended
+    # n_lists=16 is within the octave band [sqrt/2, 2*sqrt] -> no refit.
+    r16 = ivf_store_audit(spark, root, n_lists=16, nprobe=2).collect()[0]
+    assert not r16.refit_recommended and r16.n_vecs == 400
+
+
+def test_knn_graph_assign_m_recovers_boundary_neighbor(spark):
+    """The deterministic boundary fixture: q (46 deg) quantizes to list 1,
+    its true nearest neighbor b (44 deg) to list 0. At nprobe=1/assign_m=1
+    the graph misses b; at assign_m=2 b is ALSO placed in list 1 and the
+    exact same probe budget finds it — the standard member-side
+    multi-assignment recall remedy, pinned without any sampling."""
+    import math as m
+
+    def vec(deg):
+        return [float(m.cos(m.radians(deg))), float(m.sin(m.radians(deg)))]
+
+    rows = [
+        (1, vec(46)),   # q: nearest centroid c1=(0,1) (44 vs 46 deg)
+        (2, vec(44)),   # b: nearest centroid c0=(1,0); q's true NN
+        (3, vec(90)),   # in-list-1 distractor
+        (4, vec(0)),    # in-list-0 filler
+    ]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    ivf = IVFIndex(n_lists=2, nprobe=1, seed=0)
+    ivf.centroids = np.asarray([[1.0, 0.0], [0.0, 1.0]])
+    assigned = ivf.assign(df)
+    n1 = {
+        r.vec_id: r.neighbor_id
+        for r in ivf.knn_graph(assigned, k=1).collect()
+    }
+    assert n1[1] == 3  # boundary neighbor missed at assign_m=1
+    n2 = {
+        r.vec_id: r.neighbor_id
+        for r in ivf.knn_graph(assigned, k=1, assign_m=2).collect()
+    }
+    assert n2[1] == 2  # recovered at the SAME nprobe budget
+    # And multi-assignment never duplicates a pair in the output.
+    g2 = ivf.knn_graph(assigned, k=3, assign_m=2)
+    pairs = [(r.vec_id, r.neighbor_id) for r in g2.collect()]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_ivf_list_audit_prices_assign_m(spark):
+    from dampr_spark.operators.similarity import ivf_list_audit
+
+    df = _clustered(spark, n_clusters=4, per_cluster=25)
+    out = ivf_list_audit(
+        df, n_lists_candidates=(4, 16), nprobe=2, sample_size=200,
+        assign_m=3,
+    ).collect()
+    for r in out:
+        assert r.assign_m == 3
+        assert r.member_rows_assigned == 3 * r.n_vecs
+        assert r.member_bytes_assigned == 3 * r.n_vecs * (4 * r.dim + 8)
