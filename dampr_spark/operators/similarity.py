@@ -553,6 +553,94 @@ class IVFIndex:
             )
         )
 
+    def _dominated_qids(
+        self,
+        probers: DataFrame,
+        members: DataFrame,
+        threshold: float,
+    ) -> DataFrame:
+        """Distinct prober ids for which SOME member with a LOWER id in a
+        shared list has cosine >= threshold — the existence test behind
+        :meth:`semantic_novelty` and the streaming semantic-dedup twin.
+        Inputs: probers (qid, qv, list_id — one row per probed list),
+        members (list_id, nid, mv). Per-list work is one Arrow cogroup —
+        the same BLAS matmul discipline as :meth:`knn_graph` (an
+        expression-level cosine here evaluates interpreted per pair and
+        was measured watchdog-slow at a tenth of proof scale) — but the
+        reduction is a boolean any(), so the per-list output is at most
+        one row per prober, and duplicates across shared lists collapse
+        in the final distinct over a set already bounded by N."""
+        import pandas as pd
+
+        thr = float(threshold)
+
+        def dominated(key, mpdf, ppdf):
+            if not len(mpdf) or not len(ppdf):
+                return pd.DataFrame({"qid": []})
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in mpdf["mv"]]
+            )
+            qm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in ppdf["qv"]]
+            )
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            qm /= np.maximum(
+                np.linalg.norm(qm, axis=1, keepdims=True), 1e-12
+            )
+            sims = np.round(qm @ m.T, 6)  # 6dp: the window discipline
+            nids = mpdf["nid"].to_numpy()
+            qids = ppdf["qid"].to_numpy()
+            hit = ((sims >= thr) & (nids[None, :] < qids[:, None])).any(
+                axis=1
+            )
+            return pd.DataFrame({"qid": qids[hit]})
+
+        return (
+            members.groupBy("list_id")
+            .cogroup(probers.groupBy("list_id"))
+            .applyInPandas(dominated, "qid long")
+            .distinct()
+        )
+
+    def semantic_novelty(
+        self,
+        assigned: DataFrame,
+        threshold: float = 0.95,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Keep-novel semantic dedup in ID order (round 12): a vector
+        SURVIVES iff no lower-id vector within its nprobe probe lists has
+        cosine >= ``threshold``. This is the streaming-compatible cousin
+        of :meth:`semantic_keep_best` — no clustering, no centroid, just
+        the pairwise first-wins rule, which is exactly what an
+        append-only stream can honor (a later arrival can't displace an
+        already-emitted survivor; `streaming.semantic_dedup_stream` is
+        the twin and replays to the SAME survivor set in id-ordered
+        batches, pinned by the equivalence test). Returns the surviving
+        rows of ``assigned`` unchanged.
+
+        Scale shape: one list_id shuffle (the knn_graph exchange), per-
+        list Arrow matmul reduced to a boolean per prober, dominated set
+        <= N ids, one anti-join. Candidate generation is the IVF probe
+        rule, so recall of the dominance test follows the index's recall
+        — same remedy knobs (nprobe, assign_m via re-probing) apply."""
+        assert self.centroids is not None, "call fit() first"
+        nprobe = min(self.nprobe, len(self.centroids))
+        probe_lists = self._top_lists_udf(nprobe)
+        probers = assigned.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
+        )
+        members = assigned.select(
+            "list_id", F.col(id_col).alias("nid"), F.col(vec_col).alias("mv")
+        )
+        dominated = self._dominated_qids(probers, members, threshold)
+        return assigned.join(
+            dominated.select(F.col("qid").alias(id_col)), id_col, "left_anti"
+        )
+
     def write_partitioned(
         self, assigned: DataFrame, path: str, lists_per_file: int = 1
     ) -> None:

@@ -527,3 +527,93 @@ def test_ivf_list_audit_prices_assign_m(spark):
         assert r.assign_m == 3
         assert r.member_rows_assigned == 3 * r.n_vecs
         assert r.member_bytes_assigned == 3 * r.n_vecs * (4 * r.dim + 8)
+
+
+# ---------------------------------------------------------------------------
+# 4. keep-novel semantic dedup: batch operator + streaming twin (VERDICT #5)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_novelty_first_wins_on_ties(spark):
+    """Exact duplicates: only the lowest-id copy of each duplicate group
+    survives (identical vectors always share lists and probe lists, so
+    the dominance candidate generation cannot miss them)."""
+    df = _tie_corpus(spark)  # 12 u-copies (0..11), 8 v-copies (100..107)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=100)
+    kept = ivf.semantic_novelty(ivf.assign(df), threshold=0.999)
+    ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    assert ids & set(range(12)) == {0}
+    assert ids & set(range(100, 108)) == {100}
+    # Global minimum id can never be dominated.
+    assert min(r.vec_id for r in df.collect()) in ids
+
+
+def test_semantic_novelty_threshold_gates_dominance(spark):
+    """A threshold above every cross-vector cosine keeps everything."""
+    df = _tie_corpus(spark, n_u=1, n_v=1, n_noise=30)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=100)
+    kept = ivf.semantic_novelty(ivf.assign(df), threshold=1.0000001)
+    assert kept.count() == df.count()
+
+
+def test_semantic_dedup_stream_matches_batch(spark, tmp_path_factory):
+    """Stream==batch: the corpus replayed in 3 id-ordered micro-batches
+    emits EXACTLY the batch operator's survivor set, and the IVF shard
+    store accumulates one shard per batch (composing with the round-12
+    incremental store)."""
+    import glob
+    import shutil
+
+    from dampr_spark.streaming import pipeline as streaming
+
+    df = _tie_corpus(spark, n_u=9, n_v=6, n_noise=24)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=100)
+    expected = sorted(
+        r.vec_id
+        for r in ivf.semantic_novelty(ivf.assign(df), threshold=0.999)
+        .select("vec_id")
+        .collect()
+    )
+
+    land = tmp_path_factory.mktemp("vec_land")
+    out_root = tmp_path_factory.mktemp("semdedup_out")
+    rows = sorted(df.collect(), key=lambda r: r.vec_id)
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third]
+        spark.createDataFrame(
+            [(int(r.vec_id), list(map(float, r.embedding))) for r in chunk],
+            VEC_SCHEMA,
+        ).coalesce(1).write.mode("overwrite").parquet(str(land / f"stage{i}"))
+        f = glob.glob(str(land / f"stage{i}" / "*.parquet"))[0]
+        dst = land / f"batch{i}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(land / f"stage{i}")
+
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    q = streaming.semantic_dedup_stream(
+        stream,
+        ivf,
+        str(out_root / "store"),
+        str(out_root / "novel"),
+        threshold=0.999,
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        r.vec_id
+        for r in spark.read.parquet(str(out_root / "novel"))
+        .select("vec_id")
+        .collect()
+    )
+    assert got == expected
+    assert ivf.store_shard_ids(spark, str(out_root / "store")) == [0, 1, 2]
+    # The store holds EVERY arrival (dominance must see non-survivors too).
+    assert (
+        ivf.read_store(spark, str(out_root / "store")).count() == len(rows)
+    )
