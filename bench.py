@@ -296,6 +296,13 @@ BENCH_QUERIES = [
     # bounded window merge; n_lists ~ sqrt(N) per the audit). The
     # clustering/keep-best endpoints are thin compositions over it.
     "ivf_knn_graph",
+    # round-12 flagship: the capstone curation pipeline — exact keep-best
+    # dedup -> near-dup keep-best -> quality gate -> split -> shard
+    # manifest, one persisted corpus scan feeding every stage (the
+    # composition discipline quality_gate_refit_drift proved, applied to
+    # the full production shape; oracle replays it end-to-end incl. the
+    # recursive component closure).
+    "curate_training_slice",
 ]
 
 # Frozen-anchor query set: one representative per regression class the r8

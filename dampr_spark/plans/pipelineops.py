@@ -2601,3 +2601,185 @@ def quality_gate_refit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats.unpersist()
     return out
+
+
+_CURATE_Q_GATE = 0.6
+_CURATE_ORACLE = f"""
+WITH RECURSIVE
+scored AS (
+  SELECT doc_id, source, text,
+         {T.fingerprint_sql('text')} AS fp,
+         {T.quality_score_sql('text')} AS q
+  FROM documents WHERE text IS NOT NULL),
+exact_best AS (
+  SELECT doc_id, source, text, q FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rn
+    FROM scored) WHERE rn = 1),
+grams AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS gram
+  FROM exact_best),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY id),
+keep AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING count(*) BETWEEN 2 AND 64),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM grams a JOIN keep USING (gram) JOIN grams b USING (gram)
+  WHERE a.id < b.id GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM shared
+  JOIN sizes sa ON sa.id = shared.id_a
+  JOIN sizes sb ON sb.id = shared.id_b
+  WHERE inter / (sa.n_grams + sb.n_grams - inter) >= 0.1),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+comp AS (SELECT s AS id, least(s, min(d)) AS canonical FROM reach GROUP BY s),
+winners AS (
+  SELECT canonical, id AS keep_id FROM (
+    SELECT comp.canonical, comp.id,
+           row_number() OVER (PARTITION BY comp.canonical
+                              ORDER BY eb.q DESC, comp.id) AS rn
+    FROM comp JOIN exact_best eb ON eb.doc_id = comp.id) WHERE rn = 1),
+losers AS (
+  SELECT comp.id FROM comp JOIN winners USING (canonical)
+  WHERE comp.id <> winners.keep_id),
+gated AS (
+  SELECT doc_id, text, q FROM exact_best
+  WHERE doc_id NOT IN (SELECT id FROM losers) AND q >= {_CURATE_Q_GATE}),
+tagged AS (
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'),
+                              1, 8))::BIGINT % {_N_SHARDS} AS INT) AS shard_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         doc_id, q
+  FROM gated)
+SELECT split, shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+       round(avg(q), 6) AS avg_quality
+FROM tagged GROUP BY split, shard_id
+"""
+
+
+@register(
+    "curate_training_slice",
+    oracle=_CURATE_ORACLE,
+    tags=("pipeline", "dedup", "curation", "capstone", "extension", "bench"),
+)
+def curate_training_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE capstone composition (round 12, VERDICT r11 #6) — the full
+    curation pipeline every production training run executes, as ONE
+    oracle-replayed query: exact dedup (keep-best) → n-gram-Jaccard
+    near-dup collapse (keep-best) → quality gate → deterministic
+    train/val/test split → shard packing → per-(split, shard) MANIFEST.
+    Every stage is the already-oracle-green catalog operator
+    (`exact_dedup_keep_best`, `near_dedup_keep_best`,
+    `train_val_test_split`, `training_shards_manifest`), composed; the
+    DuckDB oracle chains their SQL end-to-end including the recursive-CTE
+    component closure.
+
+    The discipline under test is the SHARED SCAN: the corpus text is
+    read ONCE into a persisted (doc_id, source, text, fp, q) frame —
+    fingerprint and quality are computed in that single pass — and every
+    stage downstream consumes either that frame or the pinned
+    exact-survivor frame (multi-consumer convention: the survivor frame
+    feeds the gram explode, the pair join, the keep-best aggregate, and
+    the gate, so it is localCheckpoint-pinned; plan-locked in
+    tests/test_round12_fixes.py: the final plan contains NO parquet scan
+    of documents — all lineage is behind the pin).
+
+    Plan shape for 100 TB: one corpus scan + persist; one fp-keyed
+    max_by (bodies shuffle once, inside the struct); the near-dup stage
+    is the capped posting self-join (budget priced by
+    `substring/lsh/contamination` audit siblings) over the ALREADY
+    exact-deduped survivors (the order matters: exact dup groups would
+    otherwise multiply the posting lists); gate/split/shard are pure
+    codegen expressions on the pinned survivors; the manifest is one
+    (split, shard)-keyed aggregate of ~3x{_N_SHARDS} rows."""
+    from pyspark import StorageLevel
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            T.fingerprint("text").alias("fp"),
+            T.quality_score("text").alias("q"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)  # the ONE corpus text scan
+    )
+    exact_best = (
+        d.groupBy("fp")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("q"),
+                    (-F.col("doc_id")).alias("negid"),
+                    F.col("text"),
+                )
+            ).alias("m")
+        )
+        .select(
+            (-F.col("m.negid")).alias("doc_id"),
+            F.col("m.text").alias("text"),
+            F.col("m.q").alias("q"),
+        )
+        .localCheckpoint(eager=True)  # feeds grams + pair join + keep-best
+        # + gate: four consumers, one materialization
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        exact_best, n=3, threshold=0.1, max_posting=64
+    ).select("id_a", "id_b")
+    survivors = dedup.drop_near_dups_keep_best(
+        exact_best, pairs, F.col("q")
+    )
+    gated = survivors.filter(F.col("q") >= _CURATE_Q_GATE)
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _N_SHARDS
+    ).cast("int")
+    out = (
+        gated.select(
+            split.alias("split"),
+            shard.alias("shard_id"),
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+            "doc_id",
+            "q",
+        )
+        .groupBy("split", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+        .localCheckpoint(eager=True)  # bounded (<= 3 x n_shards rows);
+        # lets the unpersist below not re-trigger the corpus scan
+    )
+    d.unpersist()
+    return out

@@ -176,10 +176,22 @@ _HARDENED = [
     # identical on both engines) and its exact kth-sim/count columns
     # recompute under the perturbation
     "ivf_batch_recall_check",
+    # round-12 additions: the capstone pipeline composes four text
+    # stages over NULL/empty texts and planted dup ids (every stage
+    # filters text IS NOT NULL at entry, matching the oracle chain);
+    # the incremental-store and novelty companions derive their
+    # conservation counts from the SURVIVING valid vectors on both
+    # engines, and the zero vector / NULL embeddings drop at the
+    # valid_vector gate before any store write or dominance test
+    "curate_training_slice",
+    "incremental_ann_check",
+    "semantic_novelty_check",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",
     "embedding_near_dups",
+    "incremental_ann_search",
+    "semantic_novelty_dedup",
     "ivf_ann_topk",
     "kmeans_clusters",
     "lsh_ann_topk",

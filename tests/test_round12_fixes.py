@@ -617,3 +617,79 @@ def test_semantic_dedup_stream_matches_batch(spark, tmp_path_factory):
     assert (
         ivf.read_store(spark, str(out_root / "store")).count() == len(rows)
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. curate_training_slice capstone: shared-scan plan lock (VERDICT #6)
+# ---------------------------------------------------------------------------
+
+
+def test_curate_training_slice_single_corpus_scan(spark):
+    """The capstone's discipline: ONE persisted corpus text scan feeds
+    every stage. Plan-locked two ways: (a) the returned frame is the
+    bounded pinned manifest (no corpus lineage at all); (b) rebuilding
+    the pipeline's pre-pin lineage still shows at most ONE parquet scan
+    of documents — the persist dedupes the fingerprint/quality/gram
+    consumers."""
+    from dampr_spark.plans.pipelineops import curate_training_slice
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = curate_training_slice(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan, plan  # fully behind the pin
+    rows = out.collect()
+    assert rows and all(r.n_docs > 0 for r in rows)
+    splits = {r.split for r in rows}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    # Manifest sanity: id ranges are ordered, token sums positive.
+    for r in rows:
+        assert r.min_doc_id <= r.max_doc_id and r.n_tokens > 0
+        assert 0.0 <= r.avg_quality <= 1.0
+
+
+def test_curate_training_slice_stage_semantics(spark):
+    """Composition semantics vs the stage operators it composes: the
+    capstone's total kept docs equal near-dup-keep-best survivors of the
+    exact-keep-best survivors, gated at q >= 0.6."""
+    from dampr_spark.functions.text import fingerprint, quality_score
+    from dampr_spark.operators import dedup
+    from dampr_spark.plans.pipelineops import curate_training_slice
+    from dampr_spark.sources.readers import read_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    total = sum(
+        r.n_docs for r in curate_training_slice(spark, sf_dir).collect()
+    )
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "text",
+            fingerprint("text").alias("fp"),
+            quality_score("text").alias("q"),
+        )
+    )
+    exact = (
+        d.groupBy("fp")
+        .agg(
+            F.max(
+                F.struct("q", (-F.col("doc_id")).alias("negid"), F.col("text"))
+            ).alias("m")
+        )
+        .select(
+            (-F.col("m.negid")).alias("doc_id"),
+            F.col("m.text").alias("text"),
+            F.col("m.q").alias("q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        exact, n=3, threshold=0.1, max_posting=64
+    ).select("id_a", "id_b")
+    expected = (
+        dedup.drop_near_dups_keep_best(exact, pairs, F.col("q"))
+        .filter(F.col("q") >= 0.6)
+        .count()
+    )
+    assert total == expected
