@@ -64,27 +64,57 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     reliable-checkpoint knob set (see module docstring): reliable
     ``checkpoint`` into the configured directory — the SparkContext's
     checkpoint dir is set lazily on first use so sessions that never pin
-    reliably never need the directory to exist."""
+    reliably never need the directory to exist.
+
+    BOTH eager paths persist + materialize BEFORE checkpointing, for two
+    measured reasons:
+
+    1. ``checkpoint()`` recomputes the plan to write its files unless
+       the frame is cached (ADVICE r11) — without the persist every
+       fixpoint round paid ~2x compute.
+    2. **The Catalyst stats snowball (round 12, measured and fixed):**
+       ``Dataset.checkpoint`` snapshots the origin plan's STATISTICS
+       into the new leaf, and ``sizeInBytes`` of a join is the PRODUCT
+       of its children's — so in a fixpoint whose round references the
+       pinned frame k>=2 times (connected components references labels
+       3x), each round's snapshot raises the previous round's
+       BigInteger to the k-th power. The number's BIT LENGTH grows
+       k-fold per round, and past ~18 rounds the driver spends its time
+       in BigInteger.multiply (jstack-verified: 169 s of ToomCook3 in a
+       71 s round; the 30-round CC fixpoint on a 50k-edge graph took
+       20+ minutes and was still diverging). Materializing a cache
+       first makes the snapshot read InMemoryRelation's REAL byte size
+       — small and constant — so every round's leaf stats reset
+       (measured: 7 digits forever, the same fixpoint in 26 s). The
+       eager checkpoint then drains from the cache and the blocks are
+       dead weight: unpersist."""
     spark = df.sparkSession
     d = reliable_checkpoint_dir(spark)
-    if d is None:
-        return df.localCheckpoint(eager=eager)
-    sc = spark.sparkContext
-    current = None
-    try:
-        current = sc.getCheckpointDir()
-    except Exception:
-        pass
-    if not current or not str(current).startswith(str(d)):
-        sc.setCheckpointDir(d)
-    if eager:
-        # checkpoint() RECOMPUTES the plan to write its files unless the
-        # frame is cached — without this persist every fixpoint round
-        # paid ~2x compute (ADVICE r11). The eager write drains from the
-        # cache, after which the blocks are dead weight: unpersist.
-        df = df.persist()
+    if not eager:
+        # Lazy pins can't pre-materialize; they are only used for
+        # frames consumed once, outside fixpoint loops.
+        return (
+            df.localCheckpoint(eager=False)
+            if d is None
+            else df.checkpoint(eager=False)
+        )
+    if d is not None:
+        sc = spark.sparkContext
+        current = None
         try:
-            return df.checkpoint(eager=True)
-        finally:
-            df.unpersist(False)
-    return df.checkpoint(eager=False)
+            current = sc.getCheckpointDir()
+        except Exception:
+            pass
+        if not current or not str(current).startswith(str(d)):
+            sc.setCheckpointDir(d)
+    cached = df.persist()
+    try:
+        cached.count()  # materialize: real InMemoryRelation stats + no
+        # recompute during the checkpoint write
+        return (
+            cached.localCheckpoint(eager=True)
+            if d is None
+            else cached.checkpoint(eager=True)
+        )
+    finally:
+        cached.unpersist(False)

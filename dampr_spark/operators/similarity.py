@@ -489,6 +489,7 @@ class IVFIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         assign_m: int = 1,
+        clusters: DataFrame | None = None,
     ) -> DataFrame:
         """SemDeDup-style collapse over :meth:`mutual_knn_clusters`
         (round 11 — the dedup ENDPOINT of the kNN stack): keep, per
@@ -502,10 +503,19 @@ class IVFIndex:
         Scale shape on top of the clustering's own cost: centroids are
         one posexplode + (cluster, dim)-keyed avg (the kmeans recompute
         shape — scalar shuffle, never vectors), the representative pick
-        is one max_by aggregate per cluster. Nothing driver-side."""
-        clusters = self.mutual_knn_clusters(
-            assigned, k=k, vec_col=vec_col, id_col=id_col, assign_m=assign_m
-        )
+        is one max_by aggregate per cluster. Nothing driver-side.
+
+        Pass ``clusters`` (a frame of (id_col, cluster), e.g. a pinned
+        :meth:`mutual_knn_clusters` result) to reuse an
+        already-computed clustering — callers that want BOTH outputs
+        would otherwise pay the whole graph+components chain twice
+        (round 12; the 100x proof's clusters leg measures the keep-best
+        tail this way)."""
+        if clusters is None:
+            clusters = self.mutual_knn_clusters(
+                assigned, k=k, vec_col=vec_col, id_col=id_col,
+                assign_m=assign_m,
+            )
         members = assigned.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v")
         ).join(

@@ -693,3 +693,60 @@ def test_curate_training_slice_stage_semantics(spark):
         .count()
     )
     assert total == expected
+
+
+# ---------------------------------------------------------------------------
+# 6. the Catalyst stats snowball in iterative pins (round-12 discovery)
+# ---------------------------------------------------------------------------
+
+
+def test_pin_resets_stats_no_bigint_snowball(spark):
+    """Dataset.checkpoint snapshots the origin plan's statistics into the
+    new leaf; a fixpoint whose round joins the pinned frame against
+    itself SQUARES the sizeInBytes BigInteger every round (connected
+    components cubes it), and past ~18 rounds the driver drowns in
+    BigInteger.multiply — jstack-measured 169 s of ToomCook3 inside one
+    71 s round before the fix. pin() now materializes a cache first so
+    the snapshot reads the InMemoryRelation's REAL byte size: leaf stats
+    stay constant-width forever. 10 self-join rounds would reach
+    thousands of digits under the old behavior; assert they stay tiny."""
+    from dampr_spark.operators.pinning import pin
+
+    labels = pin(
+        spark.range(2000).select(F.col("id"), F.col("id").alias("label"))
+    )
+    for _ in range(10):
+        prev = labels.select(
+            F.col("id").alias("jid"), F.col("label").alias("jlab")
+        )
+        nxt = labels.join(prev, labels.label == prev.jid, "left").select(
+            "id",
+            F.least("label", F.coalesce("jlab", "label")).alias("label"),
+        )
+        labels = pin(nxt)
+    digits = len(
+        str(
+            labels._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    )
+    assert digits < 30, f"stats snowball is back: {digits} digits"
+    assert labels.count() == 2000
+
+
+def test_semantic_keep_best_accepts_precomputed_clusters(spark):
+    """keep_best(clusters=pinned_clustering) must equal the self-computed
+    path — callers wanting both outputs shouldn't pay the graph twice."""
+    df = _tie_corpus(spark)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=100)
+    assigned = ivf.assign(df).localCheckpoint(eager=True)
+    clusters = ivf.mutual_knn_clusters(assigned, k=3).localCheckpoint(
+        eager=True
+    )
+    a = sorted(map(tuple, ivf.semantic_keep_best(assigned, k=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            ivf.semantic_keep_best(assigned, k=3, clusters=clusters).collect(),
+        )
+    )
+    assert a == b
