@@ -207,13 +207,24 @@ def main() -> int:
     if "--clusters-only" in sys.argv:
         import math
 
-        chain_n, star_n = 4096, 512
+        # Planted ids start at 500M — far above organic_100x's copy ids
+        # (vec_id + copy*1e6, max ~99M); the first fixture version
+        # planted at 10M/11M and COLLIDED with copies 10/11, breaking
+        # conservation. The chain spans a quarter arc (1024 x 0.08 deg)
+        # — the first version's 0.45 deg x 4096 wrapped the circle five
+        # times, making i and i+800 EXACT twins whose 6dp ties fragment
+        # under the deterministic cut; 0.08 deg keeps adjacent cosines
+        # distinct at 6dp (cos 0.08deg = .999999 < 1.0) so the mutual
+        # +-1/+-2 edges hold one 1024-member chain — the long-diameter
+        # mega-cluster this leg exists to stress.
+        chain_n, star_n = 1024, 512
+        CHAIN_BASE, STAR_BASE = 500_000_000, 600_000_000
         chain = [
             (
-                10_000_000 + i,
+                CHAIN_BASE + i,
                 [
-                    float(math.cos(math.radians(i * 0.45))),
-                    float(math.sin(math.radians(i * 0.45))),
+                    float(math.cos(math.radians(i * 0.08))),
+                    float(math.sin(math.radians(i * 0.08))),
                 ]
                 + [0.0] * (DIM - 2),
             )
@@ -231,12 +242,12 @@ def main() -> int:
         rng = np.random.default_rng(12)
         hub = [0.0] * DIM
         hub[2] = 1.0
-        star = [(11_000_000, [float(x) for x in hub])]
+        star = [(STAR_BASE, [float(x) for x in hub])]
         for j in range(star_n):
             u = rng.choice([-1.0, 1.0], size=DIM - 3) / math.sqrt(DIM - 3)
             v = [0.0] * 3 + [float(math.sin(eps) * x) for x in u]
             v[2] = math.cos(eps)
-            star.append((11_000_001 + j, [float(x) for x in v]))
+            star.append((STAR_BASE + 1 + j, [float(x) for x in v]))
         planted = spark.createDataFrame(
             chain + star, "vec_id long, embedding array<float>"
         )
@@ -260,15 +271,15 @@ def main() -> int:
         ]
         chain_cluster_size = (
             clusters.filter(
-                (F.col("vec_id") >= 10_000_000)
-                & (F.col("vec_id") < 10_000_000 + chain_n)
+                (F.col("vec_id") >= CHAIN_BASE)
+                & (F.col("vec_id") < CHAIN_BASE + chain_n)
             )
             .groupBy("cluster")
             .count()
             .orderBy(F.col("count").desc())
             .first()
         )
-        hub_cluster = clusters.filter(F.col("vec_id") == 11_000_000).first()
+        hub_cluster = clusters.filter(F.col("vec_id") == STAR_BASE).first()
         hub_cluster_size = clusters.filter(
             F.col("cluster") == hub_cluster.cluster
         ).count()
@@ -283,9 +294,12 @@ def main() -> int:
         }
 
         t0 = time.perf_counter()
-        reps = idx.semantic_keep_best(assigned, k=5).localCheckpoint(
-            eager=True
-        )
+        # clusters= reuse (round 12): the keep-best wall below is the
+        # INCREMENTAL cost over the clustering — centroids + max_by —
+        # not a second full graph+components chain.
+        reps = idx.semantic_keep_best(
+            assigned, k=5, clusters=clusters
+        ).localCheckpoint(eager=True)
         keep_sec = time.perf_counter() - t0
         member_sum = int(reps.agg(F.sum("n_members")).first()[0])
         dup_reps = (
