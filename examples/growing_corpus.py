@@ -116,3 +116,37 @@ def reenter_prior_run(values: list) -> list:
     first = Dampr.memory(values).map(lambda v: v * 10).run()
     second = Dampr.from_dataset(first).map(lambda v: v + 1).run()
     return sorted(second.read())
+
+
+def grow_vector_store(
+    spark: SparkSession,
+    store_root: str,
+    seed_vecs: DataFrame,
+    batches: list[DataFrame],
+    n_lists: int = 8,
+    nprobe: int = 3,
+) -> dict:
+    """The VECTOR-side maintenance loop (round 12 — the IVF twin of
+    :func:`grow`): fit the coarse quantizer ONCE on the seed, init the
+    shard store, then per arriving batch (a) append one immutable shard
+    assigned to the frozen centroids (one Arrow pass over the batch,
+    never a pass over history) and (b) re-price the accumulated list
+    depths with ``ivf_store_audit`` — its ~sqrt(N) octave rule is the
+    re-fit trigger, the exact signal the 100x proof's stale-config cliff
+    showed up without. Searches over the store prune to the probed
+    ``list_id`` directories across every shard."""
+    from dampr_spark.operators.similarity import IVFIndex, ivf_store_audit
+
+    ivf = IVFIndex(n_lists=n_lists, nprobe=nprobe).fit(seed_vecs)
+    ivf.init_store(seed_vecs, store_root)
+    report = {"appended": [], "refit_flags": []}
+    for batch in batches:
+        ivf.append_shard(batch, store_root)
+        audit = ivf_store_audit(
+            spark, store_root, n_lists=n_lists, nprobe=nprobe
+        ).first()
+        report["appended"].append(int(audit.n_vecs))
+        report["refit_flags"].append(bool(audit.refit_recommended))
+    report["n_shards"] = len(ivf.store_shard_ids(spark, store_root))
+    report["ivf"] = ivf
+    return report

@@ -369,3 +369,29 @@ def test_growing_corpus_example(spark, sf_dir, tmp_path):
     assert resolution_checkpoint(emb) in (2, 4, 6, None)
 
     assert reenter_prior_run([3, 1, 2]) == [11, 21, 31]
+
+    # The vector-side loop (round 12): shard appends against frozen
+    # centroids, per-append re-pricing, store search == in-memory search
+    # over the same corpus+centroids.
+    from growing_corpus import grow_vector_store
+    from dampr_spark.functions.vector import valid_vector
+
+    vecs = emb.filter(valid_vector("embedding")).select("vec_id", "embedding")
+    vseed = vecs.filter(F.col("vec_id") % 3 == 0)
+    vb1 = vecs.filter(F.col("vec_id") % 3 == 1)
+    vb2 = vecs.filter(F.col("vec_id") % 3 == 2)
+    vroot = str(tmp_path / "grow_ivf")
+    vrep = grow_vector_store(spark, vroot, vseed, [vb1, vb2])
+    assert vrep["n_shards"] == 3
+    assert vrep["appended"][-1] == vecs.count()  # conservation per audit
+    ivf = vrep["ivf"]
+    q = [float(x) for x in vecs.orderBy("vec_id").first().embedding]
+    got = sorted(
+        (r.vec_id, r.cos_sim)
+        for r in ivf.search_store(spark, vroot, q, k=5).collect()
+    )
+    want = sorted(
+        (r.vec_id, r.cos_sim)
+        for r in ivf.query_topk(ivf.assign(vecs), q, k=5).collect()
+    )
+    assert got == want
