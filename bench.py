@@ -832,7 +832,18 @@ def main() -> int:
             compact["anchor_hostwindow"] = len(anchor_hostwindow)
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
+        # Third shed stage (round 12 — the 71st query pushed the named
+        # dict past the budget): per-query values survive as a compact
+        # ARRAY in BENCH_QUERIES order (names recoverable from this
+        # file's list or the committed verbose payload) instead of
+        # disappearing from the driver record entirely.
         compact.pop("queries")
+        compact["queries_v"] = [
+            round(cold_timings[q], 1) for q in BENCH_QUERIES
+        ]
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        compact.pop("queries_v")
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
     return 0
