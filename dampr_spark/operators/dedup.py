@@ -596,7 +596,9 @@ def minhash_lsh_dedup(
 
 
 def near_dup_clusters(
-    pairs: DataFrame, iters: int = 3, max_driver_edges: int = 50_000
+    pairs: DataFrame,
+    iters: int | str = 3,
+    max_driver_edges: int = 50_000,
 ) -> DataFrame:
     """Cluster near-dup pairs into (id, canonical) via min-label
     propagation: every id starts as its own label; each round takes the min
@@ -605,7 +607,13 @@ def near_dup_clusters(
     clusters of graph diameter ≤ iters; LSH near-dup clusters are
     near-cliques (every member collides with most others), so diameter is
     almost always ≤ 2 — documented approximation, raise ``iters`` for
-    chain-shaped clusters.
+    chain-shaped clusters, or pass ``iters="converge"`` to run min-label
+    propagation to FIXPOINT via ``graph.connected_components`` (pointer
+    jumping, O(log diameter) rounds, change-detected, 50-round bound) —
+    exact for ANY component shape, which is what the oracle-replayed
+    keep-best pipelines require (their DuckDB oracles compute the full
+    recursive transitive closure; a fixed iters silently diverges on a
+    chain deeper than iters hops — ADVICE r12).
 
     Lineage discipline (measured on the sf0.1 bench pipeline): the input
     pair lineage is typically expensive (LSH verify joins), and the
@@ -630,9 +638,21 @@ def near_dup_clusters(
     from dampr_spark.operators.graph import (
         _common_id_type,
         _undirected_adj,
+        connected_components,
         driver_fixpoint,
         pin_probe_edges,
     )
+
+    if iters == "converge":
+        # Full-closure mode: components to fixpoint (pointer jumping +
+        # change detection, driver fast path included) — exactly the
+        # recursive-CTE closure the keep-best oracles compute.
+        return connected_components(
+            pairs,
+            src="id_a",
+            dst="id_b",
+            max_driver_edges=max_driver_edges,
+        ).select("id", F.col("component").alias("canonical"))
 
     p, small = pin_probe_edges(
         pairs.select("id_a", "id_b").filter(
@@ -695,7 +715,7 @@ def drop_near_dups(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    iters: int = 3,
+    iters: int | str = 3,
 ) -> DataFrame:
     """Filtering companion to the near-dup pair generators: keep one
     canonical (min-id) row per near-dup cluster, plus every row in no
@@ -714,7 +734,7 @@ def drop_near_dups_keep_best(
     pairs: DataFrame,
     score: Column,
     id_col: str = "doc_id",
-    iters: int = 3,
+    iters: int | str = 3,
 ) -> DataFrame:
     """Quality-aware near-dup collapse: keep the HIGHEST-``score`` member
     of every near-dup cluster (ties -> lowest id), plus every unclustered

@@ -87,7 +87,15 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
        — small and constant — so every round's leaf stats reset
        (measured: 7 digits forever, the same fixpoint in 26 s). The
        eager checkpoint then drains from the cache and the blocks are
-       dead weight: unpersist."""
+       dead weight: unpersist.
+
+    Already-persisted inputs (ADVICE r12): a caller pinning a frame it
+    has ALREADY persisted for its own multi-consumer reuse must keep its
+    cache — ``persist()`` on such a frame is a no-op on the existing
+    entry, so an unconditional unpersist here would silently evict the
+    caller's cache and force recompute downstream. When the input's
+    storage level shows it is persisted, pin() only materializes
+    (count) and checkpoints; the caller keeps ownership of its cache."""
     spark = df.sparkSession
     d = reliable_checkpoint_dir(spark)
     if not eager:
@@ -107,7 +115,9 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
             pass
         if not current or not str(current).startswith(str(d)):
             sc.setCheckpointDir(d)
-    cached = df.persist()
+    lvl = df.storageLevel
+    caller_owns_cache = bool(lvl.useMemory or lvl.useDisk)
+    cached = df if caller_owns_cache else df.persist()
     try:
         cached.count()  # materialize: real InMemoryRelation stats + no
         # recompute during the checkpoint write
@@ -117,4 +127,5 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
             else cached.checkpoint(eager=True)
         )
     finally:
-        cached.unpersist(False)
+        if not caller_owns_cache:
+            cached.unpersist(False)

@@ -1520,9 +1520,11 @@ WHERE d.text IS NOT NULL
 def near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware NEAR-dup collapse, fully oracle-checked end-to-end:
     exact 3-gram-Jaccard pairs (the oracle-green `ngram_jaccard_dups`
-    graph) → iterative min-label components (vs DuckDB's recursive-CTE
-    closure) → per-cluster keep-best by the codegen quality score (max_by,
-    no window) → anti-join. The near-dup twin of `exact_dedup_keep_best`:
+    graph) → min-label components run to FIXPOINT (``iters="converge"``
+    — exact vs DuckDB's recursive-CTE closure at ANY chain depth; the
+    old fixed iters=3 silently diverged on components deeper than 3
+    hops, ADVICE r12) → per-cluster keep-best by the codegen quality
+    score (max_by, no window) → anti-join. The near-dup twin of `exact_dedup_keep_best`:
     of several mangled crawl copies, the cleanest survives — min-id keep
     is arbitrary."""
     from dampr_spark.functions.text import quality_score
@@ -1531,7 +1533,9 @@ def near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(
         d, n=3, threshold=0.1, max_posting=_NGRAM_MAX_POSTING
     ).select("id_a", "id_b")
-    out = dedup.drop_near_dups_keep_best(d, pairs, quality_score("text"))
+    out = dedup.drop_near_dups_keep_best(
+        d, pairs, quality_score("text"), iters="converge"
+    )  # converge: matches the oracle's recursive closure at any depth
     return out.select(
         "doc_id", "source", F.round(quality_score("text"), 6).alias("quality")
     )

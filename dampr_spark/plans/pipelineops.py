@@ -2743,8 +2743,9 @@ def curate_training_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_best, n=3, threshold=0.1, max_posting=64
     ).select("id_a", "id_b")
     survivors = dedup.drop_near_dups_keep_best(
-        exact_best, pairs, F.col("q")
-    )
+        exact_best, pairs, F.col("q"), iters="converge"
+    )  # converge: the oracle's recursive closure, exact at any chain
+    # depth (ADVICE r12 — fixed iters=3 diverged on diameter>3 chains)
     gated = survivors.filter(F.col("q") >= _CURATE_Q_GATE)
     h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     split = (

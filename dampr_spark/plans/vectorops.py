@@ -781,11 +781,19 @@ def knn_keep_best_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incr_store_root(sf_dir: str, name: str) -> str:
+    # Per-process discriminator (ADVICE r12): two concurrent runs at the
+    # same scale factor (parallel test shards, bench + suite) previously
+    # shared one fixed path and raced init_store's recursive delete
+    # against the other run's append_shard. Keyed by PID the store is
+    # private to the run; within one process reuse is sequential and
+    # init_store's overwrite semantics make it safe.
     import os
     import tempfile
 
     sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(tempfile.gettempdir(), name, sf_tag)
+    return os.path.join(
+        tempfile.gettempdir(), name, f"pid{os.getpid()}", sf_tag
+    )
 
 
 @register(
@@ -943,9 +951,12 @@ def semantic_novelty_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Externally-verified contract of `semantic_novelty_dedup` (seeded
     quantizer → rows-only), the invariant-companion pattern:
 
-    - ``n_vecs`` — Spark emits survivors + dominated (its own
-      conservation sum); DuckDB the independent valid-vector count. A
-      vector double-dropped or double-kept breaks the hash compare.
+    - ``n_vecs`` — Spark emits survivors + the INDEPENDENTLY COUNTED
+      dominated complement (an anti-join of the corpus against the
+      survivor ids — not ``n_total - n_kept``, which would equal the
+      oracle count by construction; ADVICE r12); DuckDB the independent
+      valid-vector count. A duplicated survivor row or a survivor id
+      not in the corpus now breaks the hash compare.
     - ``min_id`` — both engines' independent global minimum id; Spark
       reads it FROM THE SURVIVOR SET (the global minimum can never be
       dominated), so a first-wins rule violation breaks the compare.
@@ -976,7 +987,13 @@ def semantic_novelty_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("count") > 1)
         .count()
     )
-    n_dominated = n_total - n_kept
+    # Independent complement count: rows of the corpus whose id is NOT a
+    # survivor (anti-join), so n_kept + n_dominated is a real cross-check
+    # against DuckDB's raw count rather than algebra that telescopes to
+    # n_total for any kept set.
+    n_dominated = e.join(
+        kept.select("vec_id"), "vec_id", "left_anti"
+    ).count()
     return spark.createDataFrame(
         [
             (

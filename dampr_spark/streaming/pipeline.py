@@ -293,6 +293,18 @@ def stream_click_attribution(
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
 
 
+def _checkpoint_loc(out_dir: str) -> str:
+    """Checkpoint location for a sink directory: a SIBLING directory named
+    ``<out_dir>_checkpoint``. Plain string concatenation broke on a
+    trailing separator (``out/`` -> ``out/_checkpoint``, a CHILD of the
+    sink that the sink's readers then try to parse as data — ADVICE r12):
+    strip trailing separators first so the checkpoint is always the
+    sibling the module-wide contract documents."""
+    import os
+
+    return out_dir.rstrip("/" + os.sep) + "_checkpoint"
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Execute a streaming query to completion over all currently-available
     input (``availableNow``) into an in-memory table; returns the result as
@@ -359,7 +371,7 @@ def incremental_dedup_stream(
 
     return (
         docs_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", out_dir + "_checkpoint")
+        .option("checkpointLocation", _checkpoint_loc(out_dir))
         .trigger(availableNow=True)
         .start()
     )
@@ -543,7 +555,7 @@ def incremental_neardup_stream(
 
     return (
         docs_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", out_dir + "_checkpoint")
+        .option("checkpointLocation", _checkpoint_loc(out_dir))
         .trigger(availableNow=True)
         .start()
     )
@@ -669,7 +681,7 @@ def incremental_novelty_stream(
 
     return (
         docs_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", out_dir + "_checkpoint")
+        .option("checkpointLocation", _checkpoint_loc(out_dir))
         .trigger(availableNow=True)
         .start()
     )
@@ -767,7 +779,7 @@ def value_drift_stream(
 
     return (
         events_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", out_dir + "_checkpoint")
+        .option("checkpointLocation", _checkpoint_loc(out_dir))
         .trigger(availableNow=True)
         .start()
     )
@@ -860,7 +872,7 @@ def embedding_drift_stream(
 
     return (
         vec_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", out_dir + "_checkpoint")
+        .option("checkpointLocation", _checkpoint_loc(out_dir))
         .trigger(availableNow=True)
         .start()
     )
@@ -964,7 +976,7 @@ def semantic_dedup_stream(
 
     return (
         vec_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", out_dir + "_checkpoint")
+        .option("checkpointLocation", _checkpoint_loc(out_dir))
         .trigger(availableNow=True)
         .start()
     )
@@ -1096,7 +1108,7 @@ def incremental_substring_stream(
 
     return (
         docs_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", out_dir + "_checkpoint")
+        .option("checkpointLocation", _checkpoint_loc(out_dir))
         .trigger(availableNow=True)
         .start()
     )
@@ -1131,7 +1143,7 @@ def cms_stream(
 
     return (
         docs_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", out_dir + "_checkpoint")
+        .option("checkpointLocation", _checkpoint_loc(out_dir))
         .trigger(availableNow=True)
         .start()
     )
@@ -1176,7 +1188,7 @@ def dsir_score_stream(
 
     return (
         docs_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", out_dir + "_checkpoint")
+        .option("checkpointLocation", _checkpoint_loc(out_dir))
         .trigger(availableNow=True)
         .start()
     )
@@ -1230,7 +1242,7 @@ def scd2_state_stream(
 
     return (
         events_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", out_dir + "_checkpoint")
+        .option("checkpointLocation", _checkpoint_loc(out_dir))
         .trigger(availableNow=True)
         .start()
     )
@@ -1348,7 +1360,7 @@ def hll_stream(
 
     return (
         events_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", out_dir + "_checkpoint")
+        .option("checkpointLocation", _checkpoint_loc(out_dir))
         .trigger(availableNow=True)
         .start()
     )
@@ -1394,7 +1406,7 @@ def bloom_stream(
 
     return (
         events_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", out_dir + "_checkpoint")
+        .option("checkpointLocation", _checkpoint_loc(out_dir))
         .trigger(availableNow=True)
         .start()
     )
@@ -1436,7 +1448,7 @@ def histogram_stream(
 
     return (
         events_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", out_dir + "_checkpoint")
+        .option("checkpointLocation", _checkpoint_loc(out_dir))
         .trigger(availableNow=True)
         .start()
     )
@@ -1494,7 +1506,7 @@ def ols_stream(
 
     return (
         events_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", out_dir + "_checkpoint")
+        .option("checkpointLocation", _checkpoint_loc(out_dir))
         .trigger(availableNow=True)
         .start()
     )
@@ -1570,7 +1582,7 @@ def logreg_score_stream(
 
     return (
         docs_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", out_dir + "_checkpoint")
+        .option("checkpointLocation", _checkpoint_loc(out_dir))
         .trigger(availableNow=True)
         .start()
     )
@@ -1686,7 +1698,7 @@ def semantic_neardup_stream(
 
     return (
         vec_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", out_dir + "_checkpoint")
+        .option("checkpointLocation", _checkpoint_loc(out_dir))
         .trigger(availableNow=True)
         .start()
     )

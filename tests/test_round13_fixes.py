@@ -1,0 +1,141 @@
+"""Round-13 regression pins for the r12 ADVICE fixes.
+
+1. ``pin()`` no longer evicts a CALLER-owned cache: pinning an
+   already-persisted frame materializes + checkpoints but leaves the
+   caller's persist in place (ADVICE r12: the unconditional
+   finally-unpersist silently evicted multi-consumer caches).
+2. ``near_dup_clusters(iters="converge")`` runs min-label propagation to
+   FIXPOINT (via graph.connected_components), exact on chain-shaped
+   components of any diameter — the mode the oracle-replayed keep-best
+   pipelines (`near_dedup_keep_best`, `curate_training_slice`) now use,
+   because their DuckDB oracles compute the full recursive closure and a
+   fixed iters=3 diverges on chains deeper than 3 hops (ADVICE r12).
+3. ``_incr_store_root`` is per-process: concurrent runs at the same scale
+   factor can no longer race one fixed store path (ADVICE r12).
+4. ``streaming._checkpoint_loc`` strips trailing separators so the
+   checkpoint dir is always the SIBLING ``<out>_checkpoint``, never a
+   child of the sink that its readers would parse as data (ADVICE r12).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# 1. pin() preserves a caller-owned persist
+# ---------------------------------------------------------------------------
+
+
+def test_pin_keeps_caller_owned_cache(spark):
+    from dampr_spark.operators.pinning import pin
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    df.persist()
+    try:
+        df.count()
+        assert df.storageLevel.useMemory  # caller's cache is live
+        pinned = pin(df)
+        assert pinned.count() == 100
+        # The caller's cache survives the pin (pre-fix: finally-unpersist
+        # evicted it because persist() was a no-op on the existing entry).
+        assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    finally:
+        df.unpersist()
+
+
+def test_pin_unpersists_its_own_cache(spark):
+    from dampr_spark.operators.pinning import pin
+
+    df = spark.range(50).withColumn("v", F.col("id") + 1)
+    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+    pinned = pin(df)
+    assert pinned.count() == 50
+    # pin()'s internal persist is drained and released: the input frame
+    # is not left cached behind the caller's back.
+    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+
+
+# ---------------------------------------------------------------------------
+# 2. converge mode: exact components on deep chains
+# ---------------------------------------------------------------------------
+
+_CHAIN = [(i, i + 1) for i in range(1, 7)]  # path 1-2-3-4-5-6-7, diameter 6
+
+
+@pytest.mark.parametrize("max_driver_edges", [50_000, 0])
+def test_near_dup_clusters_converge_deep_chain(spark, max_driver_edges):
+    from dampr_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(_CHAIN, "id_a long, id_b long")
+    labels = {
+        r.id: r.canonical
+        for r in near_dup_clusters(
+            pairs, iters="converge", max_driver_edges=max_driver_edges
+        ).collect()
+    }
+    assert labels == {i: 1 for i in range(1, 8)}
+
+
+def test_near_dup_clusters_fixed_iters_diverges_on_deep_chain(spark):
+    # The latent gap converge mode closes: 3 propagation rounds cannot
+    # reach across a diameter-6 path, so the far end keeps a non-min
+    # label. If this ever starts passing with iters=3 the converge mode
+    # is no longer load-bearing — re-evaluate before removing it.
+    from dampr_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(_CHAIN, "id_a long, id_b long")
+    labels = {
+        r.id: r.canonical
+        for r in near_dup_clusters(pairs, iters=3).collect()
+    }
+    assert labels != {i: 1 for i in range(1, 8)}
+
+
+def test_drop_near_dups_keep_best_converge_keeps_one_per_chain(spark):
+    """Keep-best over a diameter-6 chain whose best-quality member sits at
+    the far end: converge mode collapses the chain to exactly that one
+    survivor (plus the unclustered singleton)."""
+    from dampr_spark.operators.dedup import drop_near_dups_keep_best
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 8)] + [(99, 0.0)],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(_CHAIN, "id_a long, id_b long")
+    kept = sorted(
+        r.doc_id
+        for r in drop_near_dups_keep_best(
+            df, pairs, F.col("q"), iters="converge"
+        ).collect()
+    )
+    assert kept == [7, 99]  # q=7.0 wins the whole chain; 99 unclustered
+
+
+# ---------------------------------------------------------------------------
+# 3. per-process incremental-store root
+# ---------------------------------------------------------------------------
+
+
+def test_incr_store_root_is_per_process():
+    import os
+
+    from dampr_spark.plans.vectorops import _incr_store_root
+
+    root = _incr_store_root("/root/testdata/sf0.001", "x_store")
+    assert f"pid{os.getpid()}" in root
+    assert root.endswith("sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# 4. checkpoint sibling naming
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_loc_strips_trailing_separators():
+    from dampr_spark.streaming.pipeline import _checkpoint_loc
+
+    assert _checkpoint_loc("/tmp/out") == "/tmp/out_checkpoint"
+    assert _checkpoint_loc("/tmp/out/") == "/tmp/out_checkpoint"
+    assert _checkpoint_loc("/tmp/out//") == "/tmp/out_checkpoint"
