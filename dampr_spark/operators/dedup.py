@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dampr_spark.functions.text import fingerprint
+from dampr_spark.operators.pinning import pin
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin repartition when the input would SCAN into fewer
@@ -698,7 +699,10 @@ def near_dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        labels = (
+        # pin(), not raw localCheckpoint: per-round pins in a fixpoint
+        # loop must persist-then-checkpoint (the Catalyst stats snowball,
+        # operators/pinning.py) and honor the reliable-checkpoint knob.
+        labels = pin(
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -706,7 +710,6 @@ def near_dup_clusters(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
     return labels.select("id", F.col("label").alias("canonical"))
 

@@ -57,6 +57,28 @@ def reliable_checkpoint_dir(spark) -> str | None:
     return d or os.environ.get(_ENV_KEY) or None
 
 
+def pin_once(df: DataFrame, eager: bool = True) -> DataFrame:
+    """One-shot pin for corpus-sized multi-consumer frames OUTSIDE
+    fixpoint loops (the round-13 sweep: plans/ no longer calls raw
+    ``localCheckpoint`` on corpus-sized frames, so the reliable-
+    checkpoint knob covers the package's most expensive queries).
+
+    Knob unset (default): plain ``localCheckpoint`` — ONE materialization
+    pass, bit-identical behavior and cost to the raw call it replaces
+    (measured: routing one-shot pins through :func:`pin`'s persist-first
+    path cost a second full pass per site — 3.98x on
+    ``source_similarity_cosine`` — for no benefit, because the stats
+    snowball only compounds in loops and localCheckpoint doesn't
+    recompute the plan the way reliable ``checkpoint`` does).
+
+    Knob set: route through :func:`pin` — persist-first reliable
+    ``checkpoint`` into the shared store; the extra materialization pass
+    is the price of executor-loss survivability the caller asked for."""
+    if reliable_checkpoint_dir(df.sparkSession) is None:
+        return df.localCheckpoint(eager=eager)
+    return pin(df, eager=eager)
+
+
 def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     """Pin an iterative-chain frame: truncate lineage and materialize.
 

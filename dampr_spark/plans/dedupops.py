@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dampr_spark.operators.pinning import pin_once as _pin
 from dampr_spark.functions import text as T
 from dampr_spark.functions.vector import cosine_sql, valid_vector_sql
 from dampr_spark.operators import dedup, multimodal, similarity
@@ -398,7 +399,7 @@ def minhash_audit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     mh = dedup.minhash_lsh_dedup(
         d, threshold=0.8, max_bucket=2**31
-    ).localCheckpoint(eager=True)
+    ).transform(_pin)
 
     aud = d.filter(
         (F.col("doc_id") % 2 == 0)
@@ -428,7 +429,7 @@ def minhash_audit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", dedup.jaccard(F.col("sh_a"), F.col("sh_b")).alias("j")
         )
         .filter(F.col("j") >= 0.8)
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     ex_agg = exact.agg(
         F.count(F.lit(1)).alias("n_exact_pairs"),
@@ -506,9 +507,9 @@ def embedding_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dampr_spark.functions.vector import cosine
 
     e = _t(spark, sf_dir, "embeddings")
-    exact = dedup.embedding_cosine_dups(e, threshold=0.4).localCheckpoint(eager=True)
+    exact = dedup.embedding_cosine_dups(e, threshold=0.4).transform(_pin)
     lsh = similarity.RandomHyperplaneLSH(dim=64, n_planes=3, n_tables=12)
-    lp = lsh.bucketed_pairs(e, threshold=0.4).localCheckpoint(eager=True)
+    lp = lsh.bucketed_pairs(e, threshold=0.4).transform(_pin)
 
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
     n_found = exact.join(lp, ["id_a", "id_b"], "left_semi").agg(
@@ -576,7 +577,7 @@ def simhash_audit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     emitted = dedup.simhash_dedup(
         d, max_hamming=3, max_bucket=2**31
-    ).localCheckpoint(eager=True)
+    ).transform(_pin)
 
     n_bands = 4
     tok_hashes = F.transform(
@@ -595,7 +596,7 @@ def simhash_audit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id", *[F.col("sh")[i].alias(f"b{i}") for i in range(n_bands)]
         )
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     a = aud.select(
         F.col("id").alias("id_a"), *[F.col(f"b{i}").alias(f"a_b{i}") for i in range(n_bands)]
@@ -736,7 +737,7 @@ def cluster_consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       label. ``n_docs`` is the cross-engine hash-compared value.
     """
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_dedup(d, threshold=0.8).localCheckpoint(eager=True)
+    pairs = dedup.minhash_lsh_dedup(d, threshold=0.8).transform(_pin)
     labels = dedup.near_dup_clusters(pairs, iters=6)
 
     la = labels.select(F.col("id").alias("id_a"), F.col("canonical").alias("ca"))
@@ -1852,7 +1853,7 @@ def dup_canonical_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFr
         prefix_chars=80,
         max_distance=25,
         max_block=64,
-    ).localCheckpoint(eager=True)  # feeds CC and the BFS relaxation
+    ).transform(_pin)  # feeds CC and the BFS relaxation
     comp = connected_components(pairs, src="id_a", dst="id_b")
     roots = comp.select(F.col("component")).distinct()
     dists = bfs_distances(pairs, roots, src="id_a", dst="id_b")
@@ -2004,7 +2005,7 @@ def lsh_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     audit = dedup.lsh_band_audit(
         d, simhash_configs=((64, 4), (96, 4))
-    ).localCheckpoint(eager=True)  # <= 5 rows
+    ).localCheckpoint(eager=True)  # bounded (<= 5 rows)
     floor = (
         d.filter(F.col("text").isNotNull())
         .groupBy("text")

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dampr_spark.operators.pinning import pin_once as _pin
 from dampr_spark.plans.catalog import register
 from dampr_spark.sources.readers import read_table as _t
 
@@ -1246,9 +1247,7 @@ def user_inactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen every activity pipeline runs. One user-keyed max aggregate
     (map-side partials), a broadcast 1-row dataset-max, and a heap top-50;
     no window, no second scan of raw events."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts").localCheckpoint(
-        eager=True
-    )  # feeds the global max and the per-user max
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts").transform(_pin)  # feeds the global max and the per-user max
     mx = ev.agg(F.max("ts").alias("now"))
     last = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
     return (

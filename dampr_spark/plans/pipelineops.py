@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dampr_spark.operators.pinning import pin_once as _pin
 from dampr_spark.functions import text as T
 from dampr_spark.operators import dedup
 from dampr_spark.operators.dedup import word_ngrams
@@ -1433,7 +1434,7 @@ def class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("label").isNotNull())
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)  # feeds both the total agg and the select
+        .localCheckpoint(eager=True)  # bounded (one row per class label)
     )
     t = c.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("k"))
     return c.crossJoin(F.broadcast(t)).select(
@@ -1745,7 +1746,7 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)  # joined twice (left and right word)
+        .transform(_pin)  # joined twice (left and right word)
     )
     n1 = uni.agg(F.sum("c").alias("n1"))
     # Guarded: F.sequence(1, 0) is DESCENDING ([1, 0]), not empty, so a
@@ -1856,7 +1857,7 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("cur"))
             .alias("grp"),
         )
-        .localCheckpoint(eager=True)  # feeds the min/max agg and bucketing
+        .transform(_pin)  # feeds the min/max agg and bucketing
     )
     mm = v.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     b = v.crossJoin(F.broadcast(mm)).select(
@@ -1878,7 +1879,7 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = b.groupBy("bucket").agg(
         F.sum(F.when(F.col("grp") == "ref", 1).otherwise(0)).alias("nr"),
         F.sum(F.when(F.col("grp") == "cur", 1).otherwise(0)).alias("nc"),
-    ).localCheckpoint(eager=True)  # feeds the totals agg and the PSI fold
+    ).localCheckpoint(eager=True)  # bounded (PSI buckets); feeds totals + fold
     t = c.agg(F.sum("nr").alias("tr"), F.sum("nc").alias("tc"))
     k = F.lit(float(_PSI_BUCKETS))
     pr = (F.col("nr") + 1.0) / (F.col("tr") + k)
@@ -2064,7 +2065,7 @@ def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("grp") == "ref", 1).otherwise(0)).alias("nr"),
             F.sum(F.when(F.col("grp") == "cur", 1).otherwise(0)).alias("nc"),
         )
-        .localCheckpoint(eager=True)  # 128 rows; feeds the totals AND the fold
+        .localCheckpoint(eager=True)  # bounded (128 rows); feeds totals AND fold
     )
     t = c.agg(F.sum("nr").alias("tr"), F.sum("nc").alias("tc"))
     pr = (F.col("nr") + 1.0) / (F.col("tr") + B)
@@ -2404,7 +2405,7 @@ def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(dec, 1).otherwise(0)).cast("long").alias("n_kept"),
             F.round(F.avg(F.when(dec, 1.0).otherwise(0.0)), 6).alias("keep_rate"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)  # bounded (one row per source)
     )
     feats.unpersist()
     return out
@@ -2736,7 +2737,7 @@ def curate_training_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.text").alias("text"),
             F.col("m.q").alias("q"),
         )
-        .localCheckpoint(eager=True)  # feeds grams + pair join + keep-best
+        .transform(_pin)  # feeds grams + pair join + keep-best
         # + gate: four consumers, one materialization
     )
     pairs = dedup.ngram_jaccard_pairs(

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dampr_spark.operators.pinning import pin_once as _pin
 from dampr_spark.plans.catalog import register
 from dampr_spark.sources.readers import read_table as _t
 
@@ -1438,7 +1439,7 @@ def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     total = rev.agg((F.sum("r") * 0.002).alias("_thresh"))
     return (
@@ -1557,7 +1558,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("total_revenue")
         )
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     top = (
@@ -1996,7 +1997,7 @@ def copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
-        .localCheckpoint(eager=True)  # both sides of the self-join
+        .transform(_pin)  # both sides of the self-join
     )
     a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
     b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
@@ -2367,7 +2368,7 @@ def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.select("mode", reg, rho)
         .groupBy("mode", "reg")
         .agg(F.max("rho").alias("rho"))
-        .localCheckpoint(eager=True)  # feeds three estimates + the merge
+        .localCheckpoint(eager=True)  # bounded (mode x region rows); feeds 3 estimates + merge
     )
     ra = per_mode.filter(F.col("mode") == "R").select("reg", "rho")
     rb = per_mode.filter(F.col("mode") == "A").select("reg", "rho")

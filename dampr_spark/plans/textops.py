@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dampr_spark.operators.pinning import pin_once as _pin
 from dampr_spark.functions import text as T
 from dampr_spark.functions import vector as V
 from dampr_spark.plans.catalog import register
@@ -737,7 +738,7 @@ def next_token_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
     bi = d.select(F.explode(pairs).alias("u")).select("u.a", "u.b")
-    bi = bi.localCheckpoint(eager=True)  # two consumers: ctx counts + pair counts
+    bi = bi.transform(_pin)  # two consumers: ctx counts + pair counts
     ctx = bi.groupBy("a").agg(F.count(F.lit(1)).alias("n_ctx"))
     top_ctx = ctx.orderBy(F.col("n_ctx").desc(), F.col("a").asc()).limit(5)
     pair = (
@@ -871,7 +872,7 @@ def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
-    ).distinct().localCheckpoint(eager=True)  # feeds both caps + join sides
+    ).distinct().transform(_pin)  # feeds both caps + join sides
     okdoc = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ndt")).filter(
         F.col("ndt") <= 200
     ).select("doc_id")
@@ -997,7 +998,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(score), 6).alias("bm25"))
         .orderBy(F.round(F.col("bm25"), 4).desc(), F.col("doc_id"))
         .limit(_RRF_POOL)
-        .localCheckpoint(eager=True)  # 50 rows; feeds the rank window
+        .localCheckpoint(eager=True)  # bounded (50 rows); feeds the rank window
     )
     lex = bm25.select(
         "doc_id",
@@ -1011,7 +1012,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings")
         .filter(V.valid_vector("embedding"))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-        .localCheckpoint(eager=True)  # feeds the query pick and the scan
+        .transform(_pin)  # feeds the query pick and the scan
     )
     qv = v.orderBy("vec_id").limit(1).select(F.col("e").alias("qe"))
     cos = (
@@ -1022,7 +1023,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.round(F.col("cos_sim"), 4).desc(), F.col("doc_id"))
         .limit(_RRF_POOL)
-        .localCheckpoint(eager=True)  # 50 rows; feeds the rank window
+        .localCheckpoint(eager=True)  # bounded (50 rows); feeds the rank window
     )
     vec = cos.select(
         "doc_id",
@@ -1110,14 +1111,14 @@ def cms_ngram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.explode(positional_windows("text", 3)).alias("w"))
         .select(F.col("w.gram").alias("g"))
-        .localCheckpoint(eager=True)  # feeds the exact ranking AND the sketch
+        .transform(_pin)  # feeds the exact ranking AND the sketch
     )
     exact = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("exact"))
         .orderBy(F.col("exact").desc(), "g")
         .limit(20)
-        .localCheckpoint(eager=True)  # feeds the probe AND the final join
+        .localCheckpoint(eager=True)  # bounded (top-20 rows); feeds probe + final join
     )
     sketch = cms_build(grams, "g", depth=_CMS_DEPTH, width=_CMS_WIDTH)
     est = cms_estimate(
@@ -1252,11 +1253,11 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c").desc(), "w")
         .limit(_TEXTRANK_VOCAB)
         .select("w")
-        .localCheckpoint(eager=True)  # probed twice (both pair endpoints)
+        .localCheckpoint(eager=True)  # bounded (vocab cap); probed twice (both pair endpoints)
     )
     pe = _textrank_pair_counts(d, vocab).localCheckpoint(
         eager=True
-    )  # read twice by the symmetrize union
+    )  # bounded (<= vocab^2 pair counts); read twice by the symmetrize union
     ed = pe.union(pe.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"), "w"))
     pr = pagerank(ed, src="lo", dst="hi", weight="w", iters=_TEXTRANK_ITERS)
     return (
@@ -1317,7 +1318,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = uc.select(
         "c", F.row_number().over(Window.orderBy(F.col("c").desc(), "w")).alias("rk")
-    ).localCheckpoint(eager=True)  # feeds totals AND the per-point aggregate
+    ).transform(_pin)  # feeds totals AND the per-point aggregate
     tot = ranked.agg(
         F.sum("c").alias("t"), F.count(F.lit(1)).alias("n_vocab")
     )
@@ -1468,7 +1469,7 @@ def source_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)  # feeds the self-join twice + norms
+        .transform(_pin)  # feeds the self-join twice + norms
     )
     nrm = tf.groupBy("source").agg(F.sum(F.col("c") * F.col("c")).alias("s2"))
     a = tf.select(

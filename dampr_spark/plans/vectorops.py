@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dampr_spark.operators.pinning import pin_once as _pin
 from dampr_spark.functions import vector as V
 from dampr_spark.plans.catalog import register
 from dampr_spark.sources.readers import read_table as _t
@@ -255,7 +256,9 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = list(qrow.embedding)
     rest = e.filter(F.col("vec_id") != qrow.vec_id)
 
-    brute = similarity.brute_force_topk(rest, qv, k=20).localCheckpoint(eager=True)
+    brute = similarity.brute_force_topk(rest, qv, k=20).localCheckpoint(
+        eager=True
+    )  # bounded (20 rows)
     lsh = similarity.RandomHyperplaneLSH(dim=64, n_planes=6, n_tables=8)
     lsh_top = lsh.query_topk(lsh.bucketize(rest), qv, k=20)
     ivf = similarity.IVFIndex(n_lists=16, nprobe=6).fit(rest)
@@ -511,7 +514,7 @@ def ivf_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nprobe, for a clean linear x2 on the member side of the one
     # list_id shuffle (ivf_list_audit's member_rows_assigned column).
     return ivf.knn_graph(
-        ivf.assign(e).localCheckpoint(eager=True), k=5, assign_m=2
+        ivf.assign(e).transform(_pin), k=5, assign_m=2
     )
 
 
@@ -582,7 +585,7 @@ def knn_graph_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(e)
     got = (
         ivf.knn_graph(
-            ivf.assign(e).localCheckpoint(eager=True), k=5, assign_m=2
+            ivf.assign(e).transform(_pin), k=5, assign_m=2
         )
         .filter(F.col("vec_id").isin(qids))
         .localCheckpoint(eager=True)  # bounded (40 rows)
@@ -640,7 +643,7 @@ def semantic_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_lists=max(8, int(math.isqrt(max(e.count(), 1)))), nprobe=10
     ).fit(e)
     return ivf.mutual_knn_clusters(
-        ivf.assign(e).localCheckpoint(eager=True), k=5
+        ivf.assign(e).transform(_pin), k=5
     )
 
 
@@ -674,10 +677,8 @@ def knn_clusters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = similarity.IVFIndex(
         n_lists=max(8, int(math.isqrt(max(e.count(), 1)))), nprobe=10
     ).fit(e)
-    assigned = ivf.assign(e).localCheckpoint(eager=True)
-    clusters = ivf.mutual_knn_clusters(assigned, k=5).localCheckpoint(
-        eager=True
-    )  # bounded (one row per vector, ids+labels only); feeds three checks
+    assigned = ivf.assign(e).transform(_pin)
+    clusters = ivf.mutual_knn_clusters(assigned, k=5).transform(_pin)  # corpus-scaled rows (one per vector, narrow); feeds three checks
     g = ivf.knn_graph(assigned, k=5).select(
         F.col("vec_id").alias("a"), F.col("neighbor_id").alias("b")
     )
@@ -723,7 +724,7 @@ def semantic_knn_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_lists=max(8, int(math.isqrt(max(e.count(), 1)))), nprobe=10
     ).fit(e)
     return ivf.semantic_keep_best(
-        ivf.assign(e).localCheckpoint(eager=True), k=5
+        ivf.assign(e).transform(_pin), k=5
     )
 
 
@@ -757,10 +758,8 @@ def knn_keep_best_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = similarity.IVFIndex(
         n_lists=max(8, int(math.isqrt(max(e.count(), 1)))), nprobe=10
     ).fit(e)
-    assigned = ivf.assign(e).localCheckpoint(eager=True)
-    reps = ivf.semantic_keep_best(assigned, k=5).localCheckpoint(
-        eager=True
-    )  # bounded (one row per cluster); feeds three checks
+    assigned = ivf.assign(e).transform(_pin)
+    reps = ivf.semantic_keep_best(assigned, k=5).transform(_pin)  # cluster-scaled rows (one per cluster); feeds three checks
     clusters = ivf.mutual_knn_clusters(assigned, k=5)
     n_vecs = int(
         reps.agg(F.coalesce(F.sum("n_members"), F.lit(0))).first()[0]
@@ -883,7 +882,7 @@ def incremental_ann_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # bounded (10 rows); feeds both exceptAll directions
     want = ivf.query_topk(ivf.assign(e), qv, k=10).localCheckpoint(
         eager=True
-    )
+    )  # bounded (10 rows)
     union_eq = (
         got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
     )
@@ -928,7 +927,7 @@ def semantic_novelty_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(e)
     return (
         ivf.semantic_novelty(
-            ivf.assign(e).localCheckpoint(eager=True), threshold=0.98
+            ivf.assign(e).transform(_pin), threshold=0.98
         )
         .select("vec_id", "label")
         .orderBy("vec_id")
@@ -975,8 +974,8 @@ def semantic_novelty_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_lists=max(8, int(math.isqrt(max(n_total, 1)))), nprobe=10
     ).fit(e)
     kept = ivf.semantic_novelty(
-        ivf.assign(e).localCheckpoint(eager=True), threshold=0.98
-    ).localCheckpoint(eager=True)  # bounded (<= corpus ids); feeds 4 checks
+        ivf.assign(e).transform(_pin), threshold=0.98
+    ).transform(_pin)  # corpus-scaled (<= corpus ids); feeds 4 checks
     n_kept = kept.count()
     min_all = e.agg(F.min("vec_id")).first()[0]
     min_kept = kept.agg(F.min("vec_id")).first()[0]
@@ -1125,7 +1124,7 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings")
         .filter(valid_vector("embedding"))
         .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
-        .localCheckpoint(eager=True)  # feeds the centroid agg and the scan
+        .transform(_pin)  # feeds the centroid agg and the scan
     )
     cvec = (
         v.select(F.posexplode("e").alias("pos", "x"))
@@ -1178,7 +1177,7 @@ def cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings")
         .filter(valid_vector("embedding"))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-        .localCheckpoint(eager=True)  # feeds the query pick and the scan
+        .transform(_pin)  # feeds the query pick and the scan
     )
     q = v.orderBy("vec_id").limit(1).select(F.col("e").alias("qe"))
     return (
@@ -1278,7 +1277,7 @@ def embedding_int8_quantize_report(spark: SparkSession, sf_dir: str) -> DataFram
         _t(spark, sf_dir, "embeddings")
         .filter(valid_vector("embedding"))
         .select("label", F.col("embedding").cast("array<double>").alias("e"))
-        .localCheckpoint(eager=True)  # feeds the min/max agg and the error scan
+        .transform(_pin)  # feeds the min/max agg and the error scan
     )
     mm = (
         v.select(F.posexplode("e").alias("pos", "x"))
@@ -1354,9 +1353,11 @@ def quantized_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     if qrow is None:
         raise ValueError("embeddings table has no valid query vector")
     qv = list(qrow.embedding)
-    rest = e.filter(F.col("vec_id") != qrow.vec_id).localCheckpoint(eager=True)
+    rest = e.filter(F.col("vec_id") != qrow.vec_id).transform(_pin)
 
-    brute = similarity.brute_force_topk(rest, qv, k=20).localCheckpoint(eager=True)
+    brute = similarity.brute_force_topk(rest, qv, k=20).localCheckpoint(
+        eager=True
+    )  # bounded (20 rows)
     sq = similarity.ScalarQuantizer().fit(rest)
     sq_top = sq.topk(sq.encode(rest), qv, k=20)
 
@@ -1426,9 +1427,11 @@ def pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     if qrow is None:
         raise ValueError("embeddings table has no valid query vector")
     qv = list(qrow.embedding)
-    rest = e.filter(F.col("vec_id") != qrow.vec_id).localCheckpoint(eager=True)
+    rest = e.filter(F.col("vec_id") != qrow.vec_id).transform(_pin)
 
-    brute = similarity.brute_force_topk(rest, qv, k=20).localCheckpoint(eager=True)
+    brute = similarity.brute_force_topk(rest, qv, k=20).localCheckpoint(
+        eager=True
+    )  # bounded (20 rows)
     pq = similarity.ProductQuantizer(m=8, k=256).fit(rest)
     pq_top = pq.adc_topk(pq.encode(rest), qv, topk=20)
 
@@ -1507,7 +1510,7 @@ def hard_negative_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("bid"),
             F.round(V.cosine("embedding", "av"), 6).alias("cos"),
         )
-        .localCheckpoint(eager=True)  # feeds both the pos and neg windows
+        .transform(_pin)  # feeds both the pos and neg windows
     )
     w = Window.partitionBy("aid").orderBy(F.col("cos").desc(), "bid")
     pos = (
@@ -1785,9 +1788,7 @@ def semantic_grid_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         tau=_GRID_TAU,
         max_cell=_GRID_MAX_CELL,
     )
-    comp = connected_components(pairs, src="id_a", dst="id_b").localCheckpoint(
-        eager=True
-    )  # feeds sizes, reps, and the drop anti-join
+    comp = connected_components(pairs, src="id_a", dst="id_b").transform(_pin)  # feeds sizes, reps, and the drop anti-join
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
     reps = (
         comp.filter(F.col("id") == F.col("component"))

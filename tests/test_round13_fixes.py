@@ -114,6 +114,59 @@ def test_drop_near_dups_keep_best_converge_keeps_one_per_chain(spark):
 
 
 # ---------------------------------------------------------------------------
+# 2b. the pin() sweep (VERDICT r12 #1): corpus-sized frames in plans/ go
+# through operators/pinning.pin so the reliable-checkpoint knob covers the
+# package's most expensive one-shot queries; every REMAINING raw
+# localCheckpoint site must self-document boundedness.
+# ---------------------------------------------------------------------------
+
+
+def test_plans_raw_localcheckpoint_sites_are_bounded():
+    """Audit: any raw ``.localCheckpoint(`` left in plans/ must carry a
+    ``bounded`` marker in a trailing comment within two lines — the
+    module doctrine (pinning.py) exempts only bounded small-table pins
+    from the reliable-checkpoint knob. Corpus-sized frames must route
+    through ``pin()`` (``.transform(_pin)``)."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "dampr_spark", "plans")
+    offenders = []
+    for f in sorted(glob.glob(os.path.join(root, "*.py"))):
+        lines = open(f).read().splitlines()
+        for i, line in enumerate(lines):
+            if ".localCheckpoint(" not in line:
+                continue
+            window = " ".join(lines[i : i + 3])
+            if "bounded" not in window:
+                offenders.append(f"{os.path.basename(f)}:{i + 1}")
+    assert not offenders, (
+        "raw localCheckpoint without a 'bounded' marker (route corpus-"
+        f"sized pins through pinning.pin): {offenders}"
+    )
+
+
+def test_capstone_pin_writes_reliable_checkpoint_with_knob(spark, sf_dir, tmp_path):
+    """With ``spark.dampr.checkpointDir`` set, the capstone's corpus-sized
+    exact-survivor pin writes RELIABLE checkpoint files into the
+    configured directory (pre-sweep it used raw localCheckpoint, which the
+    knob could not reach — an executor loss at 100 TB killed the run)."""
+    from dampr_spark.plans.pipelineops import curate_training_slice
+
+    ckdir = str(tmp_path / "reliable_ck")
+    spark.conf.set("spark.dampr.checkpointDir", ckdir)
+    try:
+        out = curate_training_slice(spark, sf_dir)
+        assert out.count() > 0
+        import glob
+
+        written = glob.glob(ckdir + "/**/rdd-*", recursive=True)
+        assert written, "no reliable checkpoint files written under the knob dir"
+    finally:
+        spark.conf.unset("spark.dampr.checkpointDir")
+
+
+# ---------------------------------------------------------------------------
 # 3. per-process incremental-store root
 # ---------------------------------------------------------------------------
 
