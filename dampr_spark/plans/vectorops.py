@@ -903,6 +903,93 @@ def incremental_ann_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_compact_check",
+    oracle=f"""
+    WITH v AS (SELECT count(*) AS cnt,
+                      sum(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END) AS b
+               FROM embeddings
+               WHERE {V.valid_vector_sql('embedding')})
+    SELECT CAST(cnt AS BIGINT)  AS n_vecs,
+           CAST(1 AS BIGINT)    AS n_shards,
+           CAST(b AS BIGINT)    AS n_dups_reclaimed,
+           (4 < sqrt(cnt + b) / 2 OR 4 > 2 * sqrt(cnt + b)) AS refit_before,
+           (floor(sqrt(cnt)) < sqrt(cnt) / 2
+            OR floor(sqrt(cnt)) > 2 * sqrt(cnt)) AS refit_after,
+           TRUE AS compact_equals_rebuild_ok
+    FROM v
+    """,
+    tags=("vector", "ann", "incremental", "invariant", "extension"),
+)
+def ivf_compact_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed contract of `IVFIndex.compact_store` (round 13,
+    VERDICT r12 #2 — the re-fit/dedup/swap remedy for the store audit's
+    ``refit_recommended`` flag), invariant-companion pattern: build a
+    store whose quantizer is a full octave stale (4 lists) AND carries an
+    at-least-once retry duplicate shard, compact, and hash-compare the
+    independently recomputable lifecycle quantities:
+
+    - ``n_vecs`` — the COMPACTED store's row count (Spark: post-compact
+      audit); DuckDB: the raw valid-vector count. Dedup dropping too
+      much or too little breaks the hash.
+    - ``n_shards`` — exactly one shard after compact.
+    - ``n_dups_reclaimed`` — Spark: pre-compact minus post-compact store
+      rows; DuckDB: the duplicate batch's size counted from the raw
+      table. The reclaim path the pre-r13 store lacked, externally
+      priced.
+    - ``refit_before`` / ``refit_after`` — the ~sqrt(N) octave rule
+      evaluated by DuckDB from raw counts: TRUE against the stale
+      4-list store (duplicates included — the audit prices what is ON
+      DISK), FALSE after compact resets n_lists to isqrt(N) — the flag's
+      remedy provably clears it.
+    - ``compact_equals_rebuild_ok`` — post-compact ``search_store``
+      top-10 is EXACTLY the refit index's in-memory full-corpus top-10
+      (both exceptAll directions empty): compaction changes layout and
+      quantizer, never results."""
+    from dampr_spark.operators import similarity
+    from dampr_spark.operators.similarity import ivf_store_audit
+
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
+    initial = e.filter(F.col("vec_id") % 3 != 0)
+    batch = e.filter(F.col("vec_id") % 3 == 0)
+    ivf = similarity.IVFIndex(n_lists=4, nprobe=4).fit(initial)
+    root = _incr_store_root(sf_dir, "dampr_spark_compact_check")
+    ivf.init_store(initial, root)
+    ivf.append_shard(batch, root)
+    ivf.append_shard(batch, root)  # the at-least-once retry duplicate
+    before = ivf_store_audit(spark, root, n_lists=4, nprobe=4).first()
+    refit = ivf.compact_store(spark, root)
+    after = ivf_store_audit(
+        spark, root, n_lists=refit.n_lists, nprobe=4
+    ).first()
+    q = e.orderBy("vec_id").limit(1).select("embedding").first()[0]
+    qv = [float(x) for x in q]
+    got = refit.search_store(spark, root, qv, k=10).localCheckpoint(
+        eager=True
+    )  # bounded (10 rows); feeds both exceptAll directions
+    want = refit.query_topk(refit.assign(e), qv, k=10).localCheckpoint(
+        eager=True
+    )  # bounded (10 rows)
+    eq = (
+        got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(after.n_vecs),
+                int(after.n_shards),
+                int(before.n_vecs - after.n_vecs),
+                bool(before.refit_recommended),
+                bool(after.refit_recommended),
+                eq,
+            )
+        ],
+        "n_vecs bigint, n_shards bigint, n_dups_reclaimed bigint, "
+        "refit_before boolean, refit_after boolean, "
+        "compact_equals_rebuild_ok boolean",
+    )
+
+
+@register(
     "semantic_novelty_dedup",
     oracle=None,
     tags=("vector", "ann", "dedup", "semantic", "streaming-twin", "extension"),

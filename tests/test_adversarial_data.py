@@ -186,6 +186,11 @@ _HARDENED = [
     "curate_training_slice",
     "incremental_ann_check",
     "semantic_novelty_check",
+    # round-13 addition: the compact-lifecycle companion derives every
+    # hash-compared count from the SURVIVING valid vectors on both
+    # engines (NULL embeddings and the planted zero vector drop at the
+    # valid_vector gate before any store write, audit, or top-k)
+    "ivf_compact_check",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",
