@@ -758,11 +758,19 @@ class IVFIndex:
 
     def _write_store_shard(
         self, df: DataFrame, path: str, shard: int, vec_col: str,
-        lists_per_file: int,
+        lists_per_file: int, sq: "ScalarQuantizer | None" = None,
     ) -> None:
         assigned = df if "list_id" in df.columns else self.assign(
             df, vec_col=vec_col
         )
+        if sq is not None:
+            if "codes" not in assigned.columns:
+                # Quantize at rest: 1 byte/dim instead of 4 — the float
+                # column is never written (encode drops invalid vectors,
+                # matching the search-side valid_vector gate).
+                assigned = sq.encode(assigned, vec_col=vec_col).drop(vec_col)
+            elif vec_col in assigned.columns:
+                assigned = assigned.drop(vec_col)  # compact's decoded pass
         (
             assigned.repartition(
                 max(1, self.n_lists // lists_per_file), "list_id"
@@ -772,21 +780,83 @@ class IVFIndex:
             .parquet(f"{path}/shard={shard}")
         )
 
+    # -- store codec sidecar (round 13, VERDICT r12 #3) ---------------------
+    #
+    # ``codec="sq8"`` stores SQ8 byte codes at rest instead of raw floats
+    # (4x fewer vector bytes — at 100 TB the embedding corpus is the
+    # dominant byte cost, and the SQ8 search composition is already
+    # proven: quantized_ann_recall_check). The quantizer's per-dimension
+    # [lo, hi] bounds live in a ``_quantizer.json`` sidecar at the store
+    # root (underscore-prefixed: invisible to parquet readers), written
+    # once at init and FROZEN — appends encode against the stored bounds
+    # (out-of-range values clamp, the FAISS train/encode semantics), so
+    # codes are comparable across every shard. Search decodes AT PROBE
+    # TIME inside the same codegen pass that scores cosine — only the
+    # nprobe pruned partitions' bytes are ever read or decoded.
+
+    def _write_store_codec(self, spark, path: str, sq) -> None:
+        import json
+
+        fs, _, jvm = self._fs(spark, path)
+        out = fs.create(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/_quantizer.json"), True
+        )
+        out.write(bytearray(json.dumps(
+            {"codec": "sq8", "lo": list(sq.lo), "hi": list(sq.hi)}
+        ).encode("utf-8")))
+        out.close()
+
+    @staticmethod
+    def _load_store_codec(spark, path: str):
+        """The store's frozen quantizer, or None for a raw-float store."""
+        import json
+
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/_quantizer.json")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        buf = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, buf, 4096, True)
+        meta = json.loads(bytes(buf.toByteArray()).decode("utf-8"))
+        sq = ScalarQuantizer()
+        sq.lo = [float(x) for x in meta["lo"]]
+        sq.hi = [float(x) for x in meta["hi"]]
+        return sq
+
     def init_store(
         self,
         df: DataFrame,
         path: str,
         vec_col: str = "embedding",
         lists_per_file: int = 1,
+        codec: str | None = None,
     ) -> None:
         """Create (or overwrite) the shard store: clears the root and
         writes the initial corpus as ``shard=0``. ``df`` may be raw
-        vectors (assigned here) or an already-``assign()``-ed frame."""
+        vectors (assigned here) or an already-``assign()``-ed frame.
+
+        ``codec="sq8"``: fit a :class:`ScalarQuantizer` on the initial
+        corpus, persist its bounds in the ``_quantizer.json`` sidecar,
+        and store ``array<tinyint>`` codes instead of the float column —
+        ~4x fewer vector bytes at rest; every append encodes against the
+        frozen bounds and every search decodes at probe time."""
         assert self.centroids is not None, "call fit() first"
-        fs, p, _ = self._fs(df.sparkSession, path)
+        if codec not in (None, "sq8"):
+            raise ValueError(f"unknown store codec {codec!r}")
+        spark = df.sparkSession
+        fs, p, _ = self._fs(spark, path)
         if fs.exists(p):
             fs.delete(p, True)
-        self._write_store_shard(df, path, 0, vec_col, lists_per_file)
+        sq = (
+            ScalarQuantizer().fit(df, vec_col=vec_col)
+            if codec == "sq8"
+            else None
+        )
+        self._write_store_shard(df, path, 0, vec_col, lists_per_file, sq=sq)
+        if sq is not None:
+            self._write_store_codec(spark, path, sq)
 
     def append_shard(
         self,
@@ -813,7 +883,10 @@ class IVFIndex:
                 "path fails instead of silently forking a store)"
             )
         shard = self._claim_shard_id(df.sparkSession, path)
-        self._write_store_shard(df, path, shard, vec_col, lists_per_file)
+        sq = self._load_store_codec(df.sparkSession, path)
+        self._write_store_shard(
+            df, path, shard, vec_col, lists_per_file, sq=sq
+        )
         return shard
 
     def compact_store(
@@ -852,10 +925,17 @@ class IVFIndex:
         module's documented at-least-once contract).
 
         Dedup rule: duplicate ids keep the lowest-shard copy
-        (deterministic; retry duplicates are byte-identical anyway)."""
+        (deterministic; retry duplicates are byte-identical anyway).
+
+        ``sq8`` stores: codes pass through UNCHANGED — the re-fit trains
+        new centroids on the DECODED vectors and re-bins the existing
+        byte codes under the new ``list_id`` layout (no second
+        quantization round-trip, no extra loss), and the frozen
+        quantizer sidecar is carried over."""
         import math
 
         store = self.read_store(spark, path)
+        sq = self._load_store_codec(spark, path)
         data_cols = [
             c for c in store.columns if c not in ("shard", "list_id")
         ]
@@ -865,7 +945,14 @@ class IVFIndex:
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select(*data_cols)
-        ).transform(_pin)  # corpus-sized; feeds count + fit sample + write
+        )
+        if sq is not None:
+            # Decode once for the re-fit + re-assignment; the write below
+            # drops the decoded column and keeps the original codes.
+            deduped = deduped.withColumn(vec_col, sq.decoded("codes"))
+        deduped = deduped.transform(
+            _pin
+        )  # corpus-sized; feeds count + fit sample + write
         n = deduped.count()
         new_n_lists = n_lists or max(1, math.isqrt(max(n, 1)))
         refit = IVFIndex(
@@ -878,7 +965,11 @@ class IVFIndex:
         for d in (tmp, old):
             if fs.exists(hpath(d)):
                 fs.delete(hpath(d), True)
-        refit._write_store_shard(deduped, tmp, 0, vec_col, lists_per_file)
+        refit._write_store_shard(
+            deduped, tmp, 0, vec_col, lists_per_file, sq=sq
+        )
+        if sq is not None:
+            refit._write_store_codec(spark, tmp, sq)
         if not fs.rename(hpath(path), hpath(old)):
             raise IOError(f"compact_store: failed to move {path} aside")
         if not fs.rename(hpath(tmp), hpath(path)):
@@ -908,9 +999,16 @@ class IVFIndex:
     ) -> DataFrame:
         """Top-k over the shard store — :meth:`search_pruned` semantics
         (the ``list_id IN (probes)`` filter is a partition filter), now
-        across every appended shard in one scan."""
+        across every appended shard in one scan. On an ``sq8`` store the
+        byte codes are decoded INSIDE the scoring expression — the
+        partition filter prunes first, so only the probed lists' bytes
+        are read and decoded."""
+        store = self.read_store(spark, path)
+        sq = self._load_store_codec(spark, path)
+        if sq is not None:
+            store = store.withColumn(vec_col, sq.decoded("codes"))
         return self.query_topk(
-            self.read_store(spark, path),
+            store,
             query_vec,
             k=k,
             vec_col=vec_col,
@@ -963,11 +1061,15 @@ def ivf_store_audit(
       count alone, so the catalog companion hash-compares them against
       DuckDB."""
     store = IVFIndex.read_store(spark, path)
+    # SQ8 stores hold byte codes instead of the float column: audit the
+    # codes (same dim, 1 byte/dim at rest instead of 4).
+    quantized = vec_col not in store.columns and "codes" in store.columns
+    sized_col = "codes" if quantized else vec_col
     depths = (
         store.groupBy("list_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.max(F.size(F.col(vec_col))).alias("d"),
+            F.max(F.size(F.col(sized_col))).alias("d"),
         )
         .collect()
     )
@@ -983,7 +1085,7 @@ def ivf_store_audit(
     mean_depth = total / n_lists if n_lists else 0.0
     np_k = min(max(1, int(nprobe)), max(1, n_lists))
     worst = sum(sorted((r["n"] for r in depths), reverse=True)[:np_k])
-    row_bytes = 4 * dim + 8
+    row_bytes = (1 if quantized else 4) * dim + 8
     sqrt_n = _round_half_up(math.sqrt(total), 6) if total else 0.0
     refit = bool(total) and (
         n_lists < math.sqrt(total) / 2 or n_lists > 2 * math.sqrt(total)

@@ -990,6 +990,93 @@ def ivf_compact_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantized_store_check",
+    oracle=f"""
+    WITH v AS (SELECT count(*) AS cnt, max(len(embedding)) AS d
+               FROM embeddings
+               WHERE {V.valid_vector_sql('embedding')})
+    SELECT CAST(cnt AS BIGINT) AS n_vecs,
+           CAST(2 AS BIGINT)   AS n_shards,
+           CAST(d AS BIGINT)   AS dim,
+           CAST(d + 8 AS BIGINT) AS bytes_per_row,
+           TRUE AS codes_are_bytes_ok,
+           TRUE AS sq_search_equals_memory_ok
+    FROM v
+    """,
+    tags=("vector", "ann", "incremental", "invariant", "extension"),
+)
+def quantized_store_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed contract of the SQ8 shard-store codec (round 13,
+    VERDICT r12 #3 — ``init_store(codec="sq8")`` stores byte codes at
+    rest, 1 byte/dim instead of 4, decode-at-probe), the invariant-
+    companion pattern:
+
+    - ``n_vecs`` — the quantized store's row count after init+append
+      (Spark: store audit); DuckDB: the independent valid-vector count.
+      A vector lost or doubled through the encode/write/append chain
+      breaks the hash.
+    - ``n_shards`` / ``dim`` — store shape; ``dim`` is audited from the
+      CODES column (same length as the float vector it replaced),
+      DuckDB reads it off the raw table.
+    - ``bytes_per_row`` — the audit's at-rest pricing under the codec
+      (1 byte/dim + 8-byte id), recomputed by DuckDB from the raw dim:
+      the 4x shrink is priced externally, not self-certified.
+    - ``codes_are_bytes_ok`` — schema assertion: the store holds
+      ``array<tinyint>`` codes and NO float vector column.
+    - ``sq_search_equals_memory_ok`` — ``search_store`` over the
+      quantized layout returns EXACTLY the top-10 of the in-memory
+      encode→decode round-trip under the same centroids (decode is
+      bit-deterministic half-up, so this is frame equality; recall vs
+      raw floats is the already-oracle-green
+      `quantized_ann_recall_check`)."""
+    from dampr_spark.operators import similarity
+    from dampr_spark.operators.similarity import ivf_store_audit
+
+    e = _t(spark, sf_dir, "embeddings").filter(V.valid_vector("embedding"))
+    initial = e.filter(F.col("vec_id") % 3 != 0)
+    batch = e.filter(F.col("vec_id") % 3 == 0)
+    ivf = similarity.IVFIndex(n_lists=16, nprobe=6).fit(initial)
+    root = _incr_store_root(sf_dir, "dampr_spark_sq8_store_check")
+    ivf.init_store(initial, root, codec="sq8")
+    ivf.append_shard(batch, root)
+    store = ivf.read_store(spark, root)
+    codes_ok = (
+        "embedding" not in store.columns
+        and dict(store.dtypes).get("codes") == "array<tinyint>"
+    )
+    audit = ivf_store_audit(spark, root, n_lists=16, nprobe=6).first()
+    q = e.orderBy("vec_id").limit(1).select("embedding").first()[0]
+    qv = [float(x) for x in q]
+    got = ivf.search_store(spark, root, qv, k=10).localCheckpoint(
+        eager=True
+    )  # bounded (10 rows); feeds both exceptAll directions
+    sq = similarity.IVFIndex._load_store_codec(spark, root)
+    mem = sq.encode(ivf.assign(e)).withColumn(
+        "embedding", sq.decoded("codes")
+    )
+    want = ivf.query_topk(mem, qv, k=10).localCheckpoint(
+        eager=True
+    )  # bounded (10 rows)
+    eq = (
+        got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(audit.n_vecs),
+                int(audit.n_shards),
+                int(audit.dim),
+                int(audit.probe_bytes_worst // max(audit.probe_rows_worst, 1)),
+                codes_ok,
+                eq,
+            )
+        ],
+        "n_vecs bigint, n_shards bigint, dim bigint, bytes_per_row bigint, "
+        "codes_are_bytes_ok boolean, sq_search_equals_memory_ok boolean",
+    )
+
+
+@register(
     "semantic_novelty_dedup",
     oracle=None,
     tags=("vector", "ann", "dedup", "semantic", "streaming-twin", "extension"),

@@ -191,6 +191,11 @@ _HARDENED = [
     # engines (NULL embeddings and the planted zero vector drop at the
     # valid_vector gate before any store write, audit, or top-k)
     "ivf_compact_check",
+    # round-13 addition: the sq8-codec companion counts/sizes from the
+    # surviving valid vectors on both engines (encode drops invalid rows
+    # at the same gate); dim audits the codes column whose length equals
+    # the raw embedding length DuckDB reads
+    "quantized_store_check",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",

@@ -173,3 +173,127 @@ def test_read_paths_recover_stranded_precompact(spark, tmp_path):
     os.rename(root, root + "_precompact")  # the mid-swap crash
     assert ivf.read_store(spark, root).count() == df.count()
     assert os.path.isdir(root) and not os.path.exists(root + "_precompact")
+
+
+# ---------------------------------------------------------------------------
+# sq8 codec: byte codes at rest (VERDICT r12 #3)
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_store_schema_and_search_equality(spark, tmp_path):
+    """An sq8 store holds array<tinyint> codes and NO float column; a
+    search over it equals the in-memory top-k over the same
+    encode->decode round-trip (decode is bit-deterministic, so this is
+    an exact frame equality, not a recall band)."""
+    df = _clustered(spark)
+    ivf = IVFIndex(n_lists=8, nprobe=3, seed=42).fit(df, sample_size=400)
+    root = str(tmp_path / "store")
+    ivf.init_store(
+        df.filter(F.col("vec_id") % 2 == 0), root, codec="sq8"
+    )
+    ivf.append_shard(df.filter(F.col("vec_id") % 2 == 1), root)
+    store = ivf.read_store(spark, root)
+    assert "embedding" not in store.columns and "codes" in store.columns
+    assert dict(store.dtypes)["codes"] == "array<tinyint>"
+    assert store.count() == df.count()
+    sq = IVFIndex._load_store_codec(spark, root)
+    assert sq is not None and len(sq.lo) == 16
+    q = [1.0] + [0.0] * 15
+    got = sorted(
+        (r.vec_id, r.cos_sim)
+        for r in ivf.search_store(spark, root, q, k=10).collect()
+    )
+    mem = sq.encode(ivf.assign(df)).withColumn(
+        "embedding", sq.decoded("codes")
+    )
+    want = sorted(
+        (r.vec_id, r.cos_sim)
+        for r in ivf.query_topk(mem, q, k=10).collect()
+    )
+    assert got == want
+
+
+def test_sq8_store_bytes_smaller_than_raw(spark, tmp_path):
+    """The point of the codec: vector bytes at rest shrink ~4x (parquet
+    framing and metadata dilute the exact ratio — assert a conservative
+    2x floor and report the measured ratio)."""
+    df = _clustered(spark, n_clusters=8, per_cluster=100, dim=64)
+    ivf = IVFIndex(n_lists=8, nprobe=3, seed=42).fit(df, sample_size=800)
+    raw_root = str(tmp_path / "raw")
+    sq_root = str(tmp_path / "sq8")
+    ivf.init_store(df, raw_root)
+    ivf.init_store(df, sq_root, codec="sq8")
+
+    def du(root):
+        total = 0
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                total += os.path.getsize(os.path.join(dirpath, f))
+        return total
+
+    raw_b, sq_b = du(raw_root), du(sq_root)
+    ratio = raw_b / sq_b
+    print(f"sq8 store bytes: raw={raw_b} sq8={sq_b} ratio={ratio:.2f}x")
+    assert ratio >= 2.0, (raw_b, sq_b)
+
+
+def test_sq8_append_encodes_against_frozen_sidecar(spark, tmp_path):
+    """Appends encode with the sidecar's FROZEN bounds (values outside
+    the fitted range clamp — the FAISS train/encode semantics), so codes
+    stay comparable across shards and the sidecar never changes."""
+    import json
+
+    df = _clustered(spark, n_clusters=4, per_cluster=50)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=200)
+    root = str(tmp_path / "store")
+    ivf.init_store(df.filter(F.col("vec_id") < 100), root, codec="sq8")
+    sidecar = os.path.join(root, "_quantizer.json")
+    before = json.load(open(sidecar))
+    ivf.append_shard(df.filter(F.col("vec_id") >= 100), root)
+    assert json.load(open(sidecar)) == before
+    assert ivf.read_store(spark, root).count() == df.count()
+    got = ivf.search_store(spark, root, [1.0] + [0.0] * 15, k=5)
+    assert got.count() == 5
+
+
+def test_sq8_compact_carries_codes_and_sidecar(spark, tmp_path):
+    """Compacting an sq8 store re-bins the EXISTING codes under the new
+    centroids (no second quantization round-trip) and carries the frozen
+    sidecar; post-compact search equals the refit index's top-k over the
+    decoded corpus."""
+    df = _clustered(spark)
+    ivf = IVFIndex(n_lists=4, nprobe=3, seed=42).fit(df, sample_size=400)
+    root = str(tmp_path / "store")
+    batch = df.filter(F.col("vec_id") >= 200)
+    ivf.init_store(df.filter(F.col("vec_id") < 200), root, codec="sq8")
+    sq = IVFIndex._load_store_codec(spark, root)
+    ivf.append_shard(batch, root)
+    ivf.append_shard(batch, root)  # retry duplicate
+    refit = ivf.compact_store(spark, root)
+    assert ivf.store_shard_ids(spark, root) == [0]
+    store = ivf.read_store(spark, root)
+    assert store.count() == 400 and "codes" in store.columns
+    assert os.path.exists(os.path.join(root, "_quantizer.json"))
+    q = [1.0] + [0.0] * 15
+    got = sorted(
+        (r.vec_id, r.cos_sim)
+        for r in refit.search_store(spark, root, q, k=10).collect()
+    )
+    dec = sq.encode(df).withColumn("embedding", sq.decoded("codes")).drop(
+        "codes"
+    )
+    want = sorted(
+        (r.vec_id, r.cos_sim)
+        for r in refit.query_topk(refit.assign(dec), q, k=10).collect()
+    )
+    assert got == want
+
+
+def test_sq8_store_audit_prices_byte_codes(spark, tmp_path):
+    df = _clustered(spark, n_clusters=4, per_cluster=50)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=200)
+    root = str(tmp_path / "store")
+    ivf.init_store(df, root, codec="sq8")
+    r = ivf_store_audit(spark, root, n_lists=4, nprobe=2).collect()[0]
+    assert r.n_vecs == 200 and r.dim == 16
+    assert r.probe_bytes_worst == r.probe_rows_worst * (1 * 16 + 8)
