@@ -192,3 +192,165 @@ def test_checkpoint_loc_strips_trailing_separators():
     assert _checkpoint_loc("/tmp/out") == "/tmp/out_checkpoint"
     assert _checkpoint_loc("/tmp/out/") == "/tmp/out_checkpoint"
     assert _checkpoint_loc("/tmp/out//") == "/tmp/out_checkpoint"
+
+
+# ---------------------------------------------------------------------------
+# 5. semantic_dedup_stream out-of-order hardening (VERDICT r12 #5):
+# measure the divergence, then repair it with the retraction pass.
+# ---------------------------------------------------------------------------
+
+_VEC_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _dup_corpus(spark):
+    """30 distinct unit vectors (ids 0..29) plus two exact-dup partners at
+    high ids: 110 duplicates 10, 120 duplicates 20."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vecs = {}
+    for i in range(30):
+        v = rng.standard_normal(16)
+        v /= np.linalg.norm(v)
+        vecs[i] = v
+        rows.append((i, [float(x) for x in v]))
+    for lo, hi in ((10, 110), (20, 120)):
+        rows.append((hi, [float(x) for x in vecs[lo]]))
+    return spark.createDataFrame(rows, _VEC_SCHEMA)
+
+
+def _land_batches(spark, land, batches):
+    import glob
+    import os
+    import shutil
+
+    for i, chunk in enumerate(batches):
+        spark.createDataFrame(chunk, _VEC_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(land / f"stage{i}"))
+        f = glob.glob(str(land / f"stage{i}" / "*.parquet"))[0]
+        dst = land / f"batch{i}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(land / f"stage{i}")
+
+
+def _run_semantic_stream(spark, land, out_root, ivf):
+    from dampr_spark.streaming import pipeline as streaming
+
+    stream = (
+        spark.readStream.schema(_VEC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    q = streaming.semantic_dedup_stream(
+        stream,
+        ivf,
+        str(out_root / "store"),
+        str(out_root / "novel"),
+        threshold=0.999,
+    )
+    q.awaitTermination()
+
+
+def test_semantic_dedup_stream_out_of_order_divergence_measured(
+    spark, tmp_path_factory
+):
+    """The documented caveat, MEASURED: replaying high ids BEFORE the low
+    ids that dominate them emits false survivors (append-only sinks can't
+    retract), while every true batch survivor is still emitted — the sink
+    is batch-survivors plus exactly the early-arrived dominated ids."""
+    from dampr_spark.operators.similarity import IVFIndex
+
+    df = _dup_corpus(spark)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=100)
+    expected = {
+        r.vec_id
+        for r in ivf.semantic_novelty(ivf.assign(df), threshold=0.999)
+        .select("vec_id")
+        .collect()
+    }
+    assert 110 not in expected and 120 not in expected  # dominated in batch
+
+    rows = sorted(df.collect(), key=lambda r: r.vec_id)
+    high = [(int(r.vec_id), list(map(float, r.embedding))) for r in rows if r.vec_id >= 100]
+    low = [(int(r.vec_id), list(map(float, r.embedding))) for r in rows if r.vec_id < 100]
+    land = tmp_path_factory.mktemp("ooo_land")
+    out_root = tmp_path_factory.mktemp("ooo_out")
+    _land_batches(spark, land, [high, low])  # dominated ids arrive FIRST
+    _run_semantic_stream(spark, land, out_root, ivf)
+
+    got = {
+        r.vec_id
+        for r in spark.read.parquet(str(out_root / "novel")).select("vec_id").collect()
+    }
+    false_survivors = got - expected
+    assert expected <= got  # no true survivor is ever lost
+    assert false_survivors == {110, 120}  # the measured divergence
+
+
+def test_semantic_retractions_restore_batch_set_any_order(
+    spark, tmp_path_factory
+):
+    """The repair: sink MINUS semantic_dedup_retractions == the batch
+    operator's survivor set, on a shuffled replay (and the retraction set
+    is empty on an id-ordered one)."""
+    from dampr_spark.operators.similarity import IVFIndex
+    from dampr_spark.streaming.pipeline import semantic_dedup_retractions
+
+    df = _dup_corpus(spark)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=100)
+    expected = sorted(
+        r.vec_id
+        for r in ivf.semantic_novelty(ivf.assign(df), threshold=0.999)
+        .select("vec_id")
+        .collect()
+    )
+    rows = sorted(df.collect(), key=lambda r: r.vec_id)
+    pairs = [(int(r.vec_id), list(map(float, r.embedding))) for r in rows]
+    # shuffled: high-id dups first, then an interleaved middle, then the rest
+    batches = [pairs[30:], pairs[15:30], pairs[:15]]
+    land = tmp_path_factory.mktemp("retr_land")
+    out_root = tmp_path_factory.mktemp("retr_out")
+    _land_batches(spark, land, batches)
+    _run_semantic_stream(spark, land, out_root, ivf)
+
+    retract = semantic_dedup_retractions(
+        spark,
+        ivf,
+        str(out_root / "store"),
+        str(out_root / "novel"),
+        threshold=0.999,
+    )
+    retract_ids = {r.vec_id for r in retract.select("vec_id").collect()}
+    sink = {
+        r.vec_id
+        for r in spark.read.parquet(str(out_root / "novel")).select("vec_id").collect()
+    }
+    assert sorted(sink - retract_ids) == expected
+    assert retract_ids == {110, 120}
+
+
+def test_semantic_retractions_empty_on_id_ordered_replay(
+    spark, tmp_path_factory
+):
+    from dampr_spark.operators.similarity import IVFIndex
+    from dampr_spark.streaming.pipeline import semantic_dedup_retractions
+
+    df = _dup_corpus(spark)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=100)
+    rows = sorted(df.collect(), key=lambda r: r.vec_id)
+    pairs = [(int(r.vec_id), list(map(float, r.embedding))) for r in rows]
+    land = tmp_path_factory.mktemp("ord_land")
+    out_root = tmp_path_factory.mktemp("ord_out")
+    _land_batches(spark, land, [pairs[:16], pairs[16:]])
+    _run_semantic_stream(spark, land, out_root, ivf)
+    retract = semantic_dedup_retractions(
+        spark,
+        ivf,
+        str(out_root / "store"),
+        str(out_root / "novel"),
+        threshold=0.999,
+    )
+    assert retract.count() == 0
