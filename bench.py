@@ -303,6 +303,7 @@ BENCH_QUERIES = [
     # the full production shape; oracle replays it end-to-end incl. the
     # recursive component closure).
     "curate_training_slice",
+    "curate_training_slice_v2",
 ]
 
 # Frozen-anchor query set: one representative per regression class the r8

@@ -115,7 +115,17 @@ def dsir_score(
     (:func:`dsir_log_ratios`): one pair-explode into per-doc bucket
     counts, broadcast-join the table, per-doc weighted sum. Buckets
     absent from the table contribute 0 (they carry no evidence under the
-    fitted model)."""
+    fitted model).
+
+    Exact-integer weighted sum (round 13): the per-doc
+    ``Σ k·lr`` is computed over PICO-scaled ratios summed as longs —
+    ``round(Σ k·round(lr·1e12) / 1e12, 6)`` — because a float sum's
+    merge order differs between Spark's partial-aggregate tree and a
+    sequential engine, and the trailing-ulp drift flipped a 6dp-rounded
+    ``log_weight`` on one adversarial-fixture doc (1.002405 vs
+    1.002404). Long-typed pico units are exact for any doc up to ~1e5
+    bigrams at |lr| ≤ 15; every DuckDB oracle computes the identical
+    integer sum."""
     doc_buckets = (
         _ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
         .select(
@@ -136,7 +146,14 @@ def dsir_score(
         .groupBy("id")
         .agg(
             F.sum("k").cast("long").alias("n_feats"),
-            F.round(F.sum(F.col("k") * F.col("lr")), 6).alias("log_weight"),
+            F.round(
+                F.sum(
+                    F.col("k")
+                    * F.round(F.col("lr") * 1e12, 0).cast("long")
+                )
+                / F.lit(1_000_000_000_000.0),
+                6,
+            ).alias("log_weight"),
         )
     )
     base = df.filter(F.col(text_col).isNotNull()).select(

