@@ -733,15 +733,18 @@ class IVFIndex:
         appenders (the module's own streaming + batch-backfill
         composition) could claim the same id and silently clobber a
         shard. The claim is now a ``_claim_shard_<N>`` marker file
-        created with Hadoop's create-exclusive (``overwrite=false`` —
-        atomic on HDFS, exclusive-create on local FS; the indexer's
-        discipline): the
-        appender that loses the race gets FileAlreadyExists and probes
-        the next id. Markers are underscore-prefixed so parquet readers
-        ignore them, and they are never deleted — a claimed-but-crashed
-        writer's id stays burned instead of being half-overwritten."""
+        created EXCLUSIVELY: on HDFS/object stores via Hadoop's
+        create(overwrite=false) (atomic there), on the local filesystem
+        via ``java.io.File.createNewFile`` (O_CREAT|O_EXCL — Hadoop's
+        LocalFileSystem create(false) is a check-THEN-create and two
+        threads both passed the check under load, caught by the sharded
+        suite). The appender that loses the race probes the next id.
+        Markers are underscore-prefixed so parquet readers ignore them,
+        and they are never deleted — a claimed-but-crashed writer's id
+        stays burned instead of being half-overwritten."""
         fs, p, jvm = self._fs(spark, path)
         hpath = jvm.org.apache.hadoop.fs.Path
+        local = str(fs.getUri().getScheme() or "file") == "file"
         taken = set(self.store_shard_ids(spark, path))
         for st in fs.listStatus(p):
             name = st.getPath().getName()
@@ -749,12 +752,19 @@ class IVFIndex:
                 taken.add(int(name.rsplit("_", 1)[1]))
         nxt = (max(taken) + 1) if taken else 0
         while True:
-            try:
-                out = fs.create(hpath(f"{path}/_claim_shard_{nxt}"), False)
-                out.close()
-                return nxt
-            except Exception:
+            marker = hpath(f"{path}/_claim_shard_{nxt}")
+            if local:
+                if jvm.java.io.File(
+                    marker.toUri().getPath()
+                ).createNewFile():
+                    return nxt
                 nxt += 1  # lost the race for this id; probe the next
+            else:
+                try:
+                    fs.create(marker, False).close()
+                    return nxt
+                except Exception:
+                    nxt += 1
 
     def _write_store_shard(
         self, df: DataFrame, path: str, shard: int, vec_col: str,

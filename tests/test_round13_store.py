@@ -297,3 +297,24 @@ def test_sq8_store_audit_prices_byte_codes(spark, tmp_path):
     r = ivf_store_audit(spark, root, n_lists=4, nprobe=2).collect()[0]
     assert r.n_vecs == 200 and r.dim == 16
     assert r.probe_bytes_worst == r.probe_rows_worst * (1 * 16 + 8)
+
+
+def test_claim_primitive_atomic_under_thread_hammer(spark, tmp_path):
+    """Hammer the claim primitive directly: 8 threads x 20 claims each on
+    one store must yield 160 DISTINCT ids (Hadoop LocalFileSystem's
+    create(overwrite=false) is check-then-create and failed this under
+    shard load; the local path now uses java.io.File.createNewFile,
+    O_CREAT|O_EXCL)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    df = _clustered(spark, n_clusters=2, per_cluster=10)
+    ivf = IVFIndex(n_lists=2, nprobe=1, seed=42).fit(df, sample_size=50)
+    root = str(tmp_path / "store")
+    ivf.init_store(df, root)
+
+    def claim_many(_):
+        return [ivf._claim_shard_id(spark, root) for _ in range(20)]
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        ids = [i for chunk in ex.map(claim_many, range(8)) for i in chunk]
+    assert len(ids) == 160 and len(set(ids)) == 160, sorted(ids)[:20]
