@@ -1945,11 +1945,13 @@ def dsir_en_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     reshapes the corpus toward the target domain; here en docs score high
     and zh/fr/de/es docs negative — the language split doubles as a
     verifiable domain boundary."""
-    from dampr_spark.operators.selection import dsir_importance_weights
+    from dampr_spark.operators.selection import (
+        dsir_importance_weights_flagged,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    return dsir_importance_weights(
-        d, d.filter(F.col("lang") == "en"), n_buckets=_DSIR_BUCKETS
+    return dsir_importance_weights_flagged(
+        d, F.col("lang") == "en", n_buckets=_DSIR_BUCKETS
     )
 
 
@@ -2200,11 +2202,13 @@ def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-compares). Ordering is on the 6dp-ROUNDED key (then doc_id) so
     cross-engine libm drift cannot flip the cut. Scale shape: the scored
     frame plus one TakeOrdered — no extra shuffle over DSIR scoring."""
-    from dampr_spark.operators.selection import dsir_importance_weights
+    from dampr_spark.operators.selection import (
+        dsir_importance_weights_flagged,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    w = dsir_importance_weights(
-        d, d.filter(F.col("lang") == "en"), n_buckets=_DSIR_BUCKETS
+    w = dsir_importance_weights_flagged(
+        d, F.col("lang") == "en", n_buckets=_DSIR_BUCKETS
     )
     u = (
         F.conv(
@@ -2974,7 +2978,9 @@ def curate_training_slice_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline ever holds, never the raw corpus."""
     from pyspark import StorageLevel
 
-    from dampr_spark.operators.selection import dsir_importance_weights
+    from dampr_spark.operators.selection import (
+        dsir_importance_weights_flagged,
+    )
 
     d = (
         _t(spark, sf_dir, "documents")
@@ -3030,8 +3036,8 @@ def curate_training_slice_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q") >= _CURATE_Q_GATE)
         .transform(_pin)  # feeds DSIR model + scoring + the final join
     )
-    weights = dsir_importance_weights(
-        gated, gated.filter(F.col("lang") == "en"), n_buckets=_DSIR_BUCKETS
+    weights = dsir_importance_weights_flagged(
+        gated, F.col("lang") == "en", n_buckets=_DSIR_BUCKETS
     )
     sel = gated.join(
         weights.filter(F.col("log_weight") > 0).select(
