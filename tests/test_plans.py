@@ -505,10 +505,13 @@ def test_dsir_broadcasts_ratio_table(spark):
     and the corpus must pair-explode exactly once."""
     plan = plan_of(spark, "dsir_en_importance")
     assert "BroadcastHashJoin" in plan
-    # exactly ONE single-consumer scoring explode; the model's explode
-    # lineages are pinned behind checkpoints (the ratio table reads a
-    # checkpointed frame, never replays its pair-explodes)
-    assert plan.count("Generate explode") == 1
+    # ZERO explodes in the final plan (round 13, the single-explode
+    # flagged path): the ONE pair-explode lives behind the pinned
+    # (id, tgt, bucket, k) frame, which feeds the raw distribution, the
+    # target distribution, AND the scoring join — the final plan reads
+    # the checkpoint and never replays text expansion at all (the old
+    # three-explode shape re-exploded for scoring: count was 1).
+    assert plan.count("Generate explode") == 0
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
 
