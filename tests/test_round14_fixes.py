@@ -1,0 +1,387 @@
+"""Round-14 store-lifecycle hardening (VERDICT r13 #1/#2/#4, ADVICE r13):
+``compact_store``'s concurrent-append rescue (the silent data-loss
+window), the reader-race-safe two-rename swap, sidecar-first sq8 init,
+claim-error narrowing, and the shared codec-aware ``read_store`` path
+that makes every store consumer (search, the semantic-dedup stream, the
+retraction pass) compose with quantized-at-rest stores."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from dampr_spark.operators import similarity
+from dampr_spark.operators.similarity import (
+    IVFIndex,
+    _recover_precompact_store,
+    _repair_nested_swap_artifacts,
+)
+
+VEC_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _clustered(spark, n_clusters=8, per_cluster=50, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for c in range(n_clusters):
+        center = np.zeros(dim)
+        center[c % dim] = 1.0
+        for i in range(per_cluster):
+            v = center + 0.05 * rng.standard_normal(dim)
+            v /= np.linalg.norm(v)
+            rows.append((c * per_cluster + i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, VEC_SCHEMA)
+
+
+class _RaceAppendIVF(IVFIndex):
+    """Test double for the compact_store data-loss window: performs a
+    concurrent append immediately AFTER the compactor's input snapshot
+    (the corpus read is pinned first so the snapshot cannot see the late
+    batch) — exactly the race VERDICT r13 #1 describes: the appender
+    returns success, so no at-least-once retry would ever re-deliver the
+    batch if compaction dropped it."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.late_batch = None
+        self.late_shard = None
+
+    def read_store(self, spark, path, decode=False, vec_col="embedding"):
+        df = IVFIndex.read_store(
+            spark, path, decode, vec_col
+        ).localCheckpoint(eager=True)
+        if self.late_batch is not None:
+            batch, self.late_batch = self.late_batch, None
+            self.late_shard = IVFIndex.append_shard(self, batch, path)
+        return df
+
+
+# ---------------------------------------------------------------------------
+# 1. compact_store rescues shards appended during compaction
+# ---------------------------------------------------------------------------
+
+
+def test_compact_rescues_shard_appended_during_compaction(spark, tmp_path):
+    """A shard whose append COMPLETES after the compactor's input
+    snapshot must survive compaction (pre-r14 the final delete of the
+    aside root silently destroyed it): it is rescued into the new root
+    under a fresh id, re-binned under the refit's centroid layout."""
+    df = _clustered(spark)  # 400 vectors
+    ivf = _RaceAppendIVF(n_lists=4, nprobe=3, seed=42)
+    ivf.fit(df, sample_size=400)
+    root = str(tmp_path / "store")
+    base = df.filter(F.col("vec_id") < 350)
+    late = df.filter(F.col("vec_id") >= 350)
+    ivf.init_store(base, root)
+    ivf.late_batch = late
+    refit = ivf.compact_store(spark, root)
+    assert ivf.late_shard == 1  # the racing append reported success
+    assert sorted(ivf.store_shard_ids(spark, root)) == [0, 1]
+    store = ivf.read_store(spark, root)
+    assert store.count() == 400, "racing append's vectors were lost"
+    assert store.select("vec_id").distinct().count() == 400
+    # The rescued shard is re-binned under the REFIT layout: searching
+    # for a late vector through the refit index finds it.
+    q = [float(x) for x in df.filter(F.col("vec_id") == 399).collect()[0].embedding]
+    assert refit.search_store(spark, root, q, k=1).collect()[0].vec_id == 399
+
+
+def test_compact_rescues_append_on_sq8_store(spark, tmp_path):
+    """Same rescue on a quantized-at-rest store: the rescued shard's
+    codes are decoded via the frozen sidecar for re-assignment and
+    re-written as codes (no float column leaks into the store)."""
+    df = _clustered(spark)
+    ivf = _RaceAppendIVF(n_lists=4, nprobe=3, seed=42)
+    ivf.fit(df, sample_size=400)
+    root = str(tmp_path / "store")
+    # Interleaved split: every cluster is represented in the init corpus,
+    # so the FROZEN sidecar bounds cover the late batch's distribution
+    # (an out-of-distribution late batch would clamp — the documented
+    # FAISS train/encode semantics, not a rescue defect).
+    ivf.init_store(df.filter(F.col("vec_id") % 4 != 3), root, codec="sq8")
+    ivf.late_batch = df.filter(F.col("vec_id") % 4 == 3)
+    refit = ivf.compact_store(spark, root)
+    assert ivf.late_shard == 1
+    store = ivf.read_store(spark, root)
+    assert store.count() == 400
+    assert "codes" in store.columns and "embedding" not in store.columns
+    assert os.path.exists(os.path.join(root, "_quantizer.json"))
+    q = [float(x) for x in df.filter(F.col("vec_id") == 399).collect()[0].embedding]
+    assert refit.search_store(spark, root, q, k=1).collect()[0].vec_id == 399
+
+
+def test_compact_without_race_rescues_nothing(spark, tmp_path):
+    """No concurrent append -> no rescue: the compacted store is exactly
+    shard 0 (the r13 lifecycle tests' invariant is unchanged)."""
+    df = _clustered(spark, n_clusters=4, per_cluster=50)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=200)
+    root = str(tmp_path / "store")
+    ivf.init_store(df.filter(F.col("vec_id") < 100), root)
+    ivf.append_shard(df.filter(F.col("vec_id") >= 100), root)
+    ivf.compact_store(spark, root)
+    assert ivf.store_shard_ids(spark, root) == [0]
+    assert ivf.read_store(spark, root).count() == 200
+
+
+# ---------------------------------------------------------------------------
+# 2. reader-race-safe swap (ADVICE r13: _recover_precompact_store vs the
+# compactor's two-rename window)
+# ---------------------------------------------------------------------------
+
+
+def test_compact_swap_reader_race_fails_clean(spark, tmp_path, monkeypatch):
+    """A reader auto-recovering the store in the window between the two
+    swap renames must make compaction fail CLEAN (retryable error, live
+    store intact, no nested-directory corruption) — pre-r14 the
+    compactor's rename landed the compacted tmp INSIDE the restored root
+    and corrupted every subsequent read."""
+    df = _clustered(spark, n_clusters=4, per_cluster=50)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=200)
+    root = str(tmp_path / "store")
+    ivf.init_store(df.filter(F.col("vec_id") < 100), root)
+    ivf.append_shard(df.filter(F.col("vec_id") >= 100), root)
+
+    def racing_reader():
+        assert _recover_precompact_store(spark, root)
+
+    monkeypatch.setattr(similarity, "_COMPACT_SWAP_INTERPOSE", racing_reader)
+    with pytest.raises(IOError, match="re-run compaction"):
+        ivf.compact_store(spark, root)
+    # Live store intact, both shards, no swap debris anywhere.
+    assert sorted(ivf.store_shard_ids(spark, root)) == [0, 1]
+    assert ivf.read_store(spark, root).count() == 200
+    assert not os.path.exists(root + "_compacting")
+    assert not os.path.exists(root + "_precompact")
+    assert not any(
+        n.endswith(("_compacting", "_precompact")) for n in os.listdir(root)
+    )
+    # The advertised remedy works: re-running compaction succeeds.
+    monkeypatch.setattr(similarity, "_COMPACT_SWAP_INTERPOSE", None)
+    ivf.compact_store(spark, root)
+    assert ivf.store_shard_ids(spark, root) == [0]
+    assert ivf.read_store(spark, root).count() == 200
+
+
+def test_repair_nested_swap_artifacts_both_directions(spark, tmp_path):
+    """The post-swap repair helper undoes Hadoop's rename-into-existing-
+    destination nesting in both race directions: a nested compacted tmp
+    is deleted (the live root is the complete original), a nested aside
+    root is moved back OUT so the rescue/delete pass consumes it."""
+    ivf = IVFIndex(n_lists=2, nprobe=1, seed=42)
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    open(os.path.join(root, "live.marker"), "w").close()
+    fs, _, jvm = ivf._fs(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    tmp, old = root + "_compacting", root + "_precompact"
+
+    assert _repair_nested_swap_artifacts(fs, hpath, root, tmp, old) is None
+
+    nested_tmp = os.path.join(root, os.path.basename(tmp))
+    os.makedirs(nested_tmp)
+    open(os.path.join(nested_tmp, "part.parquet"), "w").close()
+    assert _repair_nested_swap_artifacts(fs, hpath, root, tmp, old) == "tmp"
+    assert not os.path.exists(nested_tmp)
+    assert os.path.exists(os.path.join(root, "live.marker"))
+
+    nested_old = os.path.join(root, os.path.basename(old))
+    os.makedirs(nested_old)
+    open(os.path.join(nested_old, "shard.marker"), "w").close()
+    assert _repair_nested_swap_artifacts(fs, hpath, root, tmp, old) == "old"
+    assert not os.path.exists(nested_old)
+    assert os.path.exists(os.path.join(old, "shard.marker"))
+
+
+# ---------------------------------------------------------------------------
+# 3. sidecar-first sq8 init (ADVICE r13)
+# ---------------------------------------------------------------------------
+
+
+def test_init_store_sq8_writes_sidecar_before_first_shard(
+    spark, tmp_path, monkeypatch
+):
+    """Ordering pin: if the first shard write dies, the sidecar must
+    already be on disk (sidecar-first) — and in that mid-init window an
+    append fails LOUDLY with the no-store error instead of loading
+    codec=None and appending raw floats into a codes-only store."""
+    df = _clustered(spark, n_clusters=4, per_cluster=20)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=80)
+    root = str(tmp_path / "store")
+
+    def boom(self, *a, **k):
+        raise RuntimeError("simulated shard-write crash")
+
+    monkeypatch.setattr(IVFIndex, "_write_store_shard", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        ivf.init_store(df, root, codec="sq8")
+    assert os.path.exists(os.path.join(root, "_quantizer.json"))
+    assert ivf.store_shard_ids(spark, root) == []
+    monkeypatch.undo()
+    # The mid-init window: sidecar present, zero shards -> loud failure.
+    with pytest.raises(ValueError, match="init_store"):
+        ivf.append_shard(df, root)
+    # Completing init over the same root works (init clears the root).
+    ivf.init_store(df, root, codec="sq8")
+    assert ivf.read_store(spark, root).count() == df.count()
+
+
+# ---------------------------------------------------------------------------
+# 4. shared codec-aware read path (VERDICT r13 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_read_store_decode_is_noop_on_raw_store(spark, tmp_path):
+    df = _clustered(spark, n_clusters=4, per_cluster=20)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=80)
+    root = str(tmp_path / "store")
+    ivf.init_store(df, root)
+    plain = ivf.read_store(spark, root)
+    decoded = ivf.read_store(spark, root, decode=True)
+    assert plain.columns == decoded.columns
+    assert dict(decoded.dtypes)["embedding"] == "array<float>"
+    assert decoded.count() == df.count()
+
+
+def test_read_store_decode_materializes_vectors_on_sq8(spark, tmp_path):
+    """decode=True on an sq8 store adds the decoded float view, equal to
+    the quantizer's own reconstruction, and the list_id partition filter
+    still prunes directories (decode is a projection, applied after)."""
+    df = _clustered(spark, n_clusters=4, per_cluster=20)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(df, sample_size=80)
+    root = str(tmp_path / "store")
+    ivf.init_store(df, root, codec="sq8")
+    sq = IVFIndex._load_store_codec(spark, root)
+    dec = ivf.read_store(spark, root, decode=True)
+    assert "embedding" in dec.columns and "codes" in dec.columns
+    want = {
+        r.vec_id: [round(float(x), 9) for x in r.emb]
+        for r in ivf.read_store(spark, root)
+        .select("vec_id", sq.decoded("codes").alias("emb"))
+        .collect()
+    }
+    got = {
+        r.vec_id: [round(float(x), 9) for x in r.embedding]
+        for r in dec.select("vec_id", "embedding").collect()
+    }
+    assert got == want
+    plan = (
+        dec.filter(F.col("list_id").isin([0, 1]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "list_id" in plan.split("PartitionFilters")[1][:200]
+
+
+# ---------------------------------------------------------------------------
+# 5. semantic-dedup stream + retractions over an sq8 store (VERDICT r13
+# #2: the two r13 features now compose)
+# ---------------------------------------------------------------------------
+
+_VEC_SCHEMA = VEC_SCHEMA
+
+
+def _dup_corpus_rows():
+    """ids 0..29 distinct unit vectors; 110 duplicates 10, 120 duplicates
+    20 (the round-13 out-of-order fixture)."""
+    rng = np.random.default_rng(11)
+    vecs = {}
+    rows = []
+    for i in range(30):
+        v = rng.standard_normal(16)
+        v /= np.linalg.norm(v)
+        vecs[i] = v
+        rows.append((i, [float(x) for x in v]))
+    for lo, hi in ((10, 110), (20, 120)):
+        rows.append((hi, [float(x) for x in vecs[lo]]))
+    return rows
+
+
+def _land_batches(spark, land, batches):
+    import glob
+    import shutil
+
+    for i, chunk in enumerate(batches):
+        spark.createDataFrame(chunk, _VEC_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(land / f"stage{i}"))
+        f = glob.glob(str(land / f"stage{i}" / "*.parquet"))[0]
+        dst = land / f"batch{i}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(land / f"stage{i}")
+
+
+def _run_stream(spark, land, store_dir, novel_dir, ivf):
+    from dampr_spark.streaming import pipeline as streaming
+
+    stream = (
+        spark.readStream.schema(_VEC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    q = streaming.semantic_dedup_stream(
+        stream, ivf, store_dir, novel_dir, threshold=0.999
+    )
+    q.awaitTermination()
+
+
+def test_semantic_stream_and_retractions_compose_with_sq8_store(
+    spark, tmp_path_factory
+):
+    """The same out-of-order replay over a RAW pre-inited store and an
+    SQ8 pre-inited store must emit the same survivor set, and the
+    retraction pass over each store must retract the same false
+    survivors — the r13 gap where both paths crashed on the missing
+    float column of a quantized store (VERDICT r13 #2)."""
+    from dampr_spark.streaming.pipeline import semantic_dedup_retractions
+
+    rows = _dup_corpus_rows()
+    all_df = spark.createDataFrame(rows, _VEC_SCHEMA)
+    ivf = IVFIndex(n_lists=4, nprobe=2, seed=42).fit(all_df, sample_size=100)
+    seed_rows = [r for r in rows if r[0] < 10]
+    stream_rows = [r for r in rows if r[0] >= 10]
+    high = [r for r in stream_rows if r[0] >= 100]  # dominated ids FIRST
+    rest = [r for r in stream_rows if r[0] < 100]
+    land = tmp_path_factory.mktemp("sq8_land")
+    _land_batches(spark, land, [high, rest])
+    seed_df = spark.createDataFrame(seed_rows, _VEC_SCHEMA)
+
+    results = {}
+    for codec in (None, "sq8"):
+        out = tmp_path_factory.mktemp(f"sq8_out_{codec}")
+        store_dir = str(out / "store")
+        novel_dir = str(out / "novel")
+        ivf.init_store(seed_df, store_dir, codec=codec)
+        _run_stream(spark, land, store_dir, novel_dir, ivf)
+        sink = {
+            r.vec_id
+            for r in spark.read.parquet(novel_dir).select("vec_id").collect()
+        }
+        retract = semantic_dedup_retractions(
+            spark, ivf, store_dir, novel_dir, threshold=0.999
+        )
+        retract_ids = {r.vec_id for r in retract.select("vec_id").collect()}
+        store = ivf.read_store(spark, store_dir)
+        results[codec] = (sink, retract_ids, store.count(), set(store.columns))
+
+    raw_sink, raw_retract, raw_n, raw_cols = results[None]
+    sq_sink, sq_retract, sq_n, sq_cols = results["sq8"]
+    assert "embedding" in raw_cols and "codes" in sq_cols
+    assert "embedding" not in sq_cols  # genuinely quantized at rest
+    assert raw_n == sq_n == len(rows)
+    assert sq_sink == raw_sink  # stream decisions identical across codecs
+    assert sq_retract == raw_retract == {110, 120}
+    # sink minus retractions == the batch operator's survivor set
+    expected = {
+        r.vec_id
+        for r in ivf.semantic_novelty(ivf.assign(all_df), threshold=0.999)
+        .select("vec_id")
+        .collect()
+        if r.vec_id >= 10  # seeded ids were never streamed/emitted
+    }
+    assert sq_sink - sq_retract == expected
