@@ -42,6 +42,35 @@ def token_count(col: str = "text") -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+def adjacent_token_pairs(col: str = "text") -> Column:
+    """Non-distinct adjacent token pairs (whitespace tokenizer) as
+    ``array<struct<a,b>>``, empty for docs under 2 tokens — THE shared
+    bigram expression (DSIR features, PMI, context n-grams).
+
+    O(n) in document length (round 14): the previous per-site
+    ``transform(sequence(1, n-1), i -> element_at(toks, i) ...)`` shape
+    re-evaluated the SPLIT inside the lambda for every element
+    (subexpression elimination does not reach into higher-order-function
+    bodies), making every bigram pass quadratic — measured 45 s for ONE
+    20k-token document, i.e. hours for a single long web doc at corpus
+    scale. ``zip_with`` over two slices binds both arrays once and
+    iterates.
+
+    The ``when`` guard stays required: ``F.sequence(1, 0)`` DESCENDS and
+    a single-token doc would index out of bounds under ANSI (the
+    bigram_pmi lesson) — here it also keeps slice lengths non-negative."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
 def token_count_sql(col: str = "text") -> str:
     return f"CAST(len(string_split({col}, ' ')) AS BIGINT)"
 

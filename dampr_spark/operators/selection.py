@@ -26,20 +26,13 @@ from dampr_spark.operators.dedup import _ensure_parallelism
 
 
 def _adjacent_pairs(text_col: str) -> Column:
-    """Non-distinct adjacent token pairs (whitespace tokenizer) as
-    ``array<struct<a,b>>``; empty for docs under 2 tokens (F.sequence(1, 0)
-    is DESCENDING, so the guard is required under ANSI)."""
-    toks = F.split(F.col(text_col), " ")
-    return F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("a"),
-                F.element_at(toks, i + 1).alias("b"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    """Non-distinct adjacent token pairs — delegates to the shared O(n)
+    ``functions.text.adjacent_token_pairs`` (round 14: the per-site
+    transform/element_at shape re-evaluated the split inside the lambda,
+    making DSIR feature extraction QUADRATIC in doc length)."""
+    from dampr_spark.functions.text import adjacent_token_pairs
+
+    return adjacent_token_pairs(text_col)
 
 
 def hashed_feature_bucket(gram: Column, n_buckets: int) -> Column:
@@ -105,6 +98,29 @@ def dsir_log_ratios(
     )
 
 
+def _pico_weight_sum() -> Column:
+    """The DSIR ``log_weight`` aggregate: ``Σ k·round(lr·1e12)``
+    accumulated in decimal(38,0), divided once, rounded to 6dp.
+
+    Exact for ANY document size (round 14, ADVICE r13): the long-typed
+    accumulator silently wrapped once a doc exceeded ~6e5 bigrams at
+    |lr|~15 — and |lr| grows with corpus size via the ln(rn+buckets)
+    term, shrinking that bound exactly at the scale this module targets.
+    decimal(38,0) holds ~1e38: even a 1e12-bigram doc at pico-|lr| 1e14
+    sums to ~1e26, so overflow is structurally unreachable (and Spark
+    yields NULL, never a wrapped value, if it ever were). Cross-engine
+    equality is preserved with the DuckDB oracles UNCHANGED: DuckDB's
+    sum(BIGINT) accumulates in int128, so both engines compute the
+    identical exact integer before the single divide, and the exact
+    integer → double conversion rounds identically in both."""
+    prod = F.col("k").cast("decimal(19,0)") * F.round(
+        F.col("lr") * 1e12, 0
+    ).cast("long").cast("decimal(19,0)")
+    return F.round(
+        F.sum(prod).cast("double") / F.lit(1_000_000_000_000.0), 6
+    )
+
+
 def dsir_score(
     df: DataFrame,
     ratios: DataFrame,
@@ -119,14 +135,15 @@ def dsir_score(
     fitted model).
 
     Exact-integer weighted sum (round 13): the per-doc
-    ``Σ k·lr`` is computed over PICO-scaled ratios summed as longs —
+    ``Σ k·lr`` is computed over PICO-scaled ratios summed exactly —
     ``round(Σ k·round(lr·1e12) / 1e12, 6)`` — because a float sum's
     merge order differs between Spark's partial-aggregate tree and a
     sequential engine, and the trailing-ulp drift flipped a 6dp-rounded
     ``log_weight`` on one adversarial-fixture doc (1.002405 vs
-    1.002404). Long-typed pico units are exact for any doc up to ~1e5
-    bigrams at |lr| ≤ 15; every DuckDB oracle computes the identical
-    integer sum."""
+    1.002404). The accumulator is decimal(38,0), not long (round 14,
+    ADVICE r13): a long sum silently wrapped past ~6e5 bigrams at
+    |lr|~15, and |lr| grows with corpus size — see
+    :func:`_pico_weight_sum` for the cross-engine argument."""
     doc_buckets = (
         _ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
         .select(
@@ -147,14 +164,7 @@ def dsir_score(
         .groupBy("id")
         .agg(
             F.sum("k").cast("long").alias("n_feats"),
-            F.round(
-                F.sum(
-                    F.col("k")
-                    * F.round(F.col("lr") * 1e12, 0).cast("long")
-                )
-                / F.lit(1_000_000_000_000.0),
-                6,
-            ).alias("log_weight"),
+            _pico_weight_sum().alias("log_weight"),
         )
     )
     base = df.filter(F.col(text_col).isNotNull()).select(
@@ -247,14 +257,7 @@ def dsir_importance_weights_flagged(
         .groupBy("id")
         .agg(
             F.sum("k").cast("long").alias("n_feats"),
-            F.round(
-                F.sum(
-                    F.col("k")
-                    * F.round(F.col("lr") * 1e12, 0).cast("long")
-                )
-                / F.lit(1_000_000_000_000.0),
-                6,
-            ).alias("log_weight"),
+            _pico_weight_sum().alias("log_weight"),
         )
     )
     return (

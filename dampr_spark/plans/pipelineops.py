@@ -374,12 +374,15 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split("text", " ")
     starts = F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK_STRIDE))
+    # Split ONCE and carry the token array through the explode (round
+    # 14): re-splitting the full text per chunk row made long docs pay
+    # O(len/stride * len) — the adjacent-pairs quadratic in miniature.
     e = d.select(
         "doc_id",
-        F.col("text"),
+        toks.alias("toks"),
         F.posexplode(starts).alias("pos", "st"),
     )
-    chunk = F.slice(F.split("text", " "), F.col("st"), F.lit(_CHUNK_TOKENS))
+    chunk = F.slice(F.col("toks"), F.col("st"), F.lit(_CHUNK_TOKENS))
     return e.select(
         "doc_id",
         F.col("pos").cast("long").alias("chunk_id"),
@@ -1749,19 +1752,11 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(_pin)  # joined twice (left and right word)
     )
     n1 = uni.agg(F.sum("c").alias("n1"))
-    # Guarded: F.sequence(1, 0) is DESCENDING ([1, 0]), not empty, so a
-    # single-token doc would index element_at(toks, 2) out of bounds under
-    # ANSI mode (caught by the adversarial empty-string fixture).
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("a"),
-                F.element_at(toks, i + 1).alias("b"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    # Shared O(n) bigram expression (round 14): the old per-site
+    # transform/element_at shape re-evaluated the split inside the
+    # lambda — quadratic in doc length. Keeps the single-token guard
+    # (F.sequence(1, 0) DESCENDS; caught by the adversarial fixture).
+    pairs = T.adjacent_token_pairs("text")
     big = (
         d.select(F.explode(pairs).alias("p"))
         .select("p.a", "p.b")

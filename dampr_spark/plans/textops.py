@@ -727,16 +727,11 @@ def next_token_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _ensure_parallelism(
         _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     )
-    t = F.split(F.col("text"), " ")
-    pairs = F.when(
-        F.size(t) > 1,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.struct(
-                F.element_at(t, i).alias("a"), F.element_at(t, i + 1).alias("b")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    from dampr_spark.functions.text import adjacent_token_pairs
+
+    # Shared O(n) bigram expression (round 14): the old per-site
+    # transform/element_at shape was quadratic in doc length.
+    pairs = adjacent_token_pairs("text")
     bi = d.select(F.explode(pairs).alias("u")).select("u.a", "u.b")
     bi = bi.transform(_pin)  # two consumers: ctx counts + pair counts
     ctx = bi.groupBy("a").agg(F.count(F.lit(1)).alias("n_ctx"))
@@ -1190,19 +1185,9 @@ def _textrank_pair_counts(d: DataFrame, vocab: DataFrame) -> DataFrame:
     the join strategy: both vocab probes broadcast the ≤150-row
     vocabulary; the exploded pair stream only ever shuffles for the final
     (lo, hi) count aggregate."""
-    toks = F.split(F.col("text"), " ")
-    # Guarded pair transform (the bigram_pmi lesson: F.sequence(1, 0)
-    # DESCENDS, so single-token docs need the explicit empty-array arm).
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("a"),
-                F.element_at(toks, i + 1).alias("b"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    # Shared O(n) bigram expression (round 14): the old per-site
+    # transform/element_at shape was quadratic in doc length.
+    pairs = T.adjacent_token_pairs("text")
     return (
         d.select(F.explode(pairs).alias("p"))
         .filter(F.col("p.a") != F.col("p.b"))

@@ -278,7 +278,41 @@ def test_read_store_decode_materializes_vectors_on_sq8(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# 5. semantic-dedup stream + retractions over an sq8 store (VERDICT r13
+# 5. DSIR pico-sum overflow (ADVICE r13): decimal accumulator is exact
+# for any document size
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_log_weight_exact_on_giant_doc(spark):
+    """A ~7e5-bigram single-bucket doc at lr=15 overflows a LONG pico
+    accumulator (k * 15e12 ~ 1.05e19 > 2^63 - 1, silently wrapping to a
+    garbage negative weight pre-r14); the decimal(38,0) accumulator
+    returns the exact value."""
+    from dampr_spark.functions.hashing import md5_bucket
+    from dampr_spark.operators.selection import dsir_score
+
+    n = 700_000
+    docs = spark.createDataFrame(
+        [(1, " ".join(["a"] * n)), (2, "a a")], "doc_id long, text string"
+    )
+    bucket = (
+        spark.range(1)
+        .select(md5_bucket(F.lit("a a"), 256).alias("b"))
+        .collect()[0]
+        .b
+    )
+    ratios = spark.createDataFrame([(bucket, 15.0)], "bucket int, lr double")
+    got = {
+        r.doc_id: (r.n_feats, r.log_weight)
+        for r in dsir_score(docs, ratios).collect()
+    }
+    assert got[1] == (n - 1, float((n - 1) * 15)), got[1]
+    assert got[2] == (1, 15.0)
+    assert got[1][1] > 0  # the wrapped long went negative
+
+
+# ---------------------------------------------------------------------------
+# 6. semantic-dedup stream + retractions over an sq8 store (VERDICT r13
 # #2: the two r13 features now compose)
 # ---------------------------------------------------------------------------
 
