@@ -202,6 +202,14 @@ _HARDENED = [
     # decontamination and DSIR stages recompute their gram/bucket
     # models from the surviving set identically on both engines)
     "curate_training_slice_v2",
+    # round-14 addition: the maintenance-cadence composition check
+    # derives every hash-compared count from the SURVIVING valid
+    # vectors (the fixture's NULL embeddings and zero vector drop at
+    # the valid_vector gate before landing-batch writes, store appends,
+    # compaction, or the retraction pass; the fixture's planted exact
+    # dups just join the check's own planted partners as additional
+    # dominated rows on both engines)
+    "stream_maintenance_check",
 ]
 _HARDENED_ROWS_ONLY = [
     "pq_ann_topk",
