@@ -71,6 +71,41 @@ def adjacent_token_pairs(col: str = "text") -> Column:
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
 
 
+def word_ngram_strings(col: str | Column, n: int) -> Column:
+    """Non-distinct word ``n``-grams in positional order as
+    ``array<string>`` — THE shared n-gram string expression (Jaccard
+    postings, contamination grams, heavy-hitter counting, repetition
+    scoring). ``greatest(len-(n-1), 1)`` semantics: a doc shorter than
+    ``n`` tokens yields ONE truncated gram (the whole doc).
+
+    O(n·len), the :func:`adjacent_token_pairs` discipline generalized
+    (round 14): the previous per-site
+    ``transform(sequence(1, cnt), i -> concat_ws(' ', slice(toks, i, n)))``
+    re-evaluated the SPLIT inside the lambda for every element
+    (subexpression elimination does not reach into higher-order-function
+    bodies), making every n-gram pass QUADRATIC in document length —
+    measured 5-7× at 200-token docs and unboundedly worse for single
+    long web documents at corpus scale. Here each of the ``n`` offset
+    slices binds the tokens array once; ``zip_with`` folds them into
+    gram strings. ``zip_with`` pads the shorter slice with NULL and
+    ``concat_ws`` skips NULLs, which reproduces ``slice``'s
+    end-of-array truncation exactly (the short-doc gram).
+
+    NULL input text propagates as a NULL array (callers either filter
+    NULLs first or coalesce — :func:`~dampr_spark.operators.dedup.word_ngrams`
+    preserves its historical NULL→[] contract that way)."""
+    toks = F.split(col if isinstance(col, Column) else F.col(col), " ")
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    g = F.slice(toks, 1, cnt)
+    for k in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(toks, k + 1, cnt),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return g
+
+
 def token_count_sql(col: str = "text") -> str:
     return f"CAST(len(string_split({col}, ' ')) AS BIGINT)"
 

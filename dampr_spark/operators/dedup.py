@@ -308,9 +308,20 @@ def band_occupancy_stats(banded: DataFrame, max_bucket: int) -> DataFrame:
     counts = banded.groupBy("band", "band_hash").agg(
         F.count(F.lit(1)).alias("n")
     )
+    return counts.agg(*_occupancy_aggs(max_bucket)).select(
+        "*",
+        (F.col("raw_pairs") - F.col("capped_pairs")).alias("pairs_dropped"),
+    )
+
+
+def _occupancy_aggs(max_bucket: int) -> list[Column]:
+    """The seven occupancy/budget aggregate expressions over a
+    ``(.., n)`` bucket-count frame — shared by the global
+    :func:`band_occupancy_stats` and the grouped single-exchange path in
+    :func:`lsh_band_audit` so the two can never drift."""
     raw_pairs = F.expr("(n * (n - 1)) div 2")
     over = F.col("n") > max_bucket
-    return counts.agg(
+    return [
         F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("band_rows"),
         F.coalesce(F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)), F.lit(0))
         .cast("long")
@@ -328,10 +339,7 @@ def band_occupancy_stats(banded: DataFrame, max_bucket: int) -> DataFrame:
         )
         .cast("long")
         .alias("capped_pairs"),
-    ).select(
-        "*",
-        (F.col("raw_pairs") - F.col("capped_pairs")).alias("pairs_dropped"),
-    )
+    ]
 
 
 def lsh_band_audit(
@@ -404,20 +412,32 @@ def lsh_band_audit(
         )
         .localCheckpoint(eager=True)  # one UDF pass, k band re-slices
     )
-    rows = []
-    for b in cands:
-        banded = sig.select(
-            "id", F.posexplode(_band_hashes("sig", num_perm, b)).alias("band", "band_hash")
+    # Single-exchange occupancy rollup (round 14, guide §2.4): the old
+    # shape ran band_occupancy_stats once PER CONFIG — k+|geometries|
+    # separate two-exchange aggregate legs unioned after the fact (8-10
+    # Exchanges in the final plan, each a full pass over its banded
+    # rows). Every leg is keyed the same way, so one tagged union of the
+    # banded frames feeds ONE (family, bands, band_width, band,
+    # band_hash) bucket count and ONE grouped stats aggregate — 2
+    # Exchanges total, identical numbers (the aggregate expressions are
+    # the shared _occupancy_aggs). The config spine (a literal k+g-row
+    # frame) left-joins the stats back so a config whose banded frame is
+    # EMPTY (degenerate corpus) still emits its all-zeros row exactly as
+    # the per-leg global aggregates did.
+    configs: list[tuple[str, int, int]] = [
+        ("minhash", b, num_perm // b) for b in cands
+    ]
+    legs = [
+        sig.select(
+            F.lit("minhash").alias("family"),
+            F.lit(b).cast("long").alias("bands"),
+            F.lit(num_perm // b).cast("long").alias("band_width"),
+            F.posexplode(_band_hashes("sig", num_perm, b)).alias(
+                "band", "band_hash"
+            ),
         )
-        rows.append(
-            band_occupancy_stats(banded, max_bucket).select(
-                F.lit("minhash").alias("family"),
-                F.lit(b).cast("long").alias("bands"),
-                F.lit(num_perm // b).cast("long").alias("band_width"),
-                F.expr(f"band_rows div {b}").alias("n_docs"),
-                "*",
-            )
-        )
+        for b in cands
+    ]
     if include_simhash:
         tok_hashes = F.transform(
             F.array_distinct(F.split(F.col(text_col), " ")),
@@ -429,27 +449,59 @@ def lsh_band_audit(
         # geometries don't re-slice one signature).
         for sh_bits, sh_bands in simhash_configs:
             width = _simhash_geometry(sh_bits, sh_bands)
-            banded = _ensure_parallelism(df).select(
-                F.col(id_col).alias("id"),
-                F.posexplode(
-                    simhash_bands_udf(sh_bits, sh_bands)(tok_hashes)
-                ).alias("band", "band_hash"),
-            )
-            rows.append(
-                band_occupancy_stats(banded, max_bucket).select(
+            configs.append(("simhash", sh_bands, width))
+            legs.append(
+                _ensure_parallelism(df).select(
                     F.lit("simhash").alias("family"),
                     F.lit(sh_bands).cast("long").alias("bands"),
                     F.lit(width).cast("long").alias("band_width"),
-                    F.expr(f"band_rows div {sh_bands}").alias("n_docs"),
-                    "*",
+                    F.posexplode(
+                        simhash_bands_udf(sh_bits, sh_bands)(tok_hashes)
+                    ).alias("band", "band_hash"),
                 )
             )
-    table = rows[0]
-    for r in rows[1:]:
-        table = table.unionByName(r)
-    # Pin the (<= k+1)-row stats table: `best` below re-reads it, and an
-    # unpinned union would execute every occupancy aggregate — including
-    # the simhash leg's full corpus scan — TWICE per action (round-10
+    if len(set(configs)) != len(configs):
+        # The grouped rollup merges same-keyed legs into one bucket count
+        # (doubling n); the old per-leg shape emitted two identical rows.
+        # Neither is useful — fail loudly instead.
+        raise ValueError(
+            "duplicate banding configs share a (family, bands, band_width) "
+            f"key: {configs}"
+        )
+    banded_all = legs[0]
+    for leg in legs[1:]:
+        banded_all = banded_all.unionByName(leg)
+    cfg_cols = ["family", "bands", "band_width"]
+    counts = banded_all.groupBy(*cfg_cols, "band", "band_hash").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = counts.groupBy(*cfg_cols).agg(*_occupancy_aggs(max_bucket))
+    spine = df.sparkSession.createDataFrame(
+        configs, "family string, bands long, band_width long"
+    )
+    zero = F.lit(0).cast("long")
+    table = spine.join(stats, cfg_cols, "left").select(
+        *cfg_cols,
+        F.expr("coalesce(band_rows, 0L) div bands").alias("n_docs"),
+        *[
+            F.coalesce(F.col(c), zero).alias(c)
+            for c in (
+                "band_rows",
+                "buckets_ge2",
+                "max_bucket_sz",
+                "buckets_over_cap",
+                "docs_over_cap",
+                "raw_pairs",
+                "capped_pairs",
+            )
+        ],
+        F.coalesce(
+            F.col("raw_pairs") - F.col("capped_pairs"), zero
+        ).alias("pairs_dropped"),
+    )
+    # Pin the (<= k+g)-row stats table: `best` below re-reads it, and an
+    # unpinned plan would execute the occupancy rollup — including the
+    # simhash legs' full corpus scans — TWICE per action (round-10
     # review finding; the grid audit pins its bounded table the same way).
     table = table.localCheckpoint(eager=True)
     best = (
@@ -1040,15 +1092,31 @@ def simhash_dedup(
 
 
 def _sorted_struct_pairs(docs: Column) -> Column:
-    s = F.array_sort(docs)
-    return F.flatten(
+    # Bind the SORTED array once as a lambda variable (round 14): the
+    # previous shape captured `array_sort(docs)` inside the lambda body,
+    # and captured expressions re-evaluate per element (the
+    # word_ngram_strings discipline) — every posting was re-SORTED B
+    # times, O(B²·log B) comparisons per bucket where the pair fan-out
+    # itself is O(B²). Wrapping the sorted array in a 1-element array and
+    # transforming over it makes `s` a bound lambda variable, which
+    # reads the already-computed value. Output identical (same pairs,
+    # same order; NULL/[] propagate unchanged).
+    return F.get(
         F.transform(
-            s,
-            lambda a, i: F.transform(
-                F.slice(s, i + 2, F.greatest(F.size(s) - i - 1, F.lit(0))),
-                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            F.array(F.array_sort(docs)),
+            lambda s: F.flatten(
+                F.transform(
+                    s,
+                    lambda a, i: F.transform(
+                        F.slice(
+                            s, i + 2, F.greatest(F.size(s) - i - 1, F.lit(0))
+                        ),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
             ),
-        )
+        ),
+        0,
     )
 
 
@@ -1058,11 +1126,17 @@ def _sorted_struct_pairs(docs: Column) -> Column:
 
 
 def word_ngrams(col: str, n: int = 3) -> Column:
-    toks = F.split(F.col(col), " ")
-    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    idx = F.sequence(F.lit(1), cnt)
+    # O(n·len) shared gram expression (round 14 — the quadratic
+    # slice-in-lambda shape is retired; see
+    # functions.text.word_ngram_strings). coalesce preserves the
+    # historical NULL-text → empty-array contract of the transform shape
+    # (the fold propagates NULL instead).
+    from dampr_spark.functions.text import word_ngram_strings
+
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        F.coalesce(
+            word_ngram_strings(col, n), F.array().cast("array<string>")
+        )
     )
 
 
@@ -1839,18 +1913,25 @@ def positional_windows(col: str, n: int) -> Column:
     :func:`word_ngrams` this is NOT distinct — positional identity is the
     whole point (the suffix-run machinery chains adjacent positions into
     maximal matches). Texts shorter than ``n`` tokens emit an empty array."""
+    # O(n·len) gram fold (round 14, the word_ngram_strings discipline —
+    # the sequence+slice lambda re-evaluated the split per element); the
+    # index-form transform lambda touches only its own arguments, so no
+    # captured expression re-evaluates. A doc shorter than n tokens
+    # takes the empty branch exactly as before (word_ngram_strings'
+    # min-1-gram semantics never apply: cnt >= 1 iff size >= n).
+    from dampr_spark.functions.text import word_ngram_strings
+
     toks = F.split(F.col(col), " ")
     cnt = F.size(toks) - (n - 1)
-    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx,
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
+    return F.when(
+        cnt >= 1,
+        F.transform(
+            word_ngram_strings(col, n),
+            lambda g, i: F.struct(
+                (i + F.lit(1)).alias("pos"), g.alias("gram")
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
 
 
 def positional_anchor_rows(

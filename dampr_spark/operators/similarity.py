@@ -1628,16 +1628,14 @@ class RandomHyperplaneLSH:
         grouped = b.groupBy("table", "bucket", *extra_keys).agg(
             F.collect_list(F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))).alias("docs")
         )
-        s = F.array_sort(F.col("docs"))
-        pairs_expr = F.flatten(
-            F.transform(
-                s,
-                lambda a, i: F.transform(
-                    F.slice(s, i + 2, F.greatest(F.size(s) - i - 1, F.lit(0))),
-                    lambda bb: F.struct(a.alias("a"), bb.alias("b")),
-                ),
-            )
-        )
+        # Shared bind-once pair expression (round 14): the inline shape
+        # captured array_sort(docs) in the lambda body and re-sorted the
+        # bucket per element — with full VECTORS inside the structs, each
+        # re-sort paid O(B·dim) comparisons B times per bucket. See
+        # dedup._sorted_struct_pairs.
+        from dampr_spark.operators.dedup import _sorted_struct_pairs
+
+        pairs_expr = _sorted_struct_pairs(F.col("docs"))
         return (
             grouped.filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
             .select(F.explode(pairs_expr).alias("p"))

@@ -379,7 +379,14 @@ def histogram_quantiles(
     vals = df.select(x.alias("x")).filter(F.col("x").isNotNull())
     bounds = vals.agg(
         F.min("x").alias("lo"), F.max("x").alias("hi"), F.count(F.lit(1)).alias("n")
-    )
+    ).localCheckpoint(eager=True)
+    # ^ pin the 1-row grid-fit aggregate (round 14, guide §2.4): THREE
+    # consumers reference it (the prob fan-out, the degenerate filter,
+    # the broadcast into the bucket pass) and each un-pinned reference
+    # re-ran the min/max/count CORPUS SCAN — the captured before-plan
+    # held 4 parquet scans where the documented cost is 2 (fit + bucket).
+    # The pin is a bounded one-row frame; with it the corpus is read
+    # exactly twice at any scale.
     pf = bounds.select(
         F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("p"),
         "lo",

@@ -112,13 +112,14 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel, no state). NULL-text docs are dropped on both engines —
     repetition is undefined for absent text and NULL propagation through
     split/size differs cross-engine."""
+    from dampr_spark.functions.text import word_ngram_strings
+
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_tok - 2, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(3))),
-    )
+    # O(n·len) trigram fold (round 14): the sequence+slice lambda shape
+    # re-evaluated the split per element — quadratic in doc length.
+    grams = word_ngram_strings("text", 3)
     gram_dup = 1.0 - F.size(F.array_distinct(grams)) / F.size(grams)
     return d.select(
         "doc_id",

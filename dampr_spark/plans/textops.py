@@ -667,15 +667,12 @@ def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _ensure_parallelism(
         _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     )
-    toks = F.split(F.col("text"), " ")
-    cnt = F.greatest(F.size(toks) - 2, F.lit(1))
+    # O(n·len) trigram fold (round 14): the sequence+slice lambda shape
+    # re-evaluated the split per element — quadratic in doc length.
+    from dampr_spark.functions.text import word_ngram_strings
+
     grams = d.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), cnt),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-            )
-        ).alias("item")
+        F.explode(word_ngram_strings("text", 3)).alias("item")
     )
     # capacity 16384: the certification bound N/(m+1) must sit BELOW the
     # kth trigram count at every bench scale (sf0.1: N=261k -> bound 15.9
