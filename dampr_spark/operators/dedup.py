@@ -438,28 +438,58 @@ def lsh_band_audit(
         )
         for b in cands
     ]
-    if include_simhash:
+    if include_simhash and simhash_configs:
         tok_hashes = F.transform(
             F.array_distinct(F.split(F.col(text_col), " ")),
             lambda t: F.xxhash64(t),
         )
-        # One audit row per candidate fingerprint geometry (round 11:
-        # bits/bands is now a simhash_dedup knob; each candidate pays its
-        # own Arrow signature pass — unlike minhash bandings, different
-        # geometries don't re-slice one signature).
-        for sh_bits, sh_bands in simhash_configs:
-            width = _simhash_geometry(sh_bits, sh_bands)
-            configs.append(("simhash", sh_bands, width))
-            legs.append(
-                _ensure_parallelism(df).select(
-                    F.lit("simhash").alias("family"),
-                    F.lit(sh_bands).cast("long").alias("bands"),
-                    F.lit(width).cast("long").alias("band_width"),
-                    F.posexplode(
-                        simhash_bands_udf(sh_bits, sh_bands)(tok_hashes)
-                    ).alias("band", "band_hash"),
+        # One audit row per candidate fingerprint geometry. Round 14:
+        # the geometries share their bit planes by construction (plane 0
+        # = raw token hash, plane k = the k-th splitmix64 remix), so one
+        # multi-geometry Arrow pass (simhash_multi_bands_udf) computes
+        # the vote matrix ONCE at max(bits) and each candidate re-slices
+        # its own packed bands from the pinned result — one corpus scan
+        # + one vote pass for g geometries instead of g of each (the
+        # minhash legs' re-slice-one-signature economics, extended to
+        # simhash). Per-geometry band values are bit-identical to
+        # simhash_bands_udf (pinned by tests/test_round14_opt.py).
+        if len(simhash_configs) > 1:
+            msh = (
+                _ensure_parallelism(df)
+                .select(
+                    simhash_multi_bands_udf(tuple(simhash_configs))(
+                        tok_hashes
+                    ).alias("msh")
                 )
+                .localCheckpoint(eager=True)
             )
+            for j, (sh_bits, sh_bands) in enumerate(simhash_configs):
+                width = _simhash_geometry(sh_bits, sh_bands)
+                configs.append(("simhash", sh_bands, width))
+                legs.append(
+                    msh.select(
+                        F.lit("simhash").alias("family"),
+                        F.lit(sh_bands).cast("long").alias("bands"),
+                        F.lit(width).cast("long").alias("band_width"),
+                        F.posexplode(F.get("msh", j)).alias(
+                            "band", "band_hash"
+                        ),
+                    )
+                )
+        else:
+            for sh_bits, sh_bands in simhash_configs:
+                width = _simhash_geometry(sh_bits, sh_bands)
+                configs.append(("simhash", sh_bands, width))
+                legs.append(
+                    _ensure_parallelism(df).select(
+                        F.lit("simhash").alias("family"),
+                        F.lit(sh_bands).cast("long").alias("bands"),
+                        F.lit(width).cast("long").alias("band_width"),
+                        F.posexplode(
+                            simhash_bands_udf(sh_bits, sh_bands)(tok_hashes)
+                        ).alias("band", "band_hash"),
+                    )
+                )
     if len(set(configs)) != len(configs):
         # The grouped rollup merges same-keyed legs into one bucket count
         # (doubling n); the old per-leg shape emitted two identical rows.
@@ -971,6 +1001,104 @@ def simhash_bands_udf(bits: int = 64, bands: int = 4):
 
     _SIG_UDF_CACHE[key] = bands_udf
     return bands_udf
+
+
+def simhash_multi_bands_udf(configs: tuple[tuple[int, int], ...]):
+    """Multi-geometry twin of :func:`simhash_bands_udf` (round 14): ONE
+    Arrow pass emitting the banded fingerprint for SEVERAL (bits, bands)
+    geometries as ``array<array<long>>`` (one inner array per config,
+    in ``configs`` order).
+
+    Bit planes are shared by construction — plane 0 is the raw token
+    hash and plane k is the k-th splitmix64 remix, for every geometry —
+    so the (tokens × max_bits) vote matrix is computed ONCE and each
+    geometry packs its own prefix of it. Per config the packed band
+    values are bit-identical to ``simhash_bands_udf(bits, bands)``
+    (pinned by tests). :func:`lsh_band_audit` uses this to price g
+    geometries with one corpus scan + one vote pass instead of g."""
+    cfgs = tuple((int(b), int(g)) for b, g in configs)
+    if not cfgs:
+        raise ValueError("configs must be a non-empty tuple of (bits, bands)")
+    widths = [_simhash_geometry(b, g) for b, g in cfgs]
+    key = ("multibands", cfgs)
+    if key in _SIG_UDF_CACHE:
+        return _SIG_UDF_CACHE[key]
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    max_bits = max(b for b, _ in cfgs)
+    pows = [
+        (np.uint64(1) << np.arange(w, dtype=np.uint64)).astype(np.int64)
+        for w in widths
+    ]
+
+    def _remix(h: "np.ndarray", k: int) -> "np.ndarray":
+        z = h ^ (np.uint64(0x9E3779B97F4A7C15) * np.uint64(k))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    @pandas_udf(
+        T.ArrayType(T.ArrayType(T.LongType())), PandasUDFType.SCALAR
+    )
+    def multi_bands_udf(hash_arrays):
+        n = len(hash_arrays)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        nulls = np.fromiter(
+            (h is None for h in hash_arrays), dtype=bool, count=n
+        )
+        lengths = np.fromiter(
+            (0 if h is None else len(h) for h in hash_arrays),
+            dtype=np.int64,
+            count=n,
+        )
+        votes = np.zeros((n, max_bits), dtype=np.int64)
+        nonempty = lengths > 0
+        if nonempty.any():
+            flat = np.concatenate(
+                [
+                    np.asarray(h, dtype=np.int64)
+                    for h in hash_arrays
+                    if h is not None and len(h)
+                ]
+            ).view(np.uint64)
+            planes = []
+            for k in range((max_bits + 63) // 64):
+                hk = flat if k == 0 else _remix(flat, k)
+                nb = min(64, max_bits - 64 * k)
+                sh = np.arange(nb, dtype=np.uint64)
+                planes.append((hk[:, None] >> sh[None, :]) & np.uint64(1))
+            ones = (
+                planes[0]
+                if len(planes) == 1
+                else np.concatenate(planes, axis=1)
+            )
+            offsets = np.zeros(n, dtype=np.int64)
+            np.cumsum(lengths[:-1], out=offsets[1:])
+            sums = np.add.reduceat(
+                ones.astype(np.int64), offsets[nonempty], axis=0
+            )
+            votes[nonempty] = 2 * sums - lengths[nonempty, None]
+        pos = votes > 0
+        outs = []
+        for (bits_c, bands_c), width, pw in zip(cfgs, widths, pows):
+            out = np.empty((n, bands_c), dtype=np.int64)
+            for b in range(bands_c):
+                out[:, b] = pos[:, b * width : (b + 1) * width] @ pw
+            outs.append(out)
+        return pd.Series(
+            [
+                None if nulls[i] else [o[i] for o in outs]
+                for i in range(n)
+            ]
+        )
+
+    _SIG_UDF_CACHE[key] = multi_bands_udf
+    return multi_bands_udf
 
 
 def simhash(col: str = "text", bits: int = 64) -> Column:
