@@ -238,7 +238,14 @@ def extract_features(
                 }
             )
 
-    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+    # Project to exactly the columns the function reads BEFORE the opaque
+    # mapInPandas (round 14, guide §4.1): Spark cannot see which columns
+    # the Python body touches, so an unprojected input ships (and scans)
+    # every media column — mime/width/height/duration_ms here — through
+    # Arrow for nothing.
+    return media.select("media_id", "kind", "content").mapInPandas(
+        run, schema=FEATURES_SCHEMA
+    )
 
 
 def resize_images(
@@ -308,7 +315,10 @@ def resize_images(
                 }
             )
 
-    return media.mapInPandas(run, schema=schema)
+    # Column-pruned Python boundary (round 14, guide §4.1).
+    return media.select("media_id", "kind", "content", "mime").mapInPandas(
+        run, schema=schema
+    )
 
 
 def _real_frame_sample(av, content: bytes, every_ms: int, dim: int = FEATURE_DIM):
@@ -382,7 +392,10 @@ def frame_sample(
                     )
             yield pd.DataFrame({"media_id": ids, "frame_ms": offs, "features": feats})
 
-    return media.mapInPandas(run, schema=schema)
+    # Column-pruned Python boundary (round 14, guide §4.1).
+    return media.select("media_id", "content", "duration_ms").mapInPandas(
+        run, schema=schema
+    )
 
 
 def _real_audio_segments(av, content: bytes | None, segment_ms: int, dim: int = FEATURE_DIM):
@@ -516,4 +529,7 @@ def audio_segments(
                 }
             )
 
-    return media.mapInPandas(run, schema=schema)
+    # Column-pruned Python boundary (round 14, guide §4.1).
+    return media.select("media_id", "content", "duration_ms").mapInPandas(
+        run, schema=schema
+    )
