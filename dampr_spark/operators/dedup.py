@@ -2619,8 +2619,15 @@ def sorted_neighborhood_pairs(
     offsets = counts.select(
         "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
     )
-    base = ranked.join(F.broadcast(offsets), "_pid").select(
-        "id", "pfx", (F.col("_off") + F.col("_rn")).alias("_grn")
+    # Pin the globally-ranked frame (round 14): BOTH join sides below
+    # consume it, and the unpinned lineage re-ran the _pid window + the
+    # offsets broadcast join once per side — at corpus scale that is a
+    # second full window pass for nothing. One narrow (id, pfx, rank)
+    # materialization; the checkpoint read above it is unchanged.
+    base = (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .select("id", "pfx", (F.col("_off") + F.col("_rn")).alias("_grn"))
+        .localCheckpoint(eager=True)
     )
     left = base.select(
         F.col("id").alias("_ida"),
