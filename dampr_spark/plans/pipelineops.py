@@ -1765,10 +1765,16 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cab"))
         .filter(F.col("cab") >= _PMI_MIN_COUNT)
     )
-    # total adjacent pairs = Σ max(len-1, 0) per doc: arithmetic on the
-    # token count, no re-explode of the pair expression
-    n2 = d.agg(
-        F.sum(F.greatest(F.size(toks) - 1, F.lit(0))).cast("long").alias("n2")
+    # total adjacent pairs = Σ (len-1) per doc = Σ len − n_docs
+    # = Σ unigram counts − n_docs (len >= 1 always: split of a non-null
+    # string yields at least one token, so greatest(len-1, 0) = len-1).
+    # Round 14: Σ len came from a third corpus TOKENIZE pass; the pinned
+    # unigram table already holds it as sum(c), so the only corpus work
+    # left is a tokenize-free row count. Exact same long on any input.
+    n2 = (
+        uni.agg(F.sum("c").alias("_s"))
+        .crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).alias("_nd"))))
+        .select((F.col("_s") - F.col("_nd")).cast("long").alias("n2"))
     )
     ua = uni.select(F.col("w").alias("a"), F.col("c").alias("ca"))
     ub = uni.select(F.col("w").alias("b"), F.col("c").alias("cb"))
