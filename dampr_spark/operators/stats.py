@@ -86,7 +86,11 @@ def exact_quantiles(
         "v", (F.col("off") + F.col("rn")).alias("grank")
     )
 
-    n_row = ranked.agg(F.count(F.lit(1)).alias("n"))
+    # n = Σ per-partition counts — derived from the counts table (≤ one row
+    # per range partition) instead of a third full pass over the pinned
+    # frame; the counts exchange is shared with the offsets window via plan
+    # reuse. Same derivation distributed_ntile already uses.
+    n_row = counts.agg(F.coalesce(F.sum("cnt"), F.lit(0).cast("long")).alias("n"))
     # For each prob: pos = (n-1)*p, lo = floor(pos), hi = ceil(pos),
     # frac = pos - lo. ONE aggregate explodes into the needed-rank table
     # (a per-prob unionAll would put len(probs) copies of the count
@@ -196,7 +200,12 @@ def exact_group_quantiles(
         *group_cols, "v", (F.col("off") + F.col("rn")).alias("grank")
     )
 
-    n_per_group = ranked.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    # Per-group n = Σ of that group's (pid, group) counts — re-aggregating
+    # the O(partitions + groups)-row counts table instead of a second
+    # group-keyed pass over the pinned corpus. A group appears in counts
+    # iff it has ≥1 row, so the sum is never NULL and the row set matches
+    # the direct groupBy exactly (NULL keys included).
+    n_per_group = counts.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
     # ONE aggregate explodes into the per-group needed-rank table.
     needed = n_per_group.select(
         *group_cols,

@@ -235,3 +235,26 @@ def test_histogram_quantiles_scans_input_twice(spark, sf_dir):
     est = histogram_quantiles(o, "o_totalprice", [0.5, 0.9], 64)
     plan = est._jdf.queryExecution().sparkPlan().toString()
     assert plan.count("orders.parquet") == 1, plan
+
+
+def test_exact_quantiles_derived_n_edge_cases(spark):
+    """Change #9 derives n from the per-partition counts table instead of
+    a third pass over the pinned frame. The identity n = sum(cnt) must
+    hold on the shapes the hypothesis suite skips: empty input (n=0,
+    NULL quantiles — the coalesce(sum, 0) leg), all-NULL values, and a
+    NULL group key forming its own group."""
+    from dampr_spark.operators.stats import exact_group_quantiles, exact_quantiles
+
+    empty = spark.createDataFrame([], "x double")
+    r = exact_quantiles(empty, "x", [0.5, 0.9]).first()
+    assert r["n"] == 0 and r["q_0"] is None and r["q_1"] is None
+
+    all_null = spark.createDataFrame([(None,), (None,)], "x double")
+    r = exact_quantiles(all_null, "x", [0.5]).first()
+    assert r["n"] == 0 and r["q_0"] is None
+
+    rows = [("a", 1.0), ("a", 3.0), (None, 5.0), (None, 7.0), (None, 9.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r["g"]: r for r in exact_group_quantiles(df, ["g"], "x", [0.5]).collect()}
+    assert got["a"]["n"] == 2 and got["a"]["q_0"] == 2.0
+    assert got[None]["n"] == 3 and got[None]["q_0"] == 7.0
