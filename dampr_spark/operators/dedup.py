@@ -912,6 +912,63 @@ def _simhash_geometry(bits: int, bands: int) -> int:
     return width
 
 
+def _simhash_remix(h, k: int):
+    """splitmix64 finalizer over ``h ^ k*golden`` — the ONE remix recipe
+    both simhash UDFs share (factored round 15, ADVICE r14: the
+    single-geometry and multi-geometry paths previously duplicated this
+    verbatim, and any drift would silently break the per-geometry
+    bit-identity ``lsh_band_audit`` relies on). Standard recipe for
+    deriving independent 64-bit hash streams from one hash."""
+    import numpy as np
+
+    z = h ^ (np.uint64(0x9E3779B97F4A7C15) * np.uint64(k))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _simhash_vote_signs(hash_arrays, bits: int):
+    """Shared vote-matrix builder (factored round 15, ADVICE r14): from a
+    pandas Series of per-document token-hash arrays, return
+    ``(nulls, pos)`` — the per-row null mask and the (n, bits) boolean
+    positive-vote matrix. Bit plane 0 reads the raw token hash; plane k
+    (bits 64k..64k+63) reads the k-th :func:`_simhash_remix` — identical
+    math for every geometry, which is what lets the multi-geometry UDF
+    pack each config's prefix of one shared matrix."""
+    import numpy as np
+
+    n = len(hash_arrays)
+    nulls = np.fromiter((h is None for h in hash_arrays), dtype=bool, count=n)
+    lengths = np.fromiter(
+        (0 if h is None else len(h) for h in hash_arrays),
+        dtype=np.int64,
+        count=n,
+    )
+    votes = np.zeros((n, bits), dtype=np.int64)
+    nonempty = lengths > 0
+    if nonempty.any():
+        flat = np.concatenate(
+            [
+                np.asarray(h, dtype=np.int64)
+                for h in hash_arrays
+                if h is not None and len(h)
+            ]
+        ).view(np.uint64)
+        # bit matrix: (total_tokens, bits) of 0/1 → votes 2*ones - count.
+        planes = []
+        for k in range((bits + 63) // 64):
+            hk = flat if k == 0 else _simhash_remix(flat, k)
+            nb = min(64, bits - 64 * k)
+            sh = np.arange(nb, dtype=np.uint64)
+            planes.append((hk[:, None] >> sh[None, :]) & np.uint64(1))
+        ones = planes[0] if len(planes) == 1 else np.concatenate(planes, axis=1)
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        sums = np.add.reduceat(ones.astype(np.int64), offsets[nonempty], axis=0)
+        votes[nonempty] = 2 * sums - lengths[nonempty, None]
+    return nulls, votes > 0
+
+
 def simhash_bands_udf(bits: int = 64, bands: int = 4):
     """Arrow-vectorized hot path for ``simhash_bands(simhash_votes(...))``:
     takes the per-document array of 64-bit token hashes (computed JVM-side —
@@ -950,14 +1007,6 @@ def simhash_bands_udf(bits: int = 64, bands: int = 4):
     n_bands = bands
     pow2 = (np.uint64(1) << np.arange(width, dtype=np.uint64)).astype(np.int64)
 
-    def _remix(h: "np.ndarray", k: int) -> "np.ndarray":
-        # splitmix64 finalizer over (h ^ k*golden) — the standard recipe
-        # for deriving independent 64-bit hash streams from one hash.
-        z = h ^ (np.uint64(0x9E3779B97F4A7C15) * np.uint64(k))
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return z ^ (z >> np.uint64(31))
-
     @pandas_udf(T.ArrayType(T.LongType()), PandasUDFType.SCALAR)
     def bands_udf(hash_arrays):
         n = len(hash_arrays)
@@ -965,35 +1014,7 @@ def simhash_bands_udf(bits: int = 64, bands: int = 4):
             return pd.Series([], dtype=object)
         # null token array (null text) → null fingerprint, matching the SQL
         # spec form so posexplode drops the row instead of bucketing nulls.
-        nulls = np.fromiter((h is None for h in hash_arrays), dtype=bool, count=n)
-        lengths = np.fromiter(
-            (0 if h is None else len(h) for h in hash_arrays), dtype=np.int64, count=n
-        )
-        votes = np.zeros((n, bits), dtype=np.int64)
-        nonempty = lengths > 0
-        if nonempty.any():
-            flat = np.concatenate(
-                [
-                    np.asarray(h, dtype=np.int64)
-                    for h in hash_arrays
-                    if h is not None and len(h)
-                ]
-            ).view(np.uint64)
-            # bit matrix: (total_tokens, bits) of 0/1 → votes 2*ones - count.
-            # Plane k (bits 64k..64k+63) reads remix_k of the token hash;
-            # plane 0 is the raw hash — identical to the 64-bit spec form.
-            planes = []
-            for k in range((bits + 63) // 64):
-                hk = flat if k == 0 else _remix(flat, k)
-                nb = min(64, bits - 64 * k)
-                sh = np.arange(nb, dtype=np.uint64)
-                planes.append((hk[:, None] >> sh[None, :]) & np.uint64(1))
-            ones = planes[0] if len(planes) == 1 else np.concatenate(planes, axis=1)
-            offsets = np.zeros(n, dtype=np.int64)
-            np.cumsum(lengths[:-1], out=offsets[1:])
-            sums = np.add.reduceat(ones.astype(np.int64), offsets[nonempty], axis=0)
-            votes[nonempty] = 2 * sums - lengths[nonempty, None]
-        pos = votes > 0
+        nulls, pos = _simhash_vote_signs(hash_arrays, bits)
         out = np.empty((n, n_bands), dtype=np.int64)
         for b in range(n_bands):
             out[:, b] = pos[:, b * width : (b + 1) * width] @ pow2
@@ -1035,12 +1056,6 @@ def simhash_multi_bands_udf(configs: tuple[tuple[int, int], ...]):
         for w in widths
     ]
 
-    def _remix(h: "np.ndarray", k: int) -> "np.ndarray":
-        z = h ^ (np.uint64(0x9E3779B97F4A7C15) * np.uint64(k))
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return z ^ (z >> np.uint64(31))
-
     @pandas_udf(
         T.ArrayType(T.ArrayType(T.LongType())), PandasUDFType.SCALAR
     )
@@ -1048,42 +1063,10 @@ def simhash_multi_bands_udf(configs: tuple[tuple[int, int], ...]):
         n = len(hash_arrays)
         if n == 0:
             return pd.Series([], dtype=object)
-        nulls = np.fromiter(
-            (h is None for h in hash_arrays), dtype=bool, count=n
-        )
-        lengths = np.fromiter(
-            (0 if h is None else len(h) for h in hash_arrays),
-            dtype=np.int64,
-            count=n,
-        )
-        votes = np.zeros((n, max_bits), dtype=np.int64)
-        nonempty = lengths > 0
-        if nonempty.any():
-            flat = np.concatenate(
-                [
-                    np.asarray(h, dtype=np.int64)
-                    for h in hash_arrays
-                    if h is not None and len(h)
-                ]
-            ).view(np.uint64)
-            planes = []
-            for k in range((max_bits + 63) // 64):
-                hk = flat if k == 0 else _remix(flat, k)
-                nb = min(64, max_bits - 64 * k)
-                sh = np.arange(nb, dtype=np.uint64)
-                planes.append((hk[:, None] >> sh[None, :]) & np.uint64(1))
-            ones = (
-                planes[0]
-                if len(planes) == 1
-                else np.concatenate(planes, axis=1)
-            )
-            offsets = np.zeros(n, dtype=np.int64)
-            np.cumsum(lengths[:-1], out=offsets[1:])
-            sums = np.add.reduceat(
-                ones.astype(np.int64), offsets[nonempty], axis=0
-            )
-            votes[nonempty] = 2 * sums - lengths[nonempty, None]
-        pos = votes > 0
+        # ONE shared vote matrix at max(bits); each geometry packs its
+        # own prefix — same helper as simhash_bands_udf, so the
+        # per-geometry values cannot drift (ADVICE r14).
+        nulls, pos = _simhash_vote_signs(hash_arrays, max_bits)
         outs = []
         for (bits_c, bands_c), width, pw in zip(cfgs, widths, pows):
             out = np.empty((n, bands_c), dtype=np.int64)
@@ -1256,9 +1239,17 @@ def _sorted_struct_pairs(docs: Column) -> Column:
 def word_ngrams(col: str, n: int = 3) -> Column:
     # O(n·len) shared gram expression (round 14 — the quadratic
     # slice-in-lambda shape is retired; see
-    # functions.text.word_ngram_strings). coalesce preserves the
-    # historical NULL-text → empty-array contract of the transform shape
-    # (the fold propagates NULL instead).
+    # functions.text.word_ngram_strings). NULL-text contract (corrected
+    # round 15, ADVICE r14): the RETIRED transform shape returned ['']
+    # on NULL text (size(NULL) = -1 made its sequence emit one slot and
+    # concat_ws folded the NULL slice to ''); the coalesce below maps
+    # NULL text to [] instead — a DELIBERATE behavior change, kept
+    # because an empty gram set is the honest reading of "no content"
+    # and the '' gram spuriously paired NULL-text docs with empty-text
+    # docs in explode_outer posting paths. No query path can observe the
+    # difference: every caller in operators/, plans/ and streaming/
+    # filters text IS NOT NULL before building grams (verified round 15;
+    # oracle parity green across all 255 queries with the [] semantics).
     from dampr_spark.functions.text import word_ngram_strings
 
     return F.array_distinct(

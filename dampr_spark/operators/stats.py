@@ -381,6 +381,13 @@ def histogram_quantiles(
 
     Degenerate inputs: all values equal (hi == lo) → est = lo for every
     p; empty/all-NULL input → empty result.
+
+    Build-time cost (ADVICE r14): the grid-fit bounds aggregate is
+    pinned with an EAGER localCheckpoint, so merely CONSTRUCTING the
+    returned DataFrame runs the full min/max/count corpus scan — a
+    caller that builds the estimator and never collects it still pays
+    one corpus pass. This is the repo-wide pinning style for bounded
+    multi-consumer frames; call only when the result will be consumed.
     """
     if not probs:
         raise ValueError("probs must be a non-empty list of probabilities")

@@ -115,6 +115,9 @@ def main() -> int:
     for i, shard in enumerate(shards):
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(args.cpus_per_shard)
+        # The sharded runner IS the full-suite round gate: disable the
+        # driver-budget fast lane (tests/conftest.py) so every test runs.
+        env.setdefault("SPARK_GRAFT_FULL_TESTS", "1")
         env.setdefault("PYTHONPATH", REPO)
         xml_path = f"/tmp/test_shard_{i}.xml"
         if os.path.exists(xml_path):

@@ -57,7 +57,11 @@ def test_word_ngrams_matches_quadratic_shape(spark, sf_dir):
                 .count()
                 == 0
             )
-    # NULL text keeps the historical empty-array contract.
+    # NULL text → [] — a DELIBERATE r14 behavior change (the retired
+    # transform shape returned [''] on NULL text via size(NULL) = -1;
+    # ADVICE r14 verified that empirically). [] is kept because every
+    # caller filters text IS NOT NULL before building grams, and the ''
+    # gram would spuriously pair NULL-text docs with empty-text docs.
     row = (
         spark.createDataFrame([(9, None)], "id long, text string")
         .select(word_ngrams("text", 3).alias("g"))
