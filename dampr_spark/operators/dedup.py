@@ -402,14 +402,33 @@ def lsh_band_audit(
         if num_perm % b:
             raise ValueError(f"bands={b} does not divide num_perm={num_perm}")
 
+    # ONE corpus scan + ONE pinned frame for every signature family
+    # (round 15, guide §2.4/§6): the minhash signature and — in the
+    # multi-geometry case — the simhash vote matrix are computed in the
+    # same select, so the corpus text is scanned once and one eager pin
+    # materializes both (previously two scans + two pin jobs). Values
+    # are unchanged: the UDFs are independent per-column expressions.
+    _multi_sim = bool(
+        include_simhash and simhash_configs and len(simhash_configs) > 1
+    )
+    sig_cols = [
+        F.col(id_col).alias("id"),
+        minhash_text_signature_udf(num_perm, shingle_k)(
+            F.col(text_col)
+        ).alias("sig"),
+    ]
+    if _multi_sim:
+        sig_cols.append(
+            simhash_multi_bands_udf(tuple(simhash_configs))(
+                F.transform(
+                    F.array_distinct(F.split(F.col(text_col), " ")),
+                    lambda t: F.xxhash64(t),
+                )
+            ).alias("msh")
+        )
     sig = (
         _ensure_parallelism(df)
-        .select(
-            F.col(id_col).alias("id"),
-            minhash_text_signature_udf(num_perm, shingle_k)(
-                F.col(text_col)
-            ).alias("sig"),
-        )
+        .select(*sig_cols)
         .localCheckpoint(eager=True)  # one UDF pass, k band re-slices
     )
     # Single-exchange occupancy rollup (round 14, guide §2.4): the old
@@ -453,21 +472,14 @@ def lsh_band_audit(
         # minhash legs' re-slice-one-signature economics, extended to
         # simhash). Per-geometry band values are bit-identical to
         # simhash_bands_udf (pinned by tests/test_round14_opt.py).
-        if len(simhash_configs) > 1:
-            msh = (
-                _ensure_parallelism(df)
-                .select(
-                    simhash_multi_bands_udf(tuple(simhash_configs))(
-                        tok_hashes
-                    ).alias("msh")
-                )
-                .localCheckpoint(eager=True)
-            )
+        if _multi_sim:
+            # The vote matrix rides the shared pinned frame (see sig
+            # above) — each geometry re-slices its own packed bands.
             for j, (sh_bits, sh_bands) in enumerate(simhash_configs):
                 width = _simhash_geometry(sh_bits, sh_bands)
                 configs.append(("simhash", sh_bands, width))
                 legs.append(
-                    msh.select(
+                    sig.select(
                         F.lit("simhash").alias("family"),
                         F.lit(sh_bands).cast("long").alias("bands"),
                         F.lit(width).cast("long").alias("band_width"),
@@ -573,6 +585,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 5,
     max_bucket: int = 1000,
+    salt_bucket: int = 128,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -593,13 +606,84 @@ def minhash_lsh_candidates(
         F.collect_list("id").alias("ids")
     )
     # Hot-bucket guard: a bucket with B ids yields B^2/2 pairs; cap B.
-    pairs = (
-        buckets.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-        .select(F.explode(_sorted_pairs(F.col("ids"))).alias("p"))
+    ok = buckets.filter(
+        (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
+    )
+    # Sub-cap skew guard (round 15, VERDICT r14 #5, guide §2.5): the
+    # in-row pair explode materializes a bucket's FULL C(B,2) pair
+    # fan-out in the one task that holds the bucket row — at the
+    # max_bucket default that is ~500k pairs funneled through a single
+    # task. Buckets larger than ``salt_bucket`` are therefore CHUNKED:
+    # the sorted id array splits into nc = ceil(B / salt_bucket) slices,
+    # one row per (i ≤ j) chunk combo, REPARTITIONED by the combo key so
+    # the quadratic explode runs distributed — each combo emits at most
+    # ~salt_bucket² pairs. The pair set is exactly the unchunked one
+    # (locked by tests/test_round15_opt.py): the array is sorted, so
+    # in-chunk combos (i == j) emit their a < b pairs and cross combos
+    # (i < j) emit the full ci × cj product, every element of ci being
+    # < every element of cj; each (a, b) pair lands in exactly one
+    # combo. At sf0.1 no bucket exceeds the default (max occupancy ~4),
+    # so the chunked leg is empty and the bench shape is unchanged.
+    small_pairs = ok.filter(F.size("ids") <= salt_bucket).select(
+        F.explode(_sorted_pairs(F.col("ids"))).alias("p")
+    )
+    nc = F.ceil(F.size("ids") / F.lit(salt_bucket)).cast("int")
+    combo_rows = (
+        ok.filter(F.size("ids") > salt_bucket)
+        .select(
+            "band",
+            "band_hash",
+            F.array_sort("ids").alias("s"),
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), nc - 1),
+                        lambda i: F.transform(
+                            F.sequence(i, nc - 1),
+                            lambda j: F.struct(
+                                i.alias("i"), j.alias("j")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("c"),
+        )
+        .select(
+            "band",
+            "band_hash",
+            F.col("c.i").alias("_i"),
+            F.col("c.j").alias("_j"),
+            F.slice(
+                F.col("s"), F.col("c.i") * salt_bucket + 1, salt_bucket
+            ).alias("ci"),
+            F.slice(
+                F.col("s"), F.col("c.j") * salt_bucket + 1, salt_bucket
+            ).alias("cj"),
+        )
+        # The shuffle that actually DISTRIBUTES one bucket's combos
+        # across tasks; keyed deterministically (§2.5 — never rand()).
+        .repartition("band", "band_hash", "_i", "_j")
+    )
+    cross = F.flatten(
+        F.transform(
+            F.col("ci"),
+            lambda a: F.transform(
+                F.col("cj"), lambda b: F.struct(a.alias("a"), b.alias("b"))
+            ),
+        )
+    )
+    big_pairs = combo_rows.select(
+        F.explode(
+            F.when(
+                F.col("_i") == F.col("_j"), _sorted_pairs(F.col("ci"))
+            ).otherwise(cross)
+        ).alias("p")
+    )
+    return (
+        small_pairs.unionByName(big_pairs)
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def _sorted_pairs(ids: Column) -> Column:
@@ -1107,6 +1191,7 @@ def simhash_dedup(
     max_bucket: int = 1000,
     bits: int = 64,
     bands: int = 4,
+    salt_bucket: int = 128,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: documents sharing any band are
     candidates (pigeonhole: hamming ≤ bands-1 ⇒ at least one band
@@ -1174,29 +1259,100 @@ def simhash_dedup(
         )
         .localCheckpoint(eager=True)
     )
-    hot = (
-        banded.groupBy("band", "band_val")
-        .agg(F.count(F.lit(1)).alias("_bsz"))
-        .filter(F.col("_bsz") > max_bucket)
-        .select("band", "band_val")
+    # Hot-band skew guard v2 (round 15, VERDICT r14 #5, guide §2.5): the
+    # anti-join cap bounds the WORST bucket, but a sub-cap bucket of B
+    # docs still emits B²/2 join rows through ONE (band, band_val) hash
+    # partition — at sf0.1 the fullest simhash band bucket holds 800+
+    # docs (~0.5M pairs in one task class), and AQE's skew-join splitter
+    # never fires because its 256 MB threshold sees the tiny INPUT
+    # bytes, not the quadratic OUTPUT. Buckets larger than
+    # ``salt_bucket`` are therefore TRIANGLE-SALTED: each doc gets a
+    # deterministic chunk c = pmod(xxhash64(id), nc) with
+    # nc = ceil(B / salt_bucket); the left leg replicates a row into
+    # combos (c, j) for j ≥ c and the right leg into (i, c) for i ≤ c,
+    # so the join key (band, band_val, i, j) spreads one bucket's pair
+    # fan-out over nc·(nc+1)/2 independent hash keys, each emitting at
+    # most ~salt_bucket² pairs. The candidate PAIR SET is unchanged
+    # (locked by tests/test_round15_opt.py against the unsalted shape):
+    # a pair with chunks (cx ≤ cy) meets in exactly combo (cx, cy) —
+    # once for cx < cy (ids normalized via least/greatest; hamming is
+    # xor-symmetric so orientation is irrelevant), and both orientations
+    # in the diagonal combo, where the id_a < id_b filter keeps one.
+    # NULL fingerprints never reach either path (posexplode drops them).
+    # salt_bucket above max_bucket would carve sub-cap buckets out of
+    # the ``flagged`` superset and silently disable the hot cap; clamp
+    # so flagged ⊇ hot always (salt_bucket == max_bucket disables
+    # salting outright — the equivalence test's control arm).
+    salt_bucket = min(salt_bucket, max_bucket)
+    sizes = banded.groupBy("band", "band_val").agg(
+        F.count(F.lit(1)).alias("_bsz")
     )
-    pruned = banded.join(hot, ["band", "band_val"], "left_anti")
+    flagged = (
+        sizes.filter(F.col("_bsz") > salt_bucket)
+        # Bounded pin: ≤ corpus_bands / salt_bucket rows (each flagged
+        # bucket holds > salt_bucket docs); feeds the hot anti-join AND
+        # the warm tag join without re-running the size aggregate.
+        .localCheckpoint(eager=True)
+    )
+    hot = flagged.filter(F.col("_bsz") > max_bucket).select("band", "band_val")
+    warm = flagged.filter(F.col("_bsz") <= max_bucket)
+    pruned = banded.join(F.broadcast(hot), ["band", "band_val"], "left_anti")
+    tagged = pruned.join(
+        F.broadcast(warm), ["band", "band_val"], "left"
+    )
     hamming = sum(
         F.bit_count(F.col(f"a_b{i}").bitwiseXOR(F.col(f"c_b{i}")))
         for i in range(n_bands)
     )
-    a = pruned.select(
+    cold = tagged.filter(F.col("_bsz").isNull())
+    a = cold.select(
         F.col("id").alias("id_a"), "band", "band_val",
         *[F.col(f"b{i}").alias(f"a_b{i}") for i in range(n_bands)],
     )
-    c = pruned.select(
+    c = cold.select(
         F.col("id").alias("id_b"), "band", "band_val",
         *[F.col(f"b{i}").alias(f"c_b{i}") for i in range(n_bands)],
     )
-    return (
+    cold_pairs = (
         a.join(c, ["band", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("hamming"))
+    )
+    wr = tagged.filter(F.col("_bsz").isNotNull()).withColumn(
+        "_nc",
+        F.ceil(F.col("_bsz") / F.lit(salt_bucket)).cast("int"),
+    ).withColumn(
+        # Deterministic chunk (§2.5: never rand() — retried map tasks
+        # must reproduce the same row-to-chunk assignment).
+        "_c",
+        F.pmod(F.xxhash64(F.col("id")), F.col("_nc")).cast("int"),
+    )
+    wl = wr.select(
+        F.col("id").alias("id_a"), "band", "band_val",
+        *[F.col(f"b{i}").alias(f"a_b{i}") for i in range(n_bands)],
+        F.col("_c").alias("_ci"),
+        F.explode(F.sequence(F.col("_c"), F.col("_nc") - 1)).alias("_cj"),
+    )
+    wc = wr.select(
+        F.col("id").alias("id_b"), "band", "band_val",
+        *[F.col(f"b{i}").alias(f"c_b{i}") for i in range(n_bands)],
+        F.explode(F.sequence(F.lit(0), F.col("_c"))).alias("_ci"),
+        F.col("_c").alias("_cj"),
+    )
+    warm_pairs = (
+        wl.join(wc, ["band", "band_val", "_ci", "_cj"])
+        .filter(
+            (F.col("_ci") != F.col("_cj"))
+            | (F.col("id_a") < F.col("id_b"))
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+    )
+    return (
+        cold_pairs.unionByName(warm_pairs)
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

@@ -222,25 +222,29 @@ def dsir_importance_weights_flagged(
         # counts + target counts + scoring (pin_once = single
         # materialization; reliable under the checkpoint knob)
     )
-    raw_counts = (
+    # ONE grouped aggregate for BOTH distributions (round 15, §2.4): the
+    # raw and target bucket counts previously ran as two separate
+    # aggregate passes over the pinned frame (two eager pin jobs); a
+    # conditional sum folds them into one. Identical values: tc was the
+    # flagged-docs Σk left-joined with coalesce(tc, 0), which is exactly
+    # Σ when(tgt, k, 0) per bucket (NULL flags fall to 0 on both
+    # shapes), and tn gains only zero-valued rows.
+    bucket_counts = (
         doc_buckets.groupBy("bucket")
-        .agg(F.sum("k").alias("rc"))
+        .agg(
+            F.sum("k").alias("rc"),
+            F.sum(
+                F.when(F.col("tgt"), F.col("k")).otherwise(F.lit(0))
+            ).alias("tc"),
+        )
         .localCheckpoint(eager=True)  # bounded (n_buckets rows); feeds
-        # the join AND the scalar total
-    )
-    tgt_counts = (
-        doc_buckets.filter(F.col("tgt"))
-        .groupBy("bucket")
-        .agg(F.sum("k").alias("tc"))
-        .localCheckpoint(eager=True)  # bounded (n_buckets rows)
+        # the ratio join AND the scalar totals
     )
     ratios = (
-        raw_counts.join(tgt_counts, "bucket", "left")
-        .withColumn("tc", F.coalesce(F.col("tc"), F.lit(0)))
-        .crossJoin(
+        bucket_counts.crossJoin(
             F.broadcast(
-                raw_counts.agg(F.sum("rc").alias("rn")).crossJoin(
-                    tgt_counts.agg(F.sum("tc").alias("tn"))
+                bucket_counts.agg(
+                    F.sum("rc").alias("rn"), F.sum("tc").alias("tn")
                 )
             )
         )

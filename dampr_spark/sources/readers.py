@@ -26,6 +26,17 @@ TABLES = (
 )
 
 
+# Per-(SparkContext, path) memo of the INFERRED PARQUET SCHEMA — metadata
+# only, never data. ``spark.read.parquet`` re-reads footers to merge the
+# schema on every call (~0.1 s of driver work per call, measured round 15:
+# infer 0.10-0.12 s vs 0.02 s with an explicit schema); a bench pass builds
+# 94 read_table calls per run, so inference alone cost ~9 s per cold pass.
+# Keyed by applicationId so a fresh session (driver-owned or test) re-infers
+# against whatever data landed; the files themselves are still scanned
+# fresh by every query — this caches the column list, not results.
+_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one TESTDATA table. Plain ``spark.read.parquet`` so Catalyst can
     push filters/projections into the scan (PushedFilters/ReadSchema).
@@ -41,7 +52,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Runtime SQL conf — must be set here (not only in get_spark) because
         # the correctness driver calls these builders with its own session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
