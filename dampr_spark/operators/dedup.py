@@ -602,13 +602,6 @@ def minhash_lsh_candidates(
     # (the pure-SQL form evaluates interpreted higher-order lambdas and is
     # ~20× slower); the band key is an 8-byte xxhash64 per (doc, band).
     banded = _banded_signatures(df, text_col, id_col, num_perm, bands, shingle_k)
-    buckets = banded.groupBy("band", "band_hash").agg(
-        F.collect_list("id").alias("ids")
-    )
-    # Hot-bucket guard: a bucket with B ids yields B^2/2 pairs; cap B.
-    ok = buckets.filter(
-        (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
-    )
     # Sub-cap skew guard (round 15, VERDICT r14 #5, guide §2.5): the
     # in-row pair explode materializes a bucket's FULL C(B,2) pair
     # fan-out in the one task that holds the bucket row — at the
@@ -624,12 +617,25 @@ def minhash_lsh_candidates(
     # < every element of cj; each (a, b) pair lands in exactly one
     # combo. At sf0.1 no bucket exceeds the default (max occupancy ~4),
     # so the chunked leg is empty and the bench shape is unchanged.
-    small_pairs = ok.filter(F.size("ids") <= salt_bucket).select(
+    #
+    # The bucket table is PINNED because the small/chunked legs are two
+    # consumers: an unpinned split re-ran the whole signature UDF pass
+    # and the collect_list shuffle per leg (the round-15 first cut —
+    # caught by the bench at +24% on minhash_lsh_dedup and fixed here;
+    # the pin costs one eager materialization of the same aggregate the
+    # old single-leg shape computed inside its action).
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .localCheckpoint(eager=True)
+    )
+    small_pairs = buckets.filter(F.size("ids") <= salt_bucket).select(
         F.explode(_sorted_pairs(F.col("ids"))).alias("p")
     )
     nc = F.ceil(F.size("ids") / F.lit(salt_bucket)).cast("int")
     combo_rows = (
-        ok.filter(F.size("ids") > salt_bucket)
+        buckets.filter(F.size("ids") > salt_bucket)
         .select(
             "band",
             "band_hash",
@@ -1294,53 +1300,55 @@ def simhash_dedup(
         # the warm tag join without re-running the size aggregate.
         .localCheckpoint(eager=True)
     )
-    hot = flagged.filter(F.col("_bsz") > max_bucket).select("band", "band_val")
-    warm = flagged.filter(F.col("_bsz") <= max_bucket)
-    pruned = banded.join(F.broadcast(hot), ["band", "band_val"], "left_anti")
-    tagged = pruned.join(
-        F.broadcast(warm), ["band", "band_val"], "left"
+    # ONE join pipeline for cold AND salted buckets (the round-15 first
+    # cut split the rows into two pipelines, which re-ran the
+    # anti/tag joins per leg and doubled the warm rows through two
+    # extra explodes — caught by the bench at +90% on simhash_dedup and
+    # unified here): a single broadcast left join against the bounded
+    # flagged table both DROPS over-cap buckets (the old anti-join,
+    # now a filter on the joined _bsz) and attaches the chunk count
+    # (nc = 1 for buckets at or under salt_bucket); rows chunk
+    # deterministically (§2.5: never rand() — retried map tasks must
+    # reproduce the assignment), and the two sides explode their combo
+    # ranges. A cold row's ranges are both [0], so it appears exactly
+    # once per side and the join key degenerates to the old
+    # (band, band_val) join with a constant (0, 0) suffix.
+    rows = (
+        banded.join(F.broadcast(flagged), ["band", "band_val"], "left")
+        .filter(F.col("_bsz").isNull() | (F.col("_bsz") <= max_bucket))
+        .withColumn(
+            "_nc",
+            F.when(
+                F.col("_bsz").isNotNull(),
+                F.ceil(F.col("_bsz") / F.lit(salt_bucket)).cast("int"),
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "_c", F.pmod(F.xxhash64(F.col("id")), F.col("_nc")).cast("int")
+        )
     )
     hamming = sum(
         F.bit_count(F.col(f"a_b{i}").bitwiseXOR(F.col(f"c_b{i}")))
         for i in range(n_bands)
     )
-    cold = tagged.filter(F.col("_bsz").isNull())
-    a = cold.select(
-        F.col("id").alias("id_a"), "band", "band_val",
-        *[F.col(f"b{i}").alias(f"a_b{i}") for i in range(n_bands)],
-    )
-    c = cold.select(
-        F.col("id").alias("id_b"), "band", "band_val",
-        *[F.col(f"b{i}").alias(f"c_b{i}") for i in range(n_bands)],
-    )
-    cold_pairs = (
-        a.join(c, ["band", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming.alias("hamming"))
-    )
-    wr = tagged.filter(F.col("_bsz").isNotNull()).withColumn(
-        "_nc",
-        F.ceil(F.col("_bsz") / F.lit(salt_bucket)).cast("int"),
-    ).withColumn(
-        # Deterministic chunk (§2.5: never rand() — retried map tasks
-        # must reproduce the same row-to-chunk assignment).
-        "_c",
-        F.pmod(F.xxhash64(F.col("id")), F.col("_nc")).cast("int"),
-    )
-    wl = wr.select(
+    a = rows.select(
         F.col("id").alias("id_a"), "band", "band_val",
         *[F.col(f"b{i}").alias(f"a_b{i}") for i in range(n_bands)],
         F.col("_c").alias("_ci"),
         F.explode(F.sequence(F.col("_c"), F.col("_nc") - 1)).alias("_cj"),
     )
-    wc = wr.select(
+    c = rows.select(
         F.col("id").alias("id_b"), "band", "band_val",
         *[F.col(f"b{i}").alias(f"c_b{i}") for i in range(n_bands)],
         F.explode(F.sequence(F.lit(0), F.col("_c"))).alias("_ci"),
         F.col("_c").alias("_cj"),
     )
-    warm_pairs = (
-        wl.join(wc, ["band", "band_val", "_ci", "_cj"])
+    return (
+        a.join(c, ["band", "band_val", "_ci", "_cj"])
+        # Diagonal combos (cold rows always; warm in-chunk) see both
+        # orientations — keep a < b; cross combos see exactly one
+        # orientation — normalize via least/greatest (hamming is
+        # xor-symmetric, so orientation never changes it).
         .filter(
             (F.col("_ci") != F.col("_cj"))
             | (F.col("id_a") < F.col("id_b"))
@@ -1350,9 +1358,6 @@ def simhash_dedup(
             F.greatest("id_a", "id_b").alias("id_b"),
             hamming.alias("hamming"),
         )
-    )
-    return (
-        cold_pairs.unionByName(warm_pairs)
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
